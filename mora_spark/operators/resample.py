@@ -1,0 +1,43 @@
+"""Candle-length conversion (resampling).
+
+``CandleLength`` is a first-class key dimension in the reference
+(``page/index.go:19-23``) but conversion between lengths is left to
+clients; here it is a core operator. Pure built-in aggregation —
+min_by/max_by give the open/close of the earliest/latest source bar —
+so batch and streaming share the plan shape (one hash aggregate).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def resample(candles: DataFrame, target_length_s: int) -> DataFrame:
+    """Aggregate finer candles into ``target_length_s``-second bars.
+
+    Requires source ``candle_length`` to divide ``target_length_s``
+    evenly for exact bucket alignment (60→300→3600 algebra holds:
+    resampling twice equals resampling once, tested in
+    tests/test_resample.py).
+    """
+    bucket = F.timestamp_seconds(
+        (F.unix_timestamp("ts") / target_length_s).cast("bigint")
+        * target_length_s
+    )
+    return (
+        candles.groupBy(
+            "market",
+            "code",
+            F.lit(target_length_s).alias("candle_length"),
+            bucket.alias("ts"),
+        )
+        .agg(
+            F.min_by("open", "ts").alias("open"),
+            F.max("high").alias("high"),
+            F.min("low").alias("low"),
+            F.max_by("close", "ts").alias("close"),
+            F.sum("volume").alias("volume"),
+            F.sum("bit_fields").alias("bit_fields"),
+        )
+    )

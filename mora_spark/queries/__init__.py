@@ -1,0 +1,26 @@
+"""Declared-query registry — the t2 correctness contract.
+
+Each domain module exposes ``QUERIES: dict[name, fn(spark, sf_dir) ->
+DataFrame]`` and ``ORACLES: dict[name, duckdb_sql]``. ``__spark_entry__``
+merges them for the driver. Column names are aliased identically on both
+sides (the driver's compare sorts columns by name before hashing).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+def collect_registry() -> tuple[dict[str, QueryFn], dict[str, str]]:
+    from mora_spark.queries import relational, text, timeseries, vectors, streaming, store
+
+    queries: dict[str, QueryFn] = {}
+    oracles: dict[str, str] = {}
+    for mod in (timeseries, relational, text, vectors, streaming, store):
+        queries.update(mod.QUERIES)
+        oracles.update(mod.ORACLES)
+    return queries, oracles

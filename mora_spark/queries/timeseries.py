@@ -1,0 +1,352 @@
+"""Candle/time-series declared queries + DuckDB oracles.
+
+All candle queries derive the 1-minute candle table from ``events``
+via :func:`mora_spark.datasets.candles_from_events`; the oracle shares
+the equivalent ``candles`` CTE (:data:`mora_spark.datasets.CANDLES_CTE_SQL`).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from mora_spark.datasets import candles_from_events, candles_sql, load_table
+from mora_spark.operators import (
+    asof_join,
+    ema,
+    fill_gaps,
+    resample,
+    sma,
+    top_k,
+    vwap,
+    with_lag_lead,
+)
+from mora_spark.operators.upsert import last_writer_wins
+from mora_spark.operators.windows import rolling
+
+SERIES_COLS = ["market", "code", "candle_length", "ts"]
+
+
+def _candles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return candles_from_events(load_table(spark, sf_dir, "events"))
+
+
+# --- q_candles_1m: the flagship ingest/aggregate (SURVEY §2.A rows 1-4) ---
+
+def q_candles_1m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _candles(spark, sf_dir)
+
+
+O_CANDLES_1M = candles_sql("SELECT * FROM candles")
+
+
+# --- q_upsert_lww: last-writer-wins merge of 3 simulated writer batches
+#     (reference keep-new tie-break, page/page.go:118-123) ---
+
+def q_upsert_lww(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    ticks = events.select(
+        F.lit("SYN").alias("market"),
+        F.col("event_type").alias("code"),
+        F.lit(60).alias("candle_length"),
+        F.timestamp_seconds(
+            (F.unix_timestamp("ts") / 60).cast("bigint") * 60
+        ).alias("ts"),
+        F.col("value").alias("close"),
+        (F.col("event_id") % 3).alias("ingest_seq"),
+        F.col("event_id"),
+    )
+    merged = last_writer_wins(
+        ticks, key=SERIES_COLS, order_cols=["ingest_seq", "event_id"]
+    )
+    return merged.drop("ingest_seq", "event_id")
+
+
+O_UPSERT_LWW = """
+SELECT market, code, candle_length, ts, close FROM (
+  SELECT 'SYN' AS market, event_type AS code, 60 AS candle_length,
+         make_timestamp(CAST(floor(epoch(ts) / 60) AS BIGINT) * 60 * 1000000) AS ts,
+         value AS close,
+         row_number() OVER (
+           PARTITION BY event_type,
+                        CAST(floor(epoch(ts) / 60) AS BIGINT)
+           ORDER BY (event_id % 3) DESC, event_id DESC
+         ) AS rn
+  FROM events
+) WHERE rn = 1
+"""
+
+
+# --- q_range_scan: keyed time-range read (SURVEY §2.A row 7) ---
+
+def q_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _candles(spark, sf_dir)
+    return c.where(
+        (F.col("code").isin("click", "view"))
+        & (F.col("ts") >= F.lit("2024-01-10 00:00:00"))
+        & (F.col("ts") < F.lit("2024-01-20 00:00:00"))
+    ).select("market", "code", "candle_length", "ts", "close", "volume")
+
+
+O_RANGE_SCAN = candles_sql(
+    """
+SELECT market, code, candle_length, ts, close, volume
+FROM candles
+WHERE code IN ('click', 'view')
+  AND ts >= TIMESTAMP '2024-01-10 00:00:00'
+  AND ts <  TIMESTAMP '2024-01-20 00:00:00'
+"""
+)
+
+
+# --- q_resample_5m / q_resample_1h: candle-length conversion ---
+
+def q_resample_5m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return resample(_candles(spark, sf_dir), 300)
+
+
+def q_resample_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return resample(_candles(spark, sf_dir), 3600)
+
+
+def _resample_oracle(step: int) -> str:
+    return candles_sql(
+        f"""
+SELECT market, code, {step} AS candle_length, bucket_ts AS ts,
+       arg_min(open, ts) AS open, max(high) AS high, min(low) AS low,
+       arg_max(close, ts) AS close, sum(volume) AS volume,
+       sum(bit_fields) AS bit_fields
+FROM (
+  SELECT *, make_timestamp(CAST(floor(epoch(ts) / {step}) AS BIGINT)
+            * {step} * 1000000) AS bucket_ts
+  FROM candles
+)
+GROUP BY market, code, bucket_ts
+"""
+    )
+
+
+# --- q_gapfill: densify + forward fill ---
+
+def q_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return fill_gaps(_candles(spark, sf_dir)).select(
+        "market", "code", "candle_length", "ts", "close", "volume", "filled"
+    )
+
+
+O_GAPFILL = candles_sql(
+    """
+, bounds AS (
+  SELECT market, code, candle_length, min(ts) AS min_ts, max(ts) AS max_ts
+  FROM candles GROUP BY market, code, candle_length
+), grid AS (
+  SELECT market, code, candle_length,
+         unnest(generate_series(min_ts, max_ts, INTERVAL 60 SECOND)) AS ts
+  FROM bounds
+), j AS (
+  SELECT g.market, g.code, g.candle_length, g.ts, c.close, c.volume
+  FROM grid g
+  LEFT JOIN candles c
+    ON c.market = g.market AND c.code = g.code
+   AND c.candle_length = g.candle_length AND c.ts = g.ts
+)
+SELECT market, code, candle_length, ts,
+       last_value(close IGNORE NULLS) OVER (
+         PARTITION BY market, code, candle_length ORDER BY ts
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS close,
+       coalesce(volume, 0.0) AS volume,
+       (close IS NULL) AS filled
+FROM j
+"""
+)
+
+
+# --- q_sma_roll: SMA(20) + rolling min/max(10) ---
+
+def q_sma_roll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = sma(_candles(spark, sf_dir), 20)
+    c = rolling(c, "close", 10, aggs=["min", "max"])
+    return c.select(
+        "market", "code", "candle_length", "ts", "close",
+        "sma_20", "roll_min_10", "roll_max_10",
+    )
+
+
+O_SMA_ROLL = candles_sql(
+    """
+SELECT market, code, candle_length, ts, close,
+  CASE WHEN count(close) OVER w20 >= 20 THEN avg(close) OVER w20 END AS sma_20,
+  CASE WHEN count(close) OVER w10 >= 10 THEN min(close) OVER w10 END AS roll_min_10,
+  CASE WHEN count(close) OVER w10 >= 10 THEN max(close) OVER w10 END AS roll_max_10
+FROM candles
+WINDOW
+  w20 AS (PARTITION BY market, code, candle_length ORDER BY ts
+          ROWS BETWEEN 19 PRECEDING AND CURRENT ROW),
+  w10 AS (PARTITION BY market, code, candle_length ORDER BY ts
+          ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+"""
+)
+
+
+# --- q_lag_lead: per-series shift analytics ---
+
+def q_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return with_lag_lead(_candles(spark, sf_dir)).select(
+        "market", "code", "candle_length", "ts", "close",
+        "lag_close", "lead_close", "delta", "ret", "rn",
+    )
+
+
+O_LAG_LEAD = candles_sql(
+    """
+SELECT market, code, candle_length, ts, close,
+  lag(close) OVER w AS lag_close,
+  lead(close) OVER w AS lead_close,
+  close - lag(close) OVER w AS delta,
+  CASE WHEN lag(close) OVER w <> 0
+       THEN (close - lag(close) OVER w) / lag(close) OVER w END AS ret,
+  row_number() OVER w AS rn
+FROM candles
+WINDOW w AS (PARTITION BY market, code, candle_length ORDER BY ts)
+"""
+)
+
+
+# --- q_vwap: cumulative daily VWAP ---
+
+def q_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return vwap(_candles(spark, sf_dir)).select(
+        "market", "code", "candle_length", "ts", "close", "volume", "vwap"
+    )
+
+
+O_VWAP = candles_sql(
+    """
+SELECT market, code, candle_length, ts, close, volume,
+  CASE WHEN sum(volume) OVER w <> 0
+       THEN sum(close * volume) OVER w / sum(volume) OVER w END AS vwap
+FROM candles
+WINDOW w AS (PARTITION BY market, code, candle_length, date_trunc('day', ts)
+             ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+)
+
+
+# --- q_topk_volume: top-3 volume bars per (code, day) ---
+
+def q_topk_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _candles(spark, sf_dir).withColumn(
+        "day", F.date_format("ts", "yyyy-MM-dd")
+    )
+    t = top_k(
+        c,
+        partition=["market", "code", "day"],
+        order=[F.col("volume").desc(), F.col("ts").asc()],
+        k=3,
+    )
+    return t.select("market", "code", "day", "ts", "volume", "rank_k")
+
+
+O_TOPK_VOLUME = candles_sql(
+    """
+SELECT market, code, day, ts, volume, rank_k FROM (
+  SELECT market, code, strftime(ts, '%Y-%m-%d') AS day, ts, volume,
+         row_number() OVER (
+           PARTITION BY market, code, date_trunc('day', ts)
+           ORDER BY volume DESC, ts ASC) AS rank_k
+  FROM candles
+) WHERE rank_k <= 3
+"""
+)
+
+
+# --- q_ema_12: recursive indicator via applyInPandas; oracle is the
+#     closed-form weighted sum (truncated at 400 lags: error < 1e-28,
+#     far inside the 1e-9 gate tolerance) ---
+
+def q_ema_12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ema(_candles(spark, sf_dir), 12).select(
+        "market", "code", "candle_length", "ts", "close", "ema_12"
+    )
+
+
+O_EMA_12 = candles_sql(
+    """
+, seq AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY market, code, candle_length ORDER BY ts) AS rn
+  FROM candles
+)
+SELECT t.market, t.code, t.candle_length, t.ts, t.close,
+       sum((CASE WHEN j.rn = 1 THEN 1.0 ELSE 2.0 / 13.0 END)
+           * power(11.0 / 13.0, t.rn - j.rn) * j.close) AS ema_12
+FROM seq t
+JOIN seq j
+  ON j.market = t.market AND j.code = t.code
+ AND j.candle_length = t.candle_length
+ AND j.rn BETWEEN t.rn - 400 AND t.rn
+GROUP BY t.market, t.code, t.candle_length, t.ts, t.close
+"""
+)
+
+
+# --- q_asof_trades: as-of join of raw events against their series'
+#     candles (latest bar at-or-before each event) ---
+
+def q_asof_trades(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    trades = events.select(
+        "event_id",
+        F.lit("SYN").alias("market"),
+        F.col("event_type").alias("code"),
+        "ts",
+        "value",
+    )
+    c = _candles(spark, sf_dir)
+    out = asof_join(trades, c, on=["market", "code"], right_cols=["close", "volume"])
+    return out.select(
+        "event_id", "code", "ts", "value",
+        F.col("close_asof"), F.col("volume_asof"),
+    )
+
+
+O_ASOF_TRADES = candles_sql(
+    """
+SELECT e.event_id, e.event_type AS code, e.ts, e.value,
+       c.close AS close_asof, c.volume AS volume_asof
+FROM events e
+ASOF LEFT JOIN candles c
+  ON e.event_type = c.code AND e.ts >= c.ts
+"""
+)
+
+
+QUERIES = {
+    "q_candles_1m": q_candles_1m,
+    "q_upsert_lww": q_upsert_lww,
+    "q_range_scan": q_range_scan,
+    "q_resample_5m": q_resample_5m,
+    "q_resample_1h": q_resample_1h,
+    "q_gapfill": q_gapfill,
+    "q_sma_roll": q_sma_roll,
+    "q_lag_lead": q_lag_lead,
+    "q_vwap": q_vwap,
+    "q_topk_volume": q_topk_volume,
+    "q_ema_12": q_ema_12,
+    "q_asof_trades": q_asof_trades,
+}
+
+ORACLES = {
+    "q_candles_1m": O_CANDLES_1M,
+    "q_upsert_lww": O_UPSERT_LWW,
+    "q_range_scan": O_RANGE_SCAN,
+    "q_resample_5m": _resample_oracle(300),
+    "q_resample_1h": _resample_oracle(3600),
+    "q_gapfill": O_GAPFILL,
+    "q_sma_roll": O_SMA_ROLL,
+    "q_lag_lead": O_LAG_LEAD,
+    "q_vwap": O_VWAP,
+    "q_topk_volume": O_TOPK_VOLUME,
+    "q_ema_12": O_EMA_12,
+    "q_asof_trades": O_ASOF_TRADES,
+}

@@ -1,0 +1,94 @@
+"""Operator semantics on the sf0.001 events-derived candles."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from mora_spark.datasets import candles_from_events, load_table
+from mora_spark.operators import asof_join, ema, fill_gaps, resample
+
+
+@pytest.fixture(scope="module")
+def candles(spark, sf_dir):
+    return candles_from_events(load_table(spark, sf_dir, "events")).cache()
+
+
+def test_resample_algebra(spark, candles):
+    # 60 -> 300 -> 3600 must equal 60 -> 3600 (SURVEY §5 property 3).
+    via = resample(resample(candles, 300), 3600)
+    direct = resample(candles, 3600)
+    key = ["market", "code", "candle_length", "ts"]
+    a = {tuple(r[k] for k in key): r for r in via.collect()}
+    b = {tuple(r[k] for k in key): r for r in direct.collect()}
+    assert a.keys() == b.keys()
+    for k in a:
+        for c in ["open", "high", "low", "close"]:
+            assert a[k][c] == b[k][c], (k, c)
+        assert math.isclose(a[k]["volume"], b[k]["volume"], rel_tol=1e-12)
+
+
+def test_resample_conservation(candles):
+    # Total volume and trade count survive resampling exactly.
+    src = candles.agg(F.sum("volume"), F.sum("bit_fields")).collect()[0]
+    dst = resample(candles, 3600).agg(
+        F.sum("volume"), F.sum("bit_fields")
+    ).collect()[0]
+    assert math.isclose(src[0], dst[0], rel_tol=1e-12)
+    assert src[1] == dst[1]
+
+
+def test_gapfill_dense_grid(candles):
+    one = candles.where(F.col("code") == "click")
+    filled = fill_gaps(one)
+    n = filled.count()
+    bounds = one.agg(
+        F.min("ts").alias("lo"), F.max("ts").alias("hi")
+    ).collect()[0]
+    expected = int((bounds["hi"] - bounds["lo"]).total_seconds() // 60) + 1
+    assert n == expected
+    # Filled rows carry forward close and have zero volume.
+    f = filled.where(F.col("filled")).limit(5).collect()
+    assert all(r["volume"] == 0.0 for r in f)
+    assert filled.where(F.col("close").isNull()).count() == 0
+
+
+def test_ema_matches_manual_recursion(spark):
+    import datetime as dt
+
+    rows = [
+        ("M", "X", 60, dt.datetime(2024, 1, 1, 0, i), float(v), float(v),
+         float(v), float(v), 1.0, 0)
+        for i, v in enumerate([10, 20, 15, 30, 25])
+    ]
+    from mora_spark.schema import CANDLE_SCHEMA
+
+    df = spark.createDataFrame(rows, CANDLE_SCHEMA)
+    out = {r["ts"].minute: r["ema_3"] for r in ema(df, 3).collect()}
+    alpha = 0.5
+    exp, vals = [], [10, 20, 15, 30, 25]
+    e = vals[0]
+    for v in vals:
+        e = alpha * v + (1 - alpha) * e if exp else v
+        exp.append(e)
+    for i, v in enumerate(exp):
+        assert math.isclose(out[i], v, rel_tol=1e-12)
+
+
+def test_asof_exact_and_before(spark):
+    import datetime as dt
+
+    L = [(1, "k", dt.datetime(2024, 1, 1, 0, 5)),
+         (2, "k", dt.datetime(2024, 1, 1, 0, 10)),
+         (3, "k", dt.datetime(2024, 1, 1, 0, 1))]
+    R = [("k", dt.datetime(2024, 1, 1, 0, 5), 100.0),
+         ("k", dt.datetime(2024, 1, 1, 0, 2), 50.0)]
+    left = spark.createDataFrame(L, ["id", "k", "ts"])
+    right = spark.createDataFrame(R, ["k", "ts", "px"])
+    out = {r["id"]: r["px_asof"]
+           for r in asof_join(left, right, on=["k"]).collect()}
+    assert out[1] == 100.0   # exact-timestamp right row matches
+    assert out[2] == 100.0   # latest at-or-before
+    assert out[3] is None    # nothing before → NULL

@@ -1,0 +1,149 @@
+"""Local mimic of the driver's correctness gate.
+
+Runs every ``__spark_entry__.queries()`` entry on Spark and its
+``oracle_sql()`` twin on DuckDB (same parquet views), then compares
+row count, column-name set, and order-insensitive values (floats at
+1e-9 relative tolerance). Usage::
+
+    python tools/check.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+import time
+import traceback
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+
+def load_oracle_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in [
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    ]:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+    return con
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    """Canonicalize for order-insensitive compare: sort columns by name,
+    stringify cells (floats rounded to 9 significant digits), sort rows."""
+    df = df.reindex(sorted(df.columns), axis=1)
+
+    def cell(v):
+        if v is None:
+            return ""
+        if isinstance(v, float):
+            if math.isnan(v):
+                return ""
+            if v == 0:
+                return "0"
+            return f"{v:.9g}"
+        if isinstance(v, (pd.Timestamp,)):
+            return v.isoformat()
+        if isinstance(v, (list, np.ndarray)):
+            return "[" + ",".join(cell(float(x)) for x in v) + "]"
+        return str(v)
+
+    out = df.map(cell)
+    return out.sort_values(by=list(out.columns), kind="mergesort").reset_index(
+        drop=True
+    )
+
+
+def compare(name: str, sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
+    problems = []
+    if len(sdf) != len(odf):
+        problems.append(f"rowcount spark={len(sdf)} oracle={len(odf)}")
+    scols, ocols = sorted(sdf.columns), sorted(odf.columns)
+    if scols != ocols:
+        problems.append(f"columns spark={scols} oracle={ocols}")
+        return problems
+    if problems:
+        return problems
+    cs, co = canon(sdf), canon(odf)
+    neq = (cs != co).any(axis=1)
+    if neq.any():
+        # Float near-misses: retry numeric columns with rtol.
+        bad_rows = neq[neq].index[:5].tolist()
+        detail = []
+        for i in bad_rows[:3]:
+            for c in cs.columns:
+                a, b = cs.at[i, c], co.at[i, c]
+                if a != b:
+                    close = False
+                    try:
+                        close = math.isclose(
+                            float(a), float(b), rel_tol=1e-9, abs_tol=1e-12
+                        )
+                    except (TypeError, ValueError):
+                        pass
+                    if not close:
+                        detail.append(f"row{i} col {c}: spark={a!r} oracle={b!r}")
+        if detail:
+            problems.append(
+                f"{int(neq.sum())}/{len(cs)} rows differ; e.g. "
+                + "; ".join(detail[:6])
+            )
+    return problems
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as entry_mod
+    from mora_spark.session import get_spark
+
+    spark = get_spark(app_name="check")
+    con = load_oracle_con(sf_dir)
+
+    queries = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    failures = []
+    for name, fn in queries.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir).toPandas()
+        except Exception:
+            failures.append(name)
+            print(f"FAIL {name}: spark error\n{traceback.format_exc()}")
+            continue
+        if name not in oracles:
+            print(f"OK?  {name}: rows={len(sdf)} (no oracle, rows-only) "
+                  f"[{time.time()-t0:.1f}s]")
+            if len(sdf) == 0:
+                print(f"     WARNING {name} returned 0 rows")
+            continue
+        try:
+            odf = con.sql(oracles[name]).df()
+        except Exception:
+            failures.append(name)
+            print(f"FAIL {name}: oracle error\n{traceback.format_exc()}")
+            continue
+        problems = compare(name, sdf, odf)
+        if problems:
+            failures.append(name)
+            print(f"FAIL {name}: " + " | ".join(problems))
+        else:
+            print(f"OK   {name}: rows={len(sdf)} [{time.time()-t0:.1f}s]")
+
+    missing = set(oracles) - set(queries)
+    if missing:
+        print(f"WARNING oracle without query: {sorted(missing)}")
+    print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
