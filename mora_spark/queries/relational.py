@@ -1,4 +1,453 @@
-"""Placeholder — populated in a later milestone."""
+"""Relational declared queries over the TPC-H-ish star schema.
 
-QUERIES: dict = {}
-ORACLES: dict = {}
+The reference is a single-table engine with no joins/aggregates
+(SURVEY §2.B); this module is the general relational surface the
+rebuild commits to. Everything is built-in DataFrame API — Catalyst
+handles pushdown/pruning/reordering; small dimensions are explicitly
+broadcast.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from mora_spark.datasets import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# --- q_tpch_q1: pricing summary report (scan + big hash agg) ---
+
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.sum("l_extendedprice").alias("sum_base_price"),
+            F.sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("sum_disc_price"),
+            F.sum(
+                F.col("l_extendedprice")
+                * (1 - F.col("l_discount"))
+                * (1 + F.col("l_tax"))
+            ).alias("sum_charge"),
+            F.avg("l_quantity").alias("avg_qty"),
+            F.avg("l_extendedprice").alias("avg_price"),
+            F.avg("l_discount").alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+O_TPCH_Q1 = """
+SELECT l_returnflag, l_linestatus,
+       sum(l_quantity) AS sum_qty,
+       sum(l_extendedprice) AS sum_base_price,
+       sum(l_extendedprice * (1 - l_discount)) AS sum_disc_price,
+       sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)) AS sum_charge,
+       avg(l_quantity) AS avg_qty,
+       avg(l_extendedprice) AS avg_price,
+       avg(l_discount) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# --- q_tpch_q3: shipping priority (3-way join + agg + top-k) ---
+
+def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1998-03-15")
+    )
+    l = _t(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1998-03-15")
+    )
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+O_TPCH_Q3 = """
+SELECT l_orderkey, o_orderdate,
+       sum(l_extendedprice * (1 - l_discount)) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+  AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+# --- q_revenue_by_nation: 6-way join (Q5-flavored) ---
+
+def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
+        .where(c.c_nationkey == s.s_nationkey)
+        .join(broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(broadcast(r), n.n_regionkey == r.r_regionkey)
+        .where(
+            (F.col("r_name") == "ASIA")
+            & (F.col("o_orderdate") >= F.lit("1996-01-01"))
+            & (F.col("o_orderdate") < F.lit("1998-01-01"))
+        )
+        .groupBy("n_name")
+        .agg(
+            F.sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+O_REVENUE_BY_NATION = """
+SELECT n_name,
+       sum(l_extendedprice * (1 - l_discount)) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE c_nationkey = s_nationkey
+  AND r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY n_name
+"""
+
+
+# --- q_rollup_acctbal / q_cube_orders: multi-dim aggs ---
+
+def q_rollup_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        c.join(broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(broadcast(r), n.n_regionkey == r.r_regionkey)
+        .rollup("r_name", "n_name")
+        .agg(
+            F.sum("c_acctbal").alias("total_acctbal"),
+            F.count(F.lit(1)).alias("n_customers"),
+        )
+    )
+
+
+O_ROLLUP_ACCTBAL = """
+SELECT r_name, n_name,
+       sum(c_acctbal) AS total_acctbal,
+       count(*) AS n_customers
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+"""
+
+
+def q_cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("o_totalprice").alias("total_price"),
+    )
+
+
+O_CUBE_ORDERS = """
+SELECT o_orderstatus, o_orderpriority,
+       count(*) AS n_orders,
+       sum(o_totalprice) AS total_price
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
+# --- q_setops: union / intersect / except with provenance tags ---
+
+def q_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust_nations = (
+        _t(spark, sf_dir, "customer")
+        .select(F.col("c_nationkey").alias("nationkey"))
+        .distinct()
+    )
+    supp_nations = (
+        _t(spark, sf_dir, "supplier")
+        .select(F.col("s_nationkey").alias("nationkey"))
+        .distinct()
+    )
+    both = cust_nations.intersect(supp_nations).withColumn(
+        "tag", F.lit("both")
+    )
+    cust_only = cust_nations.exceptAll(supp_nations).withColumn(
+        "tag", F.lit("cust_only")
+    )
+    supp_only = supp_nations.exceptAll(cust_nations).withColumn(
+        "tag", F.lit("supp_only")
+    )
+    either = cust_nations.union(supp_nations).distinct().withColumn(
+        "tag", F.lit("either")
+    )
+    return both.unionByName(cust_only).unionByName(supp_only).unionByName(
+        either
+    )
+
+
+O_SETOPS = """
+WITH cn AS (SELECT DISTINCT c_nationkey AS nationkey FROM customer),
+     sn AS (SELECT DISTINCT s_nationkey AS nationkey FROM supplier)
+SELECT nationkey, 'both' AS tag FROM (SELECT * FROM cn INTERSECT SELECT * FROM sn)
+UNION ALL
+SELECT nationkey, 'cust_only' AS tag FROM (SELECT * FROM cn EXCEPT SELECT * FROM sn)
+UNION ALL
+SELECT nationkey, 'supp_only' AS tag FROM (SELECT * FROM sn EXCEPT SELECT * FROM cn)
+UNION ALL
+SELECT nationkey, 'either' AS tag FROM (SELECT * FROM cn UNION SELECT * FROM sn)
+"""
+
+
+# --- q_semi_anti: existence joins ---
+
+def q_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    with_orders = c.join(
+        o, c.c_custkey == o.o_custkey, "left_semi"
+    ).select("c_custkey").withColumn("tag", F.lit("has_orders"))
+    without = c.join(
+        o, c.c_custkey == o.o_custkey, "left_anti"
+    ).select("c_custkey").withColumn("tag", F.lit("no_orders"))
+    return with_orders.unionByName(without)
+
+
+O_SEMI_ANTI = """
+SELECT c_custkey, 'has_orders' AS tag FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+UNION ALL
+SELECT c_custkey, 'no_orders' AS tag FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+# --- q_order_rank: per-customer top-3 orders by price ---
+
+def q_order_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rk")
+    )
+
+
+O_ORDER_RANK = """
+SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rk
+  FROM orders
+) WHERE rk <= 3
+"""
+
+
+# --- q_percentiles: exact continuous quantiles per event type ---
+
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("p50"),
+        F.expr("percentile(value, 0.9)").alias("p90"),
+        F.expr("percentile(value, 0.99)").alias("p99"),
+        F.avg("value").alias("avg_value"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+O_PERCENTILES = """
+SELECT event_type,
+       quantile_cont(value, 0.5) AS p50,
+       quantile_cont(value, 0.9) AS p90,
+       quantile_cont(value, 0.99) AS p99,
+       avg(value) AS avg_value,
+       count(*) AS n
+FROM events
+GROUP BY event_type
+"""
+
+
+# --- q_sessionize: 30-min-gap sessionization (lag + cumulative sum) ---
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    new_session = F.when(
+        gap.isNull() | (gap > 1800), F.lit(1)
+    ).otherwise(F.lit(0))
+    sess = (
+        e.withColumn("new_s", new_session)
+        .withColumn(
+            "session_id",
+            F.sum("new_s").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("value").alias("sum_value"),
+    )
+
+
+O_SESSIONIZE = """
+WITH g AS (
+  SELECT *,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM g
+)
+SELECT user_id, session_id,
+       min(ts) AS session_start,
+       max(ts) AS session_end,
+       count(*) AS n_events,
+       sum(value) AS sum_value
+FROM s
+GROUP BY user_id, session_id
+"""
+
+
+# --- q_user_stats: per-entity profile agg ---
+
+def q_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("event_type").alias("n_types"),
+        F.avg("value").alias("avg_value"),
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+    )
+
+
+O_USER_STATS = """
+SELECT user_id,
+       count(*) AS n_events,
+       count(DISTINCT event_type) AS n_types,
+       avg(value) AS avg_value,
+       min(ts) AS first_ts,
+       max(ts) AS last_ts
+FROM events
+GROUP BY user_id
+"""
+
+
+# --- q_scalar_funcs: string/date/math scalar function coverage ---
+
+def q_scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.length("p_name").alias("name_len"),
+        F.substring("p_brand", 1, 5).alias("brand_prefix"),
+        F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+        F.abs(F.col("p_size") - 25).alias("size_dist"),
+        (F.col("p_retailprice") * 1.1).alias("price_up"),
+        F.floor("p_retailprice").alias("price_floor"),
+        F.when(F.col("p_size") > 25, "large")
+        .when(F.col("p_size") > 10, "medium")
+        .otherwise("small")
+        .alias("size_class"),
+    )
+
+
+O_SCALAR_FUNCS = """
+SELECT p_partkey,
+       upper(p_name) AS name_upper,
+       length(p_name) AS name_len,
+       substring(p_brand, 1, 5) AS brand_prefix,
+       concat_ws('|', p_brand, p_type) AS brand_type,
+       abs(p_size - 25) AS size_dist,
+       p_retailprice * 1.1 AS price_up,
+       floor(p_retailprice) AS price_floor,
+       CASE WHEN p_size > 25 THEN 'large'
+            WHEN p_size > 10 THEN 'medium'
+            ELSE 'small' END AS size_class
+FROM part
+"""
+
+
+QUERIES = {
+    "q_tpch_q1": q_tpch_q1,
+    "q_tpch_q3": q_tpch_q3,
+    "q_revenue_by_nation": q_revenue_by_nation,
+    "q_rollup_acctbal": q_rollup_acctbal,
+    "q_cube_orders": q_cube_orders,
+    "q_setops": q_setops,
+    "q_semi_anti": q_semi_anti,
+    "q_order_rank": q_order_rank,
+    "q_percentiles": q_percentiles,
+    "q_sessionize": q_sessionize,
+    "q_user_stats": q_user_stats,
+    "q_scalar_funcs": q_scalar_funcs,
+}
+
+ORACLES = {
+    "q_tpch_q1": O_TPCH_Q1,
+    "q_tpch_q3": O_TPCH_Q3,
+    "q_revenue_by_nation": O_REVENUE_BY_NATION,
+    "q_rollup_acctbal": O_ROLLUP_ACCTBAL,
+    "q_cube_orders": O_CUBE_ORDERS,
+    "q_setops": O_SETOPS,
+    "q_semi_anti": O_SEMI_ANTI,
+    "q_order_rank": O_ORDER_RANK,
+    "q_percentiles": O_PERCENTILES,
+    "q_sessionize": O_SESSIONIZE,
+    "q_user_stats": O_USER_STATS,
+    "q_scalar_funcs": O_SCALAR_FUNCS,
+}

@@ -1,4 +1,277 @@
-"""Placeholder — populated in a later milestone."""
+"""Text-analysis + dedup declared queries over ``documents``.
 
-QUERIES: dict = {}
-ORACLES: dict = {}
+The shared token derivation is mirrored between Spark
+(``mora_spark.functions.text``) and the DuckDB oracles via
+:data:`TOKS_SQL`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mora_spark.datasets import load_table
+from mora_spark.functions.text import (
+    LANG_MARKERS,
+    STOPWORDS,
+    distinct_tokens,
+    fingerprint,
+    lang_guess,
+    prefix_fingerprint,
+    quality_score,
+    stopword_ratio,
+    tokens,
+    type_token_ratio,
+)
+from mora_spark.llm.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash16,
+)
+
+# DuckDB twin of functions.text.tokens()
+TOKS_SQL = (
+    "string_split(trim(regexp_replace(regexp_replace(lower(text), "
+    "'[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ')"
+)
+
+
+def _sql_list(words: list[str]) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in words) + "]"
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+# --- q_dedup_exact: exact dedup over a re-crawled (doubled) corpus ---
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    recrawl = d.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    corpus = d.unionByName(recrawl)
+    return exact_dedup(corpus).select(
+        "doc_id", "content_hash", "canonical_id", "group_size", "is_duplicate"
+    )
+
+
+O_DEDUP_EXACT = """
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents
+), h AS (
+  SELECT doc_id, md5(text) AS content_hash FROM corpus
+), g AS (
+  SELECT content_hash, min(doc_id) AS canonical_id, count(*) AS group_size
+  FROM h GROUP BY content_hash
+)
+SELECT h.doc_id, h.content_hash, g.canonical_id, g.group_size,
+       h.doc_id <> g.canonical_id AS is_duplicate
+FROM h JOIN g USING (content_hash)
+"""
+
+
+# --- q_text_stats: token counting + quality scoring ---
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir).withColumn("toks", tokens("text"))
+    t = F.col("toks")
+    return d.select(
+        "doc_id",
+        "lang",
+        F.size(t).alias("n_tokens"),
+        F.size(F.array_distinct(t)).alias("n_distinct"),
+        stopword_ratio(t).alias("stop_ratio"),
+        type_token_ratio(t).alias("ttr"),
+        quality_score(t).alias("quality"),
+    )
+
+
+O_TEXT_STATS = f"""
+WITH t AS (SELECT doc_id, lang, {TOKS_SQL} AS toks FROM documents),
+s AS (
+  SELECT doc_id, lang,
+         len(toks) AS n_tokens,
+         len(list_distinct(toks)) AS n_distinct,
+         len(list_filter(toks, x -> list_contains({_sql_list(STOPWORDS)}, x)))
+           / len(toks) AS stop_ratio,
+         len(list_distinct(toks)) / len(toks) AS ttr
+  FROM t
+)
+SELECT doc_id, lang, n_tokens, n_distinct, stop_ratio, ttr,
+       0.3 * least(1.0, n_tokens / 100.0) + 0.4 * ttr
+         + 0.3 * (1.0 - stop_ratio) AS quality
+FROM s
+"""
+
+
+# --- q_lang_id: marker-word language identification ---
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir).withColumn("toks", tokens("text"))
+    return d.select(
+        "doc_id",
+        "lang",
+        lang_guess(F.col("toks")).alias("lang_guess"),
+    )
+
+
+def _o_lang_id() -> str:
+    counts = {
+        lang: f"len(list_filter(toks, x -> list_contains({_sql_list(m)}, x)))"
+        for lang, m in LANG_MARKERS.items()
+    }
+    return f"""
+WITH t AS (SELECT doc_id, lang, {TOKS_SQL} AS toks FROM documents),
+c AS (
+  SELECT doc_id, lang,
+         {counts['en']} AS n_en, {counts['es']} AS n_es,
+         {counts['de']} AS n_de, {counts['fr']} AS n_fr
+  FROM t
+)
+SELECT doc_id, lang,
+       CASE WHEN greatest(n_en, n_es, n_de, n_fr) = 0 THEN 'und'
+            WHEN n_en = greatest(n_en, n_es, n_de, n_fr) THEN 'en'
+            WHEN n_es = greatest(n_en, n_es, n_de, n_fr) THEN 'es'
+            WHEN n_de = greatest(n_en, n_es, n_de, n_fr) THEN 'de'
+            ELSE 'fr' END AS lang_guess
+FROM c
+"""
+
+
+# --- q_fingerprint: content + prefix fingerprints ---
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir).withColumn("toks", tokens("text"))
+    return d.select(
+        "doc_id",
+        fingerprint("text").alias("fp"),
+        prefix_fingerprint(F.col("toks"), 10).alias("fp_prefix10"),
+    )
+
+
+O_FINGERPRINT = f"""
+WITH t AS (
+  SELECT doc_id,
+         trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+              ' +', ' ', 'g')) AS norm,
+         {TOKS_SQL} AS toks
+  FROM documents
+)
+SELECT doc_id, md5(norm) AS fp,
+       md5(array_to_string(toks[1:10], ' ')) AS fp_prefix10
+FROM t
+"""
+
+
+# --- q_jaccard_pairs: exact all-pairs word-set similarity ---
+
+def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.5)
+
+
+O_JACCARD_PAIRS = f"""
+WITH t AS (SELECT doc_id, list_distinct({TOKS_SQL}) AS toks FROM documents)
+SELECT doc_a, doc_b, jaccard FROM (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         len(list_intersect(a.toks, b.toks))
+           / len(list_distinct(list_concat(a.toks, b.toks))) AS jaccard
+  FROM t a JOIN t b ON a.doc_id < b.doc_id
+) WHERE jaccard >= 0.5
+"""
+
+
+# --- q_minhash_lsh: banded MinHash near-dup (the scale path) ---
+
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.5)
+
+
+def _o_minhash() -> str:
+    sig_items = ", ".join(
+        f"list_min(list_transform(toks, t -> md5(t || '#{s}')))"
+        for s in range(16)
+    )
+    return f"""
+WITH t AS (SELECT doc_id, list_distinct({TOKS_SQL}) AS toks FROM documents),
+sig AS (SELECT doc_id, toks, [{sig_items}] AS mh FROM t),
+banded AS (
+  SELECT doc_id, b,
+         md5(array_to_string(mh[4 * b + 1 : 4 * b + 4], '|')) AS band_key
+  FROM sig CROSS JOIN (SELECT unnest(range(4)) AS b)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a
+  JOIN banded b ON a.b = b.b AND a.band_key = b.band_key
+               AND a.doc_id < b.doc_id
+),
+ti AS (
+  SELECT doc_id,
+         list_distinct(list_transform(toks,
+           t -> CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT))) AS ti,
+         len(list_distinct(list_transform(toks,
+           t -> CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT)))) AS n
+  FROM sig
+)
+SELECT doc_a, doc_b, jaccard FROM (
+  SELECT doc_a, doc_b,
+         len(list_intersect(ta.ti, tb.ti))
+           / len(list_distinct(list_concat(ta.ti, tb.ti))) AS jaccard
+  FROM cand
+  JOIN ti ta ON ta.doc_id = doc_a
+  JOIN ti tb ON tb.doc_id = doc_b
+  WHERE least(ta.n, tb.n) >= 0.5 * greatest(ta.n, tb.n)
+) WHERE jaccard >= 0.5
+"""
+
+
+# --- q_simhash: 16-bit simhash signatures ---
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash16(_docs(spark, sf_dir))
+
+
+O_SIMHASH = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(list_distinct({TOKS_SQL})) AS tok FROM documents
+), h AS (
+  SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) AS h
+  FROM tok
+), bits AS (
+  SELECT doc_id, bit,
+         CASE WHEN (h >> CAST(bit AS INTEGER)) & 1 = 1 THEN 1 ELSE -1 END AS vote
+  FROM h CROSS JOIN (SELECT unnest(range(16)) AS bit)
+), v AS (
+  SELECT doc_id, bit, sum(vote) AS v FROM bits GROUP BY doc_id, bit
+)
+SELECT doc_id,
+       sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << CAST(bit AS INTEGER))
+                ELSE 0 END) AS simhash
+FROM v GROUP BY doc_id
+"""
+
+
+QUERIES = {
+    "q_dedup_exact": q_dedup_exact,
+    "q_text_stats": q_text_stats,
+    "q_lang_id": q_lang_id,
+    "q_fingerprint": q_fingerprint,
+    "q_jaccard_pairs": q_jaccard_pairs,
+    "q_minhash_lsh": q_minhash_lsh,
+    "q_simhash": q_simhash,
+}
+
+ORACLES = {
+    "q_dedup_exact": O_DEDUP_EXACT,
+    "q_text_stats": O_TEXT_STATS,
+    "q_lang_id": _o_lang_id(),
+    "q_fingerprint": O_FINGERPRINT,
+    "q_jaccard_pairs": O_JACCARD_PAIRS,
+    "q_minhash_lsh": _o_minhash(),
+    "q_simhash": O_SIMHASH,
+}

@@ -1,4 +1,147 @@
-"""Placeholder — populated in a later milestone."""
+"""Embedding / similarity-search declared queries over ``embeddings``.
 
-QUERIES: dict = {}
-ORACLES: dict = {}
+Brute-force cosine top-k is the correctness baseline (oracle-checked);
+the LSH-bucketed variant in ``mora_spark.llm.simsearch`` is the scale
+path (rows-only checked — bucketing parameters are engine-internal).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from mora_spark.datasets import load_table
+from mora_spark.functions.vectors import as_double, cosine, dot, l2_norm
+
+N_QUERIES = 5  # vec_id < 5 are the query vectors
+TOP_K = 5
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "embeddings")
+
+
+# --- q_embedding_norms: per-vector norm/mean profile ---
+
+def q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _emb(spark, sf_dir)
+    v = F.col("embedding")
+    return e.select(
+        "vec_id",
+        "label",
+        F.size(v).alias("dim"),
+        l2_norm(v).alias("l2_norm"),
+        (
+            F.aggregate(as_double(v), F.lit(0.0), lambda a, x: a + x)
+            / F.size(v)
+        ).alias("mean_val"),
+    )
+
+
+O_EMBEDDING_NORMS = """
+SELECT vec_id, label,
+       len(embedding) AS dim,
+       sqrt(list_sum(list_transform(embedding,
+            x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS l2_norm,
+       list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)))
+         / len(embedding) AS mean_val
+FROM embeddings
+"""
+
+
+# --- q_simsearch_topk: brute-force cosine k-NN for query vectors ---
+# Scores are rounded to 6 dp on BOTH sides before ranking so near-tie
+# ordering cannot diverge between engines; vec_id breaks exact ties.
+
+def q_simsearch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _emb(spark, sf_dir)
+    q = e.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+    )
+    c = e.where(F.col("vec_id") >= N_QUERIES).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("cv"),
+    )
+    scored = c.crossJoin(broadcast(q)).withColumn(
+        "score", F.round(cosine(F.col("qv"), F.col("cv")), 6)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "score", "rank")
+    )
+
+
+O_SIMSEARCH_TOPK = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+  FROM embeddings WHERE vec_id < {N_QUERIES}
+), c AS (
+  SELECT vec_id AS neighbor_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+  FROM embeddings WHERE vec_id >= {N_QUERIES}
+), scored AS (
+  SELECT query_id, neighbor_id,
+         round(list_dot_product(qv, cv)
+               / (sqrt(list_dot_product(qv, qv))
+                  * sqrt(list_dot_product(cv, cv))), 6) AS score
+  FROM c CROSS JOIN q
+)
+SELECT query_id, neighbor_id, score, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY score DESC, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= {TOP_K}
+"""
+
+
+# --- q_centroid_dist: distance of each vector to its label centroid ---
+# Relational formulation (posexplode -> centroid avg -> join -> sum of
+# squares): no arrays in flight after the explode, scales as two
+# shuffles regardless of corpus size.
+
+def q_centroid_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _emb(spark, sf_dir).select(
+        "vec_id", "label", F.posexplode("embedding").alias("pos", "val")
+    ).withColumn("val", F.col("val").cast("double"))
+    cent = e.groupBy("label", "pos").agg(F.avg("val").alias("cval"))
+    return (
+        e.join(broadcast(cent), ["label", "pos"])
+        .groupBy("vec_id", "label")
+        .agg(
+            F.sqrt(
+                F.sum((F.col("val") - F.col("cval")) * (F.col("val") - F.col("cval")))
+            ).alias("centroid_dist")
+        )
+    )
+
+
+O_CENTROID_DIST = """
+WITH e AS (
+  SELECT vec_id, label, i AS pos, CAST(embedding[i + 1] AS DOUBLE) AS val
+  FROM embeddings CROSS JOIN (SELECT unnest(range(64)) AS i)
+), cent AS (
+  SELECT label, pos, avg(val) AS cval FROM e GROUP BY label, pos
+)
+SELECT vec_id, label,
+       sqrt(sum((val - cval) * (val - cval))) AS centroid_dist
+FROM e JOIN cent USING (label, pos)
+GROUP BY vec_id, label
+"""
+
+
+QUERIES = {
+    "q_embedding_norms": q_embedding_norms,
+    "q_simsearch_topk": q_simsearch_topk,
+    "q_centroid_dist": q_centroid_dist,
+}
+
+ORACLES = {
+    "q_embedding_norms": O_EMBEDDING_NORMS,
+    "q_simsearch_topk": O_SIMSEARCH_TOPK,
+    "q_centroid_dist": O_CENTROID_DIST,
+}

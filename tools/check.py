@@ -32,9 +32,11 @@ def load_oracle_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
     return con
 
 
-def canon(df: pd.DataFrame) -> pd.DataFrame:
+def canon(df: pd.DataFrame) -> tuple[pd.DataFrame, pd.DataFrame]:
     """Canonicalize for order-insensitive compare: sort columns by name,
-    stringify cells (floats rounded to 9 significant digits), sort rows."""
+    stringify cells (floats rounded to 9 significant digits), sort rows.
+    Returns (string form, raw form) in the same row order so mismatching
+    cells can be re-checked against raw values with float tolerance."""
     df = df.reindex(sorted(df.columns), axis=1)
 
     def cell(v):
@@ -53,8 +55,12 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
         return str(v)
 
     out = df.map(cell)
-    return out.sort_values(by=list(out.columns), kind="mergesort").reset_index(
-        drop=True
+    order = out.sort_values(
+        by=list(out.columns), kind="mergesort"
+    ).index
+    return (
+        out.loc[order].reset_index(drop=True),
+        df.loc[order].reset_index(drop=True),
     )
 
 
@@ -68,29 +74,40 @@ def compare(name: str, sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
         return problems
     if problems:
         return problems
-    cs, co = canon(sdf), canon(odf)
+    cs, rs = canon(sdf)
+    co, ro = canon(odf)
     neq = (cs != co).any(axis=1)
     if neq.any():
-        # Float near-misses: retry numeric columns with rtol.
-        bad_rows = neq[neq].index[:5].tolist()
+        # Re-check mismatching cells against RAW values with tolerance —
+        # 9-sig-digit string rounding can straddle a .5 boundary on a
+        # ~1e-15 float-summation-order difference.
         detail = []
-        for i in bad_rows[:3]:
+        n_real = 0
+        for i in neq[neq].index:
+            row_bad = False
             for c in cs.columns:
                 a, b = cs.at[i, c], co.at[i, c]
-                if a != b:
-                    close = False
-                    try:
-                        close = math.isclose(
-                            float(a), float(b), rel_tol=1e-9, abs_tol=1e-12
+                if a == b:
+                    continue
+                ra, rb = rs.at[i, c], ro.at[i, c]
+                close = False
+                try:
+                    close = math.isclose(
+                        float(ra), float(rb), rel_tol=1e-8, abs_tol=1e-12
+                    )
+                except (TypeError, ValueError):
+                    pass
+                if not close:
+                    row_bad = True
+                    if len(detail) < 6:
+                        detail.append(
+                            f"row{i} col {c}: spark={a!r} oracle={b!r}"
                         )
-                    except (TypeError, ValueError):
-                        pass
-                    if not close:
-                        detail.append(f"row{i} col {c}: spark={a!r} oracle={b!r}")
-        if detail:
+            if row_bad:
+                n_real += 1
+        if n_real:
             problems.append(
-                f"{int(neq.sum())}/{len(cs)} rows differ; e.g. "
-                + "; ".join(detail[:6])
+                f"{n_real}/{len(cs)} rows differ; e.g. " + "; ".join(detail)
             )
     return problems
 
