@@ -1,4 +1,65 @@
-"""Placeholder — populated in a later milestone."""
+"""Declared query exercising the persistent CandleStore write→merge→read
+path (the reference's entire executable surface: INSERT + COMMIT + keyed
+read, SURVEY §2.A rows 1-9).
 
-QUERIES: dict = {}
-ORACLES: dict = {}
+The scratch store lives under ``.scratch/`` in the repo; it is wiped at
+the start of each run so the query is deterministic.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mora_spark.datasets import candles_from_events, candles_sql, load_table
+from mora_spark.engine import CandleStore
+
+SCRATCH = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__)))), ".scratch")
+
+
+def scratch_dir(name: str, sf_dir: str) -> str:
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    return os.path.join(SCRATCH, f"{name}_{tag}")
+
+
+def q_store_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest candles, then upsert a restatement batch (every 'click'
+    bar's close/volume shifted), then read back — exercising merge
+    last-writer-wins + partition overwrite + pruned read end-to-end."""
+    path = scratch_dir("store_roundtrip", sf_dir)
+    shutil.rmtree(path, ignore_errors=True)
+    store = CandleStore(spark, path)
+
+    candles = candles_from_events(load_table(spark, sf_dir, "events"))
+    store.write(candles)  # initial load
+
+    restatement = (
+        candles.where(F.col("code") == "click")
+        .withColumn("close", F.col("close") + 1000.0)
+        .withColumn("volume", F.lit(0.0))
+    )
+    store.write(restatement)  # upsert: new values must win
+
+    return store.read(market="SYN").select(
+        "market", "code", "candle_length", "ts",
+        "open", "high", "low", "close", "volume", "bit_fields",
+    )
+
+
+O_STORE_ROUNDTRIP = candles_sql(
+    """
+SELECT market, code, candle_length, ts, open, high, low,
+       CASE WHEN code = 'click' THEN close + 1000.0 ELSE close END AS close,
+       CASE WHEN code = 'click' THEN 0.0 ELSE volume END AS volume,
+       bit_fields
+FROM candles
+"""
+)
+
+
+QUERIES = {"q_store_roundtrip": q_store_roundtrip}
+ORACLES = {"q_store_roundtrip": O_STORE_ROUNDTRIP}

@@ -1,0 +1,10 @@
+"""Structured Streaming ingestion: the reference's WAL/commit pipeline
+re-expressed as micro-batch streams with checkpoint recovery."""
+
+from mora_spark.streaming.ingest import (
+    chunked_source,
+    stream_candles,
+    stream_dedup_ingest,
+)
+
+__all__ = ["chunked_source", "stream_candles", "stream_dedup_ingest"]

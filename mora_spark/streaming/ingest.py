@@ -1,0 +1,168 @@
+"""Streaming ingestion pipelines over the events stream.
+
+Semantics preserved from the reference (SURVEY §3.3):
+
+- micro-batching ≈ WAL group commit (``wal/persist.go:14`` rotates every
+  256 writes; here a micro-batch is a file trigger),
+- idempotent replay ≈ ``dropDuplicates`` under watermark + checkpoint
+  (the WAL flusher applies only committed txs, ``wal/flusher.go:110-128``;
+  Structured Streaming's checkpoint + deterministic sink gives the same
+  all-or-nothing contract),
+- late-data upsert into old partitions ≈ update-mode aggregation whose
+  latest emission per key wins (mora merges into years-old pages,
+  ``page/page.go:95-142``).
+
+The streaming OHLCV aggregation uses ``min(struct(event_id, value))``
+for open/close (struct min orders by event_id first) because those are
+incrementally maintainable aggregates — the streaming twin of the batch
+``min_by/max_by`` in ``datasets.candles_from_events``.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from mora_spark.datasets import load_table
+
+EVENT_STREAM_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def chunked_source(
+    spark: SparkSession, sf_dir: str, out_dir: str, n_chunks: int = 8
+) -> str:
+    """Materialize events as n_chunks parquet files so a file stream
+    replays them as real micro-batches (the driver's events table is a
+    single file). Chunking is deterministic (event_id ranges)."""
+    src = os.path.join(out_dir, "source")
+    if os.path.exists(src):
+        return src
+    events = load_table(spark, sf_dir, "events")
+    n = events.count()
+    per = max(1, (n + n_chunks - 1) // n_chunks)
+    (
+        events.withColumn("chunk", (F.col("event_id") / per).cast("int"))
+        .repartition(n_chunks, "chunk")
+        .drop("chunk")
+        .write.parquet(src)
+    )
+    return src
+
+
+def _read_stream(spark: SparkSession, src: str) -> DataFrame:
+    return (
+        spark.readStream.schema(EVENT_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+
+
+def stream_dedup_ingest(
+    spark: SparkSession, src: str, work_dir: str
+) -> DataFrame:
+    """Exactly-once ingest: watermark + dropDuplicates(event_id) →
+    append sink. Returns the ingested table (batch DataFrame).
+
+    At scale the sink would be a Delta MERGE in foreachBatch; plain
+    parquet append plus upstream dedup gives the same table here.
+    """
+    out = os.path.join(work_dir, "ingested")
+    ckpt = os.path.join(work_dir, "ckpt_ingest")
+    stream = (
+        _read_stream(spark, src)
+        .withWatermark("ts", "90 days")
+        .dropDuplicates(["event_id"])
+    )
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out)
+
+
+def stream_candles(
+    spark: SparkSession, src: str, work_dir: str
+) -> DataFrame:
+    """Streaming OHLCV candle aggregation equal to the batch derivation.
+
+    update-mode per-minute aggregate; every micro-batch emits the
+    changed (code, minute) groups with their batch id; the final table
+    keeps each key's LAST emission (last-writer-wins on batch id) —
+    byte-identical to running the batch aggregation once. The watermark
+    is wider than the data span so no state is dropped: mora accepts
+    arbitrarily late backfill (SURVEY §2.C/page merge), and so does
+    this pipeline; bound it in production to bound state.
+    """
+    out = os.path.join(work_dir, "candle_updates")
+    ckpt = os.path.join(work_dir, "ckpt_candles")
+
+    stream = _read_stream(spark, src).withWatermark("ts", "90 days")
+    agg = (
+        stream.groupBy(
+            F.col("event_type").alias("code"),
+            F.window("ts", "60 seconds").alias("win"),
+        )
+        .agg(
+            F.min(F.struct("event_id", "value")).alias("first_ev"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max(F.struct("event_id", "value")).alias("last_ev"),
+            F.sum("value").alias("volume"),
+            F.count(F.lit(1)).alias("bit_fields"),
+        )
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(out)
+        )
+
+    q = (
+        agg.writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    updates = spark.read.parquet(out)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("code", "win").orderBy(F.col("batch_id").desc())
+    latest = (
+        updates.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+    )
+    return latest.select(
+        F.lit("SYN").alias("market"),
+        "code",
+        F.lit(60).alias("candle_length"),
+        F.col("win.start").alias("ts"),
+        F.col("first_ev.value").alias("open"),
+        "high",
+        "low",
+        F.col("last_ev.value").alias("close"),
+        "volume",
+        "bit_fields",
+    )

@@ -1,0 +1,111 @@
+"""CandleStore round-trip semantics (reference write/read contract:
+Database.Write -> accessor read; SURVEY §3.1-3.2)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from mora_spark.engine import CandleStore
+from mora_spark.schema import CANDLE_SCHEMA
+
+
+def mk(spark, rows):
+    data = [
+        (
+            "UPBIT", code, 60, ts,
+            o, o + 1.0, o - 1.0, o + 0.5, 10.0, 0,
+        )
+        for code, ts, o in rows
+    ]
+    return spark.createDataFrame(data, CANDLE_SCHEMA)
+
+
+@pytest.fixture()
+def store(spark, tmp_path):
+    return CandleStore(spark, str(tmp_path / "candles"))
+
+
+def test_write_read_roundtrip(spark, store):
+    b = mk(spark, [("BTC", dt.datetime(2021, 1, 1, 0, i), 100.0 + i)
+                   for i in range(10)])
+    store.write(b)
+    out = store.read(market="UPBIT", code="BTC").orderBy("ts").collect()
+    assert len(out) == 10
+    assert out[0]["open"] == 100.0 and out[9]["open"] == 109.0
+
+
+def test_merge_last_writer_wins(spark, store):
+    b1 = mk(spark, [("BTC", dt.datetime(2021, 1, 1, 0, i), 100.0 + i)
+                    for i in range(5)])
+    b2 = mk(spark, [("BTC", dt.datetime(2021, 1, 1, 0, 2), 999.0)])
+    store.write(b1)
+    store.write(b2)
+    out = {r["ts"].minute: r["open"]
+           for r in store.read(code="BTC").collect()}
+    assert len(out) == 5
+    assert out[2] == 999.0          # upserted
+    assert out[1] == 101.0          # untouched
+
+
+def test_merge_is_idempotent(spark, store):
+    b = mk(spark, [("ETH", dt.datetime(2022, 3, 1, 0, i), 10.0 + i)
+                   for i in range(8)])
+    store.write(b)
+    once = sorted(map(tuple, store.read().collect()))
+    store.write(b)
+    twice = sorted(map(tuple, store.read().collect()))
+    assert once == twice
+
+
+def test_cross_year_batch_splits_partitions(spark, store, tmp_path):
+    b = mk(spark, [
+        ("BTC", dt.datetime(2020, 12, 31, 23, 59), 1.0),
+        ("BTC", dt.datetime(2021, 1, 1, 0, 0), 2.0),
+    ])
+    store.write(b)
+    import os
+    root = str(tmp_path / "candles")
+    # Hive-style layout: market=UPBIT/candle_length=60/code=BTC/year=YYYY
+    years = set()
+    for dirpath, dirnames, _ in os.walk(root):
+        for d in dirnames:
+            if d.startswith("year="):
+                years.add(d)
+    assert years == {"year=2020", "year=2021"}
+    # Time-range read across the boundary
+    out = store.read(start=dt.datetime(2020, 12, 31), end=dt.datetime(2021, 1, 2))
+    assert out.count() == 2
+
+
+def test_merge_only_touches_batch_partitions(spark, store):
+    b1 = mk(spark, [("BTC", dt.datetime(2021, 6, 1), 1.0),
+                    ("ETH", dt.datetime(2021, 6, 1), 2.0)])
+    store.write(b1)
+    # Merge touching only BTC; ETH partition must survive untouched.
+    b2 = mk(spark, [("BTC", dt.datetime(2021, 6, 2), 3.0)])
+    store.write(b2)
+    assert store.read(code="ETH").count() == 1
+    assert store.read(code="BTC").count() == 2
+
+
+def test_append_fast_path(spark, store):
+    b1 = mk(spark, [("BTC", dt.datetime(2021, 1, 1, 0, 0), 1.0)])
+    b2 = mk(spark, [("BTC", dt.datetime(2021, 1, 1, 0, 1), 2.0)])
+    store.write(b1)
+    store.write(b2, mode="append")
+    assert store.read().count() == 2
+
+
+def test_read_prunes_partitions(spark, store):
+    b = mk(spark, [("BTC", dt.datetime(2020, 1, 1), 1.0),
+                   ("BTC", dt.datetime(2021, 1, 1), 2.0),
+                   ("BTC", dt.datetime(2022, 1, 1), 3.0)])
+    store.write(b)
+    df = store.read(start=dt.datetime(2021, 1, 1), end=dt.datetime(2021, 6, 1))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert df.count() == 1
+    # Year pruning must reach the scan (partition filters present).
+    assert "year" in plan

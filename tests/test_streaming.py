@@ -1,0 +1,81 @@
+"""Streaming-vs-batch equivalence and checkpoint recovery (T-REC,
+SURVEY §5-4: restart from checkpoint must equal an uninterrupted run —
+the Spark analogue of the reference's WAL replay contract)."""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from mora_spark.datasets import candles_from_events, load_table
+from mora_spark.streaming import chunked_source, stream_candles, stream_dedup_ingest
+
+
+def _key(r):
+    return (r["code"], r["ts"])
+
+
+def _candles_dict(df):
+    return {
+        _key(r): (r["open"], r["high"], r["low"], r["close"], r["volume"],
+                  r["bit_fields"])
+        for r in df.collect()
+    }
+
+
+@pytest.fixture(scope="module")
+def source_files(spark, sf_dir, tmp_path_factory):
+    base = tmp_path_factory.mktemp("stream_src")
+    src = chunked_source(spark, sf_dir, str(base), n_chunks=4)
+    files = sorted(glob.glob(os.path.join(src, "*.parquet")))
+    assert len(files) >= 2
+    return files
+
+
+def test_stream_candles_equals_batch(spark, sf_dir, source_files, tmp_path):
+    live = tmp_path / "live"
+    live.mkdir()
+    for f in source_files:
+        shutil.copy(f, live / os.path.basename(f))
+    got = _candles_dict(stream_candles(spark, str(live), str(tmp_path)))
+    want = _candles_dict(
+        candles_from_events(load_table(spark, sf_dir, "events"))
+    )
+    assert got == want
+
+
+def test_trec_kill_restart_equals_uninterrupted(
+    spark, sf_dir, source_files, tmp_path
+):
+    """Process half the files, 'crash', add the rest, restart with the
+    same checkpoint — final state must equal the batch result."""
+    live = tmp_path / "live"
+    live.mkdir()
+    half = len(source_files) // 2
+    for f in source_files[:half]:
+        shutil.copy(f, live / os.path.basename(f))
+    stream_candles(spark, str(live), str(tmp_path))  # run 1 (partial)
+
+    for f in source_files[half:]:
+        shutil.copy(f, live / os.path.basename(f))
+    got = _candles_dict(stream_candles(spark, str(live), str(tmp_path)))
+
+    want = _candles_dict(
+        candles_from_events(load_table(spark, sf_dir, "events"))
+    )
+    assert got == want
+
+
+def test_ingest_restart_is_idempotent(spark, source_files, tmp_path):
+    live = tmp_path / "live"
+    live.mkdir()
+    for f in source_files:
+        shutil.copy(f, live / os.path.basename(f))
+    first = stream_dedup_ingest(spark, str(live), str(tmp_path)).count()
+    # Re-run with the same checkpoint: no new files -> no new rows.
+    again = stream_dedup_ingest(spark, str(live), str(tmp_path)).count()
+    assert first == again
