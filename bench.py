@@ -31,11 +31,14 @@ HEADLINE = [
     "q_tpch_q1",
     "q_tpch_q3",
     "q_revenue_by_nation",
+    "q_sessionize",
     "q_dedup_exact",
     "q_minhash_lsh",
     "q_text_stats",
     "q_simsearch_topk",
+    "q_ann_srp",
     "q_store_roundtrip",
+    "q_stream_candles",
 ]
 
 

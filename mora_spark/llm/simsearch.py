@@ -1,0 +1,115 @@
+"""Similarity search over embedding columns.
+
+Two tiers (SURVEY north star):
+- brute-force cosine top-k (`mora_spark.queries.vectors`) — the exact
+  baseline, oracle-checked;
+- signed-random-projection LSH here — the scale path: bucket vectors by
+  the sign pattern of d_bits deterministic hyperplane projections, probe
+  only same-bucket candidates, rank by exact cosine. Sub-linear probe
+  cost; recall is tested against brute force (tests/test_simsearch.py).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import broadcast, pandas_udf
+
+from mora_spark.functions.vectors import cosine
+
+
+def _hyperplanes(dim: int, n_bits: int, seed: str = "srp") -> np.ndarray:
+    """Deterministic pseudo-random hyperplanes: unit normals derived
+    from sha256(seed, bit, chunk) — no RNG state, reproducible across
+    engines and runs."""
+    out = np.empty((n_bits, dim), dtype=np.float64)
+    for b in range(n_bits):
+        vals = []
+        chunk = 0
+        while len(vals) < dim:
+            h = hashlib.sha256(f"{seed}:{b}:{chunk}".encode()).digest()
+            # 32 bytes -> 8 signed int32 -> centered floats
+            ints = np.frombuffer(h, dtype="<i4")
+            vals.extend((ints / 2**31).tolist())
+            chunk += 1
+        v = np.array(vals[:dim])
+        out[b] = v / np.linalg.norm(v)
+    return out
+
+
+def with_srp_bucket(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    n_bits: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """Append an LSH bucket id: bit b = sign(v . hyperplane_b).
+
+    Vectorized pandas UDF — one matmul per Arrow batch.
+    """
+    planes = _hyperplanes(dim, n_bits)
+
+    @pandas_udf(T.IntegerType())
+    def bucket(vs: pd.Series) -> pd.Series:
+        m = np.stack(vs.apply(lambda v: np.asarray(v, dtype=np.float64)))
+        signs = (m @ planes.T) > 0  # (n, n_bits)
+        weights = (1 << np.arange(n_bits)).astype(np.int64)
+        return pd.Series((signs @ weights).astype("int32"))
+
+    return df.withColumn("bucket", bucket(F.col(vec_col)))
+
+
+def srp_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    n_bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    multi_probe: bool = True,
+) -> DataFrame:
+    """Approximate top-k: probe candidates in the query's bucket (plus,
+    with ``multi_probe``, every bucket at Hamming distance 1 — the
+    standard recall knob); rank by exact cosine within candidates.
+
+    At 100 TB the bucket join replaces the O(n) scan per query with a
+    shuffle on bucket id — expected (1 + n_bits)/2^n_bits of the corpus
+    probed per query.
+    """
+    b = with_srp_bucket(embeddings, vec_col, n_bits)
+    q = b.where(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        F.col("bucket").alias("qbucket"),
+    )
+    if multi_probe:
+        probes = F.array(
+            F.col("qbucket"),
+            *[
+                F.expr(f"CAST(qbucket ^ {1 << i} AS INT)")
+                for i in range(n_bits)
+            ],
+        )
+        q = q.withColumn("qbucket", F.explode(probes))
+    c = b.where(~F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        "bucket",
+    )
+    scored = (
+        c.join(broadcast(q), F.col("bucket") == F.col("qbucket"))
+        .withColumn("score", F.round(cosine(F.col("qv"), F.col("cv")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "score", "rank")
+    )

@@ -16,11 +16,19 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 
 def collect_registry() -> tuple[dict[str, QueryFn], dict[str, str]]:
-    from mora_spark.queries import relational, text, timeseries, vectors, streaming, store
+    from mora_spark.queries import (
+        multimodal,
+        relational,
+        store,
+        streaming,
+        text,
+        timeseries,
+        vectors,
+    )
 
     queries: dict[str, QueryFn] = {}
     oracles: dict[str, str] = {}
-    for mod in (timeseries, relational, text, vectors, streaming, store):
+    for mod in (timeseries, relational, text, vectors, streaming, store, multimodal):
         queries.update(mod.QUERIES)
         oracles.update(mod.ORACLES)
     return queries, oracles

@@ -134,10 +134,22 @@ GROUP BY vec_id, label
 """
 
 
+# --- q_ann_srp: signed-random-projection LSH approximate top-k ---
+# Hyperplanes are numpy-side (pandas UDF) → rows-only check; recall vs
+# the brute-force baseline is asserted in tests/test_simsearch.py.
+
+def q_ann_srp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mora_spark.llm.simsearch import srp_topk
+
+    e = _emb(spark, sf_dir)
+    return srp_topk(e, query_ids=list(range(N_QUERIES)), k=TOP_K, n_bits=4)
+
+
 QUERIES = {
     "q_embedding_norms": q_embedding_norms,
     "q_simsearch_topk": q_simsearch_topk,
     "q_centroid_dist": q_centroid_dist,
+    "q_ann_srp": q_ann_srp,
 }
 
 ORACLES = {

@@ -1,0 +1,54 @@
+"""ANN (signed-random-projection LSH) quality vs the exact baseline."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mora_spark.datasets import load_table
+from mora_spark.llm.simsearch import srp_topk, with_srp_bucket
+from mora_spark.queries.vectors import q_simsearch_topk
+
+
+def test_bucket_is_deterministic(spark, sf_dir):
+    e = load_table(spark, sf_dir, "embeddings")
+    b1 = {r["vec_id"]: r["bucket"]
+          for r in with_srp_bucket(e, n_bits=6).collect()}
+    b2 = {r["vec_id"]: r["bucket"]
+          for r in with_srp_bucket(e, n_bits=6).collect()}
+    assert b1 == b2
+    assert 0 < len(set(b1.values())) <= 64
+
+
+def test_srp_recall_vs_brute_force(spark, sf_dir):
+    exact = q_simsearch_topk(spark, sf_dir).collect()
+    want = {(r["query_id"], r["neighbor_id"]) for r in exact}
+
+    e = load_table(spark, sf_dir, "embeddings")
+    approx = srp_topk(e, query_ids=[0, 1, 2, 3, 4], k=5, n_bits=4).collect()
+    got = {(r["query_id"], r["neighbor_id"]) for r in approx}
+
+    recall = len(want & got) / len(want)
+    # 4-bit SRP on 64-dim synthetic vectors: same-bucket probing must
+    # recover a meaningful share of true neighbors (and is ~16x cheaper
+    # than the scan). Bound is intentionally loose — quality depends on
+    # the synthetic geometry.
+    assert recall >= 0.2, f"recall {recall}"
+    # Scores that ARE found must equal the exact scores.
+    exact_scores = {(r["query_id"], r["neighbor_id"]): r["score"] for r in exact}
+    for r in approx:
+        k = (r["query_id"], r["neighbor_id"])
+        if k in exact_scores:
+            assert abs(r["score"] - exact_scores[k]) < 1e-9
+
+
+def test_multimodal_features_deterministic(spark, sf_dir):
+    from mora_spark.llm.multimodal import extract_features, media_from_documents
+
+    m = media_from_documents(load_table(spark, sf_dir, "documents"))
+    f1 = {r["media_id"]: (r["width"], r["height"], r["n_frames"])
+          for r in extract_features(m).collect()}
+    f2 = {r["media_id"]: (r["width"], r["height"], r["n_frames"])
+          for r in extract_features(m).collect()}
+    assert f1 == f2
+    kinds = {r["kind"] for r in m.select("kind").distinct().collect()}
+    assert kinds == {"image", "audio", "video"}
