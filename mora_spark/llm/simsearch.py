@@ -113,3 +113,53 @@ def srp_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "score", "rank")
     )
+
+
+def embedding_neardup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.9,
+    n_bits: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: all (id_a < id_b) with
+    round(cosine, 6) >= threshold.
+
+    ``n_bits=0`` is the exact all-pairs baseline — a nested-loop
+    self-compare, JVM-side ``zip_with``/``aggregate`` only (oracle-
+    checkable, quadratic: use for corpora that fit a broadcast).
+    ``n_bits>0`` is the scale path: SRP-bucket equality turns the
+    cross join into an equi-join shuffled on bucket id, comparing only
+    same-bucket pairs. Approximate — a true pair at angle θ survives
+    one hyperplane with prob 1-θ/π, so recall ≈ (1-θ/π)^n_bits; near
+    thresholds ~0.9 (θ≈26°) and 4 bits that is ~0.53 per bucket, which
+    multi-probing or band-OR (as in MinHash LSH) would recover.
+    """
+    src = (
+        with_srp_bucket(embeddings, vec_col, n_bits)
+        if n_bits
+        else embeddings.withColumn("bucket", F.lit(0))
+    )
+    a = src.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "bucket"
+    )
+    b = src.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vb"),
+        F.col("bucket").alias("bucket_b"),
+    )
+    join_on = (F.col("bucket") == F.col("bucket_b")) & (
+        F.col("id_a") < F.col("id_b")
+    )
+    joined = (
+        a.join(b, join_on)
+        if n_bits
+        else a.crossJoin(b).where(F.col("id_a") < F.col("id_b"))
+    )
+    return (
+        joined.withColumn(
+            "score", F.round(cosine(F.col("va"), F.col("vb")), 6)
+        )
+        .where(F.col("score") >= threshold)
+        .select("id_a", "id_b", "score")
+    )

@@ -422,6 +422,162 @@ FROM part
 """
 
 
+# --- q_tpch_q6: forecast revenue change (pure scan+filter agg) ---
+# The plan should be a single scan with every predicate pushed to
+# parquet and no shuffle beyond the final single-row reduce.
+
+def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.where(
+            (F.col("l_shipdate") >= F.lit("1997-01-01"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01"))
+            & (F.col("l_discount") >= 0.03)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(
+                F.col("l_extendedprice") * F.col("l_discount")
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+O_TPCH_Q6 = """
+SELECT sum(l_extendedprice * l_discount) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND l_discount BETWEEN 0.03 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+# --- q_tpch_q14: promotion effect (join + conditional agg) ---
+
+def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-09-01"))
+        & (F.col("l_shipdate") < F.lit("1997-10-01"))
+    )
+    p = _t(spark, sf_dir, "part")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.join(broadcast(p), l.l_partkey == p.p_partkey)
+        .agg(
+            (
+                F.lit(100.0)
+                * F.sum(
+                    F.when(F.col("p_type").startswith("PROMO"), disc)
+                    .otherwise(F.lit(0.0))
+                )
+                / F.sum(disc)
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+O_TPCH_Q14 = """
+SELECT 100.0 * sum(CASE WHEN p_type LIKE 'PROMO%'
+                        THEN l_extendedprice * (1 - l_discount)
+                        ELSE 0.0 END)
+       / sum(l_extendedprice * (1 - l_discount)) AS promo_revenue_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-10-01 00:00:00'
+"""
+
+
+# --- q_tpch_q18: large-volume customers (agg-filtered semi join) ---
+# The HAVING-driven semi join: aggregate lineitem once, filter, then
+# join back. Q18_QTY tuned so the synthetic data yields a non-empty,
+# small result.
+
+Q18_QTY = 110
+
+
+def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .where(F.col("total_qty") > Q18_QTY)
+    )
+    return (
+        o.join(big, o.o_orderkey == big.l_orderkey)
+        .join(broadcast(c), o.o_custkey == c.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            "total_qty",
+        )
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(100)
+    )
+
+
+O_TPCH_Q18 = f"""
+SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, total_qty
+FROM orders
+JOIN (SELECT l_orderkey, sum(l_quantity) AS total_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING sum(l_quantity) > {Q18_QTY}) big
+  ON o_orderkey = big.l_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 100
+"""
+
+
+# --- q_tpch_q22: idle rich customers (scalar subquery + anti join) ---
+# Q22-flavored: above-average-balance customers with no RECENT orders
+# (the synthetic data gives every customer at least one order ever).
+# Exercises a scalar aggregate broadcast against a left anti join.
+
+Q22_CUTOFF = "1998-01-01"
+
+
+def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") >= F.lit(Q22_CUTOFF)
+    )
+    avg_bal = c.where(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("avg_bal")
+    )
+    return (
+        c.crossJoin(broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_custs"),
+            F.sum("c_acctbal").alias("total_bal"),
+        )
+    )
+
+
+O_TPCH_Q22 = f"""
+SELECT c_nationkey,
+       count(*) AS n_custs,
+       sum(c_acctbal) AS total_bal
+FROM customer
+WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer
+                   WHERE c_acctbal > 0.0)
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                  AND o_orderdate >= TIMESTAMP '{Q22_CUTOFF} 00:00:00')
+GROUP BY c_nationkey
+"""
+
+
 QUERIES = {
     "q_tpch_q1": q_tpch_q1,
     "q_tpch_q3": q_tpch_q3,
@@ -435,6 +591,10 @@ QUERIES = {
     "q_sessionize": q_sessionize,
     "q_user_stats": q_user_stats,
     "q_scalar_funcs": q_scalar_funcs,
+    "q_tpch_q6": q_tpch_q6,
+    "q_tpch_q14": q_tpch_q14,
+    "q_tpch_q18": q_tpch_q18,
+    "q_tpch_q22": q_tpch_q22,
 }
 
 ORACLES = {
@@ -450,4 +610,8 @@ ORACLES = {
     "q_sessionize": O_SESSIONIZE,
     "q_user_stats": O_USER_STATS,
     "q_scalar_funcs": O_SCALAR_FUNCS,
+    "q_tpch_q6": O_TPCH_Q6,
+    "q_tpch_q14": O_TPCH_Q14,
+    "q_tpch_q18": O_TPCH_Q18,
+    "q_tpch_q22": O_TPCH_Q22,
 }

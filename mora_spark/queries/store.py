@@ -61,5 +61,30 @@ FROM candles
 )
 
 
-QUERIES = {"q_store_roundtrip": q_store_roundtrip}
-ORACLES = {"q_store_roundtrip": O_STORE_ROUNDTRIP}
+def q_ysf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Export candles to reference-layout `.ysf` page files, read them
+    back with the binaryFile+mapInPandas importer, and return the
+    re-imported table — byte-level parity with the reference's storage
+    format (SURVEY §1.3), oracle-checked against the plain derivation."""
+    from mora_spark.sources import read_ysf, write_ysf
+
+    path = scratch_dir("ysf_roundtrip", sf_dir)
+    shutil.rmtree(path, ignore_errors=True)
+    candles = candles_from_events(load_table(spark, sf_dir, "events"))
+    write_ysf(candles, path).collect()  # action drives the export
+    return read_ysf(spark, path).withColumn(
+        "bit_fields", F.col("bit_fields").cast("long")
+    )
+
+
+O_YSF_ROUNDTRIP = candles_sql("SELECT * FROM candles")
+
+
+QUERIES = {
+    "q_store_roundtrip": q_store_roundtrip,
+    "q_ysf_roundtrip": q_ysf_roundtrip,
+}
+ORACLES = {
+    "q_store_roundtrip": O_STORE_ROUNDTRIP,
+    "q_ysf_roundtrip": O_YSF_ROUNDTRIP,
+}

@@ -145,15 +145,51 @@ def q_ann_srp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return srp_topk(e, query_ids=list(range(N_QUERIES)), k=TOP_K, n_bits=4)
 
 
+# --- q_embed_neardup: embedding-cosine near-duplicate pairs ---
+# Exact all-pairs baseline (oracle-checked). The SRP-bucketed scale
+# path is `embedding_neardup_pairs(n_bits>0)`, containment-tested in
+# tests/test_simsearch.py. Threshold 0.35 ≈ p99.9 of the synthetic
+# corpus's pair-score distribution.
+
+NEARDUP_THRESHOLD = 0.35
+
+
+def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mora_spark.llm.simsearch import embedding_neardup_pairs
+
+    return embedding_neardup_pairs(
+        _emb(spark, sf_dir), threshold=NEARDUP_THRESHOLD, n_bits=0
+    )
+
+
+O_EMBED_NEARDUP = f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_dot_product(a.v, b.v)
+             / (sqrt(list_dot_product(a.v, a.v))
+                * sqrt(list_dot_product(b.v, b.v))), 6) AS score
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE round(list_dot_product(a.v, b.v)
+            / (sqrt(list_dot_product(a.v, a.v))
+               * sqrt(list_dot_product(b.v, b.v))), 6)
+      >= {NEARDUP_THRESHOLD}
+"""
+
+
 QUERIES = {
     "q_embedding_norms": q_embedding_norms,
     "q_simsearch_topk": q_simsearch_topk,
     "q_centroid_dist": q_centroid_dist,
     "q_ann_srp": q_ann_srp,
+    "q_embed_neardup": q_embed_neardup,
 }
 
 ORACLES = {
     "q_embedding_norms": O_EMBEDDING_NORMS,
     "q_simsearch_topk": O_SIMSEARCH_TOPK,
     "q_centroid_dist": O_CENTROID_DIST,
+    "q_embed_neardup": O_EMBED_NEARDUP,
 }

@@ -41,6 +41,31 @@ def test_srp_recall_vs_brute_force(spark, sf_dir):
             assert abs(r["score"] - exact_scores[k]) < 1e-9
 
 
+def test_neardup_lsh_subset_of_exact(spark, sf_dir):
+    """Every SRP-prefiltered near-dup pair must appear in the exact
+    all-pairs result with an identical score (the bucket filter can
+    only drop pairs, never invent or rescore them)."""
+    from mora_spark.llm.simsearch import embedding_neardup_pairs
+
+    e = load_table(spark, sf_dir, "embeddings")
+    exact = {
+        (r["id_a"], r["id_b"]): r["score"]
+        for r in embedding_neardup_pairs(e, threshold=0.3, n_bits=0).collect()
+    }
+    # 2 bits: a pair at cos 0.3 (θ≈72°) survives both hyperplanes with
+    # prob (1-θ/π)² ≈ 0.36 — enough signal for a stable lower bound.
+    approx = {
+        (r["id_a"], r["id_b"]): r["score"]
+        for r in embedding_neardup_pairs(e, threshold=0.3, n_bits=2).collect()
+    }
+    assert exact, "exact near-dup result unexpectedly empty"
+    assert set(approx) <= set(exact)
+    for k, v in approx.items():
+        assert abs(v - exact[k]) < 1e-9
+    # close pairs land in the same bucket often enough to be useful
+    assert len(approx) / len(exact) >= 0.2
+
+
 def test_multimodal_features_deterministic(spark, sf_dir):
     from mora_spark.llm.multimodal import extract_features, media_from_documents
 
