@@ -54,6 +54,20 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     queries = entry_mod.queries()
 
+    # Untimed warmup: initialize codegen, the parquet reader, the noop
+    # sink, and the Python worker pool once, so the first timed query
+    # isn't charged for one-time JVM/session setup.
+    from mora_spark.datasets import load_table
+    from pyspark.sql import functions as F
+
+    warm = load_table(spark, sf_dir, "events")
+    warm.groupBy("event_type").count().write.format("noop").mode(
+        "overwrite"
+    ).save()
+    warm.select(
+        F.pandas_udf(lambda s: s, "double")(F.col("value")).alias("v")
+    ).limit(1000).write.format("noop").mode("overwrite").save()
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = queries.get(name)

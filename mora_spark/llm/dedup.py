@@ -12,6 +12,8 @@ Design constraints:
 
 from __future__ import annotations
 
+import hashlib
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -22,6 +24,19 @@ from mora_spark.functions.text import distinct_tokens
 # prod configs use 128 hashes; 16 keeps the oracle SQL tractable.)
 N_HASHES = 16
 BAND_SIZE = 4
+
+# MinHash universal-hash family: π_s(h) = (a_s·(h div 2) + b_s) mod P
+# over 31-bit token hashes — one md5 per token, then N_HASHES integer
+# permutations (instead of N_HASHES md5s per token). P = 2³¹-1 keeps
+# every product under 2⁶² so Spark and DuckDB agree without overflow.
+MINHASH_P = 2_147_483_647
+MINHASH_AB = [
+    (
+        int(hashlib.md5(f"a{s}".encode()).hexdigest()[:8], 16) % (MINHASH_P - 2) + 1,
+        int(hashlib.md5(f"b{s}".encode()).hexdigest()[:8], 16) % MINHASH_P,
+    )
+    for s in range(N_HASHES)
+]
 
 
 def exact_dedup(
@@ -41,54 +56,39 @@ def exact_dedup(
     )
 
 
-def minhash_signature(toks: Column, n_hashes: int = N_HASHES) -> Column:
-    """MinHash signature: per seed s, min over tokens of md5(tok||'#s').
-
-    String-min over md5 hex is a uniform permutation surrogate that both
-    Spark and DuckDB order identically (ASCII hex).
-    """
-    def seeded(s: int):
-        # NB: must stay a one-arg lambda — F.transform interprets a
-        # second parameter as the array index.
-        return lambda t: F.md5(F.concat(t, F.lit(f"#{s}")))
-
-    return F.array(
-        *[F.array_min(F.transform(toks, seeded(s))) for s in range(n_hashes)]
-    )
-
-
-def with_minhash(
-    df: DataFrame, text_col: str = "text", n_hashes: int = N_HASHES
-) -> DataFrame:
-    return df.withColumn("toks", distinct_tokens(text_col)).withColumn(
-        "minhash", minhash_signature(F.col("toks"), n_hashes)
-    )
-
-
-def lsh_bands(df: DataFrame, band_size: int = BAND_SIZE) -> DataFrame:
-    """Explode signatures into (band, band_key) rows: band_key = md5 of
-    the band's concatenated signature slice."""
-    n_bands = N_HASHES // band_size
-    bands = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.md5(
-                    F.concat_ws(
-                        "|",
-                        *[
-                            F.col("minhash").getItem(b * band_size + i)
-                            for i in range(band_size)
-                        ],
-                    )
-                ).alias("band_key"),
+def _int_tokens(toks: Column) -> Column:
+    """Distinct tokens → sorted 32-bit md5-derived ints. One md5 per
+    token; everything downstream (signature AND verification) derives
+    from these ints. A 32-bit collision merges two tokens identically
+    in engine and oracle, so comparisons stay exact."""
+    return F.sort_array(
+        F.array_distinct(
+            F.transform(
+                toks,
+                lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast(
+                    "long"
+                ),
             )
-            for b in range(n_bands)
+        )
+    )
+
+
+def _affine_minhash(ti: Column, n_hashes: int = N_HASHES) -> Column:
+    """MinHash signature from int tokens via the affine family above."""
+    return F.array(
+        *[
+            F.array_min(
+                F.transform(
+                    ti,
+                    lambda h: (
+                        F.lit(a) * (h / 2).cast("long") + F.lit(b)
+                    )
+                    % F.lit(MINHASH_P),
+                )
+            )
+            for a, b in MINHASH_AB[:n_hashes]
         ]
     )
-    return df.withColumn("b", F.explode(bands)).select(
-        "*", F.col("b.band").alias("band"), F.col("b.band_key").alias("band_key")
-    ).drop("b")
 
 
 def minhash_lsh_pairs(
@@ -99,66 +99,150 @@ def minhash_lsh_pairs(
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash LSH, verified with exact Jaccard.
 
-    Pipeline: tokenize → minhash → band-explode → self-join per band
-    bucket (the LSH trick: only same-bucket pairs are candidates) →
-    distinct pairs → exact Jaccard on distinct-token sets → threshold.
+    Pipeline, organized for corpora where many documents share one
+    token set (the common case in web-scale dedup):
+
+    1. tokenize → int token set → **group identical sets** (Jaccard and
+       the MinHash signature depend only on the set, so one
+       representative per set does all the work);
+    2. affine MinHash over int tokens → band keys → per-band self-join
+       of *groups* (the LSH trick: only same-bucket pairs are
+       candidates) → distinct;
+    3. verify candidates with exact Jaccard — the unique-set table is
+       tiny relative to the pair count, so it broadcasts and the
+       verification stays map-side (no shuffle of candidate rows with
+       arrays attached);
+    4. expand group pairs to doc pairs + intra-group pairs (identical
+       sets ⇒ Jaccard exactly 1.0, always ≥ threshold).
+
+    At 100 TB step 3's broadcast is the knob: if the unique-set table
+    outgrows the driver, drop the hint and Spark falls back to a
+    sort-merge join on the group key — the rest of the plan is
+    unchanged.
     """
-    sigs = with_minhash(df, text_col)
-    banded = lsh_bands(sigs).select(
-        F.col(id_col).alias("id"), "band", "band_key"
+    nparts = int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
     )
+    gid = F.md5(F.concat_ws(",", "ti"))
+    groups = (
+        df.select(
+            F.col(id_col).alias("id"),
+            _int_tokens(distinct_tokens(text_col)).alias("ti"),
+        )
+        .withColumn("gid", gid)
+        .groupBy("gid")
+        .agg(
+            F.sort_array(F.collect_list("id")).alias("members"),
+            F.first("ti").alias("ti"),
+        )
+        .withColumn("n", F.size("ti"))
+        # groups feeds three consumers (signatures, the broadcast
+        # verification table, intra-group expansion); caching the tiny
+        # unique-set table avoids tokenizing the corpus three times.
+        .persist()
+    )
+
+    sigs = groups.withColumn("mh", _affine_minhash(F.col("ti")))
+    n_bands = N_HASHES // BAND_SIZE
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        *[
+                            F.col("mh").getItem(b * BAND_SIZE + i)
+                            for i in range(BAND_SIZE)
+                        ],
+                    )
+                ).alias("band_key"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    banded = sigs.select(
+        "gid", F.explode(bands).alias("b")
+    ).select("gid", "b.band", "b.band_key")
+
     a, b = banded.alias("a"), banded.alias("b")
+    # Explicit partition count: candidate-pair rows are tiny (two md5
+    # strings), so AQE would coalesce the distinct's exchange to a few
+    # partitions — but each row fans out via broadcast-join + explode
+    # into many output rows, so the narrow stages DOWNSTREAM of this
+    # exchange need full parallelism, which AQE can't see.
     cand = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.id") < F.col("b.id")),
+            & (F.col("a.gid") < F.col("b.gid")),
         )
-        .select(
-            F.col("a.id").alias("doc_a"), F.col("b.id").alias("doc_b")
-        )
+        .select(F.col("a.gid").alias("gid_a"), F.col("b.gid").alias("gid_b"))
+        .repartition(nparts, "gid_a", "gid_b")
         .distinct()
     )
-    # Verification runs on md5-derived int token sets: 4x smaller in the
-    # shuffle than string arrays and faster to intersect. (A 32-bit
-    # collision merges two tokens identically in engine and oracle, so
-    # comparisons stay exact.)
-    toks = sigs.select(
-        F.col(id_col).alias("id"),
-        F.array_distinct(
-            F.transform(
-                "toks",
-                lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast(
-                    "long"
-                ),
-            )
-        ).alias("ti"),
-    ).withColumn("n", F.size("ti"))
-    pairs = (
+
+    sets = groups.select("gid", "ti", "n", "members")
+    verified = (
         cand.join(
-            toks.withColumnsRenamed({"id": "doc_a", "ti": "ti_a", "n": "n_a"}),
-            "doc_a",
+            F.broadcast(
+                sets.select(
+                    F.col("gid").alias("gid_a"),
+                    F.col("ti").alias("ti_a"),
+                    F.col("n").alias("n_a"),
+                    F.col("members").alias("m_a"),
+                )
+            ),
+            "gid_a",
         )
         .join(
-            toks.withColumnsRenamed({"id": "doc_b", "ti": "ti_b", "n": "n_b"}),
-            "doc_b",
+            F.broadcast(
+                sets.select(
+                    F.col("gid").alias("gid_b"),
+                    F.col("ti").alias("ti_b"),
+                    F.col("n").alias("n_b"),
+                    F.col("members").alias("m_b"),
+                )
+            ),
+            "gid_b",
         )
         # Size prefilter: J >= t implies min(|A|,|B|)/max(|A|,|B|) >= t,
         # so this drops no true pair but skips the array intersect for
         # grossly mismatched sizes.
-        .where(
-            F.least("n_a", "n_b") >= threshold * F.greatest("n_a", "n_b")
-        )
+        .where(F.least("n_a", "n_b") >= threshold * F.greatest("n_a", "n_b"))
+        .withColumn("isect", F.size(F.array_intersect("ti_a", "ti_b")))
         .withColumn(
             "jaccard",
-            F.size(F.array_intersect("ti_a", "ti_b"))
-            / F.size(F.array_union("ti_a", "ti_b")),
+            F.col("isect") / (F.col("n_a") + F.col("n_b") - F.col("isect")),
         )
         .where(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", "jaccard")
     )
-    return pairs
+
+    inter = (
+        verified.select(
+            F.explode("m_a").alias("x"), F.col("m_b"), "jaccard"
+        )
+        .select("x", F.explode("m_b").alias("y"), "jaccard")
+        .select(
+            F.least("x", "y").alias("doc_a"),
+            F.greatest("x", "y").alias("doc_b"),
+            "jaccard",
+        )
+    )
+    intra = (
+        groups.where(F.size("members") > 1)
+        .select(F.col("members").alias("m"))
+        .select(F.posexplode("m").alias("i", "x"), "m")
+        .select("i", "x", F.posexplode("m").alias("j", "y"))
+        .where(F.col("i") < F.col("j"))
+        .select(
+            F.col("x").alias("doc_a"),
+            F.col("y").alias("doc_b"),
+            F.lit(1.0).alias("jaccard"),
+        )
+    )
+    return inter.unionByName(intra)
 
 
 def ngram_jaccard_pairs(

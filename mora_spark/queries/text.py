@@ -192,13 +192,27 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _o_minhash() -> str:
+    """Doc-level rendition of the engine's group-level LSH pipeline.
+
+    Equivalent by construction: the MinHash signature, band keys, and
+    Jaccard all depend only on a document's distinct-token set, so
+    grouping identical sets (engine) vs. treating every doc separately
+    (oracle) admits exactly the same pairs with the same scores.
+    """
+    from mora_spark.llm.dedup import MINHASH_AB, MINHASH_P
+
     sig_items = ", ".join(
-        f"list_min(list_transform(toks, t -> md5(t || '#{s}')))"
-        for s in range(16)
+        f"list_min(list_transform(ti, h -> ({a} * (h // 2) + {b}) % {MINHASH_P}))"
+        for a, b in MINHASH_AB
     )
     return f"""
-WITH t AS (SELECT doc_id, list_distinct({TOKS_SQL}) AS toks FROM documents),
-sig AS (SELECT doc_id, toks, [{sig_items}] AS mh FROM t),
+WITH t AS (
+  SELECT doc_id,
+         list_distinct(list_transform(list_distinct({TOKS_SQL}),
+           tok -> CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT))) AS ti
+  FROM documents
+),
+sig AS (SELECT doc_id, ti, len(ti) AS n, [{sig_items}] AS mh FROM t),
 banded AS (
   SELECT doc_id, b,
          md5(array_to_string(mh[4 * b + 1 : 4 * b + 4], '|')) AS band_key
@@ -209,22 +223,14 @@ cand AS (
   FROM banded a
   JOIN banded b ON a.b = b.b AND a.band_key = b.band_key
                AND a.doc_id < b.doc_id
-),
-ti AS (
-  SELECT doc_id,
-         list_distinct(list_transform(toks,
-           t -> CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT))) AS ti,
-         len(list_distinct(list_transform(toks,
-           t -> CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT)))) AS n
-  FROM sig
 )
 SELECT doc_a, doc_b, jaccard FROM (
   SELECT doc_a, doc_b,
          len(list_intersect(ta.ti, tb.ti))
-           / len(list_distinct(list_concat(ta.ti, tb.ti))) AS jaccard
+           / (ta.n + tb.n - len(list_intersect(ta.ti, tb.ti))) AS jaccard
   FROM cand
-  JOIN ti ta ON ta.doc_id = doc_a
-  JOIN ti tb ON tb.doc_id = doc_b
+  JOIN sig ta ON ta.doc_id = doc_a
+  JOIN sig tb ON tb.doc_id = doc_b
   WHERE least(ta.n, tb.n) >= 0.5 * greatest(ta.n, tb.n)
 ) WHERE jaccard >= 0.5
 """
