@@ -361,6 +361,59 @@ GROUP BY user_id, session_id
 """
 
 
+# --- q_interval_join: bucketed point-in-interval range join ---
+# Hot windows (minutes with >= 2 events of a type, padded ±5 min)
+# interval-joined back to the event stream. The operator quantizes
+# intervals into buckets so the range join runs as an equi hash join
+# (mora_spark.operators.interval).
+
+def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mora_spark.operators.interval import interval_join
+
+    e = _t(spark, sf_dir, "events")
+    mn = F.date_trunc("minute", F.col("ts"))
+    hot = (
+        e.groupBy(F.col("event_type"), mn.alias("mn"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") >= 2)
+        .select(
+            "event_type",
+            (F.col("mn") - F.expr("INTERVAL 5 MINUTES")).alias("win_start"),
+            (F.col("mn") + F.expr("INTERVAL 5 MINUTES")).alias("win_end"),
+        )
+    )
+    j = interval_join(
+        e.select("event_type", "ts", "value"),
+        hot,
+        ts_col="ts",
+        on=["event_type"],
+        bucket_seconds=600,
+    )
+    return j.groupBy("event_type", "win_start").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("value").alias("sum_value"),
+    )
+
+
+O_INTERVAL_JOIN = """
+WITH hot AS (
+  SELECT event_type,
+         date_trunc('minute', ts) - INTERVAL 5 MINUTE AS win_start,
+         date_trunc('minute', ts) + INTERVAL 5 MINUTE AS win_end
+  FROM events
+  GROUP BY event_type, date_trunc('minute', ts)
+  HAVING count(*) >= 2
+)
+SELECT h.event_type, h.win_start,
+       count(*) AS n_events,
+       sum(e.value) AS sum_value
+FROM hot h
+JOIN events e ON e.event_type = h.event_type
+             AND e.ts BETWEEN h.win_start AND h.win_end
+GROUP BY h.event_type, h.win_start
+"""
+
+
 # --- q_user_stats: per-entity profile agg ---
 
 def q_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -595,6 +648,7 @@ QUERIES = {
     "q_tpch_q14": q_tpch_q14,
     "q_tpch_q18": q_tpch_q18,
     "q_tpch_q22": q_tpch_q22,
+    "q_interval_join": q_interval_join,
 }
 
 ORACLES = {
@@ -614,4 +668,5 @@ ORACLES = {
     "q_tpch_q14": O_TPCH_Q14,
     "q_tpch_q18": O_TPCH_Q18,
     "q_tpch_q22": O_TPCH_Q22,
+    "q_interval_join": O_INTERVAL_JOIN,
 }

@@ -22,6 +22,7 @@ from mora_spark.streaming import (
     chunked_source,
     stream_candles,
     stream_dedup_ingest,
+    stream_sessions,
 )
 
 
@@ -66,12 +67,46 @@ def q_stream_candles(spark: SparkSession, sf_dir: str) -> DataFrame:
 O_STREAM_CANDLES = candles_sql("SELECT * FROM candles")
 
 
+def q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming session windows (30-min inactivity gap) — must equal
+    gap-based batch sessionization. Note the boundary differs from
+    q_sessionize on purpose: session windows are end-exclusive, so a
+    gap of exactly 30 min starts a new session (>=, not >)."""
+    work = _work("stream_sessions", sf_dir)
+    src = chunked_source(spark, sf_dir, work)
+    return stream_sessions(spark, src, work)
+
+
+O_STREAM_SESSIONS = """
+WITH g AS (
+  SELECT *,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch(ts) - epoch(lag(ts) OVER w) >= 1800
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM g
+)
+SELECT user_id,
+       min(ts) AS session_start,
+       count(*) AS n_events,
+       sum(value) AS sum_value
+FROM s
+GROUP BY user_id, sid
+"""
+
+
 QUERIES = {
     "q_stream_ingest": q_stream_ingest,
     "q_stream_candles": q_stream_candles,
+    "q_stream_sessions": q_stream_sessions,
 }
 
 ORACLES = {
     "q_stream_ingest": O_STREAM_INGEST,
     "q_stream_candles": O_STREAM_CANDLES,
+    "q_stream_sessions": O_STREAM_SESSIONS,
 }

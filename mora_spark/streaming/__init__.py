@@ -5,6 +5,12 @@ from mora_spark.streaming.ingest import (
     chunked_source,
     stream_candles,
     stream_dedup_ingest,
+    stream_sessions,
 )
 
-__all__ = ["chunked_source", "stream_candles", "stream_dedup_ingest"]
+__all__ = [
+    "chunked_source",
+    "stream_candles",
+    "stream_dedup_ingest",
+    "stream_sessions",
+]

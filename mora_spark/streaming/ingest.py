@@ -191,3 +191,53 @@ def stream_candles(
         "volume",
         "bit_fields",
     )
+
+
+def stream_sessions(
+    spark: SparkSession, src: str, work_dir: str, gap: str = "30 minutes"
+) -> DataFrame:
+    """Streaming session windows (``F.session_window``): per-user
+    activity sessions that close after ``gap`` of silence.
+
+    Session-window aggregation supports complete (not update) output
+    mode, and complete is also the robust choice: each micro-batch
+    re-emits every session merged so far, so the LAST emission is the
+    final merged table even if late events bridged two
+    previously-separate sessions. foreachBatch overwrites the sink, so
+    no post-pass is needed. Production streams with unbounded keyspace
+    would use append mode with a finite watermark (emit sessions as
+    they close) instead — complete mode holds all state.
+
+    Session boundary: a new session starts when the inter-event gap is
+    >= the gap duration (session windows are end-exclusive).
+    """
+    out = os.path.join(work_dir, "sessions")
+    ckpt = os.path.join(work_dir, "ckpt_sessions")
+
+    stream = _read_stream(spark, src).withWatermark("ts", "90 days")
+    agg = stream.groupBy(
+        F.session_window("ts", gap).alias("win"), F.col("user_id")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("value").alias("sum_value"),
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(out)
+
+    with _state_partitions(spark, 8):
+        q = (
+            agg.writeStream.foreachBatch(sink)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    return spark.read.parquet(out).select(
+        "user_id",
+        F.col("win.start").alias("session_start"),
+        "n_events",
+        "sum_value",
+    )
