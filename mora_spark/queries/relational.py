@@ -414,6 +414,52 @@ GROUP BY h.event_type, h.win_start
 """
 
 
+# --- q_json_props: semi-structured (JSON) column extraction ---
+# events.props is a JSON string; extract a typed field and aggregate.
+# get_json_object stays JVM-side (Jackson) — no Python in the loop.
+
+def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        e.withColumn("k", k)
+        .groupBy("event_type")
+        .agg(
+            F.count("k").alias("n_with_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.avg("k").alias("avg_k"),
+            F.sum("k").alias("sum_k"),
+        )
+    )
+
+
+O_JSON_PROPS = """
+SELECT event_type,
+       count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_with_k,
+       min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+       max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+       avg(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS avg_k,
+       sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
+FROM events
+GROUP BY event_type
+"""
+
+
+# --- q_approx_profile: sketch aggregates (rows-only) ---
+# HLL distinct + approximate percentiles — the profiling pass you run
+# on 100 TB before exact queries. No DuckDB oracle: sketch outputs are
+# implementation-defined; the EXACT twins are oracle-checked in
+# q_user_stats / q_percentiles.
+
+def q_approx_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.percentile_approx("value", [0.5, 0.95, 0.99]).alias("value_pcts"),
+    )
+
+
 # --- q_user_stats: per-entity profile agg ---
 
 def q_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -649,6 +695,8 @@ QUERIES = {
     "q_tpch_q18": q_tpch_q18,
     "q_tpch_q22": q_tpch_q22,
     "q_interval_join": q_interval_join,
+    "q_json_props": q_json_props,
+    "q_approx_profile": q_approx_profile,
 }
 
 ORACLES = {
@@ -669,4 +717,5 @@ ORACLES = {
     "q_tpch_q18": O_TPCH_Q18,
     "q_tpch_q22": O_TPCH_Q22,
     "q_interval_join": O_INTERVAL_JOIN,
+    "q_json_props": O_JSON_PROPS,
 }
