@@ -129,6 +129,31 @@ class CandleStore:
             .parquet(self.path)
         )
 
+    def compact(self, target_file_mb: int = 128) -> None:
+        """Rewrite every partition into size-targeted, ts-sorted files.
+
+        Repeated micro-batch merges leave one small file per write per
+        partition; compaction rewrites each partition's rows into
+        ``ceil(bytes / target_file_mb)`` files sorted by ``ts`` — the
+        parquet analogue of the reference keeping each page's body
+        sorted (``page/page.go:95-142``) and the standard maintenance
+        pass that keeps row-group min/max skipping effective at scale.
+        Dynamic partition overwrite makes the rewrite atomic per
+        partition.
+        """
+        df = self._with_year(
+            self.spark.read.parquet(self.path).select(*CANDLE_COLUMNS)
+        )
+        (
+            df.repartition(*[F.col(c) for c in CANDLE_PARTITIONS])
+            .sortWithinPartitions("ts")
+            .write.partitionBy(*CANDLE_PARTITIONS)
+            .mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .option("maxRecordsPerFile", target_file_mb * 1024 * 1024 // 64)
+            .parquet(self.path)
+        )
+
     # -- read path ---------------------------------------------------
 
     def read(

@@ -115,6 +115,72 @@ def srp_topk(
     )
 
 
+def ivf_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: partition the corpus into
+    ``n_cells`` Voronoi cells around deterministic centroids, probe only
+    the ``n_probe`` cells nearest each query, rank by exact cosine.
+
+    Centroids come from the same SHA-derived hyperplane generator as the
+    SRP path — deterministic random directions, no training step. (A
+    k-means refinement would tighten the cells but adds an iterative
+    job; the probe/plan shape — the part that matters at 100 TB — is
+    identical.) The corpus is scanned ONCE to assign cells (a matmul
+    per Arrow batch) and the candidate join is an equi-join on cell id,
+    so the per-query probe cost is ~n_probe/n_cells of the corpus.
+    """
+    dim = 64
+    cents = _hyperplanes(dim, n_cells, seed="ivf")
+
+    @pandas_udf(T.IntegerType())
+    def nearest_cell(vs: pd.Series) -> pd.Series:
+        m = np.stack(vs.apply(lambda v: np.asarray(v, dtype=np.float64)))
+        norms = np.linalg.norm(m, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        sims = (m / norms) @ cents.T  # (n, n_cells), cents are unit
+        return pd.Series(np.argmax(sims, axis=1).astype("int32"))
+
+    @pandas_udf(T.ArrayType(T.IntegerType()))
+    def probe_cells(vs: pd.Series) -> pd.Series:
+        m = np.stack(vs.apply(lambda v: np.asarray(v, dtype=np.float64)))
+        norms = np.linalg.norm(m, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        sims = (m / norms) @ cents.T
+        top = np.argsort(-sims, axis=1)[:, :n_probe].astype("int32")
+        return pd.Series(list(top))
+
+    assigned = embeddings.withColumn("cell", nearest_cell(F.col(vec_col)))
+    q = (
+        assigned.where(F.col(id_col).isin(query_ids))
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("qv"),
+            F.explode(probe_cells(F.col(vec_col))).alias("cell"),
+        )
+    )
+    c = assigned.where(~F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"), "cell"
+    )
+    scored = c.join(broadcast(q), "cell").withColumn(
+        "score", F.round(cosine(F.col("qv"), F.col("cv")), 6)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "score", "rank")
+    )
+
+
 def embedding_neardup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.9,

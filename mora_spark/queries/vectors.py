@@ -145,6 +145,19 @@ def q_ann_srp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return srp_topk(e, query_ids=list(range(N_QUERIES)), k=TOP_K, n_bits=4)
 
 
+# --- q_ann_ivf: inverted-file (cell-probe) approximate top-k ---
+# Same contract as q_ann_srp via a different index shape; recall vs
+# brute force asserted in tests/test_simsearch.py.
+
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mora_spark.llm.simsearch import ivf_topk
+
+    e = _emb(spark, sf_dir)
+    return ivf_topk(
+        e, query_ids=list(range(N_QUERIES)), k=TOP_K, n_cells=16, n_probe=4
+    )
+
+
 # --- q_embed_neardup: embedding-cosine near-duplicate pairs ---
 # Exact all-pairs baseline (oracle-checked). The SRP-bucketed scale
 # path is `embedding_neardup_pairs(n_bits>0)`, containment-tested in
@@ -184,6 +197,7 @@ QUERIES = {
     "q_simsearch_topk": q_simsearch_topk,
     "q_centroid_dist": q_centroid_dist,
     "q_ann_srp": q_ann_srp,
+    "q_ann_ivf": q_ann_ivf,
     "q_embed_neardup": q_embed_neardup,
 }
 

@@ -41,6 +41,30 @@ def test_srp_recall_vs_brute_force(spark, sf_dir):
             assert abs(r["score"] - exact_scores[k]) < 1e-9
 
 
+def test_ivf_recall_vs_brute_force(spark, sf_dir):
+    from mora_spark.llm.simsearch import ivf_topk
+
+    exact = q_simsearch_topk(spark, sf_dir).collect()
+    want = {(r["query_id"], r["neighbor_id"]) for r in exact}
+    exact_scores = {(r["query_id"], r["neighbor_id"]): r["score"] for r in exact}
+
+    e = load_table(spark, sf_dir, "embeddings")
+    approx = ivf_topk(
+        e, query_ids=[0, 1, 2, 3, 4], k=5, n_cells=16, n_probe=4
+    ).collect()
+    got = {(r["query_id"], r["neighbor_id"]) for r in approx}
+
+    # probing 4/16 cells scans ~25% of the corpus; near-orthogonal
+    # synthetic vectors make cell assignment noisy, so the bound is
+    # loose — the hard property is exactness of found scores below.
+    recall = len(want & got) / len(want)
+    assert recall >= 0.2, f"recall {recall}"
+    for r in approx:
+        key = (r["query_id"], r["neighbor_id"])
+        if key in exact_scores:
+            assert abs(r["score"] - exact_scores[key]) < 1e-9
+
+
 def test_neardup_lsh_subset_of_exact(spark, sf_dir):
     """Every SRP-prefiltered near-dup pair must appear in the exact
     all-pairs result with an identical score (the bucket filter can

@@ -99,6 +99,37 @@ def test_append_fast_path(spark, store):
     assert store.read().count() == 2
 
 
+def test_compact_merges_files_preserves_rows(spark, store, tmp_path):
+    import glob
+
+    from mora_spark.engine import CandleStore
+
+    s = CandleStore(spark, str(tmp_path / "compact_store"))
+    base = dt.datetime(2021, 1, 1)
+    # five append-mode writes of disjoint ranges -> >=5 files piled up
+    # in the partition (merge mode rewrites partitions, append doesn't)
+    for i in range(5):
+        s.write(
+            mk(
+                spark,
+                [
+                    ("BTC", base + dt.timedelta(minutes=50 * i + j), 100.0 + i)
+                    for j in range(10)
+                ],
+            ),
+            mode="append",
+        )
+    before = sorted(tuple(r) for r in s.read().collect())
+    n_files = len(glob.glob(f"{s.path}/**/*.parquet", recursive=True))
+    assert n_files >= 5
+
+    s.compact()
+    after = sorted(tuple(r) for r in s.read().collect())
+    assert after == before
+    n_files2 = len(glob.glob(f"{s.path}/**/*.parquet", recursive=True))
+    assert n_files2 < n_files
+
+
 def test_read_prunes_partitions(spark, store):
     b = mk(spark, [("BTC", dt.datetime(2020, 1, 1), 1.0),
                    ("BTC", dt.datetime(2021, 1, 1), 2.0),
