@@ -20,8 +20,10 @@ from mora_spark.datasets import candles_sql
 from mora_spark.queries.store import scratch_dir
 from mora_spark.streaming import (
     chunked_source,
+    ordered_chunked_source,
     stream_candles,
     stream_dedup_ingest,
+    stream_ema,
     stream_sessions,
 )
 
@@ -99,14 +101,43 @@ GROUP BY user_id, sid
 """
 
 
+def q_stream_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-batch stateful EMA (applyInPandasWithState) over an
+    in-order replay — must equal the one-pass batch recursion."""
+    work = _work("stream_ema", sf_dir)
+    src = ordered_chunked_source(spark, sf_dir, work)
+    return stream_ema(spark, src, work, span=12)
+
+
+# Oracle: the EMA recursion unrolled as a truncated convolution (the
+# (11/13)^400 tail is ~1e-29 — far below the 1e-9 compare tolerance).
+O_STREAM_EMA = """
+WITH seq AS (
+  SELECT event_type, event_id, ts, value,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY ts, event_id) AS rn
+  FROM events
+)
+SELECT t.event_type, t.event_id, t.ts, t.value,
+       sum((CASE WHEN j.rn = 1 THEN 1.0 ELSE 2.0 / 13.0 END)
+           * power(11.0 / 13.0, t.rn - j.rn) * j.value) AS ema
+FROM seq t
+JOIN seq j ON j.event_type = t.event_type
+          AND j.rn BETWEEN t.rn - 400 AND t.rn
+GROUP BY t.event_type, t.event_id, t.ts, t.value
+"""
+
+
 QUERIES = {
     "q_stream_ingest": q_stream_ingest,
     "q_stream_candles": q_stream_candles,
     "q_stream_sessions": q_stream_sessions,
+    "q_stream_ema": q_stream_ema,
 }
 
 ORACLES = {
     "q_stream_ingest": O_STREAM_INGEST,
     "q_stream_candles": O_STREAM_CANDLES,
     "q_stream_sessions": O_STREAM_SESSIONS,
+    "q_stream_ema": O_STREAM_EMA,
 }

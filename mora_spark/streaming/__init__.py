@@ -3,14 +3,18 @@ re-expressed as micro-batch streams with checkpoint recovery."""
 
 from mora_spark.streaming.ingest import (
     chunked_source,
+    ordered_chunked_source,
     stream_candles,
     stream_dedup_ingest,
+    stream_ema,
     stream_sessions,
 )
 
 __all__ = [
     "chunked_source",
+    "ordered_chunked_source",
     "stream_candles",
     "stream_dedup_ingest",
+    "stream_ema",
     "stream_sessions",
 ]

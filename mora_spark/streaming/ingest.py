@@ -63,6 +63,41 @@ def chunked_source(
     return src
 
 
+def ordered_chunked_source(
+    spark: SparkSession, sf_dir: str, out_dir: str, n_chunks: int = 8
+) -> str:
+    """Like :func:`chunked_source`, but with a GUARANTEED replay order:
+    one file per event_id range, written sequentially with strictly
+    increasing mtimes (the file source processes oldest-first). Needed
+    by order-sensitive stateful operators (EMA); the aggregation
+    replays are order-insensitive and use the cheaper chunked_source.
+    """
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = os.path.join(out_dir, "ordered_source")
+    if os.path.exists(src):
+        return src
+    os.makedirs(src)
+    pdf = (
+        load_table(spark, sf_dir, "events")
+        .orderBy("event_id")
+        .toPandas()
+    )
+    # Arrow must write micro (not nano) UTC timestamps or the session's
+    # nanosAsLong reader sees a bare INT64 and the stream schema breaks.
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]").dt.tz_localize("UTC")
+    per = max(1, (len(pdf) + n_chunks - 1) // n_chunks)
+    for i in range(n_chunks):
+        chunk = pdf.iloc[i * per : (i + 1) * per]
+        if chunk.empty:
+            break
+        path = os.path.join(src, f"chunk-{i:04d}.parquet")
+        pq.write_table(pa.Table.from_pandas(chunk), path)
+        os.utime(path, (1_600_000_000 + i, 1_600_000_000 + i))
+    return src
+
+
 @contextmanager
 def _state_partitions(spark: SparkSession, n: int):
     """Run a bounded streaming job with ``n`` state-store partitions.
@@ -241,3 +276,76 @@ def stream_sessions(
         "n_events",
         "sum_value",
     )
+
+
+def stream_ema(
+    spark: SparkSession, src: str, work_dir: str, span: int = 12
+) -> DataFrame:
+    """Custom stateful streaming operator via ``applyInPandasWithState``:
+    per-key exponential moving average whose recursion state (the last
+    EMA value) carries across micro-batches.
+
+    EMA is the canonical operator Spark's built-in streaming aggregates
+    cannot express (y_t = a·x_t + (1-a)·y_{t-1} is order-dependent and
+    non-decomposable). Per key and batch: sort arrivals, run the
+    vectorized pandas ewm recursion seeded from state (a pseudo-row
+    trick keeps the arithmetic identical to one uninterrupted pass),
+    emit, store the last value back. Requires an in-order source
+    (:func:`ordered_chunked_source`); state is one double per key.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out = os.path.join(work_dir, "ema_out")
+    ckpt = os.path.join(work_dir, "ckpt_ema")
+    alpha = 2.0 / (span + 1.0)
+
+    out_schema = T.StructType(
+        [
+            T.StructField("event_type", T.StringType()),
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("ema", T.DoubleType()),
+        ]
+    )
+    state_schema = T.StructType([T.StructField("last_ema", T.DoubleType())])
+
+    def fn(key, pdfs, state):
+        import pandas as pd
+
+        rows = pd.concat(list(pdfs))
+        if rows.empty:
+            return
+        rows = rows.sort_values(["ts", "event_id"])
+        vals = rows["value"].astype("float64")
+        if state.exists:
+            prev = state.get[0]
+            seeded = pd.concat([pd.Series([prev]), vals], ignore_index=True)
+            ema_vals = (
+                seeded.ewm(alpha=alpha, adjust=False).mean().iloc[1:].values
+            )
+        else:
+            ema_vals = vals.ewm(alpha=alpha, adjust=False).mean().values
+        state.update((float(ema_vals[-1]),))
+        out_pdf = rows[["event_type", "event_id", "ts", "value"]].copy()
+        out_pdf["ema"] = ema_vals
+        yield out_pdf
+
+    stream = (
+        _read_stream(spark, src)
+        .groupBy("event_type")
+        .applyInPandasWithState(
+            fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+        )
+    )
+    with _state_partitions(spark, 8):
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.read.parquet(out)

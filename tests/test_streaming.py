@@ -70,6 +70,42 @@ def test_trec_kill_restart_equals_uninterrupted(
     assert got == want
 
 
+def test_stateful_ema_kill_restart_carries_state(spark, sf_dir, tmp_path):
+    """applyInPandasWithState recovery: run the first half of an
+    ordered replay, 'crash', add the rest, restart from the same
+    checkpoint — the recursion state must carry so the result equals
+    one uninterrupted run."""
+    from mora_spark.streaming import ordered_chunked_source, stream_ema
+
+    # copy2 preserves mtimes: the ordered source's replay order
+    srcdir = tmp_path / "srcstage"
+    src = ordered_chunked_source(spark, sf_dir, str(srcdir), n_chunks=4)
+    files = sorted(glob.glob(os.path.join(src, "*.parquet")))
+
+    live = tmp_path / "live"
+    live.mkdir()
+    for f in files[:2]:
+        shutil.copy2(f, live / os.path.basename(f))
+    stream_ema(spark, str(live), str(tmp_path))  # run 1 (partial)
+    for f in files[2:]:
+        shutil.copy2(f, live / os.path.basename(f))
+    got = {
+        r["event_id"]: r["ema"]
+        for r in stream_ema(spark, str(live), str(tmp_path)).collect()
+    }
+
+    solid = tmp_path / "solid"
+    solid.mkdir()
+    for f in files:
+        shutil.copy2(f, solid / os.path.basename(f))
+    want = {
+        r["event_id"]: r["ema"]
+        for r in stream_ema(spark, str(solid), str(tmp_path / "w2")).collect()
+    }
+    assert got.keys() == want.keys()
+    assert all(abs(got[k] - want[k]) < 1e-12 for k in want)
+
+
 def test_ingest_restart_is_idempotent(spark, source_files, tmp_path):
     live = tmp_path / "live"
     live.mkdir()
