@@ -32,13 +32,17 @@ HEADLINE = [
     "q_tpch_q3",
     "q_revenue_by_nation",
     "q_sessionize",
+    "q_interval_join",
+    "q_json_props",
     "q_dedup_exact",
     "q_minhash_lsh",
+    "q_embed_neardup",
     "q_text_stats",
     "q_simsearch_topk",
     "q_ann_srp",
     "q_store_roundtrip",
     "q_stream_candles",
+    "q_stream_ema",
 ]
 
 

@@ -217,11 +217,23 @@ def embedding_neardup_pairs(
     join_on = (F.col("bucket") == F.col("bucket_b")) & (
         F.col("id_a") < F.col("id_b")
     )
-    joined = (
-        a.join(b, join_on)
-        if n_bits
-        else a.crossJoin(b).where(F.col("id_a") < F.col("id_b"))
-    )
+    if n_bits:
+        joined = a.join(b, join_on)
+    else:
+        # The exact path is a broadcast nested-loop join; its stream
+        # side inherits the source partitioning (often ONE file), so
+        # fan it out explicitly — the n² compare then runs on every
+        # core instead of serially.
+        nparts = int(
+            embeddings.sparkSession.conf.get(
+                "spark.sql.shuffle.partitions", "200"
+            )
+        )
+        joined = (
+            a.repartition(nparts)
+            .crossJoin(b)
+            .where(F.col("id_a") < F.col("id_b"))
+        )
     return (
         joined.withColumn(
             "score", F.round(cosine(F.col("va"), F.col("vb")), 6)
