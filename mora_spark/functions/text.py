@@ -47,6 +47,19 @@ def distinct_tokens(col: str | Column = "text") -> Column:
     return F.array_distinct(tokens(col))
 
 
+def bpe_token_estimate(toks: Column) -> Column:
+    """BPE-ish subword count estimate: each word contributes
+    ceil(len/4) pieces (~4 chars per merged subword, the common
+    rule-of-thumb for byte-pair vocabularies). Deterministic and
+    JVM-side — the cheap budget estimator you run over 100 TB before
+    paying for a real tokenizer."""
+    return F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, t: acc + F.ceil(F.length(t) / 4.0),
+    )
+
+
 def stopword_ratio(toks: Column) -> Column:
     """Fraction of tokens that are stopwords."""
     stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])

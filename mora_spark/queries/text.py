@@ -14,6 +14,7 @@ from mora_spark.datasets import load_table
 from mora_spark.functions.text import (
     LANG_MARKERS,
     STOPWORDS,
+    bpe_token_estimate,
     distinct_tokens,
     fingerprint,
     lang_guess,
@@ -85,6 +86,7 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         F.size(t).alias("n_tokens"),
         F.size(F.array_distinct(t)).alias("n_distinct"),
+        bpe_token_estimate(t).alias("n_tokens_bpe"),
         stopword_ratio(t).alias("stop_ratio"),
         type_token_ratio(t).alias("ttr"),
         quality_score(t).alias("quality"),
@@ -97,12 +99,14 @@ s AS (
   SELECT doc_id, lang,
          len(toks) AS n_tokens,
          len(list_distinct(toks)) AS n_distinct,
+         CAST(list_sum(list_transform(toks, x -> ceil(len(x) / 4.0)))
+              AS BIGINT) AS n_tokens_bpe,
          len(list_filter(toks, x -> list_contains({_sql_list(STOPWORDS)}, x)))
            / len(toks) AS stop_ratio,
          len(list_distinct(toks)) / len(toks) AS ttr
   FROM t
 )
-SELECT doc_id, lang, n_tokens, n_distinct, stop_ratio, ttr,
+SELECT doc_id, lang, n_tokens, n_distinct, n_tokens_bpe, stop_ratio, ttr,
        0.3 * least(1.0, n_tokens / 100.0) + 0.4 * ttr
          + 0.3 * (1.0 - stop_ratio) AS quality
 FROM s

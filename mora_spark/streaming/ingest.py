@@ -42,40 +42,16 @@ EVENT_STREAM_SCHEMA = T.StructType(
 )
 
 
-def chunked_source(
-    spark: SparkSession, sf_dir: str, out_dir: str, n_chunks: int = 8
+def _write_chunks(
+    spark: SparkSession, sf_dir: str, src: str, n_chunks: int
 ) -> str:
-    """Materialize events as n_chunks parquet files so a file stream
-    replays them as real micro-batches (the driver's events table is a
-    single file). Chunking is deterministic (event_id ranges)."""
-    src = os.path.join(out_dir, "source")
-    if os.path.exists(src):
-        return src
-    events = load_table(spark, sf_dir, "events")
-    n = events.count()
-    per = max(1, (n + n_chunks - 1) // n_chunks)
-    (
-        events.withColumn("chunk", (F.col("event_id") / per).cast("int"))
-        .repartition(n_chunks, "chunk")
-        .drop("chunk")
-        .write.parquet(src)
-    )
-    return src
-
-
-def ordered_chunked_source(
-    spark: SparkSession, sf_dir: str, out_dir: str, n_chunks: int = 8
-) -> str:
-    """Like :func:`chunked_source`, but with a GUARANTEED replay order:
-    one file per event_id range, written sequentially with strictly
-    increasing mtimes (the file source processes oldest-first). Needed
-    by order-sensitive stateful operators (EMA); the aggregation
-    replays are order-insensitive and use the cheaper chunked_source.
-    """
+    """One parquet file per event_id range, written sequentially with
+    strictly increasing mtimes — the file source processes oldest-first,
+    so the replay order is GUARANTEED to follow event_id (which the
+    generator makes monotone with ts)."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    src = os.path.join(out_dir, "ordered_source")
     if os.path.exists(src):
         return src
     os.makedirs(src)
@@ -96,6 +72,29 @@ def ordered_chunked_source(
         pq.write_table(pa.Table.from_pandas(chunk), path)
         os.utime(path, (1_600_000_000 + i, 1_600_000_000 + i))
     return src
+
+
+def chunked_source(
+    spark: SparkSession, sf_dir: str, out_dir: str, n_chunks: int = 8
+) -> str:
+    """Materialize events as n_chunks parquet files so a file stream
+    replays them as real micro-batches (the driver's events table is a
+    single file). Chunking is deterministic (event_id ranges)."""
+    return _write_chunks(
+        spark, sf_dir, os.path.join(out_dir, "source"), n_chunks
+    )
+
+
+def ordered_chunked_source(
+    spark: SparkSession, sf_dir: str, out_dir: str, n_chunks: int = 8
+) -> str:
+    """Alias of :func:`chunked_source` under a separate directory,
+    kept as an explicit name for order-SENSITIVE stateful operators
+    (EMA): callers that copy these files elsewhere must preserve
+    mtimes (``shutil.copy2``) to keep the replay order."""
+    return _write_chunks(
+        spark, sf_dir, os.path.join(out_dir, "ordered_source"), n_chunks
+    )
 
 
 @contextmanager
