@@ -144,33 +144,45 @@ def minhash_lsh_pairs(
 
     sigs = groups.withColumn("mh", _affine_minhash(F.col("ti")))
     n_bands = N_HASHES // BAND_SIZE
-    bands = F.array(
+    band_keys = F.array(
         *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.md5(
-                    F.concat_ws(
-                        "|",
-                        *[
-                            F.col("mh").getItem(b * BAND_SIZE + i)
-                            for i in range(BAND_SIZE)
-                        ],
-                    )
-                ).alias("band_key"),
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    *[
+                        F.col("mh").getItem(b * BAND_SIZE + i)
+                        for i in range(BAND_SIZE)
+                    ],
+                )
             )
             for b in range(n_bands)
         ]
     )
-    banded = sigs.select(
-        "gid", F.explode(bands).alias("b")
-    ).select("gid", "b.band", "b.band_key")
+    banded = (
+        sigs.withColumn("bks", band_keys)
+        .select(
+            "gid",
+            "bks",
+            F.posexplode("bks").alias("band", "band_key"),
+        )
+    )
 
     a, b = banded.alias("a"), banded.alias("b")
-    # Explicit partition count: candidate-pair rows are tiny (two md5
-    # strings), so AQE would coalesce the distinct's exchange to a few
-    # partitions — but each row fans out via broadcast-join + explode
-    # into many output rows, so the narrow stages DOWNSTREAM of this
-    # exchange need full parallelism, which AQE can't see.
+    # A pair sharing k bands meets k times in the band join; keeping
+    # only the FIRST shared band (both sides carry their full band-key
+    # arrays, so it's a map-side filter) emits each pair exactly once —
+    # no shuffle-distinct over the candidate set. The explicit
+    # repartition then spreads the pairs: their rows are tiny but each
+    # fans out via broadcast-join + explode downstream, parallelism AQE
+    # can't anticipate.
+    first_shared = F.array_position(
+        F.zip_with(
+            F.col("a.bks"),
+            F.col("b.bks"),
+            lambda x, y: (x == y).cast("int"),
+        ),
+        1,
+    )
     cand = (
         a.join(
             b,
@@ -178,9 +190,9 @@ def minhash_lsh_pairs(
             & (F.col("a.band_key") == F.col("b.band_key"))
             & (F.col("a.gid") < F.col("b.gid")),
         )
+        .where(first_shared == F.col("a.band") + 1)
         .select(F.col("a.gid").alias("gid_a"), F.col("b.gid").alias("gid_b"))
         .repartition(nparts, "gid_a", "gid_b")
-        .distinct()
     )
 
     sets = groups.select("gid", "ti", "n", "members")
