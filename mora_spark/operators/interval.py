@@ -28,11 +28,13 @@ def interval_join(
     end_col: str = "win_end",
     on: list[str] | None = None,
     bucket_seconds: int = 3600,
-    how: str = "inner",
 ) -> DataFrame:
-    """Join point rows to every interval row whose
+    """Inner-join point rows to every interval row whose
     ``[start_col, end_col]`` (inclusive) contains the point's
     ``ts_col``, optionally also matching equality ``on`` keys.
+    (Inner only: the exact range check runs after the bucket equi-join,
+    which cannot preserve unmatched rows; left semantics would need an
+    anti-join union on top.)
 
     ``bucket_seconds`` trades explode fan-out (long intervals → many
     buckets) against join selectivity (wide buckets → more false
@@ -57,5 +59,5 @@ def interval_join(
         (F.col(ts_col) >= F.col(start_col))
         & (F.col(ts_col) <= F.col(end_col))
     )
-    joined = pts.join(ivals, on=on + ["__bucket"], how=how).where(cond)
+    joined = pts.join(ivals, on=on + ["__bucket"], how="inner").where(cond)
     return joined.drop("__bucket")
