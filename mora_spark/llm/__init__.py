@@ -1,1 +1,33 @@
 """LLM-data-pipeline operators: dedup, similarity search, multimodal."""
+
+from mora_spark.llm.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash16,
+)
+from mora_spark.llm.multimodal import (
+    extract_features,
+    frame_sample,
+    media_from_documents,
+)
+from mora_spark.llm.simsearch import (
+    embedding_neardup_pairs,
+    ivf_topk,
+    srp_topk,
+    with_srp_bucket,
+)
+
+__all__ = [
+    "exact_dedup",
+    "minhash_lsh_pairs",
+    "ngram_jaccard_pairs",
+    "simhash16",
+    "extract_features",
+    "frame_sample",
+    "media_from_documents",
+    "embedding_neardup_pairs",
+    "ivf_topk",
+    "srp_topk",
+    "with_srp_bucket",
+]

@@ -1,0 +1,75 @@
+"""Scale-headroom probe: run the core operators on N shifted copies of
+the sf0.1 tables (default 10x = ~1M events / 50k docs) and print
+per-op wall times. Not part of the driver gates — evidence that the
+plans scale linearly rather than hitting a cliff. Usage::
+
+    python tools/scale_probe.py [n_copies]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from mora_spark.datasets import candles_from_events, load_table
+from mora_spark.llm.dedup import minhash_lsh_pairs
+from mora_spark.operators import fill_gaps, resample
+from mora_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def scaled_events(spark, n):
+    e = load_table(spark, SF_DIR, "events")
+    copies = [
+        e.withColumn("event_id", F.col("event_id") + F.lit(i * 10_000_000))
+        .withColumn("user_id", F.col("user_id") + F.lit(i * 1_000_000))
+        .withColumn("ts", F.col("ts") + F.expr(f"INTERVAL {i * 100} DAYS"))
+        for i in range(n)
+    ]
+    out = copies[0]
+    for c in copies[1:]:
+        out = out.unionByName(c)
+    return out
+
+
+def scaled_docs(spark, n):
+    d = load_table(spark, SF_DIR, "documents")
+    copies = [
+        d.withColumn("doc_id", F.col("doc_id") + F.lit(i * 10_000_000))
+        for i in range(n)
+    ]
+    out = copies[0]
+    for c in copies[1:]:
+        out = out.unionByName(c)
+    return out
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    spark = get_spark(app_name="mora_scale_probe")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    events = scaled_events(spark, n)
+    docs = scaled_docs(spark, n)
+    print(f"events={events.count():,} docs={docs.count():,} (x{n})")
+
+    def run(name, df):
+        t0 = time.time()
+        df.write.format("noop").mode("overwrite").save()
+        print(f"{name}: {time.time() - t0:.2f}s")
+
+    candles = candles_from_events(events)
+    run("candles_1m", candles)
+    run("resample_5m", resample(candles, 300))
+    run("gapfill", fill_gaps(candles))
+    run("minhash_lsh", minhash_lsh_pairs(docs))
+
+
+if __name__ == "__main__":
+    main()
