@@ -460,6 +460,58 @@ def q_approx_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- q_pivot_daily: pivot (wide reshape) with an explicit value list ---
+# Explicit values keep the plan single-pass (no extra distinct job) and
+# the output schema deterministic for the oracle.
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_pivot_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.withColumn("day", F.date_format("ts", "yyyy-MM-dd"))
+        .groupBy("day")
+        .pivot("event_type", EVENT_TYPES)
+        .agg(F.round(F.sum("value"), 6))
+    )
+
+
+O_PIVOT_DAILY = """
+SELECT strftime(ts, '%Y-%m-%d') AS day,
+       round(sum(CASE WHEN event_type = 'click' THEN value END), 6) AS click,
+       round(sum(CASE WHEN event_type = 'error' THEN value END), 6) AS error,
+       round(sum(CASE WHEN event_type = 'purchase' THEN value END), 6) AS purchase,
+       round(sum(CASE WHEN event_type = 'signup' THEN value END), 6) AS signup,
+       round(sum(CASE WHEN event_type = 'view' THEN value END), 6) AS view
+FROM events
+GROUP BY strftime(ts, '%Y-%m-%d')
+"""
+
+
+# --- q_value_histogram: fixed-width binning ---
+
+def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    bin_w = 50.0
+    return (
+        e.withColumn(
+            "bin", (F.floor(F.col("value") / bin_w) * bin_w).cast("double")
+        )
+        .groupBy("event_type", "bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+O_VALUE_HISTOGRAM = """
+SELECT event_type,
+       CAST(floor(value / 50.0) * 50.0 AS DOUBLE) AS bin,
+       count(*) AS n
+FROM events
+GROUP BY event_type, CAST(floor(value / 50.0) * 50.0 AS DOUBLE)
+"""
+
+
 # --- q_user_stats: per-entity profile agg ---
 
 def q_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -697,6 +749,8 @@ QUERIES = {
     "q_interval_join": q_interval_join,
     "q_json_props": q_json_props,
     "q_approx_profile": q_approx_profile,
+    "q_pivot_daily": q_pivot_daily,
+    "q_value_histogram": q_value_histogram,
 }
 
 ORACLES = {
@@ -718,4 +772,6 @@ ORACLES = {
     "q_tpch_q22": O_TPCH_Q22,
     "q_interval_join": O_INTERVAL_JOIN,
     "q_json_props": O_JSON_PROPS,
+    "q_pivot_daily": O_PIVOT_DAILY,
+    "q_value_histogram": O_VALUE_HISTOGRAM,
 }

@@ -321,6 +321,42 @@ ASOF LEFT JOIN candles c
 )
 
 
+# --- q_rolling_corr: rolling 60-bar correlation between two series ---
+# The classic pair-analytics window op. Full windows only (rn >= 60) so
+# both engines agree on definedness; one pair = one task — computing
+# many pairs would partition the window by the pair key.
+
+def q_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _candles(spark, sf_dir)
+    a = c.where(F.col("code") == "click").select("ts", F.col("close").alias("ca"))
+    b = c.where(F.col("code") == "view").select("ts", F.col("close").alias("cb"))
+    j = a.join(b, "ts")
+    w = Window.orderBy("ts").rowsBetween(-59, 0)
+    wn = Window.orderBy("ts")
+    return (
+        j.withColumn("corr60", F.round(F.corr("ca", "cb").over(w), 6))
+        .withColumn("rn", F.row_number().over(wn))
+        .where(F.col("rn") >= 60)
+        .select("ts", "ca", "cb", "corr60")
+    )
+
+
+O_ROLLING_CORR = candles_sql(
+    """
+, a AS (SELECT ts, close AS ca FROM candles WHERE code = 'click'),
+b AS (SELECT ts, close AS cb FROM candles WHERE code = 'view'),
+j AS (SELECT a.ts, ca, cb FROM a JOIN b USING (ts))
+SELECT ts, ca, cb, corr60 FROM (
+  SELECT ts, ca, cb,
+         round(corr(ca, cb) OVER (ORDER BY ts
+               ROWS BETWEEN 59 PRECEDING AND CURRENT ROW), 6) AS corr60,
+         row_number() OVER (ORDER BY ts) AS rn
+  FROM j
+) WHERE rn >= 60
+"""
+)
+
+
 QUERIES = {
     "q_candles_1m": q_candles_1m,
     "q_upsert_lww": q_upsert_lww,
@@ -334,6 +370,7 @@ QUERIES = {
     "q_topk_volume": q_topk_volume,
     "q_ema_12": q_ema_12,
     "q_asof_trades": q_asof_trades,
+    "q_rolling_corr": q_rolling_corr,
 }
 
 ORACLES = {
@@ -349,4 +386,5 @@ ORACLES = {
     "q_topk_volume": O_TOPK_VOLUME,
     "q_ema_12": O_EMA_12,
     "q_asof_trades": O_ASOF_TRADES,
+    "q_rolling_corr": O_ROLLING_CORR,
 }
