@@ -99,6 +99,46 @@ def test_append_fast_path(spark, store):
     assert store.read().count() == 2
 
 
+def test_f1a_reference_demo_workload(spark, tmp_path):
+    """FIXTURES F1a — the reference's only executable validation
+    (main.go:18-87): 4 writers x 1,000 daily candles (OHLCV =
+    100+5i..104+5i), written as separate batches, read back keyed.
+    Exercises multi-year splitting and the full write->read contract."""
+    s = CandleStore(spark, str(tmp_path / "demo"))
+    series = [
+        (dt.datetime(2021, 1, 1), "ETH"),
+        (dt.datetime(2021, 7, 1), "BTC"),
+        (dt.datetime(2022, 1, 1), "BTC2"),
+        (dt.datetime(2022, 7, 1), "BTC3"),
+    ]
+    for start, code in series:
+        rows = [
+            (
+                "UPBIT", code, 60,
+                start + dt.timedelta(days=i),
+                100.0 + 5 * i, 101.0 + 5 * i, 102.0 + 5 * i,
+                103.0 + 5 * i, 104.0 + 5 * i, 0,
+            )
+            for i in range(1000)
+        ]
+        s.write(spark.createDataFrame(rows, CANDLE_SCHEMA))
+
+    all_rows = s.read()
+    assert all_rows.count() == 4000
+    # keyed read of one series, ordered time-range semantics
+    eth = s.read(market="UPBIT", code="ETH").orderBy("ts").collect()
+    assert len(eth) == 1000
+    assert eth[0]["open"] == 100.0 and eth[0]["volume"] == 104.0
+    assert eth[999]["close"] == 103.0 + 5 * 999
+    # 1,000 daily candles from 2021-01-01 span 2021..2023 partitions
+    years = {
+        r["y"]
+        for r in all_rows.where(F.col("code") == "ETH")
+        .select(F.year("ts").alias("y")).distinct().collect()
+    }
+    assert years == {2021, 2022, 2023}
+
+
 def test_compact_merges_files_preserves_rows(spark, store, tmp_path):
     import glob
 
