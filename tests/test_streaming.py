@@ -106,6 +106,34 @@ def test_stateful_ema_kill_restart_carries_state(spark, sf_dir, tmp_path):
     assert all(abs(got[k] - want[k]) < 1e-12 for k in want)
 
 
+def test_late_data_backfills_old_windows(spark, sf_dir, tmp_path):
+    """mora accepts arbitrarily late backfill into old pages
+    (page/page.go:95-142); the streaming twin: a final chunk whose
+    events are EARLIER than everything already processed must still
+    land in (and correct) the old windows, because the watermark is
+    wider than the data span. Final state must equal the batch
+    aggregation."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    events = load_table(spark, sf_dir, "events").orderBy("event_id")
+    pdf = events.toPandas()
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]").dt.tz_localize("UTC")
+    cut = len(pdf) // 4
+    live = tmp_path / "late_src"
+    live.mkdir()
+    # chunks arrive: [newest three quarters...], then the OLDEST quarter
+    order = [pdf.iloc[cut:], pdf.iloc[:cut]]
+    for i, chunk in enumerate(order):
+        p = str(live / f"chunk-{i:04d}.parquet")
+        pq.write_table(pa.Table.from_pandas(chunk), p)
+        os.utime(p, (1_600_000_000 + i, 1_600_000_000 + i))
+
+    got = _candles_dict(stream_candles(spark, str(live), str(tmp_path)))
+    want = _candles_dict(candles_from_events(load_table(spark, sf_dir, "events")))
+    assert got == want
+
+
 def test_ingest_restart_is_idempotent(spark, source_files, tmp_path):
     live = tmp_path / "live"
     live.mkdir()
