@@ -25,6 +25,7 @@ from mora_spark.streaming import (
     stream_dedup_ingest,
     stream_ema,
     stream_sessions,
+    stream_sliding,
 )
 
 
@@ -128,11 +129,33 @@ GROUP BY t.event_type, t.event_id, t.ts, t.value
 """
 
 
+def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming sliding-window (5 min window, 1 min slide) per-type
+    activity — each event contributes to 5 overlapping windows."""
+    work = _work("stream_sliding", sf_dir)
+    src = chunked_source(spark, sf_dir, work)
+    return stream_sliding(spark, src, work, window_s=300, slide_s=60)
+
+
+# Each event at ts belongs to windows starting at minute(ts) - k for
+# k in 0..4 (start <= ts < start + 5 min, start on minute boundaries).
+O_STREAM_SLIDING = """
+SELECT event_type,
+       make_timestamp((CAST(floor(epoch(ts) / 60) AS BIGINT) - k)
+                      * 60 * 1000000) AS window_start,
+       count(*) AS n_events,
+       sum(value) AS sum_value
+FROM events CROSS JOIN (SELECT unnest(range(5)) AS k)
+GROUP BY event_type, window_start
+"""
+
+
 QUERIES = {
     "q_stream_ingest": q_stream_ingest,
     "q_stream_candles": q_stream_candles,
     "q_stream_sessions": q_stream_sessions,
     "q_stream_ema": q_stream_ema,
+    "q_stream_sliding": q_stream_sliding,
 }
 
 ORACLES = {
@@ -140,4 +163,5 @@ ORACLES = {
     "q_stream_candles": O_STREAM_CANDLES,
     "q_stream_sessions": O_STREAM_SESSIONS,
     "q_stream_ema": O_STREAM_EMA,
+    "q_stream_sliding": O_STREAM_SLIDING,
 }

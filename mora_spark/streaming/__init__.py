@@ -7,6 +7,7 @@ from mora_spark.streaming.ingest import (
     stream_candles,
     stream_dedup_ingest,
     stream_ema,
+    stream_sliding,
     stream_sessions,
 )
 
@@ -16,5 +17,6 @@ __all__ = [
     "stream_candles",
     "stream_dedup_ingest",
     "stream_ema",
+    "stream_sliding",
     "stream_sessions",
 ]

@@ -277,6 +277,66 @@ def stream_sessions(
     )
 
 
+def stream_sliding(
+    spark: SparkSession,
+    src: str,
+    work_dir: str,
+    window_s: int = 300,
+    slide_s: int = 60,
+) -> DataFrame:
+    """Streaming SLIDING-window aggregation (each event lands in
+    window_s/slide_s overlapping windows): per-type rolling activity.
+    update mode + last-emission-wins per (type, window start), like
+    :func:`stream_candles`."""
+    out = os.path.join(work_dir, "sliding_updates")
+    ckpt = os.path.join(work_dir, "ckpt_sliding")
+
+    stream = _read_stream(spark, src).withWatermark("ts", "90 days")
+    agg = stream.groupBy(
+        F.col("event_type"),
+        F.window("ts", f"{window_s} seconds", f"{slide_s} seconds").alias(
+            "win"
+        ),
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("value").alias("sum_value"),
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(out)
+        )
+
+    with _state_partitions(spark, 8):
+        q = (
+            agg.writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    updates = spark.read.parquet(out)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("event_type", "win.start").orderBy(
+        F.col("batch_id").desc()
+    )
+    return (
+        updates.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select(
+            "event_type",
+            F.col("win.start").alias("window_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 def stream_ema(
     spark: SparkSession, src: str, work_dir: str, span: int = 12
 ) -> DataFrame:
