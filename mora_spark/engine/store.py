@@ -129,6 +129,21 @@ class CandleStore:
             .parquet(self.path)
         )
 
+    def stats(self) -> DataFrame:
+        """Per-(series, year) partition profile: row count, ts range,
+        volume total — the operational view mora kept in page headers
+        (Count/StartOffset/EndOffset, ``page/header.go:13-23``),
+        computed here by one aggregation over partition-pruned scans."""
+        df = self._with_year(
+            self.spark.read.parquet(self.path).select(*CANDLE_COLUMNS)
+        )
+        return df.groupBy(*CANDLE_PARTITIONS).agg(
+            F.count(F.lit(1)).alias("n_candles"),
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+            F.sum("volume").alias("total_volume"),
+        )
+
     def compact(self, target_file_mb: int = 128) -> None:
         """Rewrite every partition into size-targeted, ts-sorted files.
 

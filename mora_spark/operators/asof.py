@@ -23,16 +23,25 @@ def asof_join(
     right_ts: str = "ts",
     right_cols: list[str] | None = None,
     suffix: str = "_asof",
+    tolerance_s: int | None = None,
 ) -> DataFrame:
     """For each left row, attach the latest right row with
     ``right.ts <= left.ts`` within the same ``on`` key ('at or before':
     a right row at the exact left timestamp matches, like DuckDB's
     ``ASOF JOIN ... ON l.ts >= r.ts``). Left rows with no prior right
-    row keep NULLs (left-outer semantics)."""
+    row keep NULLs (left-outer semantics).
+
+    ``tolerance_s`` (pandas ``merge_asof`` parity): a match older than
+    ``tolerance_s`` seconds is discarded — the carried payload keeps
+    the right row's timestamp, so staleness is one filter, not a
+    second join."""
     right_cols = right_cols or [
         c for c in right.columns if c not in on and c != right_ts
     ]
-    payload = F.struct(*[F.col(c) for c in right_cols])
+    payload = F.struct(
+        *[F.col(c) for c in right_cols],
+        F.col(right_ts).alias("__rts"),
+    )
     r = right.select(
         *on,
         F.col(right_ts).alias("__t"),
@@ -59,6 +68,14 @@ def asof_join(
         )
         .where(F.col("__side") == 1)
     )
+    if tolerance_s is not None:
+        stale = (
+            F.unix_timestamp(F.col(left_ts))
+            - F.unix_timestamp(F.col("__carried").getField("__rts"))
+        ) > tolerance_s
+        out = out.withColumn(
+            "__carried", F.when(~stale, F.col("__carried"))
+        )
     for c in right_cols:
         out = out.withColumn(f"{c}{suffix}", F.col("__carried").getField(c))
     return out.drop("__t", "__side", "__payload", "__carried")

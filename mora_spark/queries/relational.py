@@ -512,6 +512,29 @@ GROUP BY event_type, CAST(floor(value / 50.0) * 50.0 AS DOUBLE)
 """
 
 
+# --- q_data_profile: per-column completeness/cardinality profile ---
+# The first pass of any training-data pipeline: null counts + exact
+# distinct counts per column in ONE aggregation job (sketch twins in
+# q_approx_profile).
+
+PROFILE_COLS = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+
+
+def q_data_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in PROFILE_COLS:
+        aggs.append(F.count(c).alias(f"nn_{c}"))
+        aggs.append(F.countDistinct(c).alias(f"nd_{c}"))
+    return e.agg(*aggs)
+
+
+O_DATA_PROFILE = "SELECT count(*) AS n_rows, " + ", ".join(
+    f"count({c}) AS nn_{c}, count(DISTINCT {c}) AS nd_{c}"
+    for c in PROFILE_COLS
+) + " FROM events"
+
+
 # --- q_user_stats: per-entity profile agg ---
 
 def q_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -751,6 +774,7 @@ QUERIES = {
     "q_approx_profile": q_approx_profile,
     "q_pivot_daily": q_pivot_daily,
     "q_value_histogram": q_value_histogram,
+    "q_data_profile": q_data_profile,
 }
 
 ORACLES = {
@@ -774,4 +798,5 @@ ORACLES = {
     "q_json_props": O_JSON_PROPS,
     "q_pivot_daily": O_PIVOT_DAILY,
     "q_value_histogram": O_VALUE_HISTOGRAM,
+    "q_data_profile": O_DATA_PROFILE,
 }

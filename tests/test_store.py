@@ -99,6 +99,20 @@ def test_append_fast_path(spark, store):
     assert store.read().count() == 2
 
 
+def test_stats_mirrors_page_header_fields(spark, store):
+    base = dt.datetime(2021, 6, 1)
+    store.write(
+        mk(spark, [("BTC", base + dt.timedelta(minutes=i), 100.0) for i in range(5)])
+    )
+    s = store.stats().collect()
+    assert len(s) == 1
+    row = s[0]
+    assert (row["market"], row["code"], row["year"]) == ("UPBIT", "BTC", 2021)
+    assert row["n_candles"] == 5
+    assert row["first_ts"] == base
+    assert row["last_ts"] == base + dt.timedelta(minutes=4)
+
+
 def test_f1a_reference_demo_workload(spark, tmp_path):
     """FIXTURES F1a — the reference's only executable validation
     (main.go:18-87): 4 writers x 1,000 daily candles (OHLCV =

@@ -92,3 +92,11 @@ def test_asof_exact_and_before(spark):
     assert out[1] == 100.0   # exact-timestamp right row matches
     assert out[2] == 100.0   # latest at-or-before
     assert out[3] is None    # nothing before → NULL
+
+    # tolerance (merge_asof parity): id=2 is 5 min after its match —
+    # a 3-minute tolerance discards it; id=1's exact match survives
+    tol = {r["id"]: r["px_asof"]
+           for r in asof_join(left, right, on=["k"], tolerance_s=180).collect()}
+    assert tol[1] == 100.0
+    assert tol[2] is None
+    assert tol[3] is None
