@@ -535,6 +535,37 @@ O_DATA_PROFILE = "SELECT count(*) AS n_rows, " + ", ".join(
 ) + " FROM events"
 
 
+# --- q_sql_shared: the SQL surface — ONE ANSI statement executed
+#     verbatim by both Spark (spark.sql via mora_spark.sql.run_sql)
+#     and the DuckDB oracle. Join + window + aggregate in the shared
+#     dialect: the strongest possible engine-equivalence statement.
+
+SQL_SHARED = """
+SELECT o_orderpriority,
+       c_mktsegment,
+       count(*) AS n_orders,
+       sum(o_totalprice) AS total_price,
+       max(rank_in_segment) AS worst_rank
+FROM (
+  SELECT o.o_orderpriority, c.c_mktsegment, o.o_totalprice,
+         row_number() OVER (PARTITION BY c.c_mktsegment
+                            ORDER BY o.o_totalprice DESC, o.o_orderkey)
+           AS rank_in_segment
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  WHERE o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+) t
+WHERE rank_in_segment <= 100
+GROUP BY o_orderpriority, c_mktsegment
+"""
+
+
+def q_sql_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mora_spark.sql import run_sql
+
+    return run_sql(spark, sf_dir, SQL_SHARED)
+
+
 # --- q_user_stats: per-entity profile agg ---
 
 def q_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -775,6 +806,7 @@ QUERIES = {
     "q_pivot_daily": q_pivot_daily,
     "q_value_histogram": q_value_histogram,
     "q_data_profile": q_data_profile,
+    "q_sql_shared": q_sql_shared,
 }
 
 ORACLES = {
@@ -799,4 +831,5 @@ ORACLES = {
     "q_pivot_daily": O_PIVOT_DAILY,
     "q_value_histogram": O_VALUE_HISTOGRAM,
     "q_data_profile": O_DATA_PROFILE,
+    "q_sql_shared": SQL_SHARED,
 }
