@@ -29,6 +29,14 @@ def collect_registry() -> tuple[dict[str, QueryFn], dict[str, str]]:
     queries: dict[str, QueryFn] = {}
     oracles: dict[str, str] = {}
     for mod in (timeseries, relational, text, vectors, streaming, store, multimodal):
+        dup = queries.keys() & mod.QUERIES.keys()
+        if dup:  # a silent override would skip a correctness check
+            raise ValueError(f"duplicate query names across modules: {dup}")
+        if not mod.ORACLES.keys() <= mod.QUERIES.keys():
+            raise ValueError(
+                f"oracle without query in {mod.__name__}: "
+                f"{mod.ORACLES.keys() - mod.QUERIES.keys()}"
+            )
         queries.update(mod.QUERIES)
         oracles.update(mod.ORACLES)
     return queries, oracles
