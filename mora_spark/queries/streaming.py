@@ -36,11 +36,20 @@ def _work(name: str, sf_dir: str) -> str:
     return d
 
 
+def _src_cache(sf_dir: str) -> str:
+    """Replay-source files are a pure function of sf_dir — build once
+    per scale factor, OUTSIDE the per-run-wiped work dirs (checkpoints
+    and outputs stay per-run for determinism)."""
+    d = scratch_dir("stream_src_cache", sf_dir)
+    os.makedirs(d, exist_ok=True)
+    return d
+
+
 def q_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streamed exactly-once ingest, then per-type totals — must equal
     the batch aggregation over the raw table."""
     work = _work("stream_ingest", sf_dir)
-    src = chunked_source(spark, sf_dir, work)
+    src = chunked_source(spark, sf_dir, _src_cache(sf_dir))
     ingested = stream_dedup_ingest(spark, src, work)
     return ingested.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_events"),
@@ -63,7 +72,7 @@ def q_stream_candles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming OHLCV aggregation (update mode + last-emission-wins)
     — must equal the batch candles derivation exactly."""
     work = _work("stream_candles", sf_dir)
-    src = chunked_source(spark, sf_dir, work)
+    src = chunked_source(spark, sf_dir, _src_cache(sf_dir))
     return stream_candles(spark, src, work)
 
 
@@ -76,7 +85,7 @@ def q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_sessionize on purpose: session windows are end-exclusive, so a
     gap of exactly 30 min starts a new session (>=, not >)."""
     work = _work("stream_sessions", sf_dir)
-    src = chunked_source(spark, sf_dir, work)
+    src = chunked_source(spark, sf_dir, _src_cache(sf_dir))
     return stream_sessions(spark, src, work)
 
 
@@ -106,7 +115,7 @@ def q_stream_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-batch stateful EMA (applyInPandasWithState) over an
     in-order replay — must equal the one-pass batch recursion."""
     work = _work("stream_ema", sf_dir)
-    src = ordered_chunked_source(spark, sf_dir, work)
+    src = ordered_chunked_source(spark, sf_dir, _src_cache(sf_dir))
     return stream_ema(spark, src, work, span=12)
 
 
@@ -133,7 +142,7 @@ def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming sliding-window (5 min window, 1 min slide) per-type
     activity — each event contributes to 5 overlapping windows."""
     work = _work("stream_sliding", sf_dir)
-    src = chunked_source(spark, sf_dir, work)
+    src = chunked_source(spark, sf_dir, _src_cache(sf_dir))
     return stream_sliding(spark, src, work, window_s=300, slide_s=60)
 
 
