@@ -357,6 +357,36 @@ SELECT ts, ca, cb, corr60 FROM (
 )
 
 
+
+# --- q_validate_candles: batch data-quality report over the candle
+#     derivation (all-zero violation counts on the clean corpus; the
+#     n_rows column pins the compare to real data) ---
+
+def q_validate_candles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mora_spark.schema import validate_candles
+
+    return validate_candles(_candles(spark, sf_dir))
+
+
+O_VALIDATE_CANDLES = candles_sql(
+    """
+SELECT count(*) AS n_rows,
+       sum(CASE WHEN market IS NULL OR code IS NULL
+                 OR candle_length IS NULL OR ts IS NULL
+            THEN 1 ELSE 0 END) AS null_key,
+       sum(CASE WHEN octet_length(encode(market)) > 10
+            THEN 1 ELSE 0 END) AS market_too_long,
+       sum(CASE WHEN octet_length(encode(code)) > 18
+            THEN 1 ELSE 0 END) AS code_too_long,
+       sum(CASE WHEN EXTRACT(year FROM ts) = 0
+            THEN 1 ELSE 0 END) AS year_zero_sentinel,
+       sum(CASE WHEN candle_length <= 0 THEN 1 ELSE 0 END) AS bad_length,
+       sum(CASE WHEN high < low THEN 1 ELSE 0 END) AS inverted_ohlc
+FROM candles
+"""
+)
+
+
 QUERIES = {
     "q_candles_1m": q_candles_1m,
     "q_upsert_lww": q_upsert_lww,
@@ -371,6 +401,7 @@ QUERIES = {
     "q_ema_12": q_ema_12,
     "q_asof_trades": q_asof_trades,
     "q_rolling_corr": q_rolling_corr,
+    "q_validate_candles": q_validate_candles,
 }
 
 ORACLES = {
@@ -387,4 +418,5 @@ ORACLES = {
     "q_ema_12": O_EMA_12,
     "q_asof_trades": O_ASOF_TRADES,
     "q_rolling_corr": O_ROLLING_CORR,
+    "q_validate_candles": O_VALIDATE_CANDLES,
 }

@@ -76,3 +76,35 @@ EMBEDDING_SCHEMA = T.StructType(
         T.StructField("label", T.IntegerType(), True),
     ]
 )
+
+
+def validate_candles(df):
+    """One-pass data-quality report for a candle batch: counts of rows
+    violating the reference's structural rules — key-column nulls,
+    market/code over the byte caps (``page/constant.go:10-11``), the
+    reserved year-0 sentinel (``page/index.go:30-32``), non-positive
+    bar length, and OHLC range inversions (high < low). Returns a
+    single-row DataFrame; a sum of 0 across columns means the batch is
+    clean. Reporting, not enforcement — mirrors how the reference only
+    rejects what would corrupt a page.
+    """
+    from pyspark.sql import functions as F
+
+    def n(cond, name):
+        return F.sum(F.when(cond, 1).otherwise(0)).alias(name)
+
+    key_null = (
+        F.col("market").isNull()
+        | F.col("code").isNull()
+        | F.col("candle_length").isNull()
+        | F.col("ts").isNull()
+    )
+    return df.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        n(key_null, "null_key"),
+        n(F.octet_length("market") > MARKET_MAX_LEN, "market_too_long"),
+        n(F.octet_length("code") > CODE_MAX_LEN, "code_too_long"),
+        n(F.year("ts") == 0, "year_zero_sentinel"),
+        n(F.col("candle_length") <= 0, "bad_length"),
+        n(F.col("high") < F.col("low"), "inverted_ohlc"),
+    )

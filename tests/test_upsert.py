@@ -23,6 +23,23 @@ def mk(spark, rows):
     return spark.createDataFrame(data, CANDLE_SCHEMA)
 
 
+def test_validate_candles_reports_violations(spark):
+    from mora_spark.schema import validate_candles
+
+    good = mk(spark, [("BTC", 0, 100.0), ("BTC", 1, 110.0)])
+    row = validate_candles(good).collect()[0]
+    assert row["n_rows"] == 2
+    assert all(
+        row[c] == 0
+        for c in ["null_key", "market_too_long", "code_too_long",
+                  "year_zero_sentinel", "bad_length", "inverted_ohlc"]
+    )
+
+    bad = mk(spark, [("A_CODE_OVER_EIGHTEEN_BYTES", 0, 100.0)])
+    row = validate_candles(bad).collect()[0]
+    assert row["code_too_long"] == 1
+
+
 def test_last_writer_wins_on_duplicate_ts(spark):
     b1 = mk(spark, [("BTC", 0, 100.0), ("BTC", 1, 110.0)])
     b2 = mk(spark, [("BTC", 1, 999.0)])  # same key+ts, new values
