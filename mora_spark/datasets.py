@@ -42,6 +42,23 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+def _ensure_session_confs(spark: SparkSession) -> None:
+    """Self-configure the two confs this engine cannot run without,
+    so queries work even under a caller-built vanilla SparkSession
+    (e.g. the external driver): nanos-as-long (events.parquet uses
+    TIMESTAMP(NANOS), unreadable otherwise) and UTC (every timestamp
+    comparison against the DuckDB oracle assumes it). Both are
+    runtime-settable."""
+    for k, v in (
+        ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+        ("spark.sql.session.timeZone", "UTC"),
+    ):
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # already set via static conf, or policy-locked
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one synthetic table. Schema comes from the parquet footer
     (schema-on-read, FIXTURES.md F2).
@@ -51,6 +68,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     to a microsecond TIMESTAMP (DuckDB's timestamp type truncates to
     microseconds identically, so engine and oracle agree).
     """
+    _ensure_session_confs(spark)
     df = spark.read.parquet(table_path(sf_dir, name))
     for f in df.schema.fields:
         if f.name == "ts" and isinstance(f.dataType, T.LongType):

@@ -19,6 +19,7 @@ def collect_registry() -> tuple[dict[str, QueryFn], dict[str, str]]:
     from mora_spark.queries import (
         multimodal,
         relational,
+        relational2,
         store,
         streaming,
         text,
@@ -28,7 +29,16 @@ def collect_registry() -> tuple[dict[str, QueryFn], dict[str, str]]:
 
     queries: dict[str, QueryFn] = {}
     oracles: dict[str, str] = {}
-    for mod in (timeseries, relational, text, vectors, streaming, store, multimodal):
+    for mod in (
+        timeseries,
+        relational,
+        relational2,
+        text,
+        vectors,
+        streaming,
+        store,
+        multimodal,
+    ):
         dup = queries.keys() & mod.QUERIES.keys()
         if dup:  # a silent override would skip a correctness check
             raise ValueError(f"duplicate query names across modules: {dup}")
