@@ -16,7 +16,7 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from mora_spark.datasets import candles_sql
+from mora_spark.datasets import candles_sql, load_table
 from mora_spark.queries.store import scratch_dir
 from mora_spark.streaming import (
     chunked_source,
@@ -24,8 +24,10 @@ from mora_spark.streaming import (
     stream_candles,
     stream_dedup_ingest,
     stream_ema,
+    stream_enrich,
     stream_sessions,
     stream_sliding,
+    stream_stream_join,
 )
 
 
@@ -159,12 +161,67 @@ GROUP BY event_type, window_start
 """
 
 
+def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static broadcast join (events x customer dim), then a
+    segment/type rollup — must equal the batch join + aggregation."""
+    work = _work("stream_enrich", sf_dir)
+    src = chunked_source(spark, sf_dir, _src_cache(sf_dir))
+    dim = load_table(spark, sf_dir, "customer")
+    enriched = stream_enrich(spark, src, work, dim)
+    return enriched.groupBy("c_mktsegment", "event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("value").alias("sum_value"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+O_STREAM_ENRICH = """
+SELECT c_mktsegment, event_type,
+       count(*) AS n_events,
+       sum(value) AS sum_value,
+       count(DISTINCT user_id) AS n_users
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY c_mktsegment, event_type
+"""
+
+
+def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream inner join (view -> purchase funnel
+    within 4 h per user) — must equal the batch self-join."""
+    work = _work("stream_join", sf_dir)
+    src = chunked_source(spark, sf_dir, _src_cache(sf_dir))
+    return stream_stream_join(spark, src, work).select(
+        F.col("l_user_id").alias("user_id"),
+        "left_id",
+        "left_ts",
+        "right_id",
+        "right_ts",
+        (F.col("right_value") - F.col("left_value")).alias("value_delta"),
+    )
+
+
+O_STREAM_JOIN = """
+SELECT a.user_id AS user_id,
+       a.event_id AS left_id,
+       a.ts AS left_ts,
+       b.event_id AS right_id,
+       b.ts AS right_ts,
+       b.value - a.value AS value_delta
+FROM events a JOIN events b
+  ON a.user_id = b.user_id
+ AND a.event_type = 'view' AND b.event_type = 'purchase'
+ AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 240 MINUTE
+"""
+
+
 QUERIES = {
     "q_stream_ingest": q_stream_ingest,
     "q_stream_candles": q_stream_candles,
     "q_stream_sessions": q_stream_sessions,
     "q_stream_ema": q_stream_ema,
     "q_stream_sliding": q_stream_sliding,
+    "q_stream_enrich": q_stream_enrich,
+    "q_stream_join": q_stream_join,
 }
 
 ORACLES = {
@@ -173,4 +230,6 @@ ORACLES = {
     "q_stream_sessions": O_STREAM_SESSIONS,
     "q_stream_ema": O_STREAM_EMA,
     "q_stream_sliding": O_STREAM_SLIDING,
+    "q_stream_enrich": O_STREAM_ENRICH,
+    "q_stream_join": O_STREAM_JOIN,
 }

@@ -7,8 +7,10 @@ from mora_spark.streaming.ingest import (
     stream_candles,
     stream_dedup_ingest,
     stream_ema,
+    stream_enrich,
     stream_sliding,
     stream_sessions,
+    stream_stream_join,
 )
 
 __all__ = [
@@ -17,6 +19,8 @@ __all__ = [
     "stream_candles",
     "stream_dedup_ingest",
     "stream_ema",
+    "stream_enrich",
     "stream_sliding",
     "stream_sessions",
+    "stream_stream_join",
 ]

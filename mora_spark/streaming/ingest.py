@@ -337,6 +337,103 @@ def stream_sliding(
     )
 
 
+def stream_enrich(
+    spark: SparkSession, src: str, work_dir: str, dim: DataFrame
+) -> DataFrame:
+    """Stream-static enrichment join: every micro-batch hash-joins the
+    arriving events against a static dimension table.
+
+    The static side is re-resolved per micro-batch (so a Delta dim
+    would be re-snapshotted); it is explicitly broadcast — a stream
+    should never shuffle its fact side against a dimension. No
+    streaming state is held: stream-static inner joins are stateless.
+    """
+    out = os.path.join(work_dir, "enriched")
+    ckpt = os.path.join(work_dir, "ckpt_enrich")
+    stream = _read_stream(spark, src)
+    enriched = stream.join(
+        F.broadcast(dim), stream.user_id == dim.c_custkey, "inner"
+    )
+    with _state_partitions(spark, 8):
+        q = (
+            enriched.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.read.parquet(out)
+
+
+def stream_stream_join(
+    spark: SparkSession,
+    src: str,
+    work_dir: str,
+    left_type: str = "view",
+    right_type: str = "purchase",
+    within: str = "240 minutes",
+) -> DataFrame:
+    """Watermarked stream-stream INNER join: pair each ``left_type``
+    event with the same user's ``right_type`` events that follow it
+    within ``within`` (funnel/attribution shape).
+
+    Both sides carry a watermark and the join condition bounds event
+    time on both sides — that is what lets Spark age out join state;
+    with the replay-wide watermark used here nothing is dropped, so
+    the append-mode output equals the batch self-join. At scale the
+    watermark horizon is the knob that trades completeness against
+    state size (state ≈ events per horizon per side).
+    """
+    out = os.path.join(work_dir, "joined")
+    ckpt = os.path.join(work_dir, "ckpt_ssjoin")
+    left = (
+        _read_stream(spark, src)
+        .where(F.col("event_type") == left_type)
+        .select(
+            F.col("user_id").alias("l_user_id"),
+            F.col("event_id").alias("left_id"),
+            F.col("ts").alias("left_ts"),
+            F.col("value").alias("left_value"),
+        )
+        .withWatermark("left_ts", "90 days")
+    )
+    right = (
+        _read_stream(spark, src)
+        .where(F.col("event_type") == right_type)
+        .select(
+            F.col("user_id").alias("r_user_id"),
+            F.col("event_id").alias("right_id"),
+            F.col("ts").alias("right_ts"),
+            F.col("value").alias("right_value"),
+        )
+        .withWatermark("right_ts", "90 days")
+    )
+    joined = left.join(
+        right,
+        F.expr(
+            f"""
+            l_user_id = r_user_id
+            AND right_ts >= left_ts
+            AND right_ts <= left_ts + INTERVAL {within}
+            """
+        ),
+        "inner",
+    )
+    with _state_partitions(spark, 8):
+        q = (
+            joined.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.read.parquet(out)
+
+
 def stream_ema(
     spark: SparkSession, src: str, work_dir: str, span: int = 12
 ) -> DataFrame:
