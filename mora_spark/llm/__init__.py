@@ -1,5 +1,6 @@
 """LLM-data-pipeline operators: dedup, similarity search, multimodal."""
 
+from mora_spark.llm.cluster import connected_components
 from mora_spark.llm.dedup import (
     exact_dedup,
     minhash_lsh_pairs,
@@ -19,6 +20,7 @@ from mora_spark.llm.simsearch import (
 )
 
 __all__ = [
+    "connected_components",
     "exact_dedup",
     "minhash_lsh_pairs",
     "ngram_jaccard_pairs",

@@ -24,6 +24,7 @@ from mora_spark.functions.text import (
     tokens,
     type_token_ratio,
 )
+from mora_spark.llm.cluster import connected_components
 from mora_spark.llm.dedup import (
     exact_dedup,
     minhash_lsh_pairs,
@@ -240,6 +241,49 @@ SELECT doc_a, doc_b, jaccard FROM (
 """
 
 
+# --- q_dedup_clusters: near-dup PAIRS -> dedup CLUSTERS ---
+# The iterative-algorithm entry: min-label propagation over the
+# verified MinHash pair graph (llm.cluster). The oracle replays it as
+# a recursive CTE (label = min reachable vertex).
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.5)
+    cc = connected_components(pairs, src="doc_a", dst="doc_b")
+    sizes = cc.groupBy("label").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return (
+        cc.join(sizes, "label")
+        .select(
+            F.col("node").alias("doc_id"),
+            F.col("label").alias("cluster_id"),
+            "cluster_size",
+            (F.col("node") != F.col("label")).alias("is_duplicate"),
+        )
+    )
+
+
+def _o_dedup_clusters() -> str:
+    return f"""
+WITH RECURSIVE pairs AS (
+  SELECT doc_a, doc_b FROM ({_o_minhash()})
+),
+bidir AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION
+  SELECT doc_b AS a, doc_a AS b FROM pairs
+),
+cc(node, label) AS (
+  SELECT DISTINCT a, a FROM bidir
+  UNION
+  SELECT bidir.a, cc.label FROM bidir JOIN cc ON cc.node = bidir.b
+),
+final AS (SELECT node, min(label) AS cluster_id FROM cc GROUP BY node)
+SELECT node AS doc_id, cluster_id,
+       count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+       node <> cluster_id AS is_duplicate
+FROM final
+"""
+
+
 # --- q_simhash: 16-bit simhash signatures ---
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -274,6 +318,7 @@ QUERIES = {
     "q_jaccard_pairs": q_jaccard_pairs,
     "q_minhash_lsh": q_minhash_lsh,
     "q_simhash": q_simhash,
+    "q_dedup_clusters": q_dedup_clusters,
 }
 
 ORACLES = {
@@ -284,4 +329,5 @@ ORACLES = {
     "q_jaccard_pairs": O_JACCARD_PAIRS,
     "q_minhash_lsh": _o_minhash(),
     "q_simhash": O_SIMHASH,
+    "q_dedup_clusters": _o_dedup_clusters(),
 }

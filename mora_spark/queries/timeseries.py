@@ -387,8 +387,51 @@ FROM candles
 )
 
 
+# --- q_time_window: TIME-RANGE window frame (rangeBetween) ---
+# Trailing 1-hour stats per series ordered by event time, not row
+# count: unlike q_sma_roll's ROWS frame, gaps in the series shrink
+# the window (exact mora-style "last hour of bars" semantics).
+
+def q_time_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _candles(spark, sf_dir)
+    w = (
+        Window.partitionBy("market", "code", "candle_length")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-3599, 0)
+    )
+    return c.select(
+        "market",
+        "code",
+        "candle_length",
+        "ts",
+        "close",
+        F.avg("close").over(w).alias("avg_1h"),
+        F.max("high").over(w).alias("high_1h"),
+        F.min("low").over(w).alias("low_1h"),
+        F.sum("volume").over(w).alias("vol_1h"),
+        F.count(F.lit(1)).over(w).alias("n_1h"),
+    )
+
+
+O_TIME_WINDOW = candles_sql(
+    """
+SELECT market, code, candle_length, ts, close,
+       avg(close) OVER w AS avg_1h,
+       max(high) OVER w AS high_1h,
+       min(low) OVER w AS low_1h,
+       sum(volume) OVER w AS vol_1h,
+       count(*) OVER w AS n_1h
+FROM candles
+WINDOW w AS (PARTITION BY market, code, candle_length
+             ORDER BY epoch(ts)
+             RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW)
+"""
+)
+
+
 QUERIES = {
     "q_candles_1m": q_candles_1m,
+    "q_time_window": q_time_window,
     "q_upsert_lww": q_upsert_lww,
     "q_range_scan": q_range_scan,
     "q_resample_5m": q_resample_5m,
@@ -406,6 +449,7 @@ QUERIES = {
 
 ORACLES = {
     "q_candles_1m": O_CANDLES_1M,
+    "q_time_window": O_TIME_WINDOW,
     "q_upsert_lww": O_UPSERT_LWW,
     "q_range_scan": O_RANGE_SCAN,
     "q_resample_5m": _resample_oracle(300),
