@@ -196,7 +196,7 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.5)
 
 
-def _o_minhash() -> str:
+def _o_minhash(threshold: float = 0.5) -> str:
     """Doc-level rendition of the engine's group-level LSH pipeline.
 
     Equivalent by construction: the MinHash signature, band keys, and
@@ -236,8 +236,8 @@ SELECT doc_a, doc_b, jaccard FROM (
   FROM cand
   JOIN sig ta ON ta.doc_id = doc_a
   JOIN sig tb ON tb.doc_id = doc_b
-  WHERE least(ta.n, tb.n) >= 0.5 * greatest(ta.n, tb.n)
-) WHERE jaccard >= 0.5
+  WHERE least(ta.n, tb.n) >= {threshold} * greatest(ta.n, tb.n)
+) WHERE jaccard >= {threshold}
 """
 
 
@@ -261,10 +261,10 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _o_dedup_clusters() -> str:
+def _o_dedup_clusters(threshold: float = 0.5) -> str:
     return f"""
 WITH RECURSIVE pairs AS (
-  SELECT doc_a, doc_b FROM ({_o_minhash()})
+  SELECT doc_a, doc_b FROM ({_o_minhash(threshold)})
 ),
 bidir AS (
   SELECT doc_a AS a, doc_b AS b FROM pairs
@@ -281,6 +281,75 @@ SELECT node AS doc_id, cluster_id,
        count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
        node <> cluster_id AS is_duplicate
 FROM final
+"""
+
+
+# --- q_corpus_curation: the end-to-end training-data pipeline ---
+# lang-ID gate -> quality gate -> exact-dedup canonical -> near-dup
+# cluster canonical. Each stage is an operator already verified alone;
+# this query checks their COMPOSITION (the order matters: near-dup
+# canonicals are the global cluster minima, so the stage commutes with
+# the row-local filters and stays SQL-replicable).
+
+def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir).withColumn("toks", tokens("text"))
+    stats = d.select(
+        "doc_id",
+        "text",
+        lang_guess(F.col("toks")).alias("lang_guess"),
+        quality_score(F.col("toks")).alias("quality"),
+        F.size("toks").alias("n_tokens"),
+    )
+    filtered = stats.where(
+        (F.col("lang_guess") == "en")
+        & (F.col("quality") >= 0.5)
+        & (F.col("n_tokens") >= 20)
+    )
+    exact_keep = filtered.withColumn(
+        "canon",
+        F.min("doc_id").over(Window.partitionBy(F.md5("text"))),
+    ).where(F.col("doc_id") == F.col("canon"))
+    # 0.8: curation wants tight near-dup clusters; at 0.5 this
+    # template-generated corpus chains into two giant components and
+    # the canonical-only rule would cull nearly everything.
+    pairs = minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.8)
+    near_dups = (
+        connected_components(pairs, src="doc_a", dst="doc_b")
+        .where(F.col("node") != F.col("label"))
+        .select(F.col("node").alias("doc_id"))
+    )
+    return exact_keep.join(near_dups, "doc_id", "left_anti").select(
+        "doc_id", "lang_guess", "quality", "n_tokens"
+    )
+
+
+def _o_corpus_curation() -> str:
+    lang_sql = _o_lang_id()
+    quality_sql = O_TEXT_STATS
+    clusters_sql = _o_dedup_clusters(threshold=0.8)
+    return f"""
+WITH lang AS (SELECT doc_id, lang_guess FROM ({lang_sql})),
+qual AS (SELECT doc_id, quality, n_tokens FROM ({quality_sql})),
+filtered AS (
+  SELECT d.doc_id, d.text, lang_guess, quality, n_tokens
+  FROM documents d
+  JOIN lang USING (doc_id) JOIN qual USING (doc_id)
+  WHERE lang_guess = 'en' AND quality >= 0.5 AND n_tokens >= 20
+),
+exact_keep AS (
+  SELECT * FROM (
+    SELECT *, min(doc_id) OVER (PARTITION BY md5(text)) AS canon
+    FROM filtered
+  ) WHERE doc_id = canon
+),
+near_dups AS (
+  SELECT doc_id FROM ({clusters_sql}) WHERE is_duplicate
+)
+SELECT doc_id, lang_guess, quality, n_tokens
+FROM exact_keep
+WHERE doc_id NOT IN (SELECT doc_id FROM near_dups)
 """
 
 
@@ -319,6 +388,7 @@ QUERIES = {
     "q_minhash_lsh": q_minhash_lsh,
     "q_simhash": q_simhash,
     "q_dedup_clusters": q_dedup_clusters,
+    "q_corpus_curation": q_corpus_curation,
 }
 
 ORACLES = {
@@ -330,4 +400,5 @@ ORACLES = {
     "q_minhash_lsh": _o_minhash(),
     "q_simhash": O_SIMHASH,
     "q_dedup_clusters": _o_dedup_clusters(),
+    "q_corpus_curation": _o_corpus_curation(),
 }
