@@ -30,12 +30,16 @@ HEADLINE = [
     "q_topk_volume",
     "q_tpch_q1",
     "q_tpch_q3",
+    "q_tpch_q8",
+    "q_tpch_q21",
     "q_revenue_by_nation",
     "q_sessionize",
     "q_interval_join",
     "q_json_props",
     "q_dedup_exact",
     "q_minhash_lsh",
+    "q_dedup_clusters",
+    "q_corpus_curation",
     "q_embed_neardup",
     "q_text_stats",
     "q_simsearch_topk",

@@ -4,6 +4,7 @@ from mora_spark.llm.cluster import connected_components
 from mora_spark.llm.dedup import (
     exact_dedup,
     minhash_lsh_pairs,
+    neardup_clusters,
     ngram_jaccard_pairs,
     simhash16,
 )
@@ -23,6 +24,7 @@ __all__ = [
     "connected_components",
     "exact_dedup",
     "minhash_lsh_pairs",
+    "neardup_clusters",
     "ngram_jaccard_pairs",
     "simhash16",
     "extract_features",

@@ -29,7 +29,7 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 25,
-    num_partitions: int = 8,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """Resolve the undirected graph given by (src, dst) pairs into
     components. Returns one row per vertex: (node, cluster_id) with
@@ -39,6 +39,13 @@ def connected_components(
     ``edges``; callers wanting singletons present join the result back
     to their full id set with coalesce(cluster_id, id).
     """
+    if num_partitions is None:
+        # pair graphs can still be dense (near-clique corpora), so
+        # default to the session's shuffle parallelism rather than a
+        # small fixed count
+        num_partitions = int(
+            edges.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+        )
     e = edges.select(
         F.col(src).cast("long").alias("a"), F.col(dst).cast("long").alias("b")
     )

@@ -91,35 +91,17 @@ def _affine_minhash(ti: Column, n_hashes: int = N_HASHES) -> Column:
     )
 
 
-def minhash_lsh_pairs(
+def _minhash_groups_verified(
     df: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    threshold: float = 0.5,
-) -> DataFrame:
-    """Near-duplicate pairs via MinHash LSH, verified with exact Jaccard.
-
-    Pipeline, organized for corpora where many documents share one
-    token set (the common case in web-scale dedup):
-
-    1. tokenize → int token set → **group identical sets** (Jaccard and
-       the MinHash signature depend only on the set, so one
-       representative per set does all the work);
-    2. affine MinHash over int tokens → band keys → per-band self-join
-       of *groups* (the LSH trick: only same-bucket pairs are
-       candidates) → distinct;
-    3. verify candidates with exact Jaccard — the unique-set table is
-       tiny relative to the pair count, so it broadcasts and the
-       verification stays map-side (no shuffle of candidate rows with
-       arrays attached);
-    4. expand group pairs to doc pairs + intra-group pairs (identical
-       sets ⇒ Jaccard exactly 1.0, always ≥ threshold).
-
-    At 100 TB step 3's broadcast is the knob: if the unique-set table
-    outgrows the driver, drop the hint and Spark falls back to a
-    sort-merge join on the group key — the rest of the plan is
-    unchanged.
-    """
+    text_col: str,
+    id_col: str,
+    threshold: float,
+) -> tuple[DataFrame, DataFrame]:
+    """Shared MinHash-LSH core: returns (groups, verified) where
+    ``groups`` is the unique-token-set table (gid, members, ti, n) and
+    ``verified`` the exact-Jaccard-verified GROUP pairs (gid_a, gid_b,
+    m_a, m_b, jaccard). ``minhash_lsh_pairs`` expands these to doc
+    pairs; ``neardup_clusters`` contracts them into components."""
     nparts = int(
         df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
     )
@@ -230,6 +212,41 @@ def minhash_lsh_pairs(
         )
         .where(F.col("jaccard") >= threshold)
     )
+    return groups, verified
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash LSH, verified with exact Jaccard.
+
+    Pipeline, organized for corpora where many documents share one
+    token set (the common case in web-scale dedup):
+
+    1. tokenize → int token set → **group identical sets** (Jaccard and
+       the MinHash signature depend only on the set, so one
+       representative per set does all the work);
+    2. affine MinHash over int tokens → band keys → per-band self-join
+       of *groups* (the LSH trick: only same-bucket pairs are
+       candidates) → distinct;
+    3. verify candidates with exact Jaccard — the unique-set table is
+       tiny relative to the pair count, so it broadcasts and the
+       verification stays map-side (no shuffle of candidate rows with
+       arrays attached);
+    4. expand group pairs to doc pairs + intra-group pairs (identical
+       sets ⇒ Jaccard exactly 1.0, always ≥ threshold).
+
+    At 100 TB step 3's broadcast is the knob: if the unique-set table
+    outgrows the driver, drop the hint and Spark falls back to a
+    sort-merge join on the group key — the rest of the plan is
+    unchanged.
+    """
+    groups, verified = _minhash_groups_verified(
+        df, text_col, id_col, threshold
+    )
 
     inter = (
         verified.select(
@@ -255,6 +272,53 @@ def minhash_lsh_pairs(
         )
     )
     return inter.unionByName(intra)
+
+
+def neardup_clusters(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Near-dup components directly, WITHOUT expanding doc-level pairs.
+
+    Connected components run on the contracted GROUP graph: one node
+    per unique token set (its min member id), one edge per verified
+    LSH group pair, plus a self-loop per multi-member group (identical
+    docs pair among themselves). Membership is expanded only at the
+    end — on duplicate-heavy corpora this is orders of magnitude fewer
+    edges than :func:`minhash_lsh_pairs` feeds (a k-dup group
+    contributes k(k-1)/2 doc pairs but a single graph node), with an
+    identical result: each group's rep is its min member, so the
+    component min over reps IS the component min over docs.
+
+    Returns (doc_id, cluster_id) for every doc in the pair graph;
+    cluster_id = min doc_id of the component.
+    """
+    from mora_spark.llm.cluster import connected_components
+
+    groups, verified = _minhash_groups_verified(
+        df, text_col, id_col, threshold
+    )
+    rep = F.element_at("members", 1)  # members is sort_array'd → min
+    edges = verified.select(
+        F.element_at("m_a", 1).alias("src"),
+        F.element_at("m_b", 1).alias("dst"),
+    ).unionByName(
+        groups.where(F.size("members") > 1).select(
+            rep.alias("src"), rep.alias("dst")
+        )
+    )
+    cc = connected_components(
+        edges, src="src", dst="dst", num_partitions=num_partitions
+    )
+    membership = groups.select(
+        rep.alias("rep"), F.explode("members").alias("doc_id")
+    )
+    return membership.join(cc, membership.rep == cc.node).select(
+        "doc_id", F.col("label").alias("cluster_id")
+    )
 
 
 def ngram_jaccard_pairs(

@@ -24,10 +24,10 @@ from mora_spark.functions.text import (
     tokens,
     type_token_ratio,
 )
-from mora_spark.llm.cluster import connected_components
 from mora_spark.llm.dedup import (
     exact_dedup,
     minhash_lsh_pairs,
+    neardup_clusters,
     ngram_jaccard_pairs,
     simhash16,
 )
@@ -243,20 +243,23 @@ SELECT doc_a, doc_b, jaccard FROM (
 
 # --- q_dedup_clusters: near-dup PAIRS -> dedup CLUSTERS ---
 # The iterative-algorithm entry: min-label propagation over the
-# verified MinHash pair graph (llm.cluster). The oracle replays it as
-# a recursive CTE (label = min reachable vertex).
+# CONTRACTED group graph (llm.dedup.neardup_clusters — one node per
+# unique token set, not per doc pair). The oracle replays the
+# equivalent doc-level graph as a recursive CTE (label = min
+# reachable vertex).
 
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pairs = minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.5)
-    cc = connected_components(pairs, src="doc_a", dst="doc_b")
-    sizes = cc.groupBy("label").agg(F.count(F.lit(1)).alias("cluster_size"))
+    cc = neardup_clusters(_docs(spark, sf_dir), threshold=0.5)
+    sizes = cc.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
     return (
-        cc.join(sizes, "label")
+        cc.join(sizes, "cluster_id")
         .select(
-            F.col("node").alias("doc_id"),
-            F.col("label").alias("cluster_id"),
+            "doc_id",
+            "cluster_id",
             "cluster_size",
-            (F.col("node") != F.col("label")).alias("is_duplicate"),
+            (F.col("doc_id") != F.col("cluster_id")).alias("is_duplicate"),
         )
     )
 
@@ -314,11 +317,10 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 0.8: curation wants tight near-dup clusters; at 0.5 this
     # template-generated corpus chains into two giant components and
     # the canonical-only rule would cull nearly everything.
-    pairs = minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.8)
     near_dups = (
-        connected_components(pairs, src="doc_a", dst="doc_b")
-        .where(F.col("node") != F.col("label"))
-        .select(F.col("node").alias("doc_id"))
+        neardup_clusters(_docs(spark, sf_dir), threshold=0.8)
+        .where(F.col("doc_id") != F.col("cluster_id"))
+        .select("doc_id")
     )
     return exact_keep.join(near_dups, "doc_id", "left_anti").select(
         "doc_id", "lang_guess", "quality", "n_tokens"
