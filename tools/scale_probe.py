@@ -69,6 +69,9 @@ def main() -> None:
     run("resample_5m", resample(candles, 300))
     run("gapfill", fill_gaps(candles))
     run("minhash_lsh", minhash_lsh_pairs(docs))
+    from mora_spark.llm.dedup import neardup_clusters
+
+    run("neardup_clusters", neardup_clusters(docs, threshold=0.8))
 
 
 if __name__ == "__main__":
