@@ -28,7 +28,10 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
-_REV = (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+def _rev():
+    # Built lazily: column expressions require an active SparkContext, and
+    # this module must stay importable before the driver creates its session.
+    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
 
 
 # --- q_tpch_q4: order priority checking (EXISTS -> left_semi) ---
@@ -105,7 +108,7 @@ def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cust_nation",
             F.year("l_shipdate").cast("long").alias("l_year"),
         )
-        .agg(F.sum(_REV).alias("revenue"))
+        .agg(F.sum(_rev()).alias("revenue"))
     )
 
 
@@ -150,7 +153,7 @@ def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_nationkey").alias("supp_nk"),
         F.col("n_name").alias("supp_nation"),
     )
-    vol = _REV
+    vol = _rev()
     return (
         l.join(broadcast(p), l.l_partkey == p.p_partkey)
         .join(o, l.l_orderkey == o.o_orderkey)
@@ -211,7 +214,7 @@ def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(broadcast(c), o.o_custkey == c.c_custkey)
         .join(broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
-        .agg(F.sum(_REV).alias("revenue"))
+        .agg(F.sum(_rev()).alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
         .limit(20)
     )
@@ -309,7 +312,7 @@ def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     s = _t(spark, sf_dir, "supplier")
     rev = l.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
-        F.sum(_REV).alias("total_revenue")
+        F.sum(_rev()).alias("total_revenue")
     )
     mx = rev.agg(F.max("total_revenue").alias("max_revenue"))
     return (
@@ -397,7 +400,7 @@ def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
         l.join(broadcast(p), l.l_partkey == p.p_partkey)
         .where(cond)
         .agg(
-            F.sum(_REV).alias("revenue"),
+            F.sum(_rev()).alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
     )
