@@ -13,6 +13,7 @@ Design constraints:
 from __future__ import annotations
 
 import hashlib
+import math
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -328,32 +329,62 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     block_col: str | None = None,
 ) -> DataFrame:
-    """All-pairs word-set Jaccard above threshold (exact, no LSH).
+    """Exact word-set Jaccard pairs above threshold, WITHOUT a cross
+    join: LOSSLESS length-band blocking.
 
-    O(n²) within a block — use ``block_col`` (e.g. lang or a prefix
-    fingerprint) to bound pairs at scale; None compares everything.
+    J(A,B) >= t implies min(|A|,|B|)/max(|A|,|B|) >= t, so for t >= 0.5
+    a true pair's distinct-token counts are within 2x — their
+    floor(log2 n) bands differ by at most 1. The left side is emitted
+    under bands {b-1, b, b+1} and the right under {b}: every true pair
+    meets on exactly one key (the right side's single band), turning
+    all-pairs into an equi-join + size-ratio prefilter + exact Jaccard
+    — identical output to the quadratic formulation, so the exact
+    all-pairs SQL oracle still applies verbatim. t < 0.5 widens the
+    band probe: Δband <= ceil(log2(1/t)).
+
+    ``block_col`` (e.g. lang) compounds into the join key when near-dup
+    semantics are per-block; it changes the result and is off by
+    default.
     """
+    span = max(1, math.ceil(math.log2(1.0 / threshold)))
+    blk = [F.col(block_col).alias("blk")] if block_col else []
     toks = df.select(
         F.col(id_col).alias("id"),
-        *( [F.col(block_col).alias("blk")] if block_col else [F.lit(1).alias("blk")] ),
+        *blk,
         distinct_tokens(text_col).alias("toks"),
+    ).withColumn(
+        "band",
+        F.floor(F.log2(F.greatest(F.size("toks"), F.lit(1)))).cast("int"),
     )
-    a, b = toks.alias("a"), toks.alias("b")
+    probe = F.explode(
+        F.sequence(F.col("band") - span, F.col("band") + span)
+    ).alias("probe")
+    a = toks.select("id", *(["blk"] if block_col else []), "toks", probe)
+    b = toks.select(
+        F.col("id").alias("id_b"),
+        *([F.col("blk").alias("blk_b")] if block_col else []),
+        F.col("toks").alias("toks_b"),
+        F.col("band").alias("probe_b"),
+    )
+    cond = (
+        (F.col("probe") == F.col("probe_b"))
+        & (F.col("id") < F.col("id_b"))
+    )
+    if block_col:
+        cond = cond & (F.col("blk") == F.col("blk_b"))
+    na, nb = F.size("toks"), F.size("toks_b")
     return (
-        a.join(
-            b,
-            (F.col("a.blk") == F.col("b.blk"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
+        a.join(b, cond)
+        .where(F.least(na, nb) >= threshold * F.greatest(na, nb))
         .withColumn(
             "jaccard",
-            F.size(F.array_intersect("a.toks", "b.toks"))
-            / F.size(F.array_union("a.toks", "b.toks")),
+            F.size(F.array_intersect("toks", "toks_b"))
+            / F.size(F.array_union("toks", "toks_b")),
         )
         .where(F.col("jaccard") >= threshold)
         .select(
-            F.col("a.id").alias("doc_a"),
-            F.col("b.id").alias("doc_b"),
+            F.col("id").alias("doc_a"),
+            F.col("id_b").alias("doc_b"),
             "jaccard",
         )
     )

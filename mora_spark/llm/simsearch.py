@@ -64,6 +64,33 @@ def with_srp_bucket(
     return df.withColumn("bucket", bucket(F.col(vec_col)))
 
 
+def with_srp_bands(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    n_bits: int = 4,
+    n_bands: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """Append ``bands``: array of n_bands independent SRP bucket ids
+    (n_bits hyperplanes each, distinct seeds). Band-OR LSH, the MinHash
+    banding trick transplanted to cosine space: a pair is a candidate if
+    ANY band matches, so recall = 1-(1-p^bits)^bands with p = 1-θ/π.
+    One stacked matmul per Arrow batch covers all bands."""
+    planes = np.concatenate(
+        [_hyperplanes(dim, n_bits, seed=f"srp:{r}") for r in range(n_bands)]
+    )  # (n_bands*n_bits, dim)
+    weights = (1 << np.arange(n_bits)).astype(np.int64)
+
+    @pandas_udf(T.ArrayType(T.IntegerType()))
+    def bands(vs: pd.Series) -> pd.Series:
+        m = np.stack(vs.apply(lambda v: np.asarray(v, dtype=np.float64)))
+        signs = (m @ planes.T) > 0  # (n, n_bands*n_bits)
+        per_band = signs.reshape(len(m), n_bands, n_bits) @ weights
+        return pd.Series(list(per_band.astype("int32")))
+
+    return df.withColumn("bands", bands(F.col(vec_col)))
+
+
 def srp_topk(
     embeddings: DataFrame,
     query_ids: list[int],
@@ -185,6 +212,7 @@ def embedding_neardup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.9,
     n_bits: int = 0,
+    n_bands: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -193,32 +221,75 @@ def embedding_neardup_pairs(
 
     ``n_bits=0`` is the exact all-pairs baseline — a nested-loop
     self-compare, JVM-side ``zip_with``/``aggregate`` only (oracle-
-    checkable, quadratic: use for corpora that fit a broadcast).
-    ``n_bits>0`` is the scale path: SRP-bucket equality turns the
-    cross join into an equi-join shuffled on bucket id, comparing only
-    same-bucket pairs. Approximate — a true pair at angle θ survives
-    one hyperplane with prob 1-θ/π, so recall ≈ (1-θ/π)^n_bits; near
-    thresholds ~0.9 (θ≈26°) and 4 bits that is ~0.53 per bucket, which
-    multi-probing or band-OR (as in MinHash LSH) would recover.
+    checkable, quadratic: use as a small-n verification twin only).
+
+    ``n_bits>0`` is the scale path: band-OR SRP LSH. Each vector gets
+    ``n_bands`` bucket ids (``n_bits`` hyperplanes per band); candidate
+    pairs share at least one band-bucket, so the all-pairs cross join
+    becomes an equi-join shuffled on (band, bucket). A pair meeting in
+    k bands is emitted once via the first-shared-band filter (map-side,
+    both rows carry their band arrays — no shuffle-distinct). Survivors
+    are verified with exact cosine, so precision is exact; recall is
+    1-(1-p^n_bits)^n_bands with p = 1-θ/π. The declared query pins
+    settings measured at recall 1.0 on the synthetic corpus at its
+    threshold 0.35 — a hard case (θ≈69°, p≈0.61/bit; real near-dup
+    workloads at 0.9+ get far better per-bit selectivity, and raising
+    n_bits is the knob). Containment bucketed ⊆ exact is asserted in
+    tests/test_simsearch.py.
+
+    The banded self-join is SKINNY — ids and band arrays only; vectors
+    rejoin for verification afterwards (broadcast here; drop the hint
+    at scale and it degrades to a sort-merge join, the same shape as
+    the MinHash verify stage).
     """
-    src = (
-        with_srp_bucket(embeddings, vec_col, n_bits)
-        if n_bits
-        else embeddings.withColumn("bucket", F.lit(0))
-    )
-    a = src.select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "bucket"
-    )
-    b = src.select(
-        F.col(id_col).alias("id_b"),
-        F.col(vec_col).alias("vb"),
-        F.col("bucket").alias("bucket_b"),
-    )
-    join_on = (F.col("bucket") == F.col("bucket_b")) & (
-        F.col("id_a") < F.col("id_b")
-    )
     if n_bits:
-        joined = a.join(b, join_on)
+        src = with_srp_bands(
+            embeddings, vec_col, n_bits=n_bits, n_bands=n_bands
+        )
+        a = src.select(
+            F.col(id_col).alias("id_a"),
+            F.col("bands").alias("bands_a"),
+            F.posexplode("bands").alias("band", "bk"),
+        )
+        b = src.select(
+            F.col(id_col).alias("id_b"),
+            F.col("bands").alias("bands_b"),
+            F.posexplode("bands").alias("band_b", "bk_b"),
+        )
+        first_shared = F.array_position(
+            F.zip_with(
+                F.col("bands_a"),
+                F.col("bands_b"),
+                lambda x, y: (x == y).cast("int"),
+            ),
+            1,
+        )
+        cand = (
+            a.join(
+                b,
+                (F.col("band") == F.col("band_b"))
+                & (F.col("bk") == F.col("bk_b"))
+                & (F.col("id_a") < F.col("id_b")),
+            )
+            .where(first_shared == F.col("band") + 1)
+            .select("id_a", "id_b")
+        )
+        vecs = embeddings.select(id_col, vec_col)
+        joined = cand.join(
+            F.broadcast(
+                vecs.select(
+                    F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")
+                )
+            ),
+            "id_a",
+        ).join(
+            F.broadcast(
+                vecs.select(
+                    F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb")
+                )
+            ),
+            "id_b",
+        )
     else:
         # The exact path is a broadcast nested-loop join; its stream
         # side inherits the source partitioning (often ONE file), so
@@ -228,6 +299,12 @@ def embedding_neardup_pairs(
             embeddings.sparkSession.conf.get(
                 "spark.sql.shuffle.partitions", "200"
             )
+        )
+        a = embeddings.select(
+            F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")
+        )
+        b = embeddings.select(
+            F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb")
         )
         joined = (
             a.repartition(nparts)

@@ -347,8 +347,10 @@ WITH g AS (
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ), s AS (
-  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  SELECT *, CAST(sum(new_s) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS session_id
   FROM g
 )
 SELECT user_id, session_id,
@@ -440,7 +442,8 @@ SELECT event_type,
        min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
        max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
        avg(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS avg_k,
-       sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+            AS BIGINT) AS sum_k
 FROM events
 GROUP BY event_type
 """
@@ -454,9 +457,14 @@ GROUP BY event_type
 
 def q_approx_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "events")
+    # Scalar columns only: array outputs break downstream row
+    # canonicalization (pandas can't sort/hash list cells).
+    pcts = F.percentile_approx("value", [0.5, 0.95, 0.99])
     return e.groupBy("event_type").agg(
         F.approx_count_distinct("user_id").alias("approx_users"),
-        F.percentile_approx("value", [0.5, 0.95, 0.99]).alias("value_pcts"),
+        pcts.getItem(0).alias("value_p50"),
+        pcts.getItem(1).alias("value_p95"),
+        pcts.getItem(2).alias("value_p99"),
     )
 
 
@@ -573,7 +581,15 @@ def q_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.countDistinct("event_type").alias("n_types"),
-        F.avg("value").alias("avg_value"),
+        # Deterministic mean: double summation order differs between
+        # engines and round(,6) still straddles ties, so sum exactly in
+        # decimal, then divide once in double — identical operands on
+        # both sides, identical quotient.
+        F.round(
+            F.sum(F.col("value").cast("decimal(38,10)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("avg_value"),
         F.min("ts").alias("first_ts"),
         F.max("ts").alias("last_ts"),
     )
@@ -583,7 +599,8 @@ O_USER_STATS = """
 SELECT user_id,
        count(*) AS n_events,
        count(DISTINCT event_type) AS n_types,
-       avg(value) AS avg_value,
+       round(CAST(sum(CAST(value AS DECIMAL(38,10))) AS DOUBLE)
+             / count(*), 6) AS avg_value,
        min(ts) AS first_ts,
        max(ts) AS last_ts
 FROM events
@@ -619,7 +636,7 @@ SELECT p_partkey,
        concat_ws('|', p_brand, p_type) AS brand_type,
        abs(p_size - 25) AS size_dist,
        p_retailprice * 1.1 AS price_up,
-       floor(p_retailprice) AS price_floor,
+       CAST(floor(p_retailprice) AS BIGINT) AS price_floor,
        CASE WHEN p_size > 25 THEN 'large'
             WHEN p_size > 10 THEN 'medium'
             ELSE 'small' END AS size_class

@@ -173,7 +173,10 @@ FROM t
 """
 
 
-# --- q_jaccard_pairs: exact all-pairs word-set similarity ---
+# --- q_jaccard_pairs: exact word-set similarity, length-banded ---
+# Same result as the quadratic formulation (the oracle below IS the
+# all-pairs SQL) but the plan is an equi-join on log2-size bands —
+# lossless for threshold 0.5 (see ngram_jaccard_pairs docstring).
 
 def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.5)
@@ -375,8 +378,9 @@ WITH tok AS (
   SELECT doc_id, bit, sum(vote) AS v FROM bits GROUP BY doc_id, bit
 )
 SELECT doc_id,
-       sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << CAST(bit AS INTEGER))
-                ELSE 0 END) AS simhash
+       CAST(sum(CASE WHEN v > 0
+                THEN (CAST(1 AS BIGINT) << CAST(bit AS INTEGER))
+                ELSE 0 END) AS BIGINT) AS simhash
 FROM v GROUP BY doc_id
 """
 

@@ -115,7 +115,7 @@ def _resample_oracle(step: int) -> str:
 SELECT market, code, {step} AS candle_length, bucket_ts AS ts,
        arg_min(open, ts) AS open, max(high) AS high, min(low) AS low,
        arg_max(close, ts) AS close, sum(volume) AS volume,
-       sum(bit_fields) AS bit_fields
+       CAST(sum(bit_fields) AS BIGINT) AS bit_fields
 FROM (
   SELECT *, make_timestamp(CAST(floor(epoch(ts) / {step}) AS BIGINT)
             * {step} * 1000000) AS bucket_ts
@@ -371,17 +371,19 @@ def q_validate_candles(spark: SparkSession, sf_dir: str) -> DataFrame:
 O_VALIDATE_CANDLES = candles_sql(
     """
 SELECT count(*) AS n_rows,
-       sum(CASE WHEN market IS NULL OR code IS NULL
+       CAST(sum(CASE WHEN market IS NULL OR code IS NULL
                  OR candle_length IS NULL OR ts IS NULL
-            THEN 1 ELSE 0 END) AS null_key,
-       sum(CASE WHEN octet_length(encode(market)) > 10
-            THEN 1 ELSE 0 END) AS market_too_long,
-       sum(CASE WHEN octet_length(encode(code)) > 18
-            THEN 1 ELSE 0 END) AS code_too_long,
-       sum(CASE WHEN EXTRACT(year FROM ts) = 0
-            THEN 1 ELSE 0 END) AS year_zero_sentinel,
-       sum(CASE WHEN candle_length <= 0 THEN 1 ELSE 0 END) AS bad_length,
-       sum(CASE WHEN high < low THEN 1 ELSE 0 END) AS inverted_ohlc
+            THEN 1 ELSE 0 END) AS BIGINT) AS null_key,
+       CAST(sum(CASE WHEN octet_length(encode(market)) > 10
+            THEN 1 ELSE 0 END) AS BIGINT) AS market_too_long,
+       CAST(sum(CASE WHEN octet_length(encode(code)) > 18
+            THEN 1 ELSE 0 END) AS BIGINT) AS code_too_long,
+       CAST(sum(CASE WHEN EXTRACT(year FROM ts) = 0
+            THEN 1 ELSE 0 END) AS BIGINT) AS year_zero_sentinel,
+       CAST(sum(CASE WHEN candle_length <= 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS bad_length,
+       CAST(sum(CASE WHEN high < low THEN 1 ELSE 0 END)
+            AS BIGINT) AS inverted_ohlc
 FROM candles
 """
 )

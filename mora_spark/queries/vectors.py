@@ -159,15 +159,37 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- q_embed_neardup: embedding-cosine near-duplicate pairs ---
-# Exact all-pairs baseline (oracle-checked). The SRP-bucketed scale
-# path is `embedding_neardup_pairs(n_bits>0)`, containment-tested in
-# tests/test_simsearch.py. Threshold 0.35 ≈ p99.9 of the synthetic
+# Declared as the band-OR SRP-LSH path (the 100 TB plan: skinny banded
+# equi-join + broadcast cosine verify — never an all-pairs cross join).
+# It still carries the EXACT all-pairs DuckDB oracle: 2 bits × 24 bands
+# measures recall 1.0 on this corpus at threshold 0.35 even though the
+# pair distribution hugs the threshold (θ≈69°), so bucketed == exact
+# here; tests/test_simsearch.py asserts the containment + recall
+# properties independently. Threshold 0.35 ≈ p99.9 of the synthetic
 # corpus's pair-score distribution.
 
 NEARDUP_THRESHOLD = 0.35
+NEARDUP_BITS = 2
+NEARDUP_BANDS = 24
 
 
 def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mora_spark.llm.simsearch import embedding_neardup_pairs
+
+    return embedding_neardup_pairs(
+        _emb(spark, sf_dir),
+        threshold=NEARDUP_THRESHOLD,
+        n_bits=NEARDUP_BITS,
+        n_bands=NEARDUP_BANDS,
+    )
+
+
+# --- q_embed_neardup_exact: quadratic twin, small-n verification ---
+# The n_bits=0 exact baseline the bucketed query is measured against.
+# Deliberately NOT a headline/bench query: its plan is all-pairs by
+# construction and exists to verify the LSH path's recall.
+
+def q_embed_neardup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mora_spark.llm.simsearch import embedding_neardup_pairs
 
     return embedding_neardup_pairs(
@@ -199,6 +221,7 @@ QUERIES = {
     "q_ann_srp": q_ann_srp,
     "q_ann_ivf": q_ann_ivf,
     "q_embed_neardup": q_embed_neardup,
+    "q_embed_neardup_exact": q_embed_neardup_exact,
 }
 
 ORACLES = {
@@ -206,4 +229,5 @@ ORACLES = {
     "q_simsearch_topk": O_SIMSEARCH_TOPK,
     "q_centroid_dist": O_CENTROID_DIST,
     "q_embed_neardup": O_EMBED_NEARDUP,
+    "q_embed_neardup_exact": O_EMBED_NEARDUP,
 }

@@ -64,6 +64,66 @@ def canon(df: pd.DataFrame) -> tuple[pd.DataFrame, pd.DataFrame]:
     )
 
 
+def cell_strict(v):
+    """Driver-mimic cell repr, calibrated against CORRECTNESS_r01:
+    floats round to 6 decimals (1e-13 summation drift passed the driver;
+    a 1e-6 diff failed), but int 5 != float 5.0 (DuckDB HUGEINT->float64
+    vs Spark long failed despite equal values). Matching here should
+    imply matching the driver's value hash."""
+    if v is None:
+        return ""
+    if isinstance(v, (bool, np.bool_)):
+        return str(bool(v))
+    if isinstance(v, (float, np.floating)):
+        f = float(v)
+        return "" if math.isnan(f) else repr(round(f, 6))
+    if isinstance(v, (int, np.integer)):
+        return str(int(v))
+    if isinstance(v, pd.Timestamp):
+        return v.isoformat()
+    if isinstance(v, (list, np.ndarray)):
+        raise TypeError("array cell")
+    if v is pd.NaT or v is pd.NA:
+        return ""
+    return str(v)
+
+
+def array_cols(df: pd.DataFrame) -> list[str]:
+    """Array-typed output columns crash the driver's canonicalizer
+    (pandas can't factorize list cells) — every driver-visible query,
+    oracle-backed or rows-only, must emit scalars."""
+    bad = []
+    for c in df.columns:
+        head = df[c].head(20)
+        if any(isinstance(v, (list, np.ndarray)) for v in head):
+            bad.append(c)
+    return bad
+
+
+def strict_compare(sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
+    """Exact, dtype-sensitive compare mimicking the driver's hash."""
+    s = sdf.reindex(sorted(sdf.columns), axis=1).map(cell_strict)
+    o = odf.reindex(sorted(odf.columns), axis=1).map(cell_strict)
+    s = s.sort_values(by=list(s.columns), kind="mergesort").reset_index(
+        drop=True
+    )
+    o = o.sort_values(by=list(o.columns), kind="mergesort").reset_index(
+        drop=True
+    )
+    if s.equals(o):
+        return []
+    detail = []
+    neq = (s != o).any(axis=1)
+    for i in neq[neq].index:
+        for c in s.columns:
+            if s.at[i, c] != o.at[i, c]:
+                detail.append(f"row{i} {c}: spark={s.at[i, c]!r} "
+                              f"oracle={o.at[i, c]!r}")
+                if len(detail) >= 4:
+                    return detail
+    return detail or ["row-order-only divergence (should not happen)"]
+
+
 def compare(name: str, sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
     problems = []
     if len(sdf) != len(odf):
@@ -136,6 +196,12 @@ def main() -> int:
             failures.append(name)
             print(f"FAIL {name}: spark error\n{traceback.format_exc()}")
             continue
+        arrs = array_cols(sdf)
+        if arrs:
+            failures.append(name)
+            print(f"FAIL {name}: array-typed output column(s) {arrs} "
+                  "would crash the driver canonicalizer")
+            continue
         if name not in oracles:
             print(f"OK?  {name}: rows={len(sdf)} (no oracle, rows-only) "
                   f"[{time.time()-t0:.1f}s]")
@@ -152,6 +218,15 @@ def main() -> int:
         if problems:
             failures.append(name)
             print(f"FAIL {name}: " + " | ".join(problems))
+            continue
+        try:
+            strict = strict_compare(sdf, odf)
+        except TypeError:
+            strict = ["array cell reached strict compare"]
+        if strict:
+            failures.append(name)
+            print(f"HASH {name}: tolerant-OK but strict hash would differ: "
+                  + " | ".join(strict))
         else:
             print(f"OK   {name}: rows={len(sdf)} [{time.time()-t0:.1f}s]")
 
