@@ -180,8 +180,82 @@ def test_compact_merges_files_preserves_rows(spark, store, tmp_path):
     s.compact()
     after = sorted(tuple(r) for r in s.read().collect())
     assert after == before
+    # Old files linger until vacuum (readers on the prior snapshot may
+    # still be scanning them); vacuum(0) = no concurrent writers.
+    s.vacuum(older_than_s=0)
     n_files2 = len(glob.glob(f"{s.path}/**/*.parquet", recursive=True))
     assert n_files2 < n_files
+
+
+def test_crash_before_commit_is_invisible(spark, store, monkeypatch):
+    """Reference contract: WAL-before-apply means a crash mid-write
+    leaves the committed state intact (accessor.go:86-92, committed-only
+    replay flusher.go:110-128). Here the manifest CAS is the commit
+    point: kill the writer after data files are published but before
+    the manifest link, and a reader must see exactly the old version."""
+    b1 = mk(spark, [("BTC", dt.datetime(2021, 1, 1, 0, i), 100.0 + i)
+                    for i in range(5)])
+    store.write(b1)
+    v1 = sorted(tuple(r) for r in store.read().collect())
+
+    import mora_spark.engine.store as store_mod
+
+    def crash(self, version, entries, txn):
+        raise RuntimeError("simulated crash before manifest commit")
+
+    monkeypatch.setattr(store_mod._TxnLog, "try_commit", crash)
+    b2 = mk(spark, [("BTC", dt.datetime(2021, 1, 1, 0, 2), 999.0),
+                    ("ETH", dt.datetime(2021, 1, 1, 0, 0), 1.0)])
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        store.write(b2)
+    monkeypatch.undo()
+
+    # All-or-nothing: the failed write is fully invisible.
+    assert sorted(tuple(r) for r in store.read().collect()) == v1
+    # Orphaned data files exist but are unreferenced; vacuum reclaims.
+    assert store.vacuum(older_than_s=0) > 0
+    assert sorted(tuple(r) for r in store.read().collect()) == v1
+    # The store remains writable; the retried write lands atomically.
+    store.write(b2)
+    out = {(r["code"], r["ts"].minute): r["open"]
+           for r in store.read().collect()}
+    assert out[("BTC", 2)] == 999.0 and out[("ETH", 0)] == 1.0
+    assert len(out) == 6
+
+
+def test_concurrent_writers_lose_no_rows(spark, tmp_path):
+    """Reference contract: main.go:18-87 runs 4 concurrent writers.
+    Two threads merge into the SAME (market, code, year) partition
+    concurrently; the manifest CAS serializes them — the loser retries
+    against the winner's snapshot, so both writers' rows survive."""
+    import threading
+
+    path = str(tmp_path / "concurrent")
+    base = dt.datetime(2021, 1, 1)
+    errs = []
+
+    def writer(offset):
+        try:
+            s = CandleStore(spark, path)
+            for batch in range(3):
+                rows = [("BTC", base + dt.timedelta(minutes=offset + 10 * batch + j),
+                         float(offset + 10 * batch + j))
+                        for j in range(5)]
+                s.write(mk(spark, rows))
+        except Exception as e:  # surfaced below; threads swallow otherwise
+            errs.append(e)
+
+    t1 = threading.Thread(target=writer, args=(0,))
+    t2 = threading.Thread(target=writer, args=(1000,))
+    t1.start(); t2.start(); t1.join(); t2.join()
+    assert not errs
+    out = CandleStore(spark, path).read()
+    assert out.count() == 30  # 2 writers x 3 batches x 5 rows, none lost
+    minutes = {r["ts"].hour * 60 + r["ts"].minute
+               for r in out.collect()}
+    expect = {o + 10 * b + j for o in (0, 1000) for b in range(3)
+              for j in range(5)}
+    assert minutes == expect
 
 
 def test_read_prunes_partitions(spark, store):
