@@ -92,17 +92,51 @@ def _affine_minhash(ti: Column, n_hashes: int = N_HASHES) -> Column:
     )
 
 
+# Session-scoped memo of the LSH cascade, keyed by (caller-supplied
+# input identity, tokenization, base threshold). ``verified`` carries
+# exact per-pair Jaccard, so one cascade at base threshold t0 serves
+# every request with threshold >= t0 as a pure refilter — q_minhash_lsh
+# (0.5), q_dedup_clusters (0.5) and q_corpus_curation (0.8) share one
+# tokenize+band+verify instead of three, and persisted blocks no longer
+# accumulate across repeated invocations.
+_LSH_CACHE: dict[tuple, tuple[DataFrame, DataFrame]] = {}
+
+# Cascades are cached at min(threshold, this): pairs above any tighter
+# threshold are a subset with exact jaccard attached.
+_CACHE_BASE_T = 0.5
+
+
+def clear_lsh_cache() -> None:
+    """Unpersist and drop every memoized LSH cascade."""
+    for groups, verified in _LSH_CACHE.values():
+        groups.unpersist()
+        verified.unpersist()
+    _LSH_CACHE.clear()
+
+
 def _minhash_groups_verified(
     df: DataFrame,
     text_col: str,
     id_col: str,
     threshold: float,
+    cache_key: str | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Shared MinHash-LSH core: returns (groups, verified) where
     ``groups`` is the unique-token-set table (gid, members, ti, n) and
     ``verified`` the exact-Jaccard-verified GROUP pairs (gid_a, gid_b,
     m_a, m_b, jaccard). ``minhash_lsh_pairs`` expands these to doc
-    pairs; ``neardup_clusters`` contracts them into components."""
+    pairs; ``neardup_clusters`` contracts them into components.
+
+    With ``cache_key`` (an identity for ``df``, e.g. its source path)
+    the cascade is computed once per key at ``min(threshold, 0.5)`` and
+    memoized persisted; tighter thresholds refilter the cached exact
+    Jaccard. Callers without a key get a fresh uncached plan (and own
+    its ``persist`` lifetime)."""
+    base_t = min(threshold, _CACHE_BASE_T)
+    key = (cache_key, text_col, id_col, base_t)
+    if cache_key is not None and key in _LSH_CACHE:
+        groups, verified = _LSH_CACHE[key]
+        return groups, verified.where(F.col("jaccard") >= threshold)
     nparts = int(
         df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
     )
@@ -204,16 +238,20 @@ def _minhash_groups_verified(
         )
         # Size prefilter: J >= t implies min(|A|,|B|)/max(|A|,|B|) >= t,
         # so this drops no true pair but skips the array intersect for
-        # grossly mismatched sizes.
-        .where(F.least("n_a", "n_b") >= threshold * F.greatest("n_a", "n_b"))
+        # grossly mismatched sizes. base_t <= every served threshold,
+        # so the cached cascade loses no pair for tighter refilters.
+        .where(F.least("n_a", "n_b") >= base_t * F.greatest("n_a", "n_b"))
         .withColumn("isect", F.size(F.array_intersect("ti_a", "ti_b")))
         .withColumn(
             "jaccard",
             F.col("isect") / (F.col("n_a") + F.col("n_b") - F.col("isect")),
         )
-        .where(F.col("jaccard") >= threshold)
+        .where(F.col("jaccard") >= base_t)
     )
-    return groups, verified
+    if cache_key is not None:
+        verified = verified.persist()
+        _LSH_CACHE[key] = (groups, verified)
+    return groups, verified.where(F.col("jaccard") >= threshold)
 
 
 def minhash_lsh_pairs(
@@ -221,6 +259,7 @@ def minhash_lsh_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     threshold: float = 0.5,
+    cache_key: str | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash LSH, verified with exact Jaccard.
 
@@ -246,7 +285,7 @@ def minhash_lsh_pairs(
     unchanged.
     """
     groups, verified = _minhash_groups_verified(
-        df, text_col, id_col, threshold
+        df, text_col, id_col, threshold, cache_key=cache_key
     )
 
     inter = (
@@ -281,6 +320,7 @@ def neardup_clusters(
     id_col: str = "doc_id",
     threshold: float = 0.5,
     num_partitions: int | None = None,
+    cache_key: str | None = None,
 ) -> DataFrame:
     """Near-dup components directly, WITHOUT expanding doc-level pairs.
 
@@ -300,7 +340,7 @@ def neardup_clusters(
     from mora_spark.llm.cluster import connected_components
 
     groups, verified = _minhash_groups_verified(
-        df, text_col, id_col, threshold
+        df, text_col, id_col, threshold, cache_key=cache_key
     )
     rep = F.element_at("members", 1)  # members is sort_array'd → min
     edges = verified.select(

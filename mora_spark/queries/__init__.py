@@ -44,7 +44,9 @@ PRIORITY: tuple[str, ...] = (
     "q_frame_sample",
     # streaming
     "q_stream_ingest",
+    "q_stream_wire",
     "q_stream_candles",
+    "q_stream_store_merge",
     "q_stream_sessions",
     "q_stream_ema",
     "q_stream_sliding",
@@ -58,9 +60,7 @@ PRIORITY: tuple[str, ...] = (
     "q_upsert_lww",
     "q_range_scan",
     "q_resample_5m",
-    "q_resample_1h",
     "q_gapfill",
-    "q_time_window",
     "q_sma_roll",
     "q_vwap",
     "q_ema_12",
@@ -77,8 +77,13 @@ PRIORITY: tuple[str, ...] = (
     "q_approx_profile",  # sketch aggregates
     "q_interval_join",   # range join
     "q_semi_anti",       # existence joins
-    "q_tpch_q12",        # conditional agg (was hash-red in r1)
+    "q_grouping_sets",   # explicit grouping sets
 )
+# Demoted from the window (still declared + checked locally, green in
+# round 1): q_resample_1h (same operator as q_resample_5m),
+# q_tpch_q12 (same conditional-agg + int-sum-cast shape as
+# q_validate_candles/q_resample_5m), and q_time_window (pruned range
+# scan + window, covered by q_range_scan + q_sma_roll).
 
 
 def collect_registry() -> tuple[dict[str, QueryFn], dict[str, str]]:

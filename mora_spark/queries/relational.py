@@ -197,6 +197,29 @@ GROUP BY CUBE (o_orderstatus, o_orderpriority)
 """
 
 
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (neither rollup nor cube): per-status,
+    per-priority, and grand-total aggregates in one shuffle — the
+    general form the rollup/cube queries are special cases of."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupingSets(
+        [["o_orderstatus"], ["o_orderpriority"], []],
+        "o_orderstatus", "o_orderpriority",
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("o_totalprice").alias("total_price"),
+    )
+
+
+O_GROUPING_SETS = """
+SELECT o_orderstatus, o_orderpriority,
+       count(*) AS n_orders,
+       sum(o_totalprice) AS total_price
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+"""
+
+
 # --- q_setops: union / intersect / except with provenance tags ---
 
 def q_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -806,6 +829,7 @@ QUERIES = {
     "q_revenue_by_nation": q_revenue_by_nation,
     "q_rollup_acctbal": q_rollup_acctbal,
     "q_cube_orders": q_cube_orders,
+    "q_grouping_sets": q_grouping_sets,
     "q_setops": q_setops,
     "q_semi_anti": q_semi_anti,
     "q_order_rank": q_order_rank,
@@ -832,6 +856,7 @@ ORACLES = {
     "q_revenue_by_nation": O_REVENUE_BY_NATION,
     "q_rollup_acctbal": O_ROLLUP_ACCTBAL,
     "q_cube_orders": O_CUBE_ORDERS,
+    "q_grouping_sets": O_GROUPING_SETS,
     "q_setops": O_SETOPS,
     "q_semi_anti": O_SEMI_ANTI,
     "q_order_rank": O_ORDER_RANK,

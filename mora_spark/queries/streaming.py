@@ -27,6 +27,7 @@ from mora_spark.streaming import (
     stream_enrich,
     stream_sessions,
     stream_sliding,
+    stream_store_merge,
     stream_stream_join,
 )
 
@@ -70,6 +71,48 @@ GROUP BY event_type
 """
 
 
+def q_stream_wire(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kafka-shaped ingest: wire records (key/value/topic/partition/
+    offset) streamed from the file transport, deserialized by the SAME
+    parser the Kafka reader uses (streaming/wire.py), then aggregated —
+    must equal the batch aggregation over the raw events table."""
+    from mora_spark.streaming.wire import read_wire_stream, wire_chunked_source
+
+    work = _work("stream_wire", sf_dir)
+    src = wire_chunked_source(spark, sf_dir, _src_cache(sf_dir))
+    parsed = read_wire_stream(spark, src)
+    out = os.path.join(work, "ingested")
+    ckpt = os.path.join(work, "ckpt_wire")
+    q = (
+        parsed.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("value").alias("sum_value"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+    )
+
+
+O_STREAM_WIRE = """
+SELECT event_type,
+       count(*) AS n_events,
+       sum(value) AS sum_value,
+       count(DISTINCT user_id) AS n_users,
+       min(ts) AS first_ts,
+       max(ts) AS last_ts
+FROM events
+GROUP BY event_type
+"""
+
+
 def q_stream_candles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming OHLCV aggregation (update mode + last-emission-wins)
     — must equal the batch candles derivation exactly."""
@@ -79,6 +122,25 @@ def q_stream_candles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 O_STREAM_CANDLES = candles_sql("SELECT * FROM candles")
+
+
+def q_stream_store_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming candles upserted into the persistent CandleStore via
+    foreachBatch MERGE (mora's late-backfill-into-old-pages,
+    page/page.go:95-142) — the store read back must equal the batch
+    candle derivation exactly."""
+    work = _work("stream_store_merge", sf_dir)
+    src = chunked_source(spark, sf_dir, _src_cache(sf_dir))
+    store = stream_store_merge(
+        spark, src, work, os.path.join(work, "store")
+    )
+    return store.read(market="SYN").select(
+        "market", "code", "candle_length", "ts",
+        "open", "high", "low", "close", "volume", "bit_fields",
+    )
+
+
+O_STREAM_STORE_MERGE = candles_sql("SELECT * FROM candles")
 
 
 def q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -216,7 +278,9 @@ FROM events a JOIN events b
 
 QUERIES = {
     "q_stream_ingest": q_stream_ingest,
+    "q_stream_wire": q_stream_wire,
     "q_stream_candles": q_stream_candles,
+    "q_stream_store_merge": q_stream_store_merge,
     "q_stream_sessions": q_stream_sessions,
     "q_stream_ema": q_stream_ema,
     "q_stream_sliding": q_stream_sliding,
@@ -226,7 +290,9 @@ QUERIES = {
 
 ORACLES = {
     "q_stream_ingest": O_STREAM_INGEST,
+    "q_stream_wire": O_STREAM_WIRE,
     "q_stream_candles": O_STREAM_CANDLES,
+    "q_stream_store_merge": O_STREAM_STORE_MERGE,
     "q_stream_sessions": O_STREAM_SESSIONS,
     "q_stream_ema": O_STREAM_EMA,
     "q_stream_sliding": O_STREAM_SLIDING,

@@ -196,7 +196,9 @@ SELECT doc_a, doc_b, jaccard FROM (
 # --- q_minhash_lsh: banded MinHash near-dup (the scale path) ---
 
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.5)
+    return minhash_lsh_pairs(
+        _docs(spark, sf_dir), threshold=0.5, cache_key=sf_dir
+    )
 
 
 def _o_minhash(threshold: float = 0.5) -> str:
@@ -252,7 +254,9 @@ SELECT doc_a, doc_b, jaccard FROM (
 # reachable vertex).
 
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cc = neardup_clusters(_docs(spark, sf_dir), threshold=0.5)
+    cc = neardup_clusters(
+        _docs(spark, sf_dir), threshold=0.5, cache_key=sf_dir
+    )
     sizes = cc.groupBy("cluster_id").agg(
         F.count(F.lit(1)).alias("cluster_size")
     )
@@ -321,7 +325,7 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     # template-generated corpus chains into two giant components and
     # the canonical-only rule would cull nearly everything.
     near_dups = (
-        neardup_clusters(_docs(spark, sf_dir), threshold=0.8)
+        neardup_clusters(_docs(spark, sf_dir), threshold=0.8, cache_key=sf_dir)
         .where(F.col("doc_id") != F.col("cluster_id"))
         .select("doc_id")
     )

@@ -10,6 +10,7 @@ from mora_spark.streaming.ingest import (
     stream_enrich,
     stream_sliding,
     stream_sessions,
+    stream_store_merge,
     stream_stream_join,
 )
 
@@ -22,5 +23,6 @@ __all__ = [
     "stream_enrich",
     "stream_sliding",
     "stream_sessions",
+    "stream_store_merge",
     "stream_stream_join",
 ]

@@ -130,18 +130,24 @@ def _read_stream(spark: SparkSession, src: str) -> DataFrame:
 def stream_dedup_ingest(
     spark: SparkSession, src: str, work_dir: str
 ) -> DataFrame:
-    """Exactly-once ingest: watermark + dropDuplicates(event_id) →
-    append sink. Returns the ingested table (batch DataFrame).
+    """Exactly-once ingest: watermark + dropDuplicatesWithinWatermark
+    (event_id) → append sink. Returns the ingested table.
 
-    At scale the sink would be a Delta MERGE in foreachBatch; plain
-    parquet append plus upstream dedup gives the same table here.
+    ``dropDuplicatesWithinWatermark`` ages dedup state out with the
+    watermark, so state is bounded by ids-per-horizon instead of ALL ids
+    ever seen — the difference between O(window) and O(corpus) state at
+    scale. A duplicate arriving later than the watermark horizon would
+    slip through; that horizon is exactly the reference's WAL-replay
+    window (only uncheckpointed, committed txs replay,
+    ``wal/flusher.go:110-128``). For a merge sink (see
+    :func:`stream_store_merge`) even horizon-late duplicates collapse.
     """
     out = os.path.join(work_dir, "ingested")
     ckpt = os.path.join(work_dir, "ckpt_ingest")
     stream = (
         _read_stream(spark, src)
         .withWatermark("ts", "90 days")
-        .dropDuplicates(["event_id"])
+        .dropDuplicatesWithinWatermark(["event_id"])
     )
     with _state_partitions(spark, 8):
         q = (
@@ -225,6 +231,69 @@ def stream_candles(
         "volume",
         "bit_fields",
     )
+
+
+def stream_store_merge(
+    spark: SparkSession, src: str, work_dir: str, store_path: str
+):
+    """Streaming candle aggregation upserted into the persistent
+    :class:`~mora_spark.engine.CandleStore` — mora's late-backfill path
+    (arriving events merge into already-written pages,
+    ``page/page.go:95-142``), here as foreachBatch MERGE.
+
+    Every update-mode emission carries a (code, minute) group's COMPLETE
+    aggregate-so-far (streaming state holds the running OHLCV), and the
+    store merge is last-writer-wins per key — so the store converges to
+    exactly the batch-derived candle table regardless of how events were
+    split across micro-batches, including events for minutes whose
+    partition was committed many batches ago. Returns the CandleStore.
+    """
+    from mora_spark.engine import CandleStore
+
+    ckpt = os.path.join(work_dir, "ckpt_store_merge")
+    store = CandleStore(spark, store_path)
+
+    stream = _read_stream(spark, src).withWatermark("ts", "90 days")
+    agg = (
+        stream.groupBy(
+            F.col("event_type").alias("code"),
+            F.window("ts", "60 seconds").alias("win"),
+        )
+        .agg(
+            F.min(F.struct("event_id", "value")).alias("first_ev"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max(F.struct("event_id", "value")).alias("last_ev"),
+            F.sum("value").alias("volume"),
+            F.count(F.lit(1)).alias("bit_fields"),
+        )
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        candles = batch_df.select(
+            F.lit("SYN").alias("market"),
+            "code",
+            F.lit(60).alias("candle_length"),
+            F.col("win.start").alias("ts"),
+            F.col("first_ev.value").alias("open"),
+            "high",
+            "low",
+            F.col("last_ev.value").alias("close"),
+            "volume",
+            "bit_fields",
+        )
+        store.write(candles, mode="merge")
+
+    with _state_partitions(spark, 8):
+        q = (
+            agg.writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return store
 
 
 def stream_sessions(

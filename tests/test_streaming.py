@@ -143,3 +143,37 @@ def test_ingest_restart_is_idempotent(spark, source_files, tmp_path):
     # Re-run with the same checkpoint: no new files -> no new rows.
     again = stream_dedup_ingest(spark, str(live), str(tmp_path)).count()
     assert first == again
+
+
+def test_wire_roundtrip_lossless(spark, sf_dir):
+    """Kafka wire contract: encode events as (key, value-JSON) records,
+    parse them back with the consumer-side parser — every field must
+    survive byte-exactly (including microsecond timestamps, which the
+    default JSON timestamp format would truncate)."""
+    from mora_spark.streaming.wire import events_to_wire, parse_event_wire
+
+    events = load_table(spark, sf_dir, "events")
+    back = parse_event_wire(events_to_wire(events))
+    a = sorted(map(tuple, events.collect()))
+    b = sorted(map(tuple, back.collect()))
+    assert a == b
+
+
+def test_stream_store_merge_equals_batch(spark, sf_dir, source_files, tmp_path):
+    """foreachBatch MERGE into the persistent store: after the replay,
+    the store content equals the one-shot batch candle derivation
+    (mora's late-backfill-into-old-pages contract)."""
+    from mora_spark.streaming import stream_store_merge
+
+    live = tmp_path / "live"
+    live.mkdir()
+    for f in source_files:
+        shutil.copy2(f, live / os.path.basename(f))
+    store = stream_store_merge(
+        spark, str(live), str(tmp_path), str(tmp_path / "store")
+    )
+    got = _candles_dict(store.read(market="SYN"))
+    want = _candles_dict(
+        candles_from_events(load_table(spark, sf_dir, "events"))
+    )
+    assert got == want
