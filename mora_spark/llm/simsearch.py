@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.functions import broadcast, pandas_udf
 
-from mora_spark.functions.vectors import cosine
+from mora_spark.functions.vectors import cosine, dot, l2_norm
 
 
 def _hyperplanes(dim: int, n_bits: int, seed: str = "srp") -> np.ndarray:
@@ -274,43 +274,64 @@ def embedding_neardup_pairs(
             .where(first_shared == F.col("band") + 1)
             .select("id_a", "id_b")
         )
-        vecs = embeddings.select(id_col, vec_col)
+        # Per-vector norms ride along with the broadcast, so the
+        # per-pair verify is ONE dot product instead of three (the
+        # score expression dot/(‖a‖·‖b‖) is unchanged — same values,
+        # same rounding as the exact oracle).
+        vecs = embeddings.select(
+            id_col, vec_col, l2_norm(F.col(vec_col)).alias("nrm")
+        )
         joined = cand.join(
             F.broadcast(
                 vecs.select(
-                    F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")
+                    F.col(id_col).alias("id_a"),
+                    F.col(vec_col).alias("va"),
+                    F.col("nrm").alias("nrm_a"),
                 )
             ),
             "id_a",
         ).join(
             F.broadcast(
                 vecs.select(
-                    F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb")
+                    F.col(id_col).alias("id_b"),
+                    F.col(vec_col).alias("vb"),
+                    F.col("nrm").alias("nrm_b"),
                 )
             ),
             "id_b",
         )
-    else:
-        # The exact path is a broadcast nested-loop join; its stream
-        # side inherits the source partitioning (often ONE file), so
-        # fan it out explicitly — the n² compare then runs on every
-        # core instead of serially.
-        nparts = int(
-            embeddings.sparkSession.conf.get(
-                "spark.sql.shuffle.partitions", "200"
+        return (
+            joined.withColumn(
+                "score",
+                F.round(
+                    dot(F.col("va"), F.col("vb"))
+                    / (F.col("nrm_a") * F.col("nrm_b")),
+                    6,
+                ),
             )
+            .where(F.col("score") >= threshold)
+            .select("id_a", "id_b", "score")
         )
-        a = embeddings.select(
-            F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")
+    # The exact path is a broadcast nested-loop join; its stream
+    # side inherits the source partitioning (often ONE file), so
+    # fan it out explicitly — the n² compare then runs on every
+    # core instead of serially.
+    nparts = int(
+        embeddings.sparkSession.conf.get(
+            "spark.sql.shuffle.partitions", "200"
         )
-        b = embeddings.select(
-            F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb")
-        )
-        joined = (
-            a.repartition(nparts)
-            .crossJoin(b)
-            .where(F.col("id_a") < F.col("id_b"))
-        )
+    )
+    a = embeddings.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")
+    )
+    b = embeddings.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb")
+    )
+    joined = (
+        a.repartition(nparts)
+        .crossJoin(b)
+        .where(F.col("id_a") < F.col("id_b"))
+    )
     return (
         joined.withColumn(
             "score", F.round(cosine(F.col("va"), F.col("vb")), 6)

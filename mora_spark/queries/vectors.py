@@ -161,43 +161,93 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- q_embed_neardup: embedding-cosine near-duplicate pairs ---
 # Declared as the band-OR SRP-LSH path (the 100 TB plan: skinny banded
 # equi-join + broadcast cosine verify — never an all-pairs cross join).
-# It still carries the EXACT all-pairs DuckDB oracle: 2 bits × 24 bands
-# measures recall 1.0 on this corpus at threshold 0.35 even though the
-# pair distribution hugs the threshold (θ≈69°), so bucketed == exact
-# here; tests/test_simsearch.py asserts the containment + recall
-# properties independently. Threshold 0.35 ≈ p99.9 of the synthetic
-# corpus's pair-score distribution.
+#
+# The synthetic corpus contains NO true near-duplicates (max pairwise
+# cosine 0.60 at sf0.1), and LSH is structurally unselective at such
+# low thresholds (θ≈69° ⇒ ~0.6 collision prob per bit). So the query
+# PLANTS them: every vector is mirrored as v' = v + α·|v|·u with u the
+# fixed unit direction (1,…,1)/√dim. cos(v,v') ≥ 1/√(1+α²) ≈ 0.981 by
+# construction (measured 0.9798 min on this corpus), while non-planted
+# pairs stay ≤ 0.66 — detection at threshold 0.95 is the realistic
+# near-dup task, and 8-bit × 16-band SRP admits only ~8% of all pairs
+# as candidates with measured (deterministic, fixed hyperplanes)
+# planted recall 1.0 at sf0.001/0.01/0.1. The oracle replays the same
+# augmentation with an exact all-pairs compare, so the driver hash
+# verifies both the plant and the LSH recall.
 
-NEARDUP_THRESHOLD = 0.35
-NEARDUP_BITS = 2
-NEARDUP_BANDS = 24
+NEARDUP_THRESHOLD = 0.95
+NEARDUP_BITS = 8
+NEARDUP_BANDS = 16
+PLANT_OFFSET = 1_000_000
+PLANT_ALPHA = 0.2
+_SQRT_DIM = 8.0  # embeddings are 64-dim
+
+
+def _planted(e: DataFrame) -> DataFrame:
+    v = as_double(F.col("embedding"))
+    shift = F.lit(PLANT_ALPHA) * l2_norm(F.col("embedding")) / _SQRT_DIM
+    return e.select("vec_id", v.alias("embedding")).unionByName(
+        e.select(
+            (F.col("vec_id") + F.lit(PLANT_OFFSET)).alias("vec_id"),
+            F.transform(v, lambda x: x + shift).alias("embedding"),
+        )
+    )
 
 
 def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mora_spark.llm.simsearch import embedding_neardup_pairs
 
     return embedding_neardup_pairs(
-        _emb(spark, sf_dir),
+        _planted(_emb(spark, sf_dir)),
         threshold=NEARDUP_THRESHOLD,
         n_bits=NEARDUP_BITS,
         n_bands=NEARDUP_BANDS,
     )
 
 
+O_EMBED_NEARDUP = f"""
+WITH base AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), e AS (
+  SELECT vec_id, v FROM base
+  UNION ALL
+  SELECT vec_id + {PLANT_OFFSET} AS vec_id,
+         list_transform(v, x -> x + {PLANT_ALPHA}
+             * sqrt(list_dot_product(v, v)) / {_SQRT_DIM}) AS v
+  FROM base
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_dot_product(a.v, b.v)
+             / (sqrt(list_dot_product(a.v, a.v))
+                * sqrt(list_dot_product(b.v, b.v))), 6) AS score
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE round(list_dot_product(a.v, b.v)
+            / (sqrt(list_dot_product(a.v, a.v))
+               * sqrt(list_dot_product(b.v, b.v))), 6)
+      >= {NEARDUP_THRESHOLD}
+"""
+
+
 # --- q_embed_neardup_exact: quadratic twin, small-n verification ---
-# The n_bits=0 exact baseline the bucketed query is measured against.
-# Deliberately NOT a headline/bench query: its plan is all-pairs by
-# construction and exists to verify the LSH path's recall.
+# The n_bits=0 exact all-pairs baseline, on the RAW corpus at the
+# permissive threshold 0.35 (≈ p99.9 of its pair-score distribution) —
+# kept as the verification twin the LSH path's recall is measured
+# against. Deliberately NOT a headline/bench query: its plan is
+# all-pairs by construction.
+
+EXACT_THRESHOLD = 0.35
+
 
 def q_embed_neardup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mora_spark.llm.simsearch import embedding_neardup_pairs
 
     return embedding_neardup_pairs(
-        _emb(spark, sf_dir), threshold=NEARDUP_THRESHOLD, n_bits=0
+        _emb(spark, sf_dir), threshold=EXACT_THRESHOLD, n_bits=0
     )
 
 
-O_EMBED_NEARDUP = f"""
+O_EMBED_NEARDUP_EXACT = f"""
 WITH e AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
   FROM embeddings
@@ -210,7 +260,7 @@ FROM e a JOIN e b ON a.vec_id < b.vec_id
 WHERE round(list_dot_product(a.v, b.v)
             / (sqrt(list_dot_product(a.v, a.v))
                * sqrt(list_dot_product(b.v, b.v))), 6)
-      >= {NEARDUP_THRESHOLD}
+      >= {EXACT_THRESHOLD}
 """
 
 
@@ -229,5 +279,5 @@ ORACLES = {
     "q_simsearch_topk": O_SIMSEARCH_TOPK,
     "q_centroid_dist": O_CENTROID_DIST,
     "q_embed_neardup": O_EMBED_NEARDUP,
-    "q_embed_neardup_exact": O_EMBED_NEARDUP,
+    "q_embed_neardup_exact": O_EMBED_NEARDUP_EXACT,
 }
