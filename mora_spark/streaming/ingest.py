@@ -45,32 +45,37 @@ EVENT_STREAM_SCHEMA = T.StructType(
 def _write_chunks(
     spark: SparkSession, sf_dir: str, src: str, n_chunks: int
 ) -> str:
-    """One parquet file per event_id range, written sequentially with
-    strictly increasing mtimes — the file source processes oldest-first,
-    so the replay order is GUARANTEED to follow event_id (which the
-    generator makes monotone with ts)."""
-    import pyarrow as pa
-    import pyarrow.parquet as pq
+    """One parquet file per event_id range with strictly increasing
+    mtimes — the file source processes oldest-first, so the replay order
+    is GUARANTEED to follow event_id (which the generator makes monotone
+    with ts).
+
+    The split is fully distributed: ``repartitionByRange(event_id)``
+    gives ascending disjoint ranges across output files (part-file
+    order == range order), so no row ever passes through the driver —
+    at fixture scale this is indifferent, but it is the pattern a
+    100 TB backfill replay would use. Only the rename/mtime stamping
+    (bounded by n_chunks) is driver-side."""
+    import glob
 
     if os.path.exists(src):
         return src
-    os.makedirs(src)
-    pdf = (
+    build = src + ".build"
+    shutil.rmtree(build, ignore_errors=True)
+    (
         load_table(spark, sf_dir, "events")
-        .orderBy("event_id")
-        .toPandas()
+        .repartitionByRange(n_chunks, "event_id")
+        .sortWithinPartitions("event_id")
+        .write.mode("overwrite")
+        .parquet(build)
     )
-    # Arrow must write micro (not nano) UTC timestamps or the session's
-    # nanosAsLong reader sees a bare INT64 and the stream schema breaks.
-    pdf["ts"] = pdf["ts"].astype("datetime64[us]").dt.tz_localize("UTC")
-    per = max(1, (len(pdf) + n_chunks - 1) // n_chunks)
-    for i in range(n_chunks):
-        chunk = pdf.iloc[i * per : (i + 1) * per]
-        if chunk.empty:
-            break
+    os.makedirs(src)
+    parts = sorted(glob.glob(os.path.join(build, "part-*.parquet")))
+    for i, p in enumerate(parts):
         path = os.path.join(src, f"chunk-{i:04d}.parquet")
-        pq.write_table(pa.Table.from_pandas(chunk), path)
+        os.rename(p, path)
         os.utime(path, (1_600_000_000 + i, 1_600_000_000 + i))
+    shutil.rmtree(build, ignore_errors=True)
     return src
 
 
