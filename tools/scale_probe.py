@@ -73,6 +73,33 @@ def main() -> None:
 
     run("neardup_clusters", neardup_clusters(docs, threshold=0.8))
 
+    # Manifest-log store: initial merge commit, an overlapping upsert
+    # (read-back + replace of every touched partition), and a pruned
+    # keyed read — the full reference write->commit->read contract.
+    import shutil as _sh
+    import tempfile
+
+    from mora_spark.engine import CandleStore
+
+    store_dir = tempfile.mkdtemp(prefix="scale_store_")
+    try:
+        store = CandleStore(spark, store_dir)
+        t0 = time.time()
+        store.write(candles)
+        print(f"store_initial_merge: {time.time() - t0:.2f}s")
+        t0 = time.time()
+        store.write(
+            candles.where(F.col("code") == "click").withColumn(
+                "close", F.col("close") + 1.0
+            )
+        )
+        print(f"store_upsert_merge: {time.time() - t0:.2f}s")
+        t0 = time.time()
+        n_rows = store.read(market="SYN", code="click").count()
+        print(f"store_pruned_read: {time.time() - t0:.2f}s ({n_rows:,} rows)")
+    finally:
+        _sh.rmtree(store_dir, ignore_errors=True)
+
 
 if __name__ == "__main__":
     main()
