@@ -82,6 +82,34 @@ def kafka_events(
     return parse_event_wire(raw)
 
 
+def rate_events(
+    spark: SparkSession,
+    rows_per_batch: int = 1000,
+    n_users: int = 100,
+) -> DataFrame:
+    """Synthetic typed-event stream from Spark's deterministic
+    ``rate-micro-batch`` source — the load-generator transport (soak
+    tests, backpressure tuning) behind the same event schema as the
+    Kafka and file transports. Columns derive arithmetically from the
+    monotone ``value`` counter, so replays are reproducible."""
+    raw = (
+        spark.readStream.format("rate-micro-batch")
+        .option("rowsPerBatch", rows_per_batch)
+        .load()
+    )
+    return raw.select(
+        F.col("value").alias("event_id"),
+        F.col("timestamp").alias("ts"),
+        (F.col("value") % n_users).alias("user_id"),
+        F.element_at(
+            F.array(F.lit("view"), F.lit("click"), F.lit("purchase")),
+            (F.col("value") % 3 + 1).cast("int"),
+        ).alias("event_type"),
+        (F.col("value") % 997).cast("double").alias("value"),
+        F.lit(None).cast("string").alias("props"),
+    )
+
+
 def events_to_wire(events: DataFrame, topic: str = "events") -> DataFrame:
     """Encode typed event rows as wire records (the producer side):
     key = event_id bytes, value = JSON payload, partition = hash-ish

