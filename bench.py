@@ -45,7 +45,9 @@ HEADLINE = [
     "q_simsearch_topk",
     "q_ann_srp",
     "q_store_roundtrip",
+    "q_grouping_sets",
     "q_stream_candles",
+    "q_stream_store_merge",
     "q_stream_ema",
 ]
 
