@@ -1,0 +1,190 @@
+"""Corpus-curation operators for training-data pipelines: stratified
+sampling, benchmark decontamination, vocabulary building, and
+sequence packing.
+
+These are the steps between "deduped corpus" and "tokenizer-ready
+shards" in an LLM data pipeline. Shared constraints:
+
+- deterministic across engines (md5-derived randomness, total-order
+  tie-breaks) so each operator has an exact DuckDB oracle;
+- scan-stage-friendly: sampling and shingling are pure column
+  expressions; the only shuffles are the ones the semantics require
+  (one equi-join for decontamination, one agg for vocab, a two-phase
+  prefix-sum for packing).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from mora_spark.functions.text import tokens
+
+# Denominator for md5-derived uniforms: first 8 hex chars = 32 bits.
+_U32 = float(2**32)
+
+
+def hash_uniform(col: Column, salt: str = "sample") -> Column:
+    """Deterministic uniform in [0, 1) from an id column: the first 32
+    bits of md5(salt || ':' || id) scaled by 2^-32. Same value on any
+    engine, any run, any partitioning — the property that makes a
+    sample reproducible across a 1000-executor rerun. SQL twin:
+    ``('0x' || substr(md5(...), 1, 8))::BIGINT / 2^32``."""
+    h = F.md5(F.concat_ws(":", F.lit(salt), col.cast("string")))
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("double") / F.lit(_U32)
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    rates: dict[str, float],
+    id_col: str = "doc_id",
+    default_rate: float = 0.0,
+    salt: str = "sample",
+) -> DataFrame:
+    """Per-stratum Bernoulli sample at deterministic hash uniforms.
+
+    ``rates`` maps stratum value -> keep probability; unlisted strata
+    get ``default_rate``. Unlike ``df.sampleBy`` (RNG per partition,
+    result changes with partitioning), the hash coin depends only on
+    the row id, so the sample is stable under repartition/retry —
+    what a 100 TB curation run needs for resumability. Pure scan-stage
+    filter: no shuffle, predicate pushdown still applies to other
+    filters composed around it."""
+    rate = F.lit(default_rate)
+    for value, r in sorted(rates.items()):
+        rate = F.when(F.col(strata_col) == value, F.lit(r)).otherwise(rate)
+    return df.where(hash_uniform(F.col(id_col), salt) < rate)
+
+
+def shingle_hashes(toks: Column, n: int = 8) -> Column:
+    """md5 fingerprints of every n-token shingle (1-based windows).
+    Documents shorter than n tokens yield an empty array (guarded —
+    ``sequence(1, len-n+1)`` would count DOWN for short docs)."""
+    n_sh = F.size(toks) - F.lit(n - 1)
+    return F.when(
+        n_sh > 0,
+        F.transform(
+            F.sequence(F.lit(1), n_sh),
+            lambda i: F.md5(F.array_join(F.slice(toks, i, n), " ")),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def decontaminate(
+    train: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+) -> DataFrame:
+    """Benchmark decontamination by n-gram overlap (the GPT-3/PaLM
+    recipe: drop training documents sharing any length-n token shingle
+    with an evaluation set).
+
+    Returns one row per CONTAMINATED training doc: (id, n_hits =
+    distinct shared shingles). The benchmark side is aggregated to its
+    distinct shingle set first — typically millions of rows against a
+    100 TB train side, so the join broadcasts; drop the hint if the
+    benchmark outgrows the driver and it degrades to a shuffle
+    equi-join on the shingle hash, same plan shape otherwise."""
+    t_sh = train.select(
+        F.col(id_col).alias("train_id"),
+        F.explode(shingle_hashes(tokens(text_col), n)).alias("sh"),
+    ).dropDuplicates(["train_id", "sh"])
+    b_sh = (
+        benchmark.select(
+            F.explode(shingle_hashes(tokens(text_col), n)).alias("sh")
+        )
+        .dropDuplicates(["sh"])
+    )
+    return (
+        t_sh.join(F.broadcast(b_sh), "sh")
+        .groupBy("train_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+        .select(F.col("train_id").alias(id_col), "n_hits")
+    )
+
+
+def vocab_topk(
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = 200,
+) -> DataFrame:
+    """Corpus vocabulary: top-k tokens by frequency, ties broken by
+    token string. The groupBy is map-side-combined (partial counts per
+    partition before the shuffle) and the top-k is a TakeOrdered — no
+    global sort materializes. Emits (token, cnt, rank)."""
+    counts = (
+        df.select(F.explode(tokens(text_col)).alias("token"))
+        .where(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("token"))
+        .limit(k)
+    )
+    # row_number over the k surviving rows only (bounded, post-limit).
+    w = Window.orderBy(F.col("cnt").desc(), F.col("token"))
+    return counts.withColumn("rank", F.row_number().over(w))
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget: int = 512,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk: int = 256,
+) -> DataFrame:
+    """Concatenate-and-chunk sequence packing (the standard LLM
+    pretraining layout): documents are laid end-to-end in ``id_col``
+    order and cut into fixed ``budget``-token bins; each doc reports
+    the bin range it lands in.
+
+    The global running token count is a TWO-PHASE prefix sum, not one
+    unpartitioned window (which would drag the corpus through a single
+    task): docs are grouped into deterministic id-range chunks, phase 1
+    aggregates one subtotal per chunk (collected to the driver —
+    n_docs/chunk rows, the same order of driver state as AQE stats),
+    phase 2 windows WITHIN each chunk and adds the broadcast offset.
+    ``chunk`` sizes driver state vs. per-task window width at scale.
+
+    Emits (id, tok_len, cum_tokens, bin_first, bin_last, n_bins)."""
+    spark = df.sparkSession
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.size(tokens(text_col)).cast("long").alias("tok_len"),
+        (F.col(id_col) / chunk).cast("long").alias("pid"),
+    )
+    totals = (
+        base.groupBy("pid").agg(F.sum("tok_len").alias("sub"))
+        .orderBy("pid")
+        .collect()
+    )
+    offsets, acc = [], 0
+    for row in totals:
+        offsets.append((row["pid"], acc))
+        acc += row["sub"]
+    off = F.broadcast(
+        spark.createDataFrame(offsets, "pid long, offset long")
+    )
+    w = (
+        Window.partitionBy("pid")
+        .orderBy("id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        base.join(off, "pid")
+        .withColumn("cum_tokens", F.col("offset") + F.sum("tok_len").over(w))
+        .withColumn(
+            "bin_first",
+            F.floor((F.col("cum_tokens") - F.col("tok_len")) / budget),
+        )
+        .withColumn("bin_last", F.floor((F.col("cum_tokens") - 1) / budget))
+        .withColumn(
+            "n_bins", F.col("bin_last") - F.col("bin_first") + F.lit(1)
+        )
+        .select(
+            F.col("id").alias(id_col),
+            "tok_len", "cum_tokens", "bin_first", "bin_last", "n_bins",
+        )
+    )

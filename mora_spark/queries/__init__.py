@@ -23,19 +23,20 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # — while redundant TPC-H variants (same join/agg machinery as the
 # representatives) trail behind.
 PRIORITY: tuple[str, ...] = (
-    # LLM-pipeline: dedup / similarity / text / multimodal
+    # LLM-pipeline: dedup / similarity / curation / text / multimodal
     "q_dedup_exact",
     "q_minhash_lsh",
     "q_dedup_clusters",
     "q_simhash",
     "q_jaccard_pairs",
     "q_corpus_curation",
+    "q_stratified_sample",
+    "q_decontaminate",
+    "q_vocab_topk",
+    "q_pack_sequences",
     "q_text_stats",
     "q_lang_id",
-    "q_fingerprint",
-    "q_embedding_norms",
     "q_simsearch_topk",
-    "q_centroid_dist",
     "q_ann_srp",
     "q_ann_ivf",
     "q_embed_neardup",
@@ -49,7 +50,6 @@ PRIORITY: tuple[str, ...] = (
     "q_stream_store_merge",
     "q_stream_sessions",
     "q_stream_ema",
-    "q_stream_sliding",
     "q_stream_enrich",
     "q_stream_join",
     # store / format
@@ -79,15 +79,21 @@ PRIORITY: tuple[str, ...] = (
     "q_semi_anti",       # existence joins
     "q_grouping_sets",   # explicit grouping sets
 )
-# Demoted from the window (still declared + checked locally, green in
-# round 1): q_resample_1h (same operator as q_resample_5m),
-# q_tpch_q12 (same conditional-agg + int-sum-cast shape as
-# q_validate_candles/q_resample_5m), and q_time_window (pruned range
-# scan + window, covered by q_range_scan + q_sma_roll).
+# Demoted from the window (still declared + checked locally):
+# q_resample_1h (same operator as q_resample_5m), q_tpch_q12 (same
+# conditional-agg + int-sum-cast shape as q_validate_candles),
+# q_time_window (pruned range scan + window, covered by q_range_scan +
+# q_sma_roll), q_fingerprint (scan-stage md5, covered by q_lang_id's
+# scan-stage family + q_dedup_exact), q_embedding_norms/q_centroid_dist
+# (vector column fns, exercised by q_simsearch_topk/q_embed_neardup),
+# q_stream_sliding (windowed streaming agg, covered by q_stream_candles
+# tumbling + q_stream_sessions), and q_domain_mix (agg shape covered by
+# q_tpch_q1; still oracle-checked locally).
 
 
 def collect_registry() -> tuple[dict[str, QueryFn], dict[str, str]]:
     from mora_spark.queries import (
+        curation,
         multimodal,
         relational,
         relational2,
@@ -105,6 +111,7 @@ def collect_registry() -> tuple[dict[str, QueryFn], dict[str, str]]:
         relational,
         relational2,
         text,
+        curation,
         vectors,
         streaming,
         store,

@@ -1,0 +1,230 @@
+"""Training-data curation declared queries over ``documents``:
+stratified sampling, benchmark decontamination, vocabulary top-k,
+sequence packing, and domain-mixture weighting.
+
+Every query has an exact DuckDB oracle; the shared token derivation is
+:data:`mora_spark.queries.text.TOKS_SQL` (the SQL twin of
+``functions.text.tokens``) and the deterministic sampling uniform is
+``('0x' || substr(md5(...), 1, 8))::BIGINT / 2^32`` (the SQL twin of
+``llm.curation.hash_uniform``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mora_spark.datasets import load_table
+from mora_spark.functions.text import tokens
+from mora_spark.llm.curation import (
+    decontaminate,
+    pack_sequences,
+    stratified_sample,
+    vocab_topk,
+)
+from mora_spark.queries.text import TOKS_SQL
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+# --- q_stratified_sample: reproducible per-language downsampling ---
+# The rebalancing step of corpus curation: keep half the English, less
+# of everything else. Hash-Bernoulli (not sampleBy) so the selection
+# is a pure function of doc_id — identical across engines, retries,
+# and repartitions.
+
+SAMPLE_RATES = {"en": 0.5, "zh": 0.3, "de": 0.2}
+SAMPLE_DEFAULT = 0.1
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return stratified_sample(
+        _docs(spark, sf_dir),
+        strata_col="lang",
+        rates=SAMPLE_RATES,
+        default_rate=SAMPLE_DEFAULT,
+    ).select("doc_id", "lang", "source")
+
+
+O_STRATIFIED_SAMPLE = f"""
+SELECT doc_id, lang, source FROM documents
+WHERE ('0x' || substr(md5('sample:' || doc_id), 1, 8))::BIGINT
+        / 4294967296.0
+      < CASE WHEN lang = 'en' THEN 0.5
+             WHEN lang = 'zh' THEN 0.3
+             WHEN lang = 'de' THEN 0.2
+             ELSE {SAMPLE_DEFAULT} END
+"""
+
+
+# --- q_decontaminate: benchmark n-gram overlap ---
+# Benchmark set = every 20th doc; the train side is the rest PLUS a
+# re-crawl of the benchmark docs under new ids (eval-set leakage into
+# the crawl — the phenomenon decontamination exists to catch). A
+# contaminated doc is one sharing >= 1 eight-token shingle with any
+# benchmark doc.
+
+DECON_N = 8
+
+
+def _decon_sides(spark: SparkSession, sf_dir: str):
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    bench = d.where(F.col("doc_id") % 20 == 0)
+    train = d.where(F.col("doc_id") % 20 != 0).unionByName(
+        bench.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    )
+    return train, bench
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    train, bench = _decon_sides(spark, sf_dir)
+    return decontaminate(train, bench, n=DECON_N)
+
+
+_SHINGLES_SQL = (
+    "list_transform("
+    f"range(1, greatest(len(toks) - {DECON_N - 1}, 0) + 1), "
+    f"i -> md5(array_to_string(toks[i:i + {DECON_N - 1}], ' ')))"
+)
+
+O_DECONTAMINATE = f"""
+WITH d AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
+bench AS (SELECT * FROM d WHERE doc_id % 20 = 0),
+train AS (
+  SELECT doc_id, toks FROM d WHERE doc_id % 20 <> 0
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, toks FROM bench
+),
+t_sh AS (
+  SELECT DISTINCT doc_id, sh
+  FROM (SELECT doc_id, unnest({_SHINGLES_SQL}) AS sh FROM train)
+),
+b_sh AS (
+  SELECT DISTINCT sh
+  FROM (SELECT unnest({_SHINGLES_SQL}) AS sh FROM bench)
+)
+SELECT doc_id, count(*) AS n_hits
+FROM t_sh JOIN b_sh USING (sh)
+GROUP BY doc_id
+"""
+
+
+# --- q_vocab_topk: corpus vocabulary (top 200 tokens) ---
+
+VOCAB_K = 200
+
+
+def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return vocab_topk(_docs(spark, sf_dir), k=VOCAB_K)
+
+
+O_VOCAB_TOPK = f"""
+SELECT token, cnt, rank FROM (
+  SELECT token, count(*) AS cnt,
+         row_number() OVER (ORDER BY count(*) DESC, token) AS rank
+  FROM (SELECT unnest({TOKS_SQL}) AS token FROM documents)
+  WHERE token <> ''
+  GROUP BY token
+) WHERE rank <= {VOCAB_K}
+"""
+
+
+# --- q_pack_sequences: concat-and-chunk packing into 512-token bins ---
+
+PACK_BUDGET = 512
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pack_sequences(_docs(spark, sf_dir), budget=PACK_BUDGET)
+
+
+O_PACK_SEQUENCES = f"""
+WITH t AS (
+  SELECT doc_id, len({TOKS_SQL})::BIGINT AS tok_len FROM documents
+), c AS (
+  SELECT doc_id, tok_len,
+         CAST(sum(tok_len) OVER (ORDER BY doc_id
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+  FROM t
+)
+SELECT doc_id, tok_len, cum_tokens,
+       CAST(floor((cum_tokens - tok_len) / {PACK_BUDGET}.0) AS BIGINT)
+         AS bin_first,
+       CAST(floor((cum_tokens - 1) / {PACK_BUDGET}.0) AS BIGINT)
+         AS bin_last,
+       CAST(floor((cum_tokens - 1) / {PACK_BUDGET}.0) AS BIGINT)
+         - CAST(floor((cum_tokens - tok_len) / {PACK_BUDGET}.0) AS BIGINT)
+         + 1 AS n_bins
+FROM c
+"""
+
+
+# --- q_domain_mix: mixture reweighting toward a uniform source mix ---
+# Per source: token share of the corpus and the sampling weight that
+# would equalize the mixture (target = 1/n_sources). One map-side-
+# combined agg + a broadcast of the 1-row total.
+
+def q_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    per = (
+        _docs(spark, sf_dir)
+        .select("source", F.size(tokens("text")).cast("long").alias("tl"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("tl").alias("n_tokens"),
+        )
+    )
+    tot = per.agg(
+        F.sum("n_tokens").alias("total_tokens"),
+        F.count(F.lit(1)).alias("n_sources"),
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .withColumn("token_share", F.col("n_tokens") / F.col("total_tokens"))
+        .withColumn(
+            "mix_weight",
+            F.round((1.0 / F.col("n_sources")) / F.col("token_share"), 6),
+        )
+        .select(
+            "source", "n_docs", "n_tokens",
+            F.round("token_share", 6).alias("token_share"),
+            "mix_weight",
+        )
+    )
+
+
+O_DOMAIN_MIX = f"""
+WITH per AS (
+  SELECT source, count(*) AS n_docs,
+         CAST(sum(len({TOKS_SQL})) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+), tot AS (
+  SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+         count(*) AS n_sources
+  FROM per
+)
+SELECT source, n_docs, n_tokens,
+       round(n_tokens / CAST(total_tokens AS DOUBLE), 6) AS token_share,
+       round((1.0 / n_sources)
+             / (n_tokens / CAST(total_tokens AS DOUBLE)), 6) AS mix_weight
+FROM per, tot
+"""
+
+
+QUERIES = {
+    "q_stratified_sample": q_stratified_sample,
+    "q_decontaminate": q_decontaminate,
+    "q_vocab_topk": q_vocab_topk,
+    "q_pack_sequences": q_pack_sequences,
+    "q_domain_mix": q_domain_mix,
+}
+
+ORACLES = {
+    "q_stratified_sample": O_STRATIFIED_SAMPLE,
+    "q_decontaminate": O_DECONTAMINATE,
+    "q_vocab_topk": O_VOCAB_TOPK,
+    "q_pack_sequences": O_PACK_SEQUENCES,
+    "q_domain_mix": O_DOMAIN_MIX,
+}

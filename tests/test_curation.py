@@ -1,0 +1,105 @@
+"""Curation-operator invariants: sampling determinism, shingle guards,
+decontamination precision, packing conservation."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mora_spark.datasets import load_table
+from mora_spark.llm.curation import (
+    decontaminate,
+    pack_sequences,
+    shingle_hashes,
+    stratified_sample,
+    vocab_topk,
+)
+from mora_spark.functions.text import tokens
+
+
+def _docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents")
+
+
+def test_stratified_sample_stable_under_repartition(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    rates = {"en": 0.5, "zh": 0.3}
+    a = stratified_sample(d, "lang", rates, default_rate=0.1)
+    b = stratified_sample(d.repartition(7), "lang", rates, default_rate=0.1)
+    ids_a = sorted(r.doc_id for r in a.select("doc_id").collect())
+    ids_b = sorted(r.doc_id for r in b.select("doc_id").collect())
+    assert ids_a == ids_b and len(ids_a) > 0
+
+
+def test_stratified_sample_rate_respected(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    kept = stratified_sample(d, "lang", {"en": 1.0}, default_rate=0.0)
+    n_en = d.where(F.col("lang") == "en").count()
+    assert kept.count() == n_en
+    assert kept.where(F.col("lang") != "en").count() == 0
+
+
+def test_shingle_short_doc_guard(spark):
+    df = spark.createDataFrame(
+        [(1, "one two three"), (2, "a b c d e f g h i j")],
+        "doc_id long, text string",
+    )
+    out = df.select(
+        "doc_id", F.size(shingle_hashes(tokens("text"), 8)).alias("n")
+    ).collect()
+    by_id = {r.doc_id: r.n for r in out}
+    assert by_id[1] == 0  # 3 tokens < 8 -> no shingles, not a countdown
+    assert by_id[2] == 3  # 10 tokens -> windows at 1, 2, 3
+
+
+def test_decontaminate_flags_only_overlap(spark):
+    mk = " ".join(f"w{i}" for i in range(20))
+    train = spark.createDataFrame(
+        [(1, mk), (2, "clean " + " ".join(f"x{i}" for i in range(10)))],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "prefix " + mk + " suffix")], "doc_id long, text string"
+    )
+    hits = {r.doc_id: r.n_hits for r in decontaminate(train, bench).collect()}
+    assert 1 in hits and hits[1] > 0
+    assert 2 not in hits
+
+
+def test_pack_sequences_conservation(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    packed = pack_sequences(d, budget=512).orderBy("doc_id").collect()
+    total = sum(r.tok_len for r in packed)
+    assert packed[-1].cum_tokens == total
+    prev = 0
+    for r in packed:
+        assert r.cum_tokens == prev + r.tok_len  # contiguous layout
+        prev = r.cum_tokens
+        assert r.bin_first <= r.bin_last
+        assert r.n_bins == r.bin_last - r.bin_first + 1
+        # a doc spans ceil-ish bins: it can't skip a 512-token bin
+        assert (r.n_bins - 1) * 512 < r.tok_len + 511
+
+
+def test_pack_sequences_chunking_invariant(spark, sf_dir):
+    """The two-phase prefix sum must equal the single-window cumsum
+    regardless of chunk size."""
+    d = _docs(spark, sf_dir)
+    a = {
+        r.doc_id: r.cum_tokens
+        for r in pack_sequences(d, budget=512, chunk=64).collect()
+    }
+    b = {
+        r.doc_id: r.cum_tokens
+        for r in pack_sequences(d, budget=512, chunk=100000).collect()
+    }
+    assert a == b
+
+
+def test_vocab_topk_ordering(spark, sf_dir):
+    rows = vocab_topk(_docs(spark, sf_dir), k=50).orderBy("rank").collect()
+    assert rows[0].rank == 1
+    for earlier, later in zip(rows, rows[1:]):
+        assert later.rank == earlier.rank + 1
+        assert (earlier.cnt, later.token) > (later.cnt, earlier.token) or (
+            earlier.cnt > later.cnt
+        ) or (earlier.cnt == later.cnt and earlier.token < later.token)
