@@ -146,15 +146,18 @@ def q_ann_srp(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- q_ann_ivf: inverted-file (cell-probe) approximate top-k ---
-# Same contract as q_ann_srp via a different index shape; recall vs
-# brute force asserted in tests/test_simsearch.py.
+# Same contract as q_ann_srp via a different index shape, with the
+# centroids refined by two spherical-k-means iterations (Lloyd's as
+# Spark jobs; see train_ivf_centroids). Recall vs brute force — and
+# trained >= untrained — asserted in tests/test_simsearch.py.
 
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mora_spark.llm.simsearch import ivf_topk
 
     e = _emb(spark, sf_dir)
     return ivf_topk(
-        e, query_ids=list(range(N_QUERIES)), k=TOP_K, n_cells=16, n_probe=4
+        e, query_ids=list(range(N_QUERIES)), k=TOP_K, n_cells=16, n_probe=4,
+        train_iters=2,
     )
 
 

@@ -65,6 +65,32 @@ def test_ivf_recall_vs_brute_force(spark, sf_dir):
             assert abs(r["score"] - exact_scores[key]) < 1e-9
 
 
+def test_ivf_training_improves_or_matches_recall(spark, sf_dir):
+    """Two Lloyd iterations must not lose recall vs untrained random
+    centroids at the same probe budget (on this geometry it gains)."""
+    from mora_spark.llm.simsearch import ivf_topk, train_ivf_centroids
+
+    exact = q_simsearch_topk(spark, sf_dir).collect()
+    want = {(r["query_id"], r["neighbor_id"]) for r in exact}
+    e = load_table(spark, sf_dir, "embeddings")
+
+    def recall(train_iters: int) -> float:
+        got = {
+            (r["query_id"], r["neighbor_id"])
+            for r in ivf_topk(
+                e, query_ids=[0, 1, 2, 3, 4], k=5, n_cells=16, n_probe=4,
+                train_iters=train_iters,
+            ).collect()
+        }
+        return len(want & got) / len(want)
+
+    assert recall(2) >= recall(0)
+    # training is deterministic: same data -> same centroids
+    c1 = train_ivf_centroids(e, n_cells=8, n_iter=2)
+    c2 = train_ivf_centroids(e, n_cells=8, n_iter=2)
+    assert (c1 == c2).all()
+
+
 def test_neardup_lsh_subset_of_exact(spark, sf_dir):
     """Every SRP-prefiltered near-dup pair must appear in the exact
     all-pairs result with an identical score (the bucket filter can
