@@ -37,6 +37,9 @@ HEADLINE = [
     "q_interval_join",
     "q_json_props",
     "q_dedup_exact",
+    "q_decontaminate",
+    "q_pack_sequences",
+    "q_vocab_topk",
     "q_minhash_lsh",
     "q_dedup_clusters",
     "q_corpus_curation",
