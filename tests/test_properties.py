@@ -121,3 +121,36 @@ def test_store_merge_folds_lww(spark, tmp_path_factory, batches):
         for r in store.read().collect()
     }
     assert got == set(expect)
+
+
+@given(
+    docs=st.lists(
+        st.integers(0, 40),  # token counts per doc (0 exercises the
+        min_size=1, max_size=25,  # empty-normalized-text edge: 1 token)
+    ),
+    budget=st.integers(2, 64),
+)
+@SETTINGS
+def test_pack_sequences_is_concat_and_chunk(spark, docs, budget):
+    """Packing must equal the serial concat-and-chunk reference model
+    for any corpus and budget, and the two-phase prefix sum must agree
+    with it at a chunk size that splits the corpus."""
+    from mora_spark.llm.curation import pack_sequences
+
+    rows = [
+        (i, " ".join(f"tok{j}" for j in range(n)) if n else "")
+        for i, n in enumerate(docs)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["tok_len"], r["cum_tokens"],
+                      r["bin_first"], r["bin_last"])
+        for r in pack_sequences(df, budget=budget, chunk=4).collect()
+    }
+    cum = 0
+    for i, n in enumerate(docs):
+        tok_len = max(n, 1)  # "" normalizes to a single empty token
+        cum += tok_len
+        first = (cum - tok_len) // budget
+        last = (cum - 1) // budget
+        assert got[i] == (tok_len, cum, first, last), (i, got[i])

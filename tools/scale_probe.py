@@ -73,6 +73,26 @@ def main() -> None:
 
     run("neardup_clusters", neardup_clusters(docs, threshold=0.8))
 
+    # Curation family: sampling is scan-stage; decontamination joins a
+    # broadcast shingle set; packing's prefix sum collects one subtotal
+    # per id-chunk (n_docs/chunk driver rows — the knob to watch here).
+    from mora_spark.llm.curation import (
+        decontaminate,
+        pack_sequences,
+        stratified_sample,
+        vocab_topk,
+    )
+
+    run(
+        "stratified_sample",
+        stratified_sample(docs, "lang", {"en": 0.5}, default_rate=0.1),
+    )
+    bench_side = docs.where(F.col("doc_id") % 20 == 0)
+    train_side = docs.where(F.col("doc_id") % 20 != 0)
+    run("decontaminate", decontaminate(train_side, bench_side))
+    run("vocab_topk", vocab_topk(docs))
+    run("pack_sequences", pack_sequences(docs, chunk=4096))
+
     # Manifest-log store: initial merge commit, an overlapping upsert
     # (read-back + replace of every touched partition), and a pruned
     # keyed read — the full reference write->commit->read contract.
