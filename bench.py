@@ -40,6 +40,8 @@ HEADLINE = [
     "q_decontaminate",
     "q_pack_sequences",
     "q_vocab_topk",
+    "q_quality_rules",
+    "q_boilerplate",
     "q_minhash_lsh",
     "q_dedup_clusters",
     "q_corpus_curation",

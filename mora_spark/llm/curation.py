@@ -129,6 +129,139 @@ def decontaminate(
     )
 
 
+def quality_rules(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_tokens: int = 5,
+    max_tokens: int = 10_000,
+    min_mean_word_len: float = 2.0,
+    max_mean_word_len: float = 12.0,
+    max_top_token_frac: float = 0.20,
+    max_dup_2gram_frac: float = 0.30,
+) -> DataFrame:
+    """Gopher-style heuristic quality filters (Rae et al. 2021 §A1.1,
+    re-expressed for whitespace tokens): per-document length, mean word
+    length, most-frequent-token fraction, and duplicate-2-gram
+    fraction, plus the combined ``keep`` verdict.
+
+    Plan shape: length/word-length/2-gram metrics are pure array
+    expressions in the scan stage (tokenization materialized once per
+    row — see :func:`shingle_hashes` for why); only the top-token
+    fraction needs real machinery (explode -> per-(doc,token) count ->
+    per-doc max), which is two map-side-combinable aggregations keyed
+    by doc id. The final join is agg-output vs. scan-output on the id —
+    at 100 TB the explode dominates and nothing is quadratic.
+
+    Emits (id, n_tokens, mean_word_len, top_token_frac, dup_2gram_frac,
+    keep)."""
+    toked = df.select(
+        F.col(id_col).alias("id"), tokens(text_col).alias("toks")
+    )
+    t = F.col("toks")
+    n = F.size(t)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - 1, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.element_at(t, i), F.element_at(t, i + 1)),
+    )
+    scan = toked.select(
+        "id",
+        n.alias("n_tokens"),
+        F.round(
+            F.aggregate(
+                t, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+            )
+            / n,
+            6,
+        ).alias("mean_word_len"),
+        F.when(n > 1, F.round(
+            F.lit(1.0) - F.size(F.array_distinct(grams)) / (n - 1), 6
+        )).otherwise(F.lit(0.0)).alias("dup_2gram_frac"),
+    )
+    top = (
+        toked.select("id", F.explode(t).alias("token"))
+        .groupBy("id", "token")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("id")
+        .agg(F.round(F.max("c") / F.sum("c"), 6).alias("top_token_frac"))
+    )
+    return (
+        scan.join(top, "id")
+        .withColumn(
+            "keep",
+            (F.col("n_tokens") >= min_tokens)
+            & (F.col("n_tokens") <= max_tokens)
+            & (F.col("mean_word_len") >= min_mean_word_len)
+            & (F.col("mean_word_len") <= max_mean_word_len)
+            & (F.col("top_token_frac") <= max_top_token_frac)
+            & (F.col("dup_2gram_frac") <= max_dup_2gram_frac),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            "n_tokens", "mean_word_len", "top_token_frac",
+            "dup_2gram_frac", "keep",
+        )
+    )
+
+
+def boilerplate_frac(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Per-document boilerplate fraction: the share of a doc's distinct
+    n-gram shingles that are corpus-common (appearing in >= ``min_docs``
+    distinct documents) — the RefinedWeb/C4 template-text signal,
+    shingle-based because the corpus has no line structure.
+
+    Plan shape: one explode of per-doc DISTINCT shingles (array-side
+    dedup, so each (doc, shingle) appears once and a plain count(*)
+    per shingle IS the document frequency), one groupBy to build the
+    common-shingle set, then a broadcast semi-join back onto the same
+    exploded stream. Two scans of the corpus, one shuffle keyed by
+    shingle hash; the common set is corpus-vocabulary-sized, not
+    corpus-sized, so the broadcast holds at scale (drop the hint past
+    driver memory and it degrades to a shuffle join).
+
+    Emits (id, n_shingles, n_common, boiler_frac) for docs with >= 1
+    shingle."""
+    toked = df.select(
+        F.col(id_col).alias("id"), tokens(text_col).alias("_toks")
+    )
+    sh = toked.select(
+        "id",
+        F.explode(
+            F.array_distinct(shingle_hashes(F.col("_toks"), n))
+        ).alias("sh"),
+    )
+    common = (
+        sh.groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") >= min_docs)
+        .select("sh")
+    )
+    return (
+        sh.join(F.broadcast(common), "sh", "left_semi")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .join(
+            sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles")),
+            "id",
+            "right",
+        )
+        .select(
+            F.col("id").alias(id_col),
+            "n_shingles",
+            F.coalesce("n_common", F.lit(0)).alias("n_common"),
+            F.round(
+                F.coalesce("n_common", F.lit(0)) / F.col("n_shingles"), 6
+            ).alias("boiler_frac"),
+        )
+    )
+
+
 def vocab_topk(
     df: DataFrame,
     text_col: str = "text",

@@ -17,8 +17,10 @@ from pyspark.sql import functions as F
 from mora_spark.datasets import load_table
 from mora_spark.functions.text import tokens
 from mora_spark.llm.curation import (
+    boilerplate_frac,
     decontaminate,
     pack_sequences,
+    quality_rules,
     stratified_sample,
     vocab_topk,
 )
@@ -213,8 +215,95 @@ FROM per, tot
 """
 
 
+# --- q_quality_rules: Gopher-style heuristic quality filters ---
+# Length, mean word length, top-token repetition, duplicate-2-gram
+# fraction, and the combined keep verdict per document.
+
+def q_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return quality_rules(_docs(spark, sf_dir))
+
+
+O_QUALITY_RULES = f"""
+WITH t AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
+scan AS (
+  SELECT doc_id,
+         len(toks) AS n_tokens,
+         round(list_sum(list_transform(toks, x -> len(x)))
+               / len(toks), 6) AS mean_word_len,
+         CASE WHEN len(toks) > 1 THEN
+           round(1.0 - len(list_distinct(list_transform(
+                   range(1, greatest(len(toks) - 1, 0) + 1),
+                   i -> toks[i] || ' ' || toks[i + 1])))
+                 / (len(toks) - 1.0), 6)
+         ELSE 0.0 END AS dup_2gram_frac
+  FROM t
+),
+top AS (
+  SELECT doc_id, round(max(c) / CAST(sum(c) AS DOUBLE), 6)
+           AS top_token_frac
+  FROM (
+    SELECT doc_id, token, count(*) AS c
+    FROM (SELECT doc_id, unnest(toks) AS token FROM t)
+    GROUP BY doc_id, token
+  )
+  GROUP BY doc_id
+)
+SELECT doc_id, n_tokens, mean_word_len, top_token_frac, dup_2gram_frac,
+       (n_tokens >= 5 AND n_tokens <= 10000
+        AND mean_word_len >= 2.0 AND mean_word_len <= 12.0
+        AND top_token_frac <= 0.20
+        AND dup_2gram_frac <= 0.30) AS keep
+FROM scan JOIN top USING (doc_id)
+"""
+
+
+# --- q_boilerplate: corpus-common shingle fraction per document ---
+# Template-text detection: the share of a doc's distinct 5-gram
+# shingles that occur in >= 2 distinct documents.
+
+BOILER_N = 5
+BOILER_MIN_DOCS = 2
+
+_BOILER_SHINGLES_SQL = (
+    "list_distinct(list_transform("
+    f"range(1, greatest(len(toks) - {BOILER_N - 1}, 0) + 1), "
+    f"i -> md5(array_to_string(toks[i:i + {BOILER_N - 1}], ' '))))"
+)
+
+
+def q_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return boilerplate_frac(
+        _docs(spark, sf_dir), n=BOILER_N, min_docs=BOILER_MIN_DOCS
+    )
+
+
+O_BOILERPLATE = f"""
+WITH t AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
+sh AS (
+  SELECT doc_id, unnest({_BOILER_SHINGLES_SQL}) AS sh FROM t
+),
+common AS (
+  SELECT sh FROM sh GROUP BY sh
+  HAVING count(*) >= {BOILER_MIN_DOCS}
+),
+per AS (SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY doc_id),
+hits AS (
+  SELECT doc_id, count(*) AS n_common
+  FROM sh WHERE sh IN (SELECT sh FROM common)
+  GROUP BY doc_id
+)
+SELECT doc_id, n_shingles,
+       coalesce(n_common, 0) AS n_common,
+       round(coalesce(n_common, 0) / CAST(n_shingles AS DOUBLE), 6)
+         AS boiler_frac
+FROM per LEFT JOIN hits USING (doc_id)
+"""
+
+
 QUERIES = {
     "q_stratified_sample": q_stratified_sample,
+    "q_quality_rules": q_quality_rules,
+    "q_boilerplate": q_boilerplate,
     "q_decontaminate": q_decontaminate,
     "q_vocab_topk": q_vocab_topk,
     "q_pack_sequences": q_pack_sequences,
@@ -223,6 +312,8 @@ QUERIES = {
 
 ORACLES = {
     "q_stratified_sample": O_STRATIFIED_SAMPLE,
+    "q_quality_rules": O_QUALITY_RULES,
+    "q_boilerplate": O_BOILERPLATE,
     "q_decontaminate": O_DECONTAMINATE,
     "q_vocab_topk": O_VOCAB_TOPK,
     "q_pack_sequences": O_PACK_SEQUENCES,

@@ -7,8 +7,10 @@ from pyspark.sql import functions as F
 
 from mora_spark.datasets import load_table
 from mora_spark.llm.curation import (
+    boilerplate_frac,
     decontaminate,
     pack_sequences,
+    quality_rules,
     shingle_hashes,
     stratified_sample,
     vocab_topk,
@@ -93,6 +95,37 @@ def test_pack_sequences_chunking_invariant(spark, sf_dir):
         for r in pack_sequences(d, budget=512, chunk=100000).collect()
     }
     assert a == b
+
+
+def test_quality_rules_flags_degenerate_docs(spark):
+    good = " ".join(f"word{i}" for i in range(40))
+    repetitive = " ".join(["spam"] * 40)          # top_token_frac = 1.0
+    tiny = "only two"                             # below min length
+    df = spark.createDataFrame(
+        [(1, good), (2, repetitive), (3, tiny)],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in quality_rules(df).collect()}
+    assert rows[1].keep is True
+    assert rows[2].keep is False and rows[2].top_token_frac == 1.0
+    # all-equal tokens: every adjacent 2-gram is the same string
+    assert rows[2].dup_2gram_frac > 0.9
+    assert rows[3].keep is False and rows[3].n_tokens == 2
+
+
+def test_boilerplate_frac_detects_shared_template(spark):
+    template = " ".join(f"t{i}" for i in range(10))
+    rows = [
+        (i, template + " " + " ".join(f"u{i}x{j}" for j in range(10)))
+        for i in range(4)
+    ] + [(99, " ".join(f"z{j}" for j in range(20)))]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in boilerplate_frac(df, n=5, min_docs=2).collect()}
+    # template shingles occur in 4 docs; unique-tail shingles in one
+    for i in range(4):
+        assert out[i].n_common >= 6  # the 6 all-template windows
+        assert 0 < out[i].boiler_frac < 1
+    assert out[99].n_common == 0 and out[99].boiler_frac == 0.0
 
 
 def test_vocab_topk_ordering(spark, sf_dir):
