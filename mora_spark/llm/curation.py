@@ -220,45 +220,45 @@ def boilerplate_frac(
     dedup, so each (doc, shingle) appears once and a plain count(*)
     per shingle IS the document frequency), one groupBy to build the
     common-shingle set, then a broadcast semi-join back onto the same
-    exploded stream. Two scans of the corpus, one shuffle keyed by
+    exploded stream. The per-doc denominator is a scan-stage
+    ``size(array_distinct(...))`` — NOT a third explode+agg, which
+    would re-scan the corpus and add a shuffle for a number the array
+    already knows. Two corpus scans total, one shuffle keyed by
     shingle hash; the common set is corpus-vocabulary-sized, not
     corpus-sized, so the broadcast holds at scale (drop the hint past
-    driver memory and it degrades to a shuffle join).
+    driver memory and it degrades to a shuffle join). The final
+    hits-onto-denominator join is left to AQE: the hit side is usually
+    small but adversarial corpora can make it corpus-sized, so a
+    forced broadcast would be wrong.
 
     Emits (id, n_shingles, n_common, boiler_frac) for docs with >= 1
     shingle."""
     toked = df.select(
         F.col(id_col).alias("id"), tokens(text_col).alias("_toks")
     )
-    sh = toked.select(
-        "id",
-        F.explode(
-            F.array_distinct(shingle_hashes(F.col("_toks"), n))
-        ).alias("sh"),
-    )
+    dsh = F.array_distinct(shingle_hashes(F.col("_toks"), n))
+    sh = toked.select("id", F.explode(dsh).alias("sh"))
     common = (
         sh.groupBy("sh")
         .agg(F.count(F.lit(1)).alias("df"))
         .where(F.col("df") >= min_docs)
         .select("sh")
     )
-    return (
+    hits = (
         sh.join(F.broadcast(common), "sh", "left_semi")
         .groupBy("id")
         .agg(F.count(F.lit(1)).alias("n_common"))
-        .join(
-            sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles")),
-            "id",
-            "right",
-        )
-        .select(
-            F.col("id").alias(id_col),
-            "n_shingles",
-            F.coalesce("n_common", F.lit(0)).alias("n_common"),
-            F.round(
-                F.coalesce("n_common", F.lit(0)) / F.col("n_shingles"), 6
-            ).alias("boiler_frac"),
-        )
+    )
+    per = toked.select("id", F.size(dsh).alias("n_shingles")).where(
+        F.col("n_shingles") > 0
+    )
+    return per.join(hits, "id", "left").select(
+        F.col("id").alias(id_col),
+        "n_shingles",
+        F.coalesce("n_common", F.lit(0)).alias("n_common"),
+        F.round(
+            F.coalesce("n_common", F.lit(0)) / F.col("n_shingles"), 6
+        ).alias("boiler_frac"),
     )
 
 
