@@ -28,10 +28,27 @@ from pyspark.sql import types as T
 from mora_spark.datasets import load_table
 from mora_spark.streaming.ingest import EVENT_STREAM_SCHEMA
 
-# Spark's default JSON timestamp format truncates to milliseconds;
+# Spark's default JSON timestamp formats truncate to milliseconds;
 # events carry microseconds, so the wire pins a lossless format on
-# BOTH the producer and consumer side.
-_TS_FMT = {"timestampFormat": "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"}
+# BOTH the producer and consumer side. The event data model is naive
+# UTC wall-clock (parquet timestamp[us], isAdjustedToUTC=false → Spark
+# TIMESTAMP_NTZ), and NTZ columns use the separate `timestampNTZFormat`
+# option — the plain `timestampFormat` is silently ignored for them,
+# which the wire contract must not rely on.
+_TS_FMT = {
+    "timestampFormat": "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX",
+    "timestampNTZFormat": "yyyy-MM-dd'T'HH:mm:ss.SSSSSS",
+}
+
+# Consumer-side payload schema: EVENT_STREAM_SCHEMA with ts as
+# TIMESTAMP_NTZ, so a parsed wire record is column-for-column AND
+# type-for-type identical to a row read from the events table.
+WIRE_EVENT_SCHEMA = T.StructType(
+    [
+        f if f.name != "ts" else T.StructField("ts", T.TimestampNTZType())
+        for f in EVENT_STREAM_SCHEMA
+    ]
+)
 
 # Column-for-column the schema `format("kafka")` emits.
 KAFKA_WIRE_SCHEMA = T.StructType(
@@ -55,7 +72,7 @@ def parse_event_wire(raw: DataFrame) -> DataFrame:
     when the topic is dirty."""
     return raw.select(
         F.from_json(
-            F.col("value").cast("string"), EVENT_STREAM_SCHEMA, _TS_FMT
+            F.col("value").cast("string"), WIRE_EVENT_SCHEMA, _TS_FMT
         ).alias("e")
     ).select("e.*")
 
