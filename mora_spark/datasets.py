@@ -76,6 +76,27 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def spread(df: DataFrame, min_ratio: int = 2) -> DataFrame:
+    """Re-spread a narrow scan across all cores before CPU-heavy
+    per-row expression work (tokenization, shingle hashing, vector
+    math).
+
+    A small parquet input is one row group, so Spark plans the whole
+    scan — and every scan-stage expression fused onto it — as ONE task,
+    serializing the corpus-wide md5/HOF work the text and vector
+    operators do, however many cores the session has. When the planned
+    scan parallelism is materially below the session default, one
+    round-robin shuffle of the raw rows unlocks the cores; the guard
+    makes this a no-op at 100 TB, where the input arrives as thousands
+    of splits and an unconditional repartition would be a pointless
+    full-corpus shuffle.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() * min_ratio <= target:
+        return df.repartition(target)
+    return df
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLES}
 

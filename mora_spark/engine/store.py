@@ -86,20 +86,31 @@ class _TxnLog:
     def __init__(self, root: str):
         self.dir = os.path.join(root, "_log")
 
-    def current(self) -> tuple[int, list[dict]]:
-        """Newest (version, entries); (0, []) for an empty store."""
+    def versions(self) -> list[int]:
+        """All committed versions, ascending."""
         if not os.path.isdir(self.dir):
-            return 0, []
-        versions = [
+            return []
+        return sorted(
             int(n[:-5])
             for n in os.listdir(self.dir)
             if n.endswith(".json") and n[:-5].isdigit()
-        ]
+        )
+
+    def read_version(self, version: int) -> dict:
+        """The full manifest record {version, txn, files} at ``version``."""
+        with open(os.path.join(self.dir, f"{version:012d}.json")) as f:
+            return json.load(f)
+
+    def entries_at(self, version: int) -> list[dict]:
+        return self.read_version(version)["files"]
+
+    def current(self) -> tuple[int, list[dict]]:
+        """Newest (version, entries); (0, []) for an empty store."""
+        versions = self.versions()
         if not versions:
             return 0, []
-        v = max(versions)
-        with open(os.path.join(self.dir, f"{v:012d}.json")) as f:
-            return v, json.load(f)["files"]
+        v = versions[-1]
+        return v, self.entries_at(v)
 
     def try_commit(self, version: int, entries: list[dict], txn: str) -> bool:
         """CAS-publish ``version``; False if a racer got there first."""
@@ -328,6 +339,19 @@ class CandleStore:
 
     # -- read path ---------------------------------------------------
 
+    def history(self) -> DataFrame:
+        """The commit log as a table: one row per committed version with
+        its transaction id and live-file count — the operational analogue
+        of Delta's DESCRIBE HISTORY over this store's manifest log."""
+        rows = [
+            (v, m["txn"], len(m["files"]))
+            for v in self._log.versions()
+            for m in [self._log.read_version(v)]
+        ]
+        return self.spark.createDataFrame(
+            rows, "version long, txn string, n_files long"
+        )
+
     def read(
         self,
         market: str | None = None,
@@ -335,6 +359,7 @@ class CandleStore:
         candle_length: int | None = None,
         start=None,
         end=None,
+        version: int | None = None,
     ) -> DataFrame:
         """Keyed/temporal read with two pruning layers: manifest entries
         are filtered driver-side (no file outside the key/year range is
@@ -343,8 +368,19 @@ class CandleStore:
 
         ``start``/``end`` bound ``ts`` as [start, end) and additionally
         prune whole year partitions before any file is opened.
+
+        ``version`` time-travels: the scan is planned against that
+        manifest snapshot instead of the newest one (the reference's
+        snapshot-isolated accessor read; Delta's ``versionAsOf``). Data
+        files are immutable and a manifest lists exactly its snapshot's
+        files, so an old version stays byte-exactly readable until
+        :meth:`vacuum` reclaims files the NEWEST manifest no longer
+        references — vacuum bounds the time-travel horizon, as in Delta.
         """
-        _, files = self._log.current()
+        if version is not None:
+            files = self._log.entries_at(version)
+        else:
+            _, files = self._log.current()
 
         def keep(e: dict) -> bool:
             p = e["partition"]

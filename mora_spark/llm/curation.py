@@ -219,17 +219,13 @@ def boilerplate_frac(
     Plan shape: one explode of per-doc DISTINCT shingles (array-side
     dedup, so each (doc, shingle) appears once and a plain count(*)
     per shingle IS the document frequency), one groupBy to build the
-    common-shingle set, then a broadcast semi-join back onto the same
-    exploded stream. The per-doc denominator is a scan-stage
-    ``size(array_distinct(...))`` — NOT a third explode+agg, which
-    would re-scan the corpus and add a shuffle for a number the array
-    already knows. Two corpus scans total, one shuffle keyed by
-    shingle hash; the common set is corpus-vocabulary-sized, not
-    corpus-sized, so the broadcast holds at scale (drop the hint past
-    driver memory and it degrades to a shuffle join). The final
-    hits-onto-denominator join is left to AQE: the hit side is usually
-    small but adversarial corpora can make it corpus-sized, so a
-    forced broadcast would be wrong.
+    common-shingle set, then a broadcast left join back onto the same
+    exploded stream that flags each (doc, shingle) row, and ONE
+    per-doc aggregate that counts denominator and numerator together.
+    Two corpus scans total (common build + flagged agg), two shuffles
+    (by shingle hash, by doc id); the common set is corpus-vocabulary-
+    sized, not corpus-sized, so the broadcast holds at scale (drop the
+    hint past driver memory and it degrades to a shuffle join).
 
     Emits (id, n_shingles, n_common, boiler_frac) for docs with >= 1
     shingle."""
@@ -244,20 +240,27 @@ def boilerplate_frac(
         .where(F.col("df") >= min_docs)
         .select("sh")
     )
-    hits = (
-        sh.join(F.broadcast(common), "sh", "left_semi")
-        .groupBy("id")
-        .agg(F.count(F.lit(1)).alias("n_common"))
+    # Numerator AND denominator from ONE pass over the exploded stream:
+    # a broadcast left join marks each (doc, shingle) row common or not,
+    # and a single per-doc aggregate counts both. A separate
+    # `size(dsh) > 0` denominator branch would be cheaper on paper
+    # (scan-stage size()), but its emptiness filter gets pushed below
+    # the exchange to the scan, re-running the whole shingle+md5
+    # pipeline serially on the (often single-split) scan task; docs
+    # with zero shingles are simply absent from `sh`, so this form
+    # needs no filter at all.
+    flagged = sh.join(
+        F.broadcast(common.withColumn("_c", F.lit(1))), "sh", "left"
     )
-    per = toked.select("id", F.size(dsh).alias("n_shingles")).where(
-        F.col("n_shingles") > 0
-    )
-    return per.join(hits, "id", "left").select(
+    return flagged.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        F.sum(F.coalesce("_c", F.lit(0))).alias("n_common"),
+    ).select(
         F.col("id").alias(id_col),
         "n_shingles",
-        F.coalesce("n_common", F.lit(0)).alias("n_common"),
+        "n_common",
         F.round(
-            F.coalesce("n_common", F.lit(0)) / F.col("n_shingles"), 6
+            F.col("n_common") / F.col("n_shingles"), 6
         ).alias("boiler_frac"),
     )
 

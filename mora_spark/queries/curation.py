@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from mora_spark.datasets import load_table
+from mora_spark.datasets import load_table, spread
 from mora_spark.functions.text import tokens
 from mora_spark.llm.curation import (
     boilerplate_frac,
@@ -28,7 +28,8 @@ from mora_spark.queries.text import TOKS_SQL
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load_table(spark, sf_dir, "documents")
+    # spread: see queries/text.py — parallelize scan-stage token work.
+    return spread(load_table(spark, sf_dir, "documents"))
 
 
 # --- q_stratified_sample: reproducible per-language downsampling ---

@@ -28,25 +28,34 @@ def scratch_dir(name: str, sf_dir: str) -> str:
 
 def q_store_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ingest candles, then upsert a restatement batch (every 'click'
-    bar's close/volume shifted), then read back — exercising merge
-    last-writer-wins + partition overwrite + pruned read end-to-end."""
+    bar's close/volume shifted), then read back BOTH snapshots —
+    ``head`` must show the restatement (merge last-writer-wins +
+    partition overwrite + pruned read) and time-travel ``v1`` must
+    still show the pre-restatement data byte-exactly (the reference's
+    snapshot-isolated accessor read; commit never mutates data files).
+    """
     path = scratch_dir("store_roundtrip", sf_dir)
     shutil.rmtree(path, ignore_errors=True)
     store = CandleStore(spark, path)
 
     candles = candles_from_events(load_table(spark, sf_dir, "events"))
-    store.write(candles)  # initial load
+    store.write(candles)  # initial load -> manifest version 1
 
     restatement = (
         candles.where(F.col("code") == "click")
         .withColumn("close", F.col("close") + 1000.0)
         .withColumn("volume", F.lit(0.0))
     )
-    store.write(restatement)  # upsert: new values must win
+    store.write(restatement)  # upsert: new values must win -> version 2
 
-    return store.read(market="SYN").select(
+    cols = [
         "market", "code", "candle_length", "ts",
         "open", "high", "low", "close", "volume", "bit_fields",
+    ]
+    head = store.read(market="SYN").select(*cols)
+    v1 = store.read(market="SYN", version=1).select(*cols)
+    return head.withColumn("snapshot", F.lit("head")).unionByName(
+        v1.withColumn("snapshot", F.lit("v1"))
     )
 
 
@@ -55,7 +64,11 @@ O_STORE_ROUNDTRIP = candles_sql(
 SELECT market, code, candle_length, ts, open, high, low,
        CASE WHEN code = 'click' THEN close + 1000.0 ELSE close END AS close,
        CASE WHEN code = 'click' THEN 0.0 ELSE volume END AS volume,
-       bit_fields
+       bit_fields, 'head' AS snapshot
+FROM candles
+UNION ALL
+SELECT market, code, candle_length, ts, open, high, low, close, volume,
+       bit_fields, 'v1' AS snapshot
 FROM candles
 """
 )

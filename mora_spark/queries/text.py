@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from mora_spark.datasets import load_table
+from mora_spark.datasets import load_table, spread
 from mora_spark.functions.text import (
     LANG_MARKERS,
     STOPWORDS,
@@ -44,7 +44,9 @@ def _sql_list(words: list[str]) -> str:
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load_table(spark, sf_dir, "documents")
+    # spread: the tokenize/shingle/md5 work these queries fuse onto the
+    # scan must not serialize on a one-row-group local file.
+    return spread(load_table(spark, sf_dir, "documents"))
 
 
 # --- q_dedup_exact: exact dedup over a re-crawled (doubled) corpus ---

@@ -11,7 +11,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
-from mora_spark.datasets import load_table
+from mora_spark.datasets import load_table, spread
 from mora_spark.functions.vectors import as_double, cosine, dot, l2_norm
 
 N_QUERIES = 5  # vec_id < 5 are the query vectors
@@ -19,7 +19,8 @@ TOP_K = 5
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load_table(spark, sf_dir, "embeddings")
+    # spread: per-row vector arithmetic parallelizes only if the scan does.
+    return spread(load_table(spark, sf_dir, "embeddings"))
 
 
 # --- q_embedding_norms: per-vector norm/mean profile ---

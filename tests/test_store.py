@@ -99,6 +99,37 @@ def test_append_fast_path(spark, store):
     assert store.read().count() == 2
 
 
+def test_time_travel_reads_old_snapshot(spark, store):
+    """Snapshot isolation across commits: a version pins its manifest,
+    and immutable data files keep it byte-exactly readable after later
+    merges rewrite the partition (reference: accessor reads a fixed
+    page snapshot; Delta: versionAsOf)."""
+    b1 = mk(spark, [("BTC", dt.datetime(2021, 1, 1, 0, i), 100.0 + i)
+                    for i in range(5)])
+    b2 = mk(spark, [("BTC", dt.datetime(2021, 1, 1, 0, 2), 999.0)])
+    store.write(b1)
+    store.write(b2)
+    head = {r["ts"].minute: r["open"] for r in store.read().collect()}
+    old = {r["ts"].minute: r["open"]
+           for r in store.read(version=1).collect()}
+    assert head[2] == 999.0
+    assert old[2] == 102.0 and len(old) == 5
+    hist = {r["version"]: r["n_files"] for r in store.history().collect()}
+    assert sorted(hist) == [1, 2]
+
+
+def test_vacuum_bounds_time_travel(spark, store):
+    """vacuum(0) reclaims files the newest manifest no longer lists;
+    the head snapshot survives, the rewritten old version does not —
+    the Delta-style retention horizon documented on read()."""
+    store.write(mk(spark, [("BTC", dt.datetime(2021, 1, 1), 1.0)]))
+    store.write(mk(spark, [("BTC", dt.datetime(2021, 1, 1), 2.0)]))
+    assert store.vacuum(older_than_s=0) > 0
+    assert [r["open"] for r in store.read().collect()] == [2.0]
+    with pytest.raises(Exception):
+        store.read(version=1).collect()
+
+
 def test_stats_mirrors_page_header_fields(spark, store):
     base = dt.datetime(2021, 6, 1)
     store.write(
