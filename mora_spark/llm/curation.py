@@ -233,7 +233,15 @@ def boilerplate_frac(
         F.col(id_col).alias("id"), tokens(text_col).alias("_toks")
     )
     dsh = F.array_distinct(shingle_hashes(F.col("_toks"), n))
-    sh = toked.select("id", F.explode(dsh).alias("sh"))
+    # Materialize the exploded stream once: both consumers below would
+    # otherwise re-run the full tokenize+shingle+md5 corpus pass. A lazy
+    # localCheckpoint computes it on first use and its blocks are
+    # reclaimed by the ContextCleaner when the result is dropped, so
+    # repeated invocations don't accumulate pinned storage the way a
+    # bare persist() would.
+    sh = toked.select("id", F.explode(dsh).alias("sh")).localCheckpoint(
+        eager=False
+    )
     common = (
         sh.groupBy("sh")
         .agg(F.count(F.lit(1)).alias("df"))
