@@ -114,6 +114,57 @@ def clear_lsh_cache() -> None:
     _LSH_CACHE.clear()
 
 
+def _group_table(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Unique-token-set groups: (gid, members, ti, n). One node per
+    distinct token set — Jaccard and the MinHash signature depend only
+    on the set, so one representative does all downstream work. Callers
+    that reuse the result across jobs should persist it (it feeds
+    signatures, the verification table, and member expansion)."""
+    return (
+        df.select(
+            F.col(id_col).alias("id"),
+            _int_tokens(distinct_tokens(text_col)).alias("ti"),
+        )
+        .withColumn("gid", F.md5(F.concat_ws(",", "ti")))
+        .groupBy("gid")
+        .agg(
+            F.sort_array(F.collect_list("id")).alias("members"),
+            F.first("ti").alias("ti"),
+        )
+        .withColumn("n", F.size("ti"))
+    )
+
+
+def _band_table(groups: DataFrame) -> DataFrame:
+    """LSH band rows per group: (gid, bks, band, band_key), where bks is
+    the group's full band-key array (carried so a pair's FIRST shared
+    band is computable map-side at join time)."""
+    sigs = groups.withColumn("mh", _affine_minhash(F.col("ti")))
+    n_bands = N_HASHES // BAND_SIZE
+    band_keys = F.array(
+        *[
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    *[
+                        F.col("mh").getItem(b * BAND_SIZE + i)
+                        for i in range(BAND_SIZE)
+                    ],
+                )
+            )
+            for b in range(n_bands)
+        ]
+    )
+    return (
+        sigs.withColumn("bks", band_keys)
+        .select(
+            "gid",
+            "bks",
+            F.posexplode("bks").alias("band", "band_key"),
+        )
+    )
+
+
 def _minhash_groups_verified(
     df: DataFrame,
     text_col: str,
@@ -140,49 +191,8 @@ def _minhash_groups_verified(
     nparts = int(
         df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
     )
-    gid = F.md5(F.concat_ws(",", "ti"))
-    groups = (
-        df.select(
-            F.col(id_col).alias("id"),
-            _int_tokens(distinct_tokens(text_col)).alias("ti"),
-        )
-        .withColumn("gid", gid)
-        .groupBy("gid")
-        .agg(
-            F.sort_array(F.collect_list("id")).alias("members"),
-            F.first("ti").alias("ti"),
-        )
-        .withColumn("n", F.size("ti"))
-        # groups feeds three consumers (signatures, the broadcast
-        # verification table, intra-group expansion); caching the tiny
-        # unique-set table avoids tokenizing the corpus three times.
-        .persist()
-    )
-
-    sigs = groups.withColumn("mh", _affine_minhash(F.col("ti")))
-    n_bands = N_HASHES // BAND_SIZE
-    band_keys = F.array(
-        *[
-            F.md5(
-                F.concat_ws(
-                    "|",
-                    *[
-                        F.col("mh").getItem(b * BAND_SIZE + i)
-                        for i in range(BAND_SIZE)
-                    ],
-                )
-            )
-            for b in range(n_bands)
-        ]
-    )
-    banded = (
-        sigs.withColumn("bks", band_keys)
-        .select(
-            "gid",
-            "bks",
-            F.posexplode("bks").alias("band", "band_key"),
-        )
-    )
+    groups = _group_table(df, text_col, id_col).persist()
+    banded = _band_table(groups)
 
     a, b = banded.alias("a"), banded.alias("b")
     # A pair sharing k bands meets k times in the band join; keeping
@@ -312,6 +322,137 @@ def minhash_lsh_pairs(
         )
     )
     return inter.unionByName(intra)
+
+
+def build_minhash_index(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> tuple[DataFrame, DataFrame]:
+    """Corpus LSH index as two normalized tables — the build-once side
+    of INCREMENTAL dedup (the production shape: new crawl batches are
+    deduped against the indexed corpus without re-scanning it).
+
+    Returns ``(bands, groups)``: ``bands`` has one row per (group,
+    band) with the band key and the group's full band-key array;
+    ``groups`` holds each unique token set once (gid, members, ti, n).
+    Normalized on purpose: the band join only ships (gid, bks,
+    band_key) rows, and token arrays are fetched once per *candidate
+    group* from ``groups`` — an index row never duplicates the token
+    set four times. At scale, write ``bands`` bucketed by band_key and
+    ``groups`` bucketed by gid so increment joins are co-located."""
+    groups = _group_table(df, text_col, id_col)
+    bands = _band_table(groups)
+    return bands, groups
+
+
+def save_minhash_index(
+    bands: DataFrame, groups: DataFrame, path: str
+) -> None:
+    """Persist an LSH index (plain parquet subdirs ``bands``/``groups``)."""
+    bands.write.mode("overwrite").parquet(f"{path}/bands")
+    groups.write.mode("overwrite").parquet(f"{path}/groups")
+
+
+def load_minhash_index(spark, path: str) -> tuple[DataFrame, DataFrame]:
+    return (
+        spark.read.parquet(f"{path}/bands"),
+        spark.read.parquet(f"{path}/groups"),
+    )
+
+
+def dedup_increment(
+    batch: DataFrame,
+    index_bands: DataFrame,
+    index_groups: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Dedup a new batch against an indexed corpus + within itself.
+
+    Emits (doc_id, dup_id, jaccard, src): ``src='corpus'`` rows pair a
+    batch doc with an indexed corpus doc; ``src='batch'`` rows pair it
+    with an EARLIER batch doc (dup_id < doc_id), so "keep every doc
+    with no emitted row" reproduces exactly what indexing the corpus
+    and batch together would have kept.
+
+    Scale shape: the batch side is small by construction (one crawl
+    increment), so its group table broadcasts into both the band join
+    and verification; the corpus index is touched only via (a) the band
+    equi-join (shuffle of index band rows matching the batch's band
+    keys — a semi-join-sized subset, co-located for free if the index
+    is bucketed by band_key) and (b) one gid-keyed fetch of candidate
+    groups' token sets. The corpus text is never re-tokenized."""
+    bgroups = _group_table(batch, text_col, id_col)
+    bbands = _band_table(bgroups)
+
+    n_, c = bbands.alias("n"), index_bands.alias("c")
+    # Same first-shared-band trick as the self-join: each (batch group,
+    # corpus group) pair is emitted exactly once, map-side.
+    first_shared = F.array_position(
+        F.zip_with(
+            F.col("n.bks"),
+            F.col("c.bks"),
+            lambda x, y: (x == y).cast("int"),
+        ),
+        1,
+    )
+    cand = (
+        F.broadcast(n_)
+        .join(
+            c,
+            (F.col("n.band") == F.col("c.band"))
+            & (F.col("n.band_key") == F.col("c.band_key")),
+        )
+        .where(first_shared == F.col("n.band") + 1)
+        .select(F.col("n.gid").alias("gid_n"), F.col("c.gid").alias("gid_c"))
+    )
+    cross = (
+        cand.join(
+            F.broadcast(
+                bgroups.select(
+                    F.col("gid").alias("gid_n"),
+                    F.col("ti").alias("ti_n"),
+                    F.col("n").alias("n_n"),
+                    F.col("members").alias("m_n"),
+                )
+            ),
+            "gid_n",
+        )
+        .join(
+            index_groups.select(
+                F.col("gid").alias("gid_c"),
+                F.col("ti").alias("ti_c"),
+                F.col("n").alias("n_c"),
+                F.col("members").alias("m_c"),
+            ),
+            "gid_c",
+        )
+        .where(F.least("n_n", "n_c") >= threshold * F.greatest("n_n", "n_c"))
+        .withColumn("isect", F.size(F.array_intersect("ti_n", "ti_c")))
+        .withColumn(
+            "jaccard",
+            F.col("isect") / (F.col("n_n") + F.col("n_c") - F.col("isect")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select(
+            F.explode("m_n").alias("doc_id"), "m_c", "jaccard"
+        )
+        .select(
+            "doc_id",
+            F.explode("m_c").alias("dup_id"),
+            "jaccard",
+            F.lit("corpus").alias("src"),
+        )
+    )
+    intra = minhash_lsh_pairs(
+        batch, text_col, id_col, threshold
+    ).select(
+        F.col("doc_b").alias("doc_id"),
+        F.col("doc_a").alias("dup_id"),
+        "jaccard",
+        F.lit("batch").alias("src"),
+    )
+    return cross.unionByName(intra)
 
 
 def neardup_clusters(

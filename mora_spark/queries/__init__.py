@@ -21,8 +21,9 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # for round 2: every query with no driver row yet (34) and every query
 # that was driver-red in round 1 (9 — all since fixed: dtype aligns,
 # scalar percentile columns) gets a slot; the remaining slots are
-# round-1-green canaries covering distinct machinery (scan build, store
-# LWW merge, pandas-UDF EMA, as-of join, exact dedup). Round-1-green
+# round-1-green canaries covering distinct machinery (store
+# LWW merge, pandas-UDF EMA, as-of join, exact dedup; q_candles_1m's scan
+# build is exercised in-window by the resample and store queries). Round-1-green
 # queries demoted below the window keep their green
 # CORRECTNESS_r01.json rows as evidence.
 PRIORITY: tuple[str, ...] = (
@@ -32,6 +33,7 @@ PRIORITY: tuple[str, ...] = (
     "q_dedup_clusters",
     "q_simhash",
     "q_jaccard_pairs",
+    "q_dedup_increment",  # new this round: persisted-index incremental dedup
     "q_corpus_curation",
     "q_stratified_sample",
     "q_decontaminate",
@@ -68,7 +70,6 @@ PRIORITY: tuple[str, ...] = (
     "q_store_roundtrip",
     "q_ysf_roundtrip",
     # timeseries / candle engine
-    "q_candles_1m",       # canary (r1 green)
     "q_upsert_lww",       # canary (r1 green)
     "q_resample_5m",      # r1 red: int-sum dtype, fixed
     "q_resample_1h",      # r1 red: int-sum dtype, fixed

@@ -248,6 +248,81 @@ SELECT doc_a, doc_b, jaccard FROM (
 """
 
 
+# --- q_dedup_increment: new-batch dedup against a persisted index ---
+
+def q_dedup_increment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup, the production ingestion shape: the standing
+    corpus (doc_id % 10 != 0) is LSH-indexed ONCE and persisted; the
+    new crawl increment (doc_id % 10 == 0) is deduped against the
+    loaded index plus itself, never re-tokenizing the corpus. The
+    round-trip through parquet is part of the query so the driver
+    verifies the persisted-index path, not just the in-memory plan."""
+    import shutil
+
+    from mora_spark.llm.dedup import (
+        build_minhash_index,
+        dedup_increment,
+        load_minhash_index,
+        save_minhash_index,
+    )
+    from mora_spark.queries.store import scratch_dir
+
+    d = _docs(spark, sf_dir)
+    corpus = d.where(F.col("doc_id") % 10 != 0)
+    batch = d.where(F.col("doc_id") % 10 == 0)
+    path = scratch_dir("minhash_index", sf_dir)
+    shutil.rmtree(path, ignore_errors=True)
+    save_minhash_index(*build_minhash_index(corpus), path)
+    bands, groups = load_minhash_index(spark, path)
+    return dedup_increment(batch, bands, groups, threshold=0.5)
+
+
+def _o_dedup_increment(threshold: float = 0.5) -> str:
+    """Doc-level rendition of the index + increment pipeline: same
+    banding as :func:`_o_minhash`, with candidates restricted to
+    (increment x corpus) and (increment x earlier-in-increment)."""
+    from mora_spark.llm.dedup import MINHASH_AB, MINHASH_P
+
+    sig_items = ", ".join(
+        f"list_min(list_transform(ti, h -> ({a} * (h // 2) + {b}) % {MINHASH_P}))"
+        for a, b in MINHASH_AB
+    )
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         list_distinct(list_transform(list_distinct({TOKS_SQL}),
+           tok -> CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT))) AS ti
+  FROM documents
+),
+sig AS (SELECT doc_id, ti, len(ti) AS n, [{sig_items}] AS mh FROM t),
+banded AS (
+  SELECT doc_id, b,
+         md5(array_to_string(mh[4 * b + 1 : 4 * b + 4], '|')) AS band_key
+  FROM sig CROSS JOIN (SELECT unnest(range(4)) AS b)
+),
+cand AS (
+  SELECT DISTINCT n.doc_id AS doc_id, c.doc_id AS dup_id, 'corpus' AS src
+  FROM banded n
+  JOIN banded c ON n.b = c.b AND n.band_key = c.band_key
+  WHERE n.doc_id % 10 = 0 AND c.doc_id % 10 != 0
+  UNION ALL
+  SELECT DISTINCT n.doc_id, c.doc_id AS dup_id, 'batch' AS src
+  FROM banded n
+  JOIN banded c ON n.b = c.b AND n.band_key = c.band_key
+  WHERE n.doc_id % 10 = 0 AND c.doc_id % 10 = 0 AND c.doc_id < n.doc_id
+)
+SELECT doc_id, dup_id, jaccard, src FROM (
+  SELECT cand.doc_id, cand.dup_id, cand.src,
+         len(list_intersect(ta.ti, tb.ti))
+           / (ta.n + tb.n - len(list_intersect(ta.ti, tb.ti))) AS jaccard
+  FROM cand
+  JOIN sig ta ON ta.doc_id = cand.doc_id
+  JOIN sig tb ON tb.doc_id = cand.dup_id
+  WHERE least(ta.n, tb.n) >= {threshold} * greatest(ta.n, tb.n)
+) WHERE jaccard >= {threshold}
+"""
+
+
 # --- q_dedup_clusters: near-dup PAIRS -> dedup CLUSTERS ---
 # The iterative-algorithm entry: min-label propagation over the
 # CONTRACTED group graph (llm.dedup.neardup_clusters — one node per
@@ -398,6 +473,7 @@ QUERIES = {
     "q_fingerprint": q_fingerprint,
     "q_jaccard_pairs": q_jaccard_pairs,
     "q_minhash_lsh": q_minhash_lsh,
+    "q_dedup_increment": q_dedup_increment,
     "q_simhash": q_simhash,
     "q_dedup_clusters": q_dedup_clusters,
     "q_corpus_curation": q_corpus_curation,
@@ -410,6 +486,7 @@ ORACLES = {
     "q_fingerprint": O_FINGERPRINT,
     "q_jaccard_pairs": O_JACCARD_PAIRS,
     "q_minhash_lsh": _o_minhash(),
+    "q_dedup_increment": _o_dedup_increment(),
     "q_simhash": O_SIMHASH,
     "q_dedup_clusters": _o_dedup_clusters(),
     "q_corpus_curation": _o_corpus_curation(),
