@@ -43,6 +43,7 @@ HEADLINE = [
     "q_quality_rules",
     "q_boilerplate",
     "q_minhash_lsh",
+    "q_dedup_increment",
     "q_dedup_clusters",
     "q_corpus_curation",
     "q_embed_neardup",
