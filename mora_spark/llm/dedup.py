@@ -171,6 +171,7 @@ def _minhash_groups_verified(
     id_col: str,
     threshold: float,
     cache_key: str | None = None,
+    prebuilt: tuple[DataFrame, DataFrame] | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Shared MinHash-LSH core: returns (groups, verified) where
     ``groups`` is the unique-token-set table (gid, members, ti, n) and
@@ -182,7 +183,12 @@ def _minhash_groups_verified(
     the cascade is computed once per key at ``min(threshold, 0.5)`` and
     memoized persisted; tighter thresholds refilter the cached exact
     Jaccard. Callers without a key get a fresh uncached plan (and own
-    its ``persist`` lifetime)."""
+    its ``persist`` lifetime).
+
+    ``prebuilt`` supplies an already-computed (groups, banded) pair so
+    a caller that also needs them elsewhere (incremental dedup: the
+    same batch joins the corpus index) tokenizes the input exactly
+    once."""
     base_t = min(threshold, _CACHE_BASE_T)
     key = (cache_key, text_col, id_col, base_t)
     if cache_key is not None and key in _LSH_CACHE:
@@ -191,8 +197,11 @@ def _minhash_groups_verified(
     nparts = int(
         df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
     )
-    groups = _group_table(df, text_col, id_col).persist()
-    banded = _band_table(groups)
+    if prebuilt is not None:
+        groups, banded = prebuilt
+    else:
+        groups = _group_table(df, text_col, id_col).persist()
+        banded = _band_table(groups)
 
     a, b = banded.alias("a"), banded.alias("b")
     # A pair sharing k bands meets k times in the band join; keeping
@@ -270,6 +279,7 @@ def minhash_lsh_pairs(
     id_col: str = "doc_id",
     threshold: float = 0.5,
     cache_key: str | None = None,
+    prebuilt: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash LSH, verified with exact Jaccard.
 
@@ -295,7 +305,8 @@ def minhash_lsh_pairs(
     unchanged.
     """
     groups, verified = _minhash_groups_verified(
-        df, text_col, id_col, threshold, cache_key=cache_key
+        df, text_col, id_col, threshold, cache_key=cache_key,
+        prebuilt=prebuilt,
     )
 
     inter = (
@@ -382,7 +393,9 @@ def dedup_increment(
     keys — a semi-join-sized subset, co-located for free if the index
     is bucketed by band_key) and (b) one gid-keyed fetch of candidate
     groups' token sets. The corpus text is never re-tokenized."""
-    bgroups = _group_table(batch, text_col, id_col)
+    # One tokenization of the batch: the same (groups, bands) feed the
+    # cross join against the index AND the within-batch self-join.
+    bgroups = _group_table(batch, text_col, id_col).persist()
     bbands = _band_table(bgroups)
 
     n_, c = bbands.alias("n"), index_bands.alias("c")
@@ -445,7 +458,7 @@ def dedup_increment(
         )
     )
     intra = minhash_lsh_pairs(
-        batch, text_col, id_col, threshold
+        batch, text_col, id_col, threshold, prebuilt=(bgroups, bbands)
     ).select(
         F.col("doc_b").alias("doc_id"),
         F.col("doc_a").alias("dup_id"),
@@ -462,6 +475,7 @@ def neardup_clusters(
     threshold: float = 0.5,
     num_partitions: int | None = None,
     cache_key: str | None = None,
+    prebuilt: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """Near-dup components directly, WITHOUT expanding doc-level pairs.
 
@@ -481,7 +495,8 @@ def neardup_clusters(
     from mora_spark.llm.cluster import connected_components
 
     groups, verified = _minhash_groups_verified(
-        df, text_col, id_col, threshold, cache_key=cache_key
+        df, text_col, id_col, threshold, cache_key=cache_key,
+        prebuilt=prebuilt,
     )
     rep = F.element_at("members", 1)  # members is sort_array'd → min
     edges = verified.select(

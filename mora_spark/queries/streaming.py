@@ -276,8 +276,117 @@ FROM events a JOIN events b
 """
 
 
+# --- q_stream_dedup_increment: continuous corpus curation ---
+
+_INCR_BATCHES = 4
+_INCR_T = 0.5
+
+
+def q_stream_dedup_increment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents replayed as 4 deterministic micro-batches through the
+    streaming incremental-dedup loop: each batch dedups against the
+    persisted LSH index of earlier KEPT docs + itself, then appends its
+    survivors to the index. Output is every emitted dup pair; the
+    oracle replays the same greedy sequence as unrolled per-batch CTEs."""
+    from mora_spark.streaming.increment import (
+        docs_chunked_source,
+        stream_dedup_increment,
+    )
+
+    work = _work("stream_dedup_incr", sf_dir)
+    src = docs_chunked_source(
+        spark, sf_dir, _src_cache(sf_dir), n_chunks=_INCR_BATCHES
+    )
+    return stream_dedup_increment(spark, src, work, threshold=_INCR_T)
+
+
+def _o_stream_dedup_increment(
+    n: int = _INCR_BATCHES, t: float = _INCR_T
+) -> str:
+    """Unrolled replay of the streaming drop rule: batch k = docs with
+    doc_id % n == k; ``pairs`` holds every LSH-banded, Jaccard-verified
+    pair (same banding as :func:`mora_spark.queries.text._o_minhash`);
+    kept_k excludes docs pairing with an earlier kept doc (either
+    orientation) or an earlier same-batch doc; emitted rows mirror the
+    engine's (doc_id, dup_id, jaccard, src) exactly."""
+    from mora_spark.llm.dedup import MINHASH_AB, MINHASH_P
+    from mora_spark.queries.text import TOKS_SQL
+
+    sig_items = ", ".join(
+        f"list_min(list_transform(ti, h -> ({a} * (h // 2) + {b}) % {MINHASH_P}))"
+        for a, b in MINHASH_AB
+    )
+    kept_ctes, emits = [], []
+    for k in range(n):
+        prev = (
+            " UNION ALL ".join(
+                f"SELECT doc_id FROM kept_{j}" for j in range(k)
+            )
+            or "SELECT NULL::BIGINT AS doc_id WHERE false"
+        )
+        kept_ctes.append(f"""
+prev_{k} AS ({prev}),
+dropped_{k} AS (
+  SELECT p.db AS doc_id FROM pairs p
+  WHERE p.db % {n} = {k} AND p.da % {n} = {k}
+  UNION ALL
+  SELECT p.db FROM pairs p JOIN prev_{k} u ON p.da = u.doc_id
+  WHERE p.db % {n} = {k}
+  UNION ALL
+  SELECT p.da FROM pairs p JOIN prev_{k} u ON p.db = u.doc_id
+  WHERE p.da % {n} = {k}
+),
+kept_{k} AS (
+  SELECT doc_id FROM documents
+  WHERE doc_id % {n} = {k}
+    AND doc_id NOT IN (SELECT doc_id FROM dropped_{k})
+)""")
+        emits.append(f"""
+SELECT p.db AS doc_id, p.da AS dup_id, p.jaccard, 'corpus' AS src
+FROM pairs p JOIN prev_{k} u ON p.da = u.doc_id WHERE p.db % {n} = {k}
+UNION ALL
+SELECT p.da, p.db, p.jaccard, 'corpus'
+FROM pairs p JOIN prev_{k} u ON p.db = u.doc_id WHERE p.da % {n} = {k}""")
+    intra = f"""
+SELECT p.db AS doc_id, p.da AS dup_id, p.jaccard, 'batch' AS src
+FROM pairs p WHERE p.da % {n} = p.db % {n}"""
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         list_distinct(list_transform(list_distinct({TOKS_SQL}),
+           tok -> CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT))) AS ti
+  FROM documents
+),
+sig AS (SELECT doc_id, ti, len(ti) AS n, [{sig_items}] AS mh FROM t),
+banded AS (
+  SELECT doc_id, b,
+         md5(array_to_string(mh[4 * b + 1 : 4 * b + 4], '|')) AS band_key
+  FROM sig CROSS JOIN (SELECT unnest(range(4)) AS b)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+  FROM banded a JOIN banded b
+    ON a.b = b.b AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+pairs AS (
+  SELECT da, db, jaccard FROM (
+    SELECT da, db,
+           len(list_intersect(ta.ti, tb.ti))
+             / (ta.n + tb.n - len(list_intersect(ta.ti, tb.ti))) AS jaccard
+    FROM cand
+    JOIN sig ta ON ta.doc_id = da
+    JOIN sig tb ON tb.doc_id = db
+    WHERE least(ta.n, tb.n) >= {t} * greatest(ta.n, tb.n)
+  ) WHERE jaccard >= {t}
+),{",".join(kept_ctes)}
+{intra}
+{"".join("UNION ALL" + e for e in emits)}
+"""
+
+
 QUERIES = {
     "q_stream_ingest": q_stream_ingest,
+    "q_stream_dedup_increment": q_stream_dedup_increment,
     "q_stream_wire": q_stream_wire,
     "q_stream_candles": q_stream_candles,
     "q_stream_store_merge": q_stream_store_merge,
@@ -290,6 +399,7 @@ QUERIES = {
 
 ORACLES = {
     "q_stream_ingest": O_STREAM_INGEST,
+    "q_stream_dedup_increment": _o_stream_dedup_increment(),
     "q_stream_wire": O_STREAM_WIRE,
     "q_stream_candles": O_STREAM_CANDLES,
     "q_stream_store_merge": O_STREAM_STORE_MERGE,

@@ -1,0 +1,154 @@
+"""Streaming incremental dedup — continuous corpus curation.
+
+The production loop a training-data pipeline runs forever: documents
+arrive in micro-batches; each batch is deduped against the persisted
+LSH index of every EARLIER KEPT document (``llm.dedup.dedup_increment``
+— the corpus is never re-tokenized) and within itself; the batch's
+survivors are appended to the index so later batches dedup against
+them. ``foreachBatch`` is the transactional boundary (the analogue of
+the reference's WAL append batching, ``database/storage/wal/persist.go``):
+dup pairs are materialized BEFORE the index mutates, and the index
+grows batch-atomically under the streaming checkpoint.
+
+Drop rule (exactly what the batch operators implement): a document is
+a duplicate iff it near-dups any kept doc from an earlier batch
+(``src='corpus'``) or any earlier doc in its own batch (``src='batch'``,
+regardless of whether that earlier doc itself survived). The kept set
+is therefore order-dependent by construction — which is the point:
+it reproduces what sequential ingestion actually keeps.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from mora_spark.datasets import load_table
+
+DOC_STREAM_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+    ]
+)
+
+
+def docs_chunked_source(
+    spark: SparkSession, sf_dir: str, out_dir: str, n_chunks: int = 4
+) -> str:
+    """Materialize documents as ``n_chunks`` parquet files (chunk k =
+    docs with ``doc_id % n_chunks == k``) with increasing mtimes, so a
+    ``maxFilesPerTrigger=1`` file stream replays them as deterministic
+    micro-batches. Modulo chunking (unlike range chunking) is exactly
+    reproducible in the DuckDB oracle. The per-chunk write loop is
+    driver-side but bounded by n_chunks, not rows."""
+    src = os.path.join(out_dir, f"docs_source_{n_chunks}")
+    if os.path.exists(src):
+        return src
+    build = src + ".build"
+    os.makedirs(build, exist_ok=True)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    for k in range(n_chunks):
+        (
+            docs.where(F.col("doc_id") % n_chunks == k)
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(os.path.join(build, str(k)))
+        )
+    os.makedirs(src)
+    import glob
+
+    for k in range(n_chunks):
+        part = glob.glob(os.path.join(build, str(k), "part-*.parquet"))[0]
+        path = os.path.join(src, f"chunk-{k:04d}.parquet")
+        os.rename(part, path)
+        os.utime(path, (1_600_000_000 + k, 1_600_000_000 + k))
+    shutil.rmtree(build, ignore_errors=True)
+    return src
+
+
+def stream_dedup_increment(
+    spark: SparkSession,
+    src: str,
+    work_dir: str,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Run the continuous-curation loop over a document file stream;
+    returns the accumulated dup-pair table (doc_id, dup_id, jaccard,
+    src). The kept corpus is the index's group membership afterwards.
+
+    Per micro-batch: (1) dedup the batch against the loaded index +
+    itself; (2) write the pairs (an action — the plan is fully
+    evaluated against the PRE-append index); (3) anti-join the batch
+    against its own dup ids and append the survivors' bands/groups to
+    the index. Steps 2-3 order means a crash between them replays the
+    batch against an index that never saw it — the merge is
+    re-computable, matching the store's WAL-before-apply discipline.
+    """
+    from mora_spark.llm.dedup import (
+        build_minhash_index,
+        dedup_increment,
+        load_minhash_index,
+        minhash_lsh_pairs,
+    )
+
+    index_path = os.path.join(work_dir, "lsh_index")
+    pairs_dir = os.path.join(work_dir, "dup_pairs")
+    ckpt = os.path.join(work_dir, "ckpt_dedup_incr")
+
+    def sink(batch: DataFrame, batch_id: int) -> None:
+        batch = batch.select("doc_id", "text")
+        if os.path.isdir(os.path.join(index_path, "groups")):
+            bands, groups = load_minhash_index(spark, index_path)
+            pairs = dedup_increment(
+                batch, bands, groups, threshold=threshold
+            )
+        else:  # first batch: no corpus yet, only within-batch dedup
+            pairs = minhash_lsh_pairs(batch, threshold=threshold).select(
+                F.col("doc_b").alias("doc_id"),
+                F.col("doc_a").alias("dup_id"),
+                "jaccard",
+                F.lit("batch").alias("src"),
+            )
+        # Eager checkpoint = the WAL-before-apply point: the pair set is
+        # fully materialized against the PRE-append index, then feeds
+        # both the result sink and the kept-set anti-join without
+        # re-evaluating the dedup plan (or re-reading the pair dir).
+        pairs = pairs.localCheckpoint(eager=True)
+        pairs.write.mode("append").parquet(pairs_dir)
+        kept = batch.join(
+            pairs.select("doc_id").distinct(), "doc_id", "left_anti"
+        )
+        b, g = build_minhash_index(kept)
+        # One file per append at fixture scale; a production stream
+        # would instead target the store's compaction cadence (many
+        # small appends, periodic rewrite — see CandleStore.compact).
+        b.coalesce(1).write.mode("append").parquet(
+            os.path.join(index_path, "bands")
+        )
+        g.coalesce(1).write.mode("append").parquet(
+            os.path.join(index_path, "groups")
+        )
+
+    stream = (
+        spark.readStream.schema(DOC_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    from mora_spark.streaming.ingest import _state_partitions
+
+    # Micro-batches are corpus-increments, not the whole corpus: size
+    # the shuffles to the batch, not the session default.
+    with _state_partitions(spark, 8):
+        q = (
+            stream.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.read.parquet(pairs_dir)
