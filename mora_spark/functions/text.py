@@ -111,3 +111,30 @@ def prefix_fingerprint(toks: Column, n: int = 10) -> Column:
     """Fingerprint of the first n tokens — cheap clustering key for
     boilerplate/near-dup prefiltering."""
     return F.md5(F.array_join(F.slice(toks, 1, n), " "))
+
+
+# Conservative regex subset (char classes, +, {n}) that Java regex
+# (Spark) and RE2 (DuckDB) interpret identically — richer PII patterns
+# (lookarounds) would diverge between engines and are out of scope.
+PII_PATTERNS = {
+    "email": r"[a-z0-9.]+@[a-z0-9]+\.[a-z]+",
+    "phone": r"[0-9]{3}-[0-9]{4}",
+}
+
+
+def pii_counts(text: Column) -> dict[str, Column]:
+    """Per-kind PII match counts (scan-stage, JVM regex)."""
+    return {
+        kind: F.size(F.regexp_extract_all(text, F.lit(pat), F.lit(0)))
+        for kind, pat in PII_PATTERNS.items()
+    }
+
+
+def redact_pii(text: Column) -> Column:
+    """Replace every PII match with a typed placeholder. Pure
+    scan-stage expression chain: at 100 TB this costs one pass over
+    the text bytes, no shuffle, no Python."""
+    out = text
+    for kind, pat in PII_PATTERNS.items():
+        out = F.regexp_replace(out, pat, f"<{kind.upper()}>")
+    return out

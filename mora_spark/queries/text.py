@@ -195,6 +195,61 @@ SELECT doc_a, doc_b, jaccard FROM (
 """
 
 
+# --- q_redact_pii: planted-PII scan-stage redaction ---
+# The synthetic corpus carries no PII, so the query PLANTS a
+# deterministic contact span on every 5th doc (the same
+# plant-then-verify pattern as the embedding near-dup query) and the
+# oracle replays the identical plant — the driver hash verifies both
+# detection counts and the redacted content.
+
+def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mora_spark.functions.text import pii_counts, redact_pii
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    planted = d.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@mail.com call 555-"),
+                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            ),
+        ).otherwise(F.col("text")),
+    )
+    c = pii_counts(F.col("text"))
+    return planted.select(
+        "doc_id",
+        c["email"].alias("n_emails"),
+        c["phone"].alias("n_phones"),
+        F.md5(redact_pii(F.col("text"))).alias("redacted_fp"),
+    )
+
+
+def _o_redact_pii() -> str:
+    from mora_spark.functions.text import PII_PATTERNS
+
+    em, ph = PII_PATTERNS["email"], PII_PATTERNS["phone"]
+    return f"""
+WITH p AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0 THEN
+           text || ' contact user' || doc_id || '@mail.com call 555-'
+                || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+         ELSE text END AS text
+  FROM documents
+)
+SELECT doc_id,
+       len(regexp_extract_all(text, '{em}')) AS n_emails,
+       len(regexp_extract_all(text, '{ph}')) AS n_phones,
+       md5(regexp_replace(regexp_replace(text, '{em}', '<EMAIL>', 'g'),
+                          '{ph}', '<PHONE>', 'g')) AS redacted_fp
+FROM p
+"""
+
+
 # --- q_minhash_lsh: banded MinHash near-dup (the scale path) ---
 
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -471,6 +526,7 @@ QUERIES = {
     "q_text_stats": q_text_stats,
     "q_lang_id": q_lang_id,
     "q_fingerprint": q_fingerprint,
+    "q_redact_pii": q_redact_pii,
     "q_jaccard_pairs": q_jaccard_pairs,
     "q_minhash_lsh": q_minhash_lsh,
     "q_dedup_increment": q_dedup_increment,
@@ -484,6 +540,7 @@ ORACLES = {
     "q_text_stats": O_TEXT_STATS,
     "q_lang_id": _o_lang_id(),
     "q_fingerprint": O_FINGERPRINT,
+    "q_redact_pii": _o_redact_pii(),
     "q_jaccard_pairs": O_JACCARD_PAIRS,
     "q_minhash_lsh": _o_minhash(),
     "q_dedup_increment": _o_dedup_increment(),
