@@ -73,6 +73,38 @@ def main() -> None:
 
     run("neardup_clusters", neardup_clusters(docs, threshold=0.8))
 
+    # Incremental dedup: index the standing corpus once, then dedup a
+    # 10% increment against the persisted index (what a continuous
+    # ingestion pipeline pays per batch — watch that it scales with
+    # the INCREMENT, not the corpus).
+    import shutil as _sh0
+    import tempfile as _tf0
+    import time as _t0mod
+
+    from mora_spark.llm.dedup import (
+        build_minhash_index,
+        dedup_increment,
+        load_minhash_index,
+        save_minhash_index,
+    )
+
+    ix = _tf0.mkdtemp(prefix="scale_ix_")
+    try:
+        t0 = time.time()
+        save_minhash_index(
+            *build_minhash_index(docs.where(F.col("doc_id") % 10 != 0)), ix
+        )
+        print(f"index_build: {time.time() - t0:.2f}s")
+        bands, groups = load_minhash_index(spark, ix)
+        run(
+            "dedup_increment",
+            dedup_increment(
+                docs.where(F.col("doc_id") % 10 == 0), bands, groups
+            ),
+        )
+    finally:
+        _sh0.rmtree(ix, ignore_errors=True)
+
     # Curation family: sampling is scan-stage; decontamination joins a
     # broadcast shingle set; packing's prefix sum collects one subtotal
     # per id-chunk (n_docs/chunk driver rows — the knob to watch here).
