@@ -410,3 +410,109 @@ def embedding_neardup_pairs(
         .where(F.col("score") >= threshold)
         .select("id_a", "id_b", "score")
     )
+
+
+def build_ivf_index(
+    embeddings: DataFrame,
+    n_cells: int = 16,
+    train_iters: int = 2,
+    dim: int = 64,
+    vec_col: str = "embedding",
+) -> tuple[np.ndarray, DataFrame]:
+    """(centroids, cell-assigned corpus) — the build-once side of a
+    persistent IVF index. Training is the deterministic spherical
+    k-means above; assignment is one matmul pass over the corpus."""
+    if train_iters > 0:
+        cents = train_ivf_centroids(
+            embeddings, n_cells=n_cells, n_iter=train_iters,
+            dim=dim, vec_col=vec_col,
+        )
+    else:
+        cents = _hyperplanes(dim, n_cells, seed="ivf")
+
+    @pandas_udf(T.IntegerType())
+    def nearest_cell(vs: pd.Series) -> pd.Series:
+        m = np.stack(vs.apply(lambda v: np.asarray(v, dtype=np.float64)))
+        norms = np.linalg.norm(m, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        return pd.Series(
+            np.argmax((m / norms) @ cents.T, axis=1).astype("int32")
+        )
+
+    return cents, embeddings.withColumn("cell", nearest_cell(F.col(vec_col)))
+
+
+def save_ivf_index(
+    cents: np.ndarray, assigned: DataFrame, path: str
+) -> None:
+    """Persist the index: tiny centroid table + the corpus PARTITIONED
+    BY CELL — so probing n_probe cells at query time is Hive partition
+    pruning (only those directories are even listed), the on-disk
+    analogue of an inverted file's posting lists."""
+    spark = assigned.sparkSession
+    spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
+        "cell int, centroid array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    assigned.write.partitionBy("cell").mode("overwrite").parquet(
+        f"{path}/cells"
+    )
+
+
+def load_ivf_index(spark, path: str) -> tuple[np.ndarray, DataFrame]:
+    rows = spark.read.parquet(f"{path}/centroids").collect()
+    cents = np.zeros((len(rows), len(rows[0]["centroid"])))
+    for r in rows:
+        cents[r["cell"]] = r["centroid"]
+    return cents, spark.read.parquet(f"{path}/cells")
+
+
+def ivf_index_topk(
+    spark,
+    path: str,
+    query_ids: list[int],
+    k: int = 5,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k search against a PERSISTED IVF index: identical results to
+    :func:`ivf_topk` with the same (deterministic) training, but the
+    corpus scan touches only the probed cells' partitions. Query
+    vectors are fetched by id and probe cells computed driver-side —
+    bounded by the request size, the natural client-query shape."""
+    cents, assigned = load_ivf_index(spark, path)
+    qrows = (
+        assigned.where(F.col(id_col).isin(query_ids))
+        .select(id_col, vec_col)
+        .collect()
+    )
+    probe = []
+    for r in qrows:
+        v = np.asarray(r[vec_col], dtype=np.float64)
+        nv = v / (np.linalg.norm(v) or 1.0)
+        cells = np.argsort(-(nv @ cents.T))[:n_probe]
+        probe.extend(
+            (int(r[id_col]), [float(x) for x in r[vec_col]], int(c))
+            for c in cells
+        )
+    q = spark.createDataFrame(
+        probe, f"query_id long, qv array<float>, cell int"
+    )
+    cand = assigned.where(
+        F.col("cell").isin(sorted({c for _, _, c in probe}))
+        & ~F.col(id_col).isin(query_ids)
+    ).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"), "cell"
+    )
+    scored = cand.join(broadcast(q), "cell").withColumn(
+        "score", F.round(cosine(F.col("qv"), F.col("cv")), 6)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "score", "rank")
+    )

@@ -162,6 +162,30 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- q_ann_ivf_index: the same search against a PERSISTED index ---
+# Build-once/query-many: centroids + cell-partitioned corpus round-trip
+# through parquet, and the probe reads only n_probe cell partitions
+# (Hive partition pruning — the on-disk inverted file). Identical
+# results to q_ann_ivf (asserted in tests/test_simsearch.py).
+
+def q_ann_ivf_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from mora_spark.llm.simsearch import (
+        build_ivf_index,
+        ivf_index_topk,
+        save_ivf_index,
+    )
+    from mora_spark.queries.store import scratch_dir
+
+    path = scratch_dir("ivf_index", sf_dir)
+    shutil.rmtree(path, ignore_errors=True)
+    save_ivf_index(*build_ivf_index(_emb(spark, sf_dir), train_iters=2), path)
+    return ivf_index_topk(
+        spark, path, query_ids=list(range(N_QUERIES)), k=TOP_K, n_probe=4
+    )
+
+
 # --- q_embed_neardup: embedding-cosine near-duplicate pairs ---
 # Declared as the band-OR SRP-LSH path (the 100 TB plan: skinny banded
 # equi-join + broadcast cosine verify — never an all-pairs cross join).
@@ -274,6 +298,7 @@ QUERIES = {
     "q_centroid_dist": q_centroid_dist,
     "q_ann_srp": q_ann_srp,
     "q_ann_ivf": q_ann_ivf,
+    "q_ann_ivf_index": q_ann_ivf_index,
     "q_embed_neardup": q_embed_neardup,
     "q_embed_neardup_exact": q_embed_neardup_exact,
 }

@@ -127,3 +127,30 @@ def test_multimodal_features_deterministic(spark, sf_dir):
     assert f1 == f2
     kinds = {r["kind"] for r in m.select("kind").distinct().collect()}
     assert kinds == {"image", "audio", "video"}
+
+
+def test_ivf_index_roundtrip_equals_direct(spark, sf_dir, tmp_path):
+    """Searching the persisted cell-partitioned index returns exactly
+    the direct ivf_topk results (training is deterministic, so the
+    parquet round-trip must be lossless end-to-end)."""
+    from mora_spark.datasets import load_table
+    from mora_spark.llm.simsearch import (
+        build_ivf_index,
+        ivf_index_topk,
+        ivf_topk,
+        save_ivf_index,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    direct = ivf_topk(
+        e, query_ids=[0, 1, 2], k=5, n_cells=16, n_probe=4, train_iters=2
+    )
+    save_ivf_index(
+        *build_ivf_index(e, n_cells=16, train_iters=2), str(tmp_path / "ix")
+    )
+    via_index = ivf_index_topk(
+        spark, str(tmp_path / "ix"), query_ids=[0, 1, 2], k=5, n_probe=4
+    )
+    assert sorted(map(tuple, direct.collect())) == sorted(
+        map(tuple, via_index.collect())
+    )
