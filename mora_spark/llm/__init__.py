@@ -2,7 +2,11 @@
 
 from mora_spark.llm.cluster import connected_components
 from mora_spark.llm.dedup import (
+    build_minhash_index,
+    dedup_increment,
     exact_dedup,
+    load_minhash_index,
+    save_minhash_index,
     minhash_lsh_pairs,
     neardup_clusters,
     ngram_jaccard_pairs,
@@ -14,7 +18,11 @@ from mora_spark.llm.multimodal import (
     media_from_documents,
 )
 from mora_spark.llm.simsearch import (
+    build_ivf_index,
     embedding_neardup_pairs,
+    ivf_index_topk,
+    load_ivf_index,
+    save_ivf_index,
     ivf_topk,
     srp_topk,
     with_srp_bucket,
@@ -22,6 +30,14 @@ from mora_spark.llm.simsearch import (
 
 __all__ = [
     "connected_components",
+    "build_minhash_index",
+    "dedup_increment",
+    "load_minhash_index",
+    "save_minhash_index",
+    "build_ivf_index",
+    "ivf_index_topk",
+    "load_ivf_index",
+    "save_ivf_index",
     "exact_dedup",
     "minhash_lsh_pairs",
     "neardup_clusters",

@@ -86,10 +86,14 @@ PRIORITY: tuple[str, ...] = (
     "q_grouping_sets",    # new operator this round
 )
 # Demoted below the window (still declared + oracle-checked locally, all
-# green in CORRECTNESS_r01.json): q_text_stats, q_range_scan,
-# q_time_window, q_sma_roll, q_vwap, q_lag_lead, q_topk_volume,
-# q_rolling_corr, q_interval_join, q_semi_anti, q_tpch_q1/q6/... and the
-# other TPC-H variants (same join/agg machinery as the representatives).
+# green in CORRECTNESS_r01.json): q_candles_1m, q_text_stats,
+# q_range_scan, q_time_window, q_sma_roll, q_vwap, q_lag_lead,
+# q_topk_volume, q_rolling_corr, q_interval_join, q_semi_anti,
+# q_tpch_q1/q6/... and the other TPC-H variants (same join/agg machinery
+# as the representatives). Queries ADDED after the window froze
+# (q_stream_dedup_increment, q_redact_pii, q_ann_ivf_index) also sit
+# below it this round — their evidence is the local gate + tests until
+# a future round rotates them in over round-2-green entries.
 
 
 def collect_registry() -> tuple[dict[str, QueryFn], dict[str, str]]:

@@ -1,6 +1,10 @@
 """Structured Streaming ingestion: the reference's WAL/commit pipeline
 re-expressed as micro-batch streams with checkpoint recovery."""
 
+from mora_spark.streaming.increment import (
+    docs_chunked_source,
+    stream_dedup_increment,
+)
 from mora_spark.streaming.ingest import (
     chunked_source,
     ordered_chunked_source,
@@ -16,6 +20,8 @@ from mora_spark.streaming.ingest import (
 
 __all__ = [
     "chunked_source",
+    "docs_chunked_source",
+    "stream_dedup_increment",
     "ordered_chunked_source",
     "stream_candles",
     "stream_dedup_ingest",
