@@ -619,3 +619,73 @@ def simhash16(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
             ).otherwise(F.lit(0))
         ).alias("simhash")
     ).withColumnRenamed("id", id_col)
+
+
+def simhash_neardup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 2,
+) -> DataFrame:
+    """SimHash near-dup pairs: all (doc_a < doc_b) whose 16-bit
+    signatures differ in <= ``max_hamming`` bits.
+
+    The pigeonhole banding that makes simhash searchable at scale:
+    split the signature into ``max_hamming + 1`` chunks — a pair within
+    the Hamming budget must agree EXACTLY on at least one chunk — so
+    candidates come from an equi-join on (chunk index, chunk value),
+    never an all-pairs compare. Each candidate pair is emitted once via
+    the first-shared-chunk filter (both sides carry their full chunk
+    arrays, map-side), then verified with bit_count(xor) — one cheap
+    integer op. 16 bits keeps the oracle exact; production uses 64/128
+    bits with the same plan shape.
+    """
+    n_chunks = max_hamming + 1
+    base, extra = divmod(16, n_chunks)
+    sizes = [base + (1 if i < extra else 0) for i in range(n_chunks)]
+    offs = [sum(sizes[:i]) for i in range(n_chunks)]
+
+    sig = simhash16(df, text_col, id_col).select(
+        F.col(id_col).alias("id"), "simhash"
+    )
+    chunk_arr = F.array(
+        *[
+            F.expr(
+                f"CAST(shiftright(simhash, {offs[i]}) "
+                f"& {(1 << sizes[i]) - 1} AS INT)"
+            )
+            for i in range(n_chunks)
+        ]
+    )
+    chunked = sig.withColumn("cks", chunk_arr).select(
+        "id", "simhash", "cks",
+        F.posexplode("cks").alias("chunk", "ck"),
+    )
+    a, b = chunked.alias("a"), chunked.alias("b")
+    first_shared = F.array_position(
+        F.zip_with(
+            F.col("a.cks"),
+            F.col("b.cks"),
+            lambda x, y: (x == y).cast("int"),
+        ),
+        1,
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.ck") == F.col("b.ck"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .where(first_shared == F.col("a.chunk") + 1)
+        .withColumn(
+            "hamming",
+            F.expr("bit_count(a.simhash ^ b.simhash)").cast("int"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .select(
+            F.col("a.id").alias("doc_a"),
+            F.col("b.id").alias("doc_b"),
+            "hamming",
+        )
+    )

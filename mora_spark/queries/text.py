@@ -521,6 +521,44 @@ FROM v GROUP BY doc_id
 """
 
 
+# --- q_simhash_pairs: banded Hamming-distance near-dup search ---
+# The searchable side of SimHash: pigeonhole chunk banding turns
+# "hamming <= 2 over all pairs" into an equi-join on chunk values; the
+# oracle verifies against the plain all-pairs formulation (equivalent
+# by the pigeonhole argument, so banding must lose nothing).
+
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mora_spark.llm.dedup import simhash_neardup_pairs
+
+    return simhash_neardup_pairs(_docs(spark, sf_dir), max_hamming=2)
+
+
+O_SIMHASH_PAIRS = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(list_distinct({TOKS_SQL})) AS tok FROM documents
+), h AS (
+  SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) AS h
+  FROM tok
+), bits AS (
+  SELECT doc_id, bit,
+         CASE WHEN (h >> CAST(bit AS INTEGER)) & 1 = 1 THEN 1 ELSE -1 END AS vote
+  FROM h CROSS JOIN (SELECT unnest(range(16)) AS bit)
+), v AS (
+  SELECT doc_id, bit, sum(vote) AS v FROM bits GROUP BY doc_id, bit
+), sig AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN v > 0
+                  THEN (CAST(1 AS BIGINT) << CAST(bit AS INTEGER))
+                  ELSE 0 END) AS BIGINT) AS simhash
+  FROM v GROUP BY doc_id
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
+"""
+
+
 QUERIES = {
     "q_dedup_exact": q_dedup_exact,
     "q_text_stats": q_text_stats,
@@ -531,6 +569,7 @@ QUERIES = {
     "q_minhash_lsh": q_minhash_lsh,
     "q_dedup_increment": q_dedup_increment,
     "q_simhash": q_simhash,
+    "q_simhash_pairs": q_simhash_pairs,
     "q_dedup_clusters": q_dedup_clusters,
     "q_corpus_curation": q_corpus_curation,
 }
@@ -545,6 +584,7 @@ ORACLES = {
     "q_minhash_lsh": _o_minhash(),
     "q_dedup_increment": _o_dedup_increment(),
     "q_simhash": O_SIMHASH,
+    "q_simhash_pairs": O_SIMHASH_PAIRS,
     "q_dedup_clusters": _o_dedup_clusters(),
     "q_corpus_curation": _o_corpus_curation(),
 }
