@@ -496,8 +496,12 @@ def ivf_index_topk(
             (int(r[id_col]), [float(x) for x in r[vec_col]], int(c))
             for c in cells
         )
+    # Rebuild query vectors under the INDEX's element type — a float32
+    # index must not be silently upcast (nor a float64 one downcast, or
+    # scores could diverge from ivf_topk in the rounded 6th decimal).
+    elem = assigned.schema[vec_col].dataType.elementType.simpleString()
     q = spark.createDataFrame(
-        probe, f"query_id long, qv array<float>, cell int"
+        probe, f"query_id long, qv array<{elem}>, cell int"
     )
     cand = assigned.where(
         F.col("cell").isin(sorted({c for _, _, c in probe}))

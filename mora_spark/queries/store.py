@@ -74,6 +74,59 @@ FROM candles
 )
 
 
+def q_store_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Append fast path + multi-year batch split, driver-verified.
+
+    Initial merge load, then a ``mode="append"`` write (the reference's
+    blind page append, ``page/page.go:73-93``: no read-back, files added
+    and the manifest unioned in one CAS) of KNOWN-NEW candles — every
+    'click' bar re-timestamped +370 and +740 days, so the single batch
+    spans two distinct years and must split into per-year partitions
+    (``database/factory.go:14-35`` / ``common/candle.go:70-80``; Spark
+    side: the ``year`` derivation + partitionBy in ``_stage_and_publish``).
+    Day-granular shifts (not INTERVAL YEAR) keep Spark and DuckDB
+    calendar arithmetic trivially identical. Read-back is the full
+    keyed scan: original + both shifted year partitions.
+    """
+    path = scratch_dir("store_append", sf_dir)
+    shutil.rmtree(path, ignore_errors=True)
+    store = CandleStore(spark, path)
+
+    candles = candles_from_events(load_table(spark, sf_dir, "events"))
+    store.write(candles)  # initial load -> manifest version 1
+
+    clicks = candles.where(F.col("code") == "click")
+    batch = clicks.withColumn(
+        "ts", F.col("ts") + F.expr("INTERVAL 370 DAYS")
+    ).unionByName(
+        clicks.withColumn("ts", F.col("ts") + F.expr("INTERVAL 740 DAYS"))
+    )
+    store.write(batch, mode="append")  # -> version 2, two new years
+
+    cols = [
+        "market", "code", "candle_length", "ts",
+        "open", "high", "low", "close", "volume", "bit_fields",
+    ]
+    return store.read(market="SYN").select(*cols)
+
+
+O_STORE_APPEND = candles_sql(
+    """
+SELECT market, code, candle_length, ts, open, high, low, close, volume,
+       bit_fields
+FROM candles
+UNION ALL
+SELECT market, code, candle_length, ts + INTERVAL 370 DAY, open, high,
+       low, close, volume, bit_fields
+FROM candles WHERE code = 'click'
+UNION ALL
+SELECT market, code, candle_length, ts + INTERVAL 740 DAY, open, high,
+       low, close, volume, bit_fields
+FROM candles WHERE code = 'click'
+"""
+)
+
+
 def q_ysf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Export candles to reference-layout `.ysf` page files, read them
     back with the binaryFile+mapInPandas importer, and return the
@@ -95,9 +148,11 @@ O_YSF_ROUNDTRIP = candles_sql("SELECT * FROM candles")
 
 QUERIES = {
     "q_store_roundtrip": q_store_roundtrip,
+    "q_store_append": q_store_append,
     "q_ysf_roundtrip": q_ysf_roundtrip,
 }
 ORACLES = {
     "q_store_roundtrip": O_STORE_ROUNDTRIP,
+    "q_store_append": O_STORE_APPEND,
     "q_ysf_roundtrip": O_YSF_ROUNDTRIP,
 }

@@ -135,27 +135,104 @@ GROUP BY vec_id, label
 """
 
 
-# --- q_ann_srp: signed-random-projection LSH approximate top-k ---
-# Hyperplanes are numpy-side (pandas UDF) → rows-only check; recall vs
-# the brute-force baseline is asserted in tests/test_simsearch.py.
+# --- ANN top-k queries: planted-ground-truth exact oracles ---
+# The ANN paths (SRP-LSH, IVF) bucket by numpy-side hyperplane signs /
+# trained centroids, which no SQL oracle can replay — so instead the
+# queries PLANT the expected answer. Each query vector q gets TOP_K
+# scaled copies c_j·q appended to the corpus (ids query_id +
+# (j+1)·TOPK_PLANT_OFFSET). Cosine is scale-invariant, so every plant
+# scores round(cos,6) = 1.0 — strictly above the corpus ceiling
+# (max non-plant pair ≈ 0.66) — and the true top-k per query is its
+# TOP_K plants, ranked by the neighbor_id tiebreak. Recall is
+# STRUCTURAL, not probabilistic: a scaled copy has the identical
+# sign pattern under every SRP hyperplane and the identical nearest
+# IVF cell (both assign on the normalized vector), so the ANN
+# candidate set provably contains the plants whatever the corpus —
+# the oracle (exact brute-force top-k over the same planted corpus)
+# stays valid even if the driver regenerates the test data. The
+# complementary, non-structural recall property (angle-perturbed
+# plants surviving banded LSH) is what q_embed_neardup verifies.
+
+TOPK_PLANT_OFFSET = 10_000_000
+TOPK_PLANT_SCALES = (0.5, 0.8, 1.25, 2.0, 4.0)  # len == TOP_K
+assert len(TOPK_PLANT_SCALES) == TOP_K
+
+
+def _planted_topk(e: DataFrame) -> DataFrame:
+    """Corpus (as double) + TOP_K scaled copies of each query vector."""
+    base = e.select("vec_id", as_double(F.col("embedding")).alias("embedding"))
+    q = base.where(F.col("vec_id") < N_QUERIES)
+    out = base
+    for j, c in enumerate(TOPK_PLANT_SCALES):
+        scale = F.lit(float(c))
+        out = out.unionByName(
+            q.select(
+                (F.col("vec_id") + F.lit((j + 1) * TOPK_PLANT_OFFSET)).alias(
+                    "vec_id"
+                ),
+                F.transform("embedding", lambda x: x * scale).alias(
+                    "embedding"
+                ),
+            )
+        )
+    return out
+
+
+def _o_ann_topk() -> str:
+    """Exact brute-force top-k over the planted corpus — the shared
+    oracle for all three ANN queries (they return identical rows by
+    construction; see the plant notes above)."""
+    plants = "\n  UNION ALL\n".join(
+        f"""  SELECT vec_id + {(j + 1) * TOPK_PLANT_OFFSET} AS vec_id,
+         list_transform(v, x -> x * {float(c)}) AS v
+  FROM base WHERE vec_id < {N_QUERIES}"""
+        for j, c in enumerate(TOPK_PLANT_SCALES)
+    )
+    return f"""
+WITH base AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), planted AS (
+  SELECT vec_id, v FROM base
+  UNION ALL
+{plants}
+), q AS (
+  SELECT vec_id AS query_id, v AS qv FROM base WHERE vec_id < {N_QUERIES}
+), c AS (
+  SELECT vec_id AS neighbor_id, v AS cv FROM planted
+  WHERE vec_id >= {N_QUERIES}
+), scored AS (
+  SELECT query_id, neighbor_id,
+         round(list_dot_product(qv, cv)
+               / (sqrt(list_dot_product(qv, qv))
+                  * sqrt(list_dot_product(cv, cv))), 6) AS score
+  FROM c CROSS JOIN q
+)
+SELECT query_id, neighbor_id, score, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY score DESC, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= {TOP_K}
+"""
+
 
 def q_ann_srp(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mora_spark.llm.simsearch import srp_topk
 
-    e = _emb(spark, sf_dir)
+    e = _planted_topk(_emb(spark, sf_dir))
     return srp_topk(e, query_ids=list(range(N_QUERIES)), k=TOP_K, n_bits=4)
 
 
 # --- q_ann_ivf: inverted-file (cell-probe) approximate top-k ---
-# Same contract as q_ann_srp via a different index shape, with the
-# centroids refined by two spherical-k-means iterations (Lloyd's as
+# Same planted contract as q_ann_srp via a different index shape, with
+# the centroids refined by two spherical-k-means iterations (Lloyd's as
 # Spark jobs; see train_ivf_centroids). Recall vs brute force — and
 # trained >= untrained — asserted in tests/test_simsearch.py.
 
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mora_spark.llm.simsearch import ivf_topk
 
-    e = _emb(spark, sf_dir)
+    e = _planted_topk(_emb(spark, sf_dir))
     return ivf_topk(
         e, query_ids=list(range(N_QUERIES)), k=TOP_K, n_cells=16, n_probe=4,
         train_iters=2,
@@ -166,7 +243,8 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Build-once/query-many: centroids + cell-partitioned corpus round-trip
 # through parquet, and the probe reads only n_probe cell partitions
 # (Hive partition pruning — the on-disk inverted file). Identical
-# results to q_ann_ivf (asserted in tests/test_simsearch.py).
+# results to q_ann_ivf (asserted in tests/test_simsearch.py), so it
+# shares the planted oracle.
 
 def q_ann_ivf_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
@@ -180,7 +258,10 @@ def q_ann_ivf_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     path = scratch_dir("ivf_index", sf_dir)
     shutil.rmtree(path, ignore_errors=True)
-    save_ivf_index(*build_ivf_index(_emb(spark, sf_dir), train_iters=2), path)
+    save_ivf_index(
+        *build_ivf_index(_planted_topk(_emb(spark, sf_dir)), train_iters=2),
+        path,
+    )
     return ivf_index_topk(
         spark, path, query_ids=list(range(N_QUERIES)), k=TOP_K, n_probe=4
     )
@@ -307,6 +388,9 @@ ORACLES = {
     "q_embedding_norms": O_EMBEDDING_NORMS,
     "q_simsearch_topk": O_SIMSEARCH_TOPK,
     "q_centroid_dist": O_CENTROID_DIST,
+    "q_ann_srp": _o_ann_topk(),
+    "q_ann_ivf": _o_ann_topk(),
+    "q_ann_ivf_index": _o_ann_topk(),
     "q_embed_neardup": O_EMBED_NEARDUP,
     "q_embed_neardup_exact": O_EMBED_NEARDUP_EXACT,
 }
