@@ -355,15 +355,47 @@ def build_minhash_index(
     return bands, groups
 
 
+# Fixed shard count for the on-disk bands layout. Both the writer and
+# the increment reader derive shard = pmod(xxhash64(band_key), this),
+# so it is part of the index format, not a tunable.
+BAND_SHARDS = 64
+
+
+def _band_shard(band_key: Column) -> Column:
+    return F.pmod(F.xxhash64(band_key), F.lit(BAND_SHARDS)).cast("int")
+
+
 def save_minhash_index(
     bands: DataFrame, groups: DataFrame, path: str
 ) -> None:
-    """Persist an LSH index (plain parquet subdirs ``bands``/``groups``)."""
-    bands.write.mode("overwrite").parquet(f"{path}/bands")
+    """Persist an LSH index: ``bands`` Hive-partitioned by a
+    band_key-derived shard, ``groups`` plain parquet.
+
+    The shard layout is what makes the increment's index-side join
+    scale: ``dedup_increment`` collects the (bounded, <= BAND_SHARDS)
+    shard set of the incoming batch and prunes the bands scan to those
+    directories before any file is opened — at 100 TB a small crawl
+    increment touches a fraction of the index's posting lists instead
+    of streaming all of them through the broadcast join. The
+    ``repartition`` keeps it one file per shard per save (files scale
+    with saves, not tasks x shards); ``groups`` stays unsharded because
+    its gid fetch is driven by a join key produced mid-plan, which
+    directory pruning cannot see."""
+    (
+        bands.withColumn("shard", _band_shard(F.col("band_key")))
+        .repartition(F.col("shard"))
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(f"{path}/bands")
+    )
     groups.write.mode("overwrite").parquet(f"{path}/groups")
 
 
 def load_minhash_index(spark, path: str) -> tuple[DataFrame, DataFrame]:
+    """Load an index written by :func:`save_minhash_index` (sharded) or
+    appended as plain parquet (the streaming sink): partition discovery
+    surfaces ``shard`` only when the layout has it, and
+    :func:`dedup_increment` prunes only when it is there."""
     return (
         spark.read.parquet(f"{path}/bands"),
         spark.read.parquet(f"{path}/groups"),
@@ -377,6 +409,7 @@ def dedup_increment(
     text_col: str = "text",
     id_col: str = "doc_id",
     threshold: float = 0.5,
+    prebuilt: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """Dedup a new batch against an indexed corpus + within itself.
 
@@ -389,14 +422,35 @@ def dedup_increment(
     Scale shape: the batch side is small by construction (one crawl
     increment), so its group table broadcasts into both the band join
     and verification; the corpus index is touched only via (a) the band
-    equi-join (shuffle of index band rows matching the batch's band
-    keys — a semi-join-sized subset, co-located for free if the index
-    is bucketed by band_key) and (b) one gid-keyed fetch of candidate
-    groups' token sets. The corpus text is never re-tokenized."""
+    equi-join, pruned to the batch's band-key SHARDS when the index
+    carries the sharded layout (see :func:`save_minhash_index` —
+    directory-level pruning before any index file is opened) and (b)
+    one gid-keyed fetch of candidate groups' token sets. The corpus
+    text is never re-tokenized.
+
+    The batch group table is persisted here and its cached blocks live
+    until the session ends (or the caller clears them); loop callers —
+    the streaming sink — should pass ``prebuilt`` and own the persist
+    lifetime so per-micro-batch caches do not accumulate."""
     # One tokenization of the batch: the same (groups, bands) feed the
     # cross join against the index AND the within-batch self-join.
-    bgroups = _group_table(batch, text_col, id_col).persist()
-    bbands = _band_table(bgroups)
+    if prebuilt is not None:
+        bgroups, bbands = prebuilt
+    else:
+        bgroups = _group_table(batch, text_col, id_col).persist()
+        bbands = _band_table(bgroups)
+
+    if "shard" in index_bands.columns:
+        # The batch's shard set is bounded by BAND_SHARDS; collecting
+        # it is one tiny job (which also warms the persisted batch
+        # group table before the joins reuse it).
+        shards = [
+            r["s"]
+            for r in bbands.select(_band_shard(F.col("band_key")).alias("s"))
+            .distinct()
+            .collect()
+        ]
+        index_bands = index_bands.where(F.col("shard").isin(shards))
 
     n_, c = bbands.alias("n"), index_bands.alias("c")
     # Same first-shared-band trick as the self-join: each (batch group,

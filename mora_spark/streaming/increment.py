@@ -49,8 +49,13 @@ def docs_chunked_source(
     src = os.path.join(out_dir, f"docs_source_{n_chunks}")
     if os.path.exists(src):
         return src
+    # Assemble EVERYTHING under the build dir and publish with one
+    # atomic directory rename as the very last step: a crash mid-build
+    # leaves no ``src``, so the next run rebuilds from scratch instead
+    # of replaying a partial source as if it were complete.
     build = src + ".build"
-    os.makedirs(build, exist_ok=True)
+    shutil.rmtree(build, ignore_errors=True)
+    os.makedirs(build)
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     for k in range(n_chunks):
         (
@@ -59,14 +64,16 @@ def docs_chunked_source(
             .write.mode("overwrite")
             .parquet(os.path.join(build, str(k)))
         )
-    os.makedirs(src)
     import glob
 
+    ready = os.path.join(build, "ready")
+    os.makedirs(ready)
     for k in range(n_chunks):
         part = glob.glob(os.path.join(build, str(k), "part-*.parquet"))[0]
-        path = os.path.join(src, f"chunk-{k:04d}.parquet")
+        path = os.path.join(ready, f"chunk-{k:04d}.parquet")
         os.rename(part, path)
         os.utime(path, (1_600_000_000 + k, 1_600_000_000 + k))
+    os.rename(ready, src)  # the publish point
     shutil.rmtree(build, ignore_errors=True)
     return src
 
@@ -84,10 +91,16 @@ def stream_dedup_increment(
     Per micro-batch: (1) dedup the batch against the loaded index +
     itself; (2) write the pairs (an action — the plan is fully
     evaluated against the PRE-append index); (3) anti-join the batch
-    against its own dup ids and append the survivors' bands/groups to
-    the index. Steps 2-3 order means a crash between them replays the
-    batch against an index that never saw it — the merge is
-    re-computable, matching the store's WAL-before-apply discipline.
+    against its own dup ids and add the survivors' bands/groups to the
+    index. foreachBatch is at-least-once, so EVERY batch write targets
+    a deterministic ``batch_id=<n>`` subdirectory with mode=overwrite:
+    a replay after a crash anywhere in 2-3 recomputes the same pair
+    set (the index is read AS OF the earlier batches via a
+    ``batch_id < current`` snapshot filter, so rows a half- or
+    fully-finished step 3 left behind are invisible to the replayed
+    join) and overwrites, never duplicates.
+    That makes the whole sink idempotent — the streaming analogue of
+    the store's WAL-before-apply + committed-only-replay discipline.
     """
     from mora_spark.llm.dedup import (
         build_minhash_index,
@@ -102,36 +115,59 @@ def stream_dedup_increment(
 
     def sink(batch: DataFrame, batch_id: int) -> None:
         batch = batch.select("doc_id", "text")
-        if os.path.isdir(os.path.join(index_path, "groups")):
-            bands, groups = load_minhash_index(spark, index_path)
-            pairs = dedup_increment(
-                batch, bands, groups, threshold=threshold
-            )
-        else:  # first batch: no corpus yet, only within-batch dedup
-            pairs = minhash_lsh_pairs(batch, threshold=threshold).select(
-                F.col("doc_b").alias("doc_id"),
-                F.col("doc_a").alias("dup_id"),
-                "jaccard",
-                F.lit("batch").alias("src"),
-            )
-        # Eager checkpoint = the WAL-before-apply point: the pair set is
-        # fully materialized against the PRE-append index, then feeds
-        # both the result sink and the kept-set anti-join without
-        # re-evaluating the dedup plan (or re-reading the pair dir).
-        pairs = pairs.localCheckpoint(eager=True)
-        pairs.write.mode("append").parquet(pairs_dir)
+        # One tokenization of the batch for the index join, the
+        # within-batch self-join, and the kept-set rebuild; the persist
+        # lifetime is OWNED HERE (unpersisted after the checkpoint) so
+        # cached blocks do not accumulate across micro-batches.
+        bands_b, groups_b = build_minhash_index(batch)
+        groups_b.persist()
+        try:
+            if os.path.isdir(os.path.join(index_path, "groups")):
+                bands, groups = load_minhash_index(spark, index_path)
+                # The subdir layout doubles as a snapshot filter: a
+                # replayed batch must dedup against the index AS OF the
+                # batches before it — without this, a crash after step
+                # 3 would replay the batch against its own survivors
+                # and emit spurious self/corpus pairs. Partition
+                # pruning makes it free.
+                bands = bands.where(F.col("batch_id") < batch_id)
+                groups = groups.where(F.col("batch_id") < batch_id)
+                pairs = dedup_increment(
+                    batch, bands, groups, threshold=threshold,
+                    prebuilt=(groups_b, bands_b),
+                )
+            else:  # first batch: no corpus yet, only within-batch dedup
+                pairs = minhash_lsh_pairs(
+                    batch, threshold=threshold,
+                    prebuilt=(groups_b, bands_b),
+                ).select(
+                    F.col("doc_b").alias("doc_id"),
+                    F.col("doc_a").alias("dup_id"),
+                    "jaccard",
+                    F.lit("batch").alias("src"),
+                )
+            # Eager checkpoint: the pair set is fully materialized
+            # against the PRE-append index, then feeds both the result
+            # sink and the kept-set anti-join without re-evaluating the
+            # dedup plan (or re-reading the pair dir).
+            pairs = pairs.localCheckpoint(eager=True)
+        finally:
+            groups_b.unpersist()
+        pairs.write.mode("overwrite").parquet(
+            os.path.join(pairs_dir, f"batch_id={batch_id}")
+        )
         kept = batch.join(
             pairs.select("doc_id").distinct(), "doc_id", "left_anti"
         )
         b, g = build_minhash_index(kept)
-        # One file per append at fixture scale; a production stream
+        # One file per batch at fixture scale; a production stream
         # would instead target the store's compaction cadence (many
         # small appends, periodic rewrite — see CandleStore.compact).
-        b.coalesce(1).write.mode("append").parquet(
-            os.path.join(index_path, "bands")
+        b.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(index_path, "bands", f"batch_id={batch_id}")
         )
-        g.coalesce(1).write.mode("append").parquet(
-            os.path.join(index_path, "groups")
+        g.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(index_path, "groups", f"batch_id={batch_id}")
         )
 
     stream = (
@@ -151,4 +187,8 @@ def stream_dedup_increment(
             .start()
         )
         q.awaitTermination()
-    return spark.read.parquet(pairs_dir)
+    # batch_id is a layout detail (partition discovery surfaces it);
+    # the result contract is the four pair columns.
+    return spark.read.parquet(pairs_dir).select(
+        "doc_id", "dup_id", "jaccard", "src"
+    )

@@ -62,6 +62,30 @@ def test_increment_equals_joint_rebuild(spark, docs, tmp_path):
     assert (11, 4) in found
 
 
+def test_index_shard_pruning(spark, docs, tmp_path):
+    """The persisted bands layout is sharded by band_key; an increment
+    against the loaded index must (a) push the batch's shard set down
+    as a partition filter — directory pruning, the 100 TB knob — and
+    (b) return exactly what the unsharded in-memory index returns."""
+    corpus = docs.where(F.col("doc_id") < 10)
+    batch = docs.where(F.col("doc_id") >= 10)
+    save_minhash_index(*build_minhash_index(corpus), str(tmp_path / "ix"))
+    bands, groups = load_minhash_index(spark, str(tmp_path / "ix"))
+    assert "shard" in bands.columns
+    out = dedup_increment(batch, bands, groups)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    pruned = [
+        ln
+        for ln in plan.splitlines()
+        if "PartitionFilters" in ln and "shard" in ln
+    ]
+    assert pruned, f"no shard partition filter in plan:\n{plan[:2000]}"
+    mem_bands, mem_groups = build_minhash_index(corpus)
+    assert _pairs(out) == _pairs(
+        dedup_increment(batch, mem_bands, mem_groups)
+    )
+
+
 def test_src_tags(spark, docs, tmp_path):
     corpus = docs.where(F.col("doc_id") < 10)
     batch = docs.where(F.col("doc_id") >= 10)
