@@ -1,0 +1,93 @@
+"""Plan-quality regression gate.
+
+Turns the per-round manual plan audit (tools/plans.py) into enforced
+invariants: no declared batch query may plan a CartesianProduct or a
+row-at-a-time Python UDF (BatchEvalPython), and the selective-scan
+queries must push their predicates into the parquet scan. Plans are
+built at sf0.001 — planning only, nothing is executed for the smell
+checks.
+
+Exclusions are explicit and narrow: the three declared exact
+verification twins are quadratic by construction (SURVEY perf notes;
+they exist to measure the scale paths' recall), and streaming/store
+queries execute side-effecting jobs at construction so they are
+audited by their own behavioral tests instead.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from mora_spark.queries import collect_registry
+
+SF_DIR = "/root/testdata/sf0.001"
+
+# Lazily-planned batch queries covering every operator family that the
+# bench headlines: relational, timeseries, text, curation, vectors.
+SMELL_QUERIES = [
+    "q_tpch_q1",
+    "q_tpch_q3",
+    "q_tpch_q12",
+    "q_topk_volume",
+    "q_user_stats",
+    "q_sessionize",
+    "q_grouping_sets",
+    "q_resample_5m",
+    "q_asof_trades",
+    "q_interval_join",
+    "q_text_stats",
+    "q_lang_id",
+    "q_quality_rules",
+    "q_stratified_sample",
+    "q_minhash_lsh",
+    "q_embed_neardup",
+    "q_ann_srp",
+]
+
+# Declared exact-verification twins: quadratic/cross-join by design,
+# never the headline path. Documented, not smell-checked.
+DECLARED_QUADRATIC = {
+    "q_simsearch_topk",
+    "q_embed_neardup_exact",
+    "q_jaccard_pairs",
+}
+
+# Selective scans that must reach the parquet reader as PushedFilters.
+PUSHDOWN_QUERIES = ["q_range_scan", "q_tpch_q6"]
+
+SMELLS = ("CartesianProduct", "BatchEvalPython")
+
+
+def _plan(spark, name: str) -> str:
+    queries, _ = collect_registry()
+    df = queries[name](spark, SF_DIR)
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    return df._jdf.queryExecution().explainString(mode)
+
+
+@pytest.mark.parametrize("name", SMELL_QUERIES)
+def test_no_plan_smells(spark, name):
+    plan = _plan(spark, name)
+    for smell in SMELLS:
+        assert smell not in plan, f"{name}: {smell} in physical plan"
+
+
+@pytest.mark.parametrize("name", PUSHDOWN_QUERIES)
+def test_filters_pushed_to_scan(spark, name):
+    plan = _plan(spark, name)
+    pushed = [
+        ln
+        for ln in plan.splitlines()
+        if "PushedFilters: [" in ln and "PushedFilters: []" not in ln
+    ]
+    assert pushed, f"{name}: no non-empty PushedFilters in scan:\n{plan[:1500]}"
+
+
+def test_exclusion_list_is_exact():
+    """Every declared quadratic twin still exists, and nothing new
+    joined the exclusion list silently."""
+    queries, _ = collect_registry()
+    missing = DECLARED_QUADRATIC - queries.keys()
+    assert not missing, f"excluded queries vanished: {missing}"

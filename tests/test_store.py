@@ -218,6 +218,38 @@ def test_compact_merges_files_preserves_rows(spark, store, tmp_path):
     assert n_files2 < n_files
 
 
+def test_append_compact_vacuum_lifecycle(spark, store):
+    """The continuous-append maintenance loop: N small blind appends
+    accumulate one live file each; compact() bounds the live file
+    count in one atomic manifest swap; vacuum(0) reclaims every
+    superseded physical file; reads are identical throughout."""
+    store.write(mk(spark, [("BTC", dt.datetime(2021, 1, 1, 0, i), 100.0 + i)
+                           for i in range(5)]))
+    for j in range(6):
+        store.write(
+            mk(spark, [("BTC", dt.datetime(2021, 1, 1, 1 + j, 0, 0),
+                        200.0 + j)]),
+            mode="append",
+        )
+
+    def live(s):
+        _, fs = s._log.current()
+        return len(fs)
+
+    files_before = live(store)
+    assert files_before >= 7  # one per write, same partition
+    before = sorted(map(tuple, store.read().collect()))
+    store.compact()
+    assert live(store) == 1  # single (BTC, 2021) partition
+    reclaimed = store.vacuum(older_than_s=0)
+    assert reclaimed >= files_before
+    after = sorted(map(tuple, store.read().collect()))
+    assert after == before
+    # the superseded pre-compact snapshot is out of the vacuum horizon
+    with pytest.raises(Exception):
+        store.read(version=2).collect()
+
+
 def test_crash_before_commit_is_invisible(spark, store, monkeypatch):
     """Reference contract: WAL-before-apply means a crash mid-write
     leaves the committed state intact (accessor.go:86-92, committed-only

@@ -149,6 +149,48 @@ def main() -> None:
         t0 = time.time()
         n_rows = store.read(market="SYN", code="click").count()
         print(f"store_pruned_read: {time.time() - t0:.2f}s ({n_rows:,} rows)")
+
+        # Continuous-append lifecycle: many small blind appends leave
+        # one file per append per partition; compact() must bound the
+        # file count and vacuum() must reclaim the superseded files —
+        # with byte-identical read results. This is the maintenance
+        # loop a production store runs forever.
+        def live_files(s):
+            _, fs = s._log.current()
+            return len(fs)
+
+        appends = 8
+        t0 = time.time()
+        slice_src = candles.where(F.col("code") == "click")
+        for i in range(appends):
+            store.write(
+                slice_src.withColumn(
+                    "ts", F.col("ts") + F.expr(f"INTERVAL {i + 1} HOURS")
+                ),
+                mode="append",
+            )
+        files_after_appends = live_files(store)
+        print(
+            f"store_{appends}_appends: {time.time() - t0:.2f}s "
+            f"({files_after_appends} live files)"
+        )
+        before = store.read(market="SYN").count()
+        t0 = time.time()
+        store.compact()
+        files_after_compact = live_files(store)
+        reclaimed = store.vacuum(older_than_s=0)
+        after = store.read(market="SYN").count()
+        print(
+            f"store_compact+vacuum: {time.time() - t0:.2f}s "
+            f"(files {files_after_appends}->{files_after_compact}, "
+            f"vacuumed {reclaimed})"
+        )
+        assert files_after_compact < files_after_appends, (
+            "compact did not reduce live file count"
+        )
+        assert after == before, (
+            f"row count changed across compact/vacuum: {before} -> {after}"
+        )
     finally:
         _sh.rmtree(store_dir, ignore_errors=True)
 
