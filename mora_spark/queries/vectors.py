@@ -159,23 +159,29 @@ assert len(TOPK_PLANT_SCALES) == TOP_K
 
 
 def _planted_topk(e: DataFrame) -> DataFrame:
-    """Corpus (as double) + TOP_K scaled copies of each query vector."""
+    """Corpus (as double) + TOP_K scaled copies of each query vector.
+
+    All plants come from ONE posexplode over the scale array (a single
+    pushdown-filtered scan of the query rows), not one union branch per
+    scale. Everything stays double end-to-end so plant vectors are
+    bit-identical to the oracle's (a float32 intermediate could nudge a
+    non-plant score across a 6-dp rounding boundary)."""
     base = e.select("vec_id", as_double(F.col("embedding")).alias("embedding"))
-    q = base.where(F.col("vec_id") < N_QUERIES)
-    out = base
-    for j, c in enumerate(TOPK_PLANT_SCALES):
-        scale = F.lit(float(c))
-        out = out.unionByName(
-            q.select(
-                (F.col("vec_id") + F.lit((j + 1) * TOPK_PLANT_OFFSET)).alias(
-                    "vec_id"
-                ),
-                F.transform("embedding", lambda x: x * scale).alias(
-                    "embedding"
-                ),
-            )
+    scales = F.array(*[F.lit(float(c)) for c in TOPK_PLANT_SCALES])
+    plants = (
+        base.where(F.col("vec_id") < N_QUERIES)
+        .select("vec_id", "embedding", F.posexplode(scales).alias("j", "c"))
+        .select(
+            (
+                F.col("vec_id")
+                + (F.col("j") + 1).cast("long") * F.lit(TOPK_PLANT_OFFSET)
+            ).alias("vec_id"),
+            F.transform("embedding", lambda x: x * F.col("c")).alias(
+                "embedding"
+            ),
         )
-    return out
+    )
+    return base.unionByName(plants)
 
 
 def _o_ann_topk() -> str:
