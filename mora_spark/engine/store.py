@@ -37,11 +37,19 @@ incoming batch (partition tuples are collected — bounded by
 series × years, not row count — and pruned against the manifest
 driver-side, so untouched partitions are never read OR rewritten).
 Rewritten partitions are sorted within by ts at write, so downstream
-range scans stay sequential. The manifest is one JSON file per version
-listing (file, partition-tuple) pairs; at 100 TB (~1e6 files) the
-production variant would page manifests Iceberg-style (Avro manifest
-lists), but the protocol — prune by tuple, CAS on a version counter —
-is unchanged.
+range scans stay sequential.
+
+Manifests are PAGED, Iceberg-style: the versioned commit file lists
+one pointer per partition — ``{partition-tuple, page-file, n_files}``
+— and each immutable page file under ``_log/pages/`` holds that
+partition's data-file list. So at ~1e6 files the commit file scales
+with the number of PARTITIONS (series × years), not files; a write
+re-pages only the partitions it touches and carries every other
+pointer forward by reference; and a keyed read prunes at the POINTER
+level, loading only the matching partitions' pages before any data
+file is even named. The commit point — link(2) CAS on the version
+file — is unchanged; page files are txn-unique and invisible until a
+commit references them.
 """
 
 from __future__ import annotations
@@ -75,16 +83,21 @@ def _local(path: str) -> str:
 
 
 class _TxnLog:
-    """Versioned manifest log with POSIX link(2) compare-and-swap.
+    """Versioned, PAGED manifest log with POSIX link(2) compare-and-swap.
 
-    Version N is the file ``_log/{N:012d}.json`` holding the complete
-    list of live data files. The newest version wins; publishing is
-    atomic-create-if-absent, so exactly one of any set of racing
-    writers commits each version.
+    Version N is the file ``_log/{N:012d}.json`` holding one POINTER per
+    partition: ``{"partition": {...}, "page": "pages/<txn>-k.json",
+    "n": n_files}``. Each page file is an immutable JSON list of that
+    partition's data-file paths (relative to ``data/``). The newest
+    version wins; publishing is atomic-create-if-absent, so exactly one
+    of any set of racing writers commits each version. Page files a
+    crashed or CAS-losing writer leaves behind are unreferenced and
+    harmless (small JSON; bounded by commits x touched partitions).
     """
 
     def __init__(self, root: str):
         self.dir = os.path.join(root, "_log")
+        self.pages_dir = os.path.join(self.dir, "pages")
 
     def versions(self) -> list[int]:
         """All committed versions, ascending."""
@@ -97,27 +110,60 @@ class _TxnLog:
         )
 
     def read_version(self, version: int) -> dict:
-        """The full manifest record {version, txn, files} at ``version``."""
+        """The manifest record {version, txn, pages} at ``version``."""
         with open(os.path.join(self.dir, f"{version:012d}.json")) as f:
             return json.load(f)
 
-    def entries_at(self, version: int) -> list[dict]:
-        return self.read_version(version)["files"]
+    def pointers_at(self, version: int) -> list[dict]:
+        return self.read_version(version)["pages"]
+
+    def load_page(self, pointer: dict) -> list[dict]:
+        """Expand one partition pointer to its (path, partition) entries."""
+        with open(os.path.join(self.dir, pointer["page"])) as f:
+            paths = json.load(f)
+        return [{"path": p, "partition": pointer["partition"]} for p in paths]
+
+    def entries_at(self, version: int, keep=None) -> list[dict]:
+        """Flattened file entries at ``version``; with ``keep`` (a
+        predicate on pointers) only MATCHING partitions' pages are even
+        opened — manifest-level pruning before any data file is named."""
+        out: list[dict] = []
+        for ptr in self.pointers_at(version):
+            if keep is not None and not keep(ptr):
+                continue
+            out.extend(self.load_page(ptr))
+        return out
 
     def current(self) -> tuple[int, list[dict]]:
-        """Newest (version, entries); (0, []) for an empty store."""
+        """Newest (version, pointers); (0, []) for an empty store."""
         versions = self.versions()
         if not versions:
             return 0, []
         v = versions[-1]
-        return v, self.entries_at(v)
+        return v, self.pointers_at(v)
 
-    def try_commit(self, version: int, entries: list[dict], txn: str) -> bool:
+    def write_page(
+        self, partition: dict, paths: list[str], txn: str, k: int
+    ) -> dict:
+        """Write one immutable page file; returns its pointer. Unique
+        (txn, k) naming means no CAS is needed here — a page is dead
+        weight until a committed version references it."""
+        os.makedirs(self.pages_dir, exist_ok=True)
+        rel = os.path.join("pages", f"{txn}-{k:06d}.json")
+        tmp = os.path.join(self.dir, rel + ".tmp")
+        with open(tmp, "w") as f:
+            json.dump(sorted(paths), f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.rename(tmp, os.path.join(self.dir, rel))
+        return {"partition": partition, "page": rel, "n": len(paths)}
+
+    def try_commit(self, version: int, pointers: list[dict], txn: str) -> bool:
         """CAS-publish ``version``; False if a racer got there first."""
         os.makedirs(self.dir, exist_ok=True)
         tmp = os.path.join(self.dir, f".tmp-{txn}")
         with open(tmp, "w") as f:
-            json.dump({"version": version, "txn": txn, "files": entries}, f)
+            json.dump({"version": version, "txn": txn, "pages": pointers}, f)
             f.flush()
             os.fsync(f.fileno())
         dst = os.path.join(self.dir, f"{version:012d}.json")
@@ -158,7 +204,23 @@ class CandleStore:
 
     @staticmethod
     def _tuple_of(entry: dict) -> tuple[str, ...]:
+        """Partition tuple of a file entry OR a manifest pointer (both
+        carry the same ``partition`` dict)."""
         return tuple(entry["partition"][c] for c in CANDLE_PARTITIONS)
+
+    def _page_out(self, entries: list[dict], txn: str) -> list[dict]:
+        """Group staged file entries by partition and write one page
+        per partition; returns the new pointers."""
+        by_part: dict[tuple, dict] = {}
+        for e in entries:
+            g = by_part.setdefault(
+                self._tuple_of(e), {"partition": e["partition"], "paths": []}
+            )
+            g["paths"].append(e["path"])
+        return [
+            self._log.write_page(g["partition"], g["paths"], txn, k)
+            for k, g in enumerate(by_part.values())
+        ]
 
     def _read_files(self, entries: list[dict]) -> DataFrame:
         if not entries:
@@ -228,11 +290,44 @@ class CandleStore:
         if mode == "append":
             txn = uuid.uuid4().hex
             new = self._stage_and_publish(batch, txn)
+            by_part: dict[tuple, dict] = {}
+            for e in new:
+                g = by_part.setdefault(
+                    self._tuple_of(e),
+                    {"partition": e["partition"], "paths": []},
+                )
+                g["paths"].append(e["path"])
             for _ in range(MAX_COMMIT_RETRIES):
-                version, files = self._log.current()
-                # Data is snapshot-independent: reuse the files, retry
-                # only the manifest union on CAS conflict.
-                if self._log.try_commit(version + 1, files + new, txn):
+                # Data is snapshot-independent: reuse the staged files,
+                # retry only the re-page + manifest union on conflict.
+                # Only TOUCHED partitions get new pages; every other
+                # pointer is carried forward by reference.
+                version, pointers = self._log.current()
+                out, k, seen = [], 0, set()
+                for ptr in pointers:
+                    t = self._tuple_of(ptr)
+                    if t in by_part:
+                        paths = [
+                            e["path"] for e in self._log.load_page(ptr)
+                        ] + by_part[t]["paths"]
+                        out.append(
+                            self._log.write_page(
+                                ptr["partition"], paths, txn, k
+                            )
+                        )
+                        k += 1
+                        seen.add(t)
+                    else:
+                        out.append(ptr)
+                for t, g in by_part.items():
+                    if t not in seen:
+                        out.append(
+                            self._log.write_page(
+                                g["partition"], g["paths"], txn, k
+                            )
+                        )
+                        k += 1
+                if self._log.try_commit(version + 1, out, txn):
                     return
             raise RuntimeError("append: commit contention, retries exhausted")
         if mode != "merge":
@@ -247,11 +342,13 @@ class CandleStore:
         }
         for _ in range(MAX_COMMIT_RETRIES):
             txn = uuid.uuid4().hex
-            version, files = self._log.current()
-            replaced = [e for e in files if self._tuple_of(e) in touched]
-            kept = [e for e in files if self._tuple_of(e) not in touched]
+            version, pointers = self._log.current()
+            replaced = [p for p in pointers if self._tuple_of(p) in touched]
+            kept = [p for p in pointers if self._tuple_of(p) not in touched]
             if replaced:
-                existing = self._read_files(replaced).select(*batch.columns)
+                existing = self._read_files(
+                    [e for p in replaced for e in self._log.load_page(p)]
+                ).select(*batch.columns)
                 merged = (
                     existing.withColumn("__seq", F.lit(0))
                     .unionByName(batch.withColumn("__seq", F.lit(1)))
@@ -265,11 +362,13 @@ class CandleStore:
             else:
                 merged = batch
             new = self._stage_and_publish(merged, txn)
-            if self._log.try_commit(version + 1, kept + new, txn):
+            if self._log.try_commit(
+                version + 1, kept + self._page_out(new, txn), txn
+            ):
                 return
-            # Lost the race: the published-but-uncommitted files are
-            # orphans (invisible; vacuum reclaims them). Recompute the
-            # merge against the winner's snapshot.
+            # Lost the race: the published-but-uncommitted files and
+            # pages are orphans (invisible; vacuum reclaims the data
+            # files). Recompute the merge against the winner's snapshot.
         raise RuntimeError("merge: commit contention, retries exhausted")
 
     def vacuum(self, older_than_s: float = 3600.0) -> int:
@@ -277,9 +376,12 @@ class CandleStore:
         stale staging dirs. ``older_than_s`` guards racing writers that
         have published files but not yet committed (Delta-style
         retention); pass 0 only when no writer is active. Returns the
-        number of files removed."""
-        _, files = self._log.current()
-        live = {os.path.join(self.data_dir, e["path"]) for e in files}
+        number of files removed. Superseded PAGE files are kept — they
+        are small JSON under ``_log/`` and older version files reference
+        them for time travel; only data files age out."""
+        version, _ = self._log.current()
+        entries = self._log.entries_at(version) if version else []
+        live = {os.path.join(self.data_dir, e["path"]) for e in entries}
         cutoff = time.time() - older_than_s
         removed = 0
         for dirpath, _, names in os.walk(self.data_dir):
@@ -301,8 +403,11 @@ class CandleStore:
         volume total — the operational view mora kept in page headers
         (Count/StartOffset/EndOffset, ``page/header.go:13-23``),
         computed here by one aggregation over manifest-listed files."""
-        _, files = self._log.current()
-        df = self._with_year(self._read_files(files).select(*CANDLE_COLUMNS))
+        version, _ = self._log.current()
+        entries = self._log.entries_at(version) if version else []
+        df = self._with_year(
+            self._read_files(entries).select(*CANDLE_COLUMNS)
+        )
         return df.groupBy(*CANDLE_PARTITIONS).agg(
             F.count(F.lit(1)).alias("n_candles"),
             F.min("ts").alias("first_ts"),
@@ -324,8 +429,9 @@ class CandleStore:
         """
         for _ in range(MAX_COMMIT_RETRIES):
             txn = uuid.uuid4().hex
-            version, files = self._log.current()
-            df = self._read_files(files).select(*CANDLE_COLUMNS)
+            version, _ = self._log.current()
+            entries = self._log.entries_at(version) if version else []
+            df = self._read_files(entries).select(*CANDLE_COLUMNS)
             df = self._with_year(df).repartition(
                 *[F.col(c) for c in CANDLE_PARTITIONS]
             )
@@ -333,7 +439,9 @@ class CandleStore:
                 df, txn,
                 max_records_per_file=target_file_mb * 1024 * 1024 // 64,
             )
-            if self._log.try_commit(version + 1, new, txn):
+            if self._log.try_commit(
+                version + 1, self._page_out(new, txn), txn
+            ):
                 return
         raise RuntimeError("compact: commit contention, retries exhausted")
 
@@ -344,7 +452,7 @@ class CandleStore:
         its transaction id and live-file count — the operational analogue
         of Delta's DESCRIBE HISTORY over this store's manifest log."""
         rows = [
-            (v, m["txn"], len(m["files"]))
+            (v, m["txn"], sum(p["n"] for p in m["pages"]))
             for v in self._log.versions()
             for m in [self._log.read_version(v)]
         ]
@@ -377,10 +485,7 @@ class CandleStore:
         :meth:`vacuum` reclaims files the NEWEST manifest no longer
         references — vacuum bounds the time-travel horizon, as in Delta.
         """
-        if version is not None:
-            files = self._log.entries_at(version)
-        else:
-            _, files = self._log.current()
+        v = version if version is not None else self._log.current()[0]
 
         def keep(e: dict) -> bool:
             p = e["partition"]
@@ -406,7 +511,12 @@ class CandleStore:
                 return False
             return True
 
-        df = self._read_files([e for e in files if keep(e)])
+        # keep() runs on POINTERS: non-matching partitions' pages are
+        # never opened, so planning cost scales with the partitions the
+        # key touches, not the store's total file count.
+        df = self._read_files(
+            self._log.entries_at(v, keep=keep) if v else []
+        )
         if market is not None:
             df = df.where(F.col("market") == market)
         if code is not None:

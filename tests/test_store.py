@@ -233,8 +233,8 @@ def test_append_compact_vacuum_lifecycle(spark, store):
         )
 
     def live(s):
-        _, fs = s._log.current()
-        return len(fs)
+        _, pointers = s._log.current()
+        return sum(p["n"] for p in pointers)
 
     files_before = live(store)
     assert files_before >= 7  # one per write, same partition
@@ -248,6 +248,40 @@ def test_append_compact_vacuum_lifecycle(spark, store):
     # the superseded pre-compact snapshot is out of the vacuum horizon
     with pytest.raises(Exception):
         store.read(version=2).collect()
+
+
+def test_manifest_pages_reused_across_commits(spark, store):
+    """Paged manifests: a commit re-pages ONLY the partitions it
+    touches; every other partition's pointer is carried forward by
+    reference (same page file), so commit cost scales with touched
+    partitions, not store size."""
+    store.write(mk(spark, [("BTC", dt.datetime(2021, 1, 1, 0, 0), 1.0),
+                           ("ETH", dt.datetime(2021, 1, 1, 0, 0), 2.0)]))
+    store.write(
+        mk(spark, [("BTC", dt.datetime(2021, 1, 1, 0, 1), 3.0)]),
+        mode="append",
+    )
+    by_code = lambda v: {  # noqa: E731
+        p["partition"]["code"]: p for p in store._log.pointers_at(v)
+    }
+    v1, v2 = by_code(1), by_code(2)
+    assert v1["ETH"]["page"] == v2["ETH"]["page"]  # untouched: reused
+    assert v1["BTC"]["page"] != v2["BTC"]["page"]  # touched: re-paged
+    assert v2["BTC"]["n"] == v1["BTC"]["n"] + 1
+    # keyed read only opens matching partitions' pages
+    opened = []
+    orig = type(store._log).load_page
+
+    def spy(self, ptr):
+        opened.append(ptr["partition"]["code"])
+        return orig(self, ptr)
+
+    type(store._log).load_page = spy
+    try:
+        assert store.read(code="ETH").count() == 1
+    finally:
+        type(store._log).load_page = orig
+    assert opened == ["ETH"]
 
 
 def test_crash_before_commit_is_invisible(spark, store, monkeypatch):

@@ -156,8 +156,8 @@ def main() -> None:
         # with byte-identical read results. This is the maintenance
         # loop a production store runs forever.
         def live_files(s):
-            _, fs = s._log.current()
-            return len(fs)
+            _, pointers = s._log.current()
+            return sum(p["n"] for p in pointers)
 
         appends = 8
         t0 = time.time()
