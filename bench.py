@@ -44,6 +44,7 @@ HEADLINE = [
     "q_boilerplate",
     "q_minhash_lsh",
     "q_dedup_increment",
+    "q_dedup_lines",
     "q_dedup_clusters",
     "q_corpus_curation",
     "q_embed_neardup",

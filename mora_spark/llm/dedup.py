@@ -15,7 +15,7 @@ from __future__ import annotations
 import hashlib
 import math
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from mora_spark.functions.text import distinct_tokens
@@ -54,6 +54,67 @@ def exact_dedup(
         h.select(id_col, "content_hash")
         .join(groups, "content_hash")
         .withColumn("is_duplicate", F.col(id_col) != F.col("canonical_id"))
+    )
+
+
+def dedup_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_len: int = 1,
+) -> DataFrame:
+    """Corpus-wide line-level exact dedup (the C4-style boilerplate
+    pass: repeated lines — navbars, cookie banners, license headers —
+    are kept at their FIRST corpus occurrence and dropped everywhere
+    else; lines shorter than ``min_len`` characters are exempt).
+
+    Returns (id_col, text_dedup, n_total, n_kept) with documents
+    reassembled from their surviving lines in original order; a
+    document whose every line was deduplicated away survives with
+    ``text_dedup = ''`` (curation drops empties downstream, but the
+    operator itself must not lose rows).
+
+    Scale shape: posexplode lines → ONE shuffle on the line value for
+    the first-occurrence window (skew on ultra-common lines is bounded
+    because only rank-1 survives — a top-heavy key produces one winner
+    and the rest drop map-side after the rank) → one groupBy(id) to
+    reassemble. No joins, no Python; every step is whole-stage codegen.
+    """
+    lines = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    )
+    w = Window.partitionBy("line").orderBy("id", "pos")
+    kept = (
+        lines.withColumn("rn", F.row_number().over(w))
+        .where(
+            (F.length("line") < min_len) | (F.col("rn") == 1)
+        )
+    )
+    rebuilt = kept.groupBy("id").agg(
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+        ).alias("text_dedup"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    return (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.size(F.split(F.col(text_col), "\n")).cast("long").alias(
+                "n_total"
+            ),
+        )
+        .join(rebuilt, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("text_dedup", F.lit("")).alias("text_dedup"),
+            "n_total",
+            F.coalesce("n_kept", F.lit(0).cast("long")).alias("n_kept"),
+        )
     )
 
 

@@ -33,7 +33,9 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # remains their evidence; machinery covered by in-window kin):
 # q_embed_neardup_exact, q_embedding_norms, q_centroid_dist,
 # q_frame_sample, q_multimodal_meta, q_dedup_exact, q_upsert_lww,
-# q_ema_12, q_asof_trades.
+# q_ema_12, q_asof_trades, q_stream_enrich (displaced for the new
+# q_dedup_lines; its stream-static join machinery stays covered
+# in-window by q_stream_join).
 PRIORITY: tuple[str, ...] = (
     # LLM-pipeline: dedup / similarity / curation / text
     "q_minhash_lsh",
@@ -42,6 +44,7 @@ PRIORITY: tuple[str, ...] = (
     "q_simhash_pairs",    # never driver-checked: rotated in (r3)
     "q_jaccard_pairs",
     "q_dedup_increment",
+    "q_dedup_lines",      # new operator this round (planted line plant)
     "q_corpus_curation",
     "q_stratified_sample",
     "q_decontaminate",
@@ -70,7 +73,6 @@ PRIORITY: tuple[str, ...] = (
     "q_stream_sessions",
     "q_stream_sliding",
     "q_stream_ema",
-    "q_stream_enrich",
     "q_stream_join",
     "q_stream_dedup_increment",  # never driver-checked: rotated in (r3)
     # store / format

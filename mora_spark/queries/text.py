@@ -250,6 +250,65 @@ FROM p
 """
 
 
+# --- q_dedup_lines: corpus-wide line-level exact dedup (C4-style) ---
+# The synthetic corpus is single-line, so the query PLANTS line
+# structure (the same plant-then-verify pattern as q_redact_pii):
+# every doc gains a shared boilerplate header and a doc_id%7 footer.
+# The operator must keep the header once corpus-wide, keep one footer
+# per variant, and dedup exactly-duplicated body lines to their first
+# occurrence — the oracle replays the plant and the first-occurrence
+# rule, so the driver hash verifies content, order, and counts.
+
+_LINE_HEADER = "subscribe to our newsletter for updates"
+_LINE_FOOTER = "copyright footer variant"
+
+
+def q_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mora_spark.llm.dedup import dedup_lines
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    planted = d.withColumn(
+        "text",
+        F.concat(
+            F.lit(_LINE_HEADER + "\n"),
+            F.col("text"),
+            F.lit("\n" + _LINE_FOOTER + " "),
+            (F.col("doc_id") % 7).cast("string"),
+        ),
+    )
+    return dedup_lines(planted)
+
+
+O_DEDUP_LINES = f"""
+WITH p AS (
+  SELECT doc_id,
+         '{_LINE_HEADER}' || chr(10) || text || chr(10)
+           || '{_LINE_FOOTER} ' || CAST(doc_id % 7 AS VARCHAR) AS text
+  FROM documents
+), lines AS (
+  SELECT doc_id,
+         unnest(string_split(text, chr(10))) AS line,
+         unnest(generate_series(1, len(string_split(text, chr(10))))) AS pos
+  FROM p
+), ranked AS (
+  SELECT doc_id, pos, line,
+         row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) AS rn
+  FROM lines
+), rebuilt AS (
+  SELECT doc_id,
+         string_agg(line, chr(10) ORDER BY pos) AS text_dedup,
+         count(*) AS n_kept
+  FROM ranked WHERE len(line) < 1 OR rn = 1
+  GROUP BY doc_id
+)
+SELECT p.doc_id,
+       coalesce(r.text_dedup, '') AS text_dedup,
+       len(string_split(p.text, chr(10))) AS n_total,
+       coalesce(r.n_kept, 0) AS n_kept
+FROM p LEFT JOIN rebuilt r USING (doc_id)
+"""
+
+
 # --- q_minhash_lsh: banded MinHash near-dup (the scale path) ---
 
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -568,6 +627,7 @@ QUERIES = {
     "q_jaccard_pairs": q_jaccard_pairs,
     "q_minhash_lsh": q_minhash_lsh,
     "q_dedup_increment": q_dedup_increment,
+    "q_dedup_lines": q_dedup_lines,
     "q_simhash": q_simhash,
     "q_simhash_pairs": q_simhash_pairs,
     "q_dedup_clusters": q_dedup_clusters,
@@ -583,6 +643,7 @@ ORACLES = {
     "q_jaccard_pairs": O_JACCARD_PAIRS,
     "q_minhash_lsh": _o_minhash(),
     "q_dedup_increment": _o_dedup_increment(),
+    "q_dedup_lines": O_DEDUP_LINES,
     "q_simhash": O_SIMHASH,
     "q_simhash_pairs": O_SIMHASH_PAIRS,
     "q_dedup_clusters": _o_dedup_clusters(),

@@ -40,6 +40,7 @@ SMELL_QUERIES = [
     "q_quality_rules",
     "q_stratified_sample",
     "q_minhash_lsh",
+    "q_dedup_lines",
     "q_embed_neardup",
     "q_ann_srp",
 ]
