@@ -396,6 +396,14 @@ class CandleStore:
                 p = os.path.join(staging_root, d)
                 if os.path.getmtime(p) <= cutoff:
                     shutil.rmtree(p, ignore_errors=True)
+        # Half-written page temp files from a writer that crashed
+        # between write+fsync and rename (committed pages are .json
+        # and stay).
+        if os.path.isdir(self._log.pages_dir):
+            for n in os.listdir(self._log.pages_dir):
+                p = os.path.join(self._log.pages_dir, n)
+                if n.endswith(".tmp") and os.path.getmtime(p) <= cutoff:
+                    os.remove(p)
         return removed
 
     def stats(self) -> DataFrame:

@@ -15,7 +15,7 @@ from __future__ import annotations
 import hashlib
 import math
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from mora_spark.functions.text import distinct_tokens
@@ -74,22 +74,30 @@ def dedup_lines(
     ``text_dedup = ''`` (curation drops empties downstream, but the
     operator itself must not lose rows).
 
-    Scale shape: posexplode lines → ONE shuffle on the line value for
-    the first-occurrence window (skew on ultra-common lines is bounded
-    because only rank-1 survives — a top-heavy key produces one winner
-    and the rest drop map-side after the rank) → one groupBy(id) to
-    reassemble. No joins, no Python; every step is whole-stage codegen.
+    Scale shape — deliberately NOT a first-occurrence window: an
+    ultra-common line (the exact boilerplate this operator exists to
+    kill) would put its billions of copies into ONE window sort
+    partition. Instead the winner per line is ``min(struct(id, pos))``
+    via groupBy(line) — partial aggregation combines map-side, so a
+    hot line contributes one candidate per task, never one sort
+    partition — and survivors are selected with a semi-join on the
+    near-unique (line, id, pos) key, which shuffles uniformly no
+    matter how skewed the line values are. One groupBy(id) reassembles
+    documents in order. No Python anywhere.
     """
     lines = df.select(
         F.col(id_col).alias("id"),
         F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
     )
-    w = Window.partitionBy("line").orderBy("id", "pos")
-    kept = (
-        lines.withColumn("rn", F.row_number().over(w))
-        .where(
-            (F.length("line") < min_len) | (F.col("rn") == 1)
-        )
+    eligible = F.length("line") >= min_len
+    winners = (
+        lines.where(eligible)
+        .groupBy("line")
+        .agg(F.min(F.struct("id", "pos")).alias("w"))
+        .select("line", F.col("w.id").alias("id"), F.col("w.pos").alias("pos"))
+    )
+    kept = lines.where(~eligible).unionByName(
+        lines.where(eligible).join(winners, ["line", "id", "pos"], "left_semi")
     )
     rebuilt = kept.groupBy("id").agg(
         F.concat_ws(
@@ -101,14 +109,11 @@ def dedup_lines(
         ).alias("text_dedup"),
         F.count(F.lit(1)).alias("n_kept"),
     )
+    totals = lines.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_total")
+    )
     return (
-        df.select(
-            F.col(id_col).alias("id"),
-            F.size(F.split(F.col(text_col), "\n")).cast("long").alias(
-                "n_total"
-            ),
-        )
-        .join(rebuilt, "id", "left")
+        totals.join(rebuilt, "id", "left")
         .select(
             F.col("id").alias(id_col),
             F.coalesce("text_dedup", F.lit("")).alias("text_dedup"),
