@@ -273,6 +273,45 @@ def boilerplate_frac(
     )
 
 
+def train_shards(
+    df: DataFrame,
+    n_shards: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    salt: str = "shard",
+) -> DataFrame:
+    """Deterministic global shuffle + shard assignment — the step that
+    turns a curated corpus into N training-export shards with a
+    seedless, reproducible permutation (same layout on any engine, any
+    partitioning, any cluster size, any retry).
+
+    shard = first 32 md5 bits of (salt, id) mod n_shards — uniform and
+    content-independent; pos = rank of the md5 hex within the shard,
+    i.e. the shuffled read order a trainer consumes. Per-shard windows
+    are uniform by construction (~n/n_shards rows each), so the rank
+    sort never concentrates on a hot partition; the production export
+    is then ``partitionBy(shard) + sortWithinPartitions(pos)`` writing
+    one file per shard. Token counts ride along for shard-size
+    accounting.
+    """
+    h = F.md5(F.concat_ws(":", F.lit(salt), F.col(id_col).cast("string")))
+    shard = (
+        F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+        % F.lit(n_shards)
+    )
+    w = Window.partitionBy("shard").orderBy("h", id_col)
+    return (
+        df.select(
+            F.col(id_col),
+            h.alias("h"),
+            shard.alias("shard"),
+            F.size(tokens(text_col)).cast("long").alias("n_tokens"),
+        )
+        .withColumn("pos", (F.row_number().over(w) - 1).cast("long"))
+        .select(id_col, "shard", "pos", "n_tokens")
+    )
+
+
 def vocab_topk(
     df: DataFrame,
     text_col: str = "text",

@@ -33,9 +33,10 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # remains their evidence; machinery covered by in-window kin):
 # q_embed_neardup_exact, q_embedding_norms, q_centroid_dist,
 # q_frame_sample, q_multimodal_meta, q_dedup_exact, q_upsert_lww,
-# q_ema_12, q_asof_trades, q_stream_enrich (displaced for the new
-# q_dedup_lines; its stream-static join machinery stays covered
-# in-window by q_stream_join).
+# q_ema_12, q_asof_trades, q_stream_enrich and q_stream_join (displaced
+# for the new q_dedup_lines / q_train_shards; the stream-join machinery
+# keeps its r2-green rows and the foreachBatch/watermark plumbing stays
+# covered in-window by the other seven streaming queries).
 PRIORITY: tuple[str, ...] = (
     # LLM-pipeline: dedup / similarity / curation / text
     "q_minhash_lsh",
@@ -50,6 +51,7 @@ PRIORITY: tuple[str, ...] = (
     "q_decontaminate",
     "q_vocab_topk",
     "q_pack_sequences",
+    "q_train_shards",     # new operator this round (shuffle+shard export)
     "q_quality_rules",
     "q_boilerplate",
     "q_lang_id",
@@ -73,7 +75,6 @@ PRIORITY: tuple[str, ...] = (
     "q_stream_sessions",
     "q_stream_sliding",
     "q_stream_ema",
-    "q_stream_join",
     "q_stream_dedup_increment",  # never driver-checked: rotated in (r3)
     # store / format
     "q_store_roundtrip",

@@ -301,8 +301,46 @@ FROM per LEFT JOIN hits USING (doc_id)
 """
 
 
+# --- q_train_shards: deterministic shuffle + shard for export ---
+# The last curation step before shard files are written: a seedless,
+# engine-independent global permutation (md5 order) bucketed into
+# uniform shards. The oracle replays the identical hash arithmetic.
+
+N_TRAIN_SHARDS = 32
+
+
+def q_train_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mora_spark.llm.curation import train_shards
+
+    return train_shards(
+        _docs(spark, sf_dir).select("doc_id", "text"),
+        n_shards=N_TRAIN_SHARDS,
+    )
+
+
+O_TRAIN_SHARDS = f"""
+WITH h AS (
+  SELECT doc_id,
+         md5('shard:' || CAST(doc_id AS VARCHAR)) AS hx,
+         len({TOKS_SQL}) AS n_tokens
+  FROM documents
+), s AS (
+  SELECT doc_id, hx, n_tokens,
+         CAST(('0x' || substr(hx, 1, 8)) AS BIGINT) % {N_TRAIN_SHARDS}
+           AS shard
+  FROM h
+)
+SELECT doc_id, shard,
+       row_number() OVER (PARTITION BY shard ORDER BY hx, doc_id) - 1
+         AS pos,
+       n_tokens
+FROM s
+"""
+
+
 QUERIES = {
     "q_stratified_sample": q_stratified_sample,
+    "q_train_shards": q_train_shards,
     "q_quality_rules": q_quality_rules,
     "q_boilerplate": q_boilerplate,
     "q_decontaminate": q_decontaminate,
@@ -313,6 +351,7 @@ QUERIES = {
 
 ORACLES = {
     "q_stratified_sample": O_STRATIFIED_SAMPLE,
+    "q_train_shards": O_TRAIN_SHARDS,
     "q_quality_rules": O_QUALITY_RULES,
     "q_boilerplate": O_BOILERPLATE,
     "q_decontaminate": O_DECONTAMINATE,

@@ -13,6 +13,7 @@ from mora_spark.llm.curation import (
     quality_rules,
     shingle_hashes,
     stratified_sample,
+    train_shards,
     vocab_topk,
 )
 from mora_spark.functions.text import tokens
@@ -126,6 +127,30 @@ def test_boilerplate_frac_detects_shared_template(spark):
         assert out[i].n_common >= 6  # the 6 all-template windows
         assert 0 < out[i].boiler_frac < 1
     assert out[99].n_common == 0 and out[99].boiler_frac == 0.0
+
+
+def test_train_shards_stable_under_repartition(spark, sf_dir):
+    """The export layout is a pure function of doc ids: same (shard,
+    pos) assignment no matter how the input is partitioned."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    a = {r["doc_id"]: (r["shard"], r["pos"])
+         for r in train_shards(d, n_shards=8).collect()}
+    b = {r["doc_id"]: (r["shard"], r["pos"])
+         for r in train_shards(d.repartition(7), n_shards=8).collect()}
+    assert a == b
+
+
+def test_train_shards_uniform_and_dense(spark, sf_dir):
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    rows = train_shards(d, n_shards=8).collect()
+    n = len(rows)
+    by_shard: dict[int, list[int]] = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    assert set(by_shard) == set(range(8))  # every shard populated
+    for positions in by_shard.values():
+        assert sorted(positions) == list(range(len(positions)))  # dense
+        assert len(positions) > n / 8 / 3  # no degenerate skew
 
 
 def test_vocab_topk_ordering(spark, sf_dir):
