@@ -45,3 +45,46 @@ def test_short_lines_exempt(out):
 def test_counts(out):
     assert out[1]["n_total"] == 3 and out[1]["n_kept"] == 3
     assert out[2]["n_total"] == 2 and out[2]["n_kept"] == 1
+
+
+# --- corpus-level properties over random line soups ---
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+LINE = st.sampled_from(
+    ["aa", "bb", "cc", "dd", "common header", "x", ""]
+)
+DOC = st.lists(LINE, min_size=1, max_size=6).map("\n".join)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(texts=st.lists(DOC, min_size=1, max_size=8))
+def test_dedup_lines_properties(spark, texts):
+    docs = list(enumerate(texts))
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in dedup_lines(df, min_len=2).collect()}
+
+    kept_eligible: list[str] = []
+    for i, text in docs:
+        orig = text.split("\n")
+        kept = out[i]["text_dedup"].split("\n") if out[i]["n_kept"] else []
+        # kept lines are a subsequence of the original, in order
+        it = iter(orig)
+        assert all(ln in it for ln in kept)
+        assert out[i]["n_total"] == len(orig)
+        assert out[i]["n_kept"] == len(kept)
+        kept_eligible += [ln for ln in kept if len(ln) >= 2]
+        # ineligible (short) lines are never dropped
+        assert sum(len(x) < 2 for x in kept) == sum(
+            len(x) < 2 for x in orig
+        )
+    # each distinct eligible line survives exactly once, corpus-wide
+    eligible_distinct = {
+        ln for t in texts for ln in t.split("\n") if len(ln) >= 2
+    }
+    assert sorted(kept_eligible) == sorted(eligible_distinct)
