@@ -39,6 +39,7 @@ HEADLINE = [
     "q_dedup_exact",
     "q_decontaminate",
     "q_pack_sequences",
+    "q_train_shards",
     "q_vocab_topk",
     "q_quality_rules",
     "q_boilerplate",

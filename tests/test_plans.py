@@ -39,6 +39,7 @@ SMELL_QUERIES = [
     "q_lang_id",
     "q_quality_rules",
     "q_stratified_sample",
+    "q_train_shards",
     "q_minhash_lsh",
     "q_dedup_lines",
     "q_embed_neardup",
