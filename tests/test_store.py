@@ -355,6 +355,44 @@ def test_concurrent_writers_lose_no_rows(spark, tmp_path):
     assert minutes == expect
 
 
+def test_concurrent_appenders_lose_no_rows(spark, tmp_path):
+    """The append fast path under contention: data files are staged
+    once, and only the RE-PAGE + manifest union retries on CAS
+    conflict — two appenders into the same partition must both land,
+    with the final page holding the union of their files."""
+    import threading
+
+    path = str(tmp_path / "concurrent_append")
+    base = dt.datetime(2021, 1, 1)
+    CandleStore(spark, path).write(
+        mk(spark, [("BTC", base, 0.0)])
+    )  # v1 so both appenders race on v2+
+    errs = []
+
+    def appender(offset):
+        try:
+            s = CandleStore(spark, path)
+            for batch in range(2):
+                rows = [("BTC",
+                         base + dt.timedelta(minutes=offset + 10 * batch + j),
+                         float(offset + 10 * batch + j))
+                        for j in range(1, 4)]
+                s.write(mk(spark, rows), mode="append")
+        except Exception as e:
+            errs.append(e)
+
+    t1 = threading.Thread(target=appender, args=(0,))
+    t2 = threading.Thread(target=appender, args=(100,))
+    t1.start(); t2.start(); t1.join(); t2.join()
+    assert not errs
+    out = CandleStore(spark, path).read()
+    assert out.count() == 13  # 1 seed + 2 appenders x 2 batches x 3 rows
+    # the single BTC/2021 page accumulated every writer's files
+    _, pointers = CandleStore(spark, path)._log.current()
+    assert len(pointers) == 1
+    assert pointers[0]["n"] >= 5  # >= 1 seed file + 1 per append
+
+
 def test_read_prunes_partitions(spark, store):
     b = mk(spark, [("BTC", dt.datetime(2020, 1, 1), 1.0),
                    ("BTC", dt.datetime(2021, 1, 1), 2.0),
