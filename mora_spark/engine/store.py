@@ -208,19 +208,29 @@ class CandleStore:
         carry the same ``partition`` dict)."""
         return tuple(entry["partition"][c] for c in CANDLE_PARTITIONS)
 
-    def _page_out(self, entries: list[dict], txn: str) -> list[dict]:
-        """Group staged file entries by partition and write one page
-        per partition; returns the new pointers."""
+    @classmethod
+    def _group_by_partition(cls, entries: list[dict]) -> dict[tuple, dict]:
+        """{partition tuple: {"partition", "paths"}} for staged entries."""
         by_part: dict[tuple, dict] = {}
         for e in entries:
             g = by_part.setdefault(
-                self._tuple_of(e), {"partition": e["partition"], "paths": []}
+                cls._tuple_of(e), {"partition": e["partition"], "paths": []}
             )
             g["paths"].append(e["path"])
+        return by_part
+
+    def _page_out(self, entries: list[dict], txn: str) -> list[dict]:
+        """Group staged file entries by partition and write one page
+        per partition; returns the new pointers."""
         return [
             self._log.write_page(g["partition"], g["paths"], txn, k)
-            for k, g in enumerate(by_part.values())
+            for k, g in enumerate(self._group_by_partition(entries).values())
         ]
+
+    def _entries_for(self, pointers: list[dict]) -> list[dict]:
+        """Flatten already-loaded pointers to file entries (avoids
+        re-reading the version file entries_at would parse again)."""
+        return [e for p in pointers for e in self._log.load_page(p)]
 
     def _read_files(self, entries: list[dict]) -> DataFrame:
         if not entries:
@@ -290,13 +300,7 @@ class CandleStore:
         if mode == "append":
             txn = uuid.uuid4().hex
             new = self._stage_and_publish(batch, txn)
-            by_part: dict[tuple, dict] = {}
-            for e in new:
-                g = by_part.setdefault(
-                    self._tuple_of(e),
-                    {"partition": e["partition"], "paths": []},
-                )
-                g["paths"].append(e["path"])
+            by_part = self._group_by_partition(new)
             for _ in range(MAX_COMMIT_RETRIES):
                 # Data is snapshot-independent: reuse the staged files,
                 # retry only the re-page + manifest union on conflict.
@@ -347,7 +351,7 @@ class CandleStore:
             kept = [p for p in pointers if self._tuple_of(p) not in touched]
             if replaced:
                 existing = self._read_files(
-                    [e for p in replaced for e in self._log.load_page(p)]
+                    self._entries_for(replaced)
                 ).select(*batch.columns)
                 merged = (
                     existing.withColumn("__seq", F.lit(0))
@@ -379,17 +383,22 @@ class CandleStore:
         number of files removed. Superseded PAGE files are kept — they
         are small JSON under ``_log/`` and older version files reference
         them for time travel; only data files age out."""
-        version, _ = self._log.current()
-        entries = self._log.entries_at(version) if version else []
-        live = {os.path.join(self.data_dir, e["path"]) for e in entries}
+        _, pointers = self._log.current()
+        live = {
+            os.path.join(self.data_dir, e["path"])
+            for e in self._entries_for(pointers)
+        }
         cutoff = time.time() - older_than_s
         removed = 0
         for dirpath, _, names in os.walk(self.data_dir):
             for name in names:
                 p = os.path.join(dirpath, name)
-                if p not in live and os.path.getmtime(p) <= cutoff:
-                    os.remove(p)
-                    removed += 1
+                try:
+                    if p not in live and os.path.getmtime(p) <= cutoff:
+                        os.remove(p)
+                        removed += 1
+                except FileNotFoundError:
+                    pass  # another vacuum (or a racing rename) got it
         staging_root = os.path.join(self.path, "_staging")
         if os.path.isdir(staging_root):
             for d in os.listdir(staging_root):
@@ -398,12 +407,18 @@ class CandleStore:
                     shutil.rmtree(p, ignore_errors=True)
         # Half-written page temp files from a writer that crashed
         # between write+fsync and rename (committed pages are .json
-        # and stay).
+        # and stay). A LIVE writer may rename its .tmp between our
+        # listdir and stat — that file is healthy, skip it.
         if os.path.isdir(self._log.pages_dir):
             for n in os.listdir(self._log.pages_dir):
                 p = os.path.join(self._log.pages_dir, n)
-                if n.endswith(".tmp") and os.path.getmtime(p) <= cutoff:
-                    os.remove(p)
+                if not n.endswith(".tmp"):
+                    continue
+                try:
+                    if os.path.getmtime(p) <= cutoff:
+                        os.remove(p)
+                except FileNotFoundError:
+                    pass
         return removed
 
     def stats(self) -> DataFrame:
@@ -411,10 +426,11 @@ class CandleStore:
         volume total — the operational view mora kept in page headers
         (Count/StartOffset/EndOffset, ``page/header.go:13-23``),
         computed here by one aggregation over manifest-listed files."""
-        version, _ = self._log.current()
-        entries = self._log.entries_at(version) if version else []
+        _, pointers = self._log.current()
         df = self._with_year(
-            self._read_files(entries).select(*CANDLE_COLUMNS)
+            self._read_files(self._entries_for(pointers)).select(
+                *CANDLE_COLUMNS
+            )
         )
         return df.groupBy(*CANDLE_PARTITIONS).agg(
             F.count(F.lit(1)).alias("n_candles"),
@@ -437,9 +453,10 @@ class CandleStore:
         """
         for _ in range(MAX_COMMIT_RETRIES):
             txn = uuid.uuid4().hex
-            version, _ = self._log.current()
-            entries = self._log.entries_at(version) if version else []
-            df = self._read_files(entries).select(*CANDLE_COLUMNS)
+            version, pointers = self._log.current()
+            df = self._read_files(self._entries_for(pointers)).select(
+                *CANDLE_COLUMNS
+            )
             df = self._with_year(df).repartition(
                 *[F.col(c) for c in CANDLE_PARTITIONS]
             )
@@ -493,8 +510,6 @@ class CandleStore:
         :meth:`vacuum` reclaims files the NEWEST manifest no longer
         references — vacuum bounds the time-travel horizon, as in Delta.
         """
-        v = version if version is not None else self._log.current()[0]
-
         def keep(e: dict) -> bool:
             p = e["partition"]
             if market is not None and p["market"] != market:
@@ -521,10 +536,15 @@ class CandleStore:
 
         # keep() runs on POINTERS: non-matching partitions' pages are
         # never opened, so planning cost scales with the partitions the
-        # key touches, not the store's total file count.
-        df = self._read_files(
-            self._log.entries_at(v, keep=keep) if v else []
-        )
+        # key touches, not the store's total file count. An explicit
+        # ``version`` that was never committed raises (the pre-paging
+        # contract); only the implicit empty-store read returns empty.
+        if version is not None:
+            entries = self._log.entries_at(version, keep=keep)
+        else:
+            v = self._log.current()[0]
+            entries = self._log.entries_at(v, keep=keep) if v else []
+        df = self._read_files(entries)
         if market is not None:
             df = df.where(F.col("market") == market)
         if code is not None:

@@ -85,9 +85,15 @@ def dedup_lines(
     matter how skewed the line values are. One groupBy(id) reassembles
     documents in order. No Python anywhere.
     """
+    # NULL text is treated as '' (one empty line): split(NULL) explodes
+    # to zero rows, which would LOSE the document — breaking the
+    # no-row-loss contract above and desyncing from any oracle that
+    # outer-joins totals back.
     lines = df.select(
         F.col(id_col).alias("id"),
-        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+        F.posexplode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")
+        ).alias("pos", "line"),
     )
     eligible = F.length("line") >= min_len
     winners = (

@@ -271,7 +271,7 @@ def q_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
         "text",
         F.concat(
             F.lit(_LINE_HEADER + "\n"),
-            F.col("text"),
+            F.coalesce(F.col("text"), F.lit("")),
             F.lit("\n" + _LINE_FOOTER + " "),
             (F.col("doc_id") % 7).cast("string"),
         ),
@@ -282,7 +282,7 @@ def q_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
 O_DEDUP_LINES = f"""
 WITH p AS (
   SELECT doc_id,
-         '{_LINE_HEADER}' || chr(10) || text || chr(10)
+         '{_LINE_HEADER}' || chr(10) || coalesce(text, '') || chr(10)
            || '{_LINE_FOOTER} ' || CAST(doc_id % 7 AS VARCHAR) AS text
   FROM documents
 ), lines AS (

@@ -12,6 +12,7 @@ DOCS = [
     (2, "shared banner line\nbeta unique one"),
     (3, "shared banner line"),  # every line duplicated away
     (4, "x\ngamma unique\nx"),  # short 'x' exempt from dedup
+    (5, None),  # NULL text must not lose the row
 ]
 
 
@@ -45,6 +46,12 @@ def test_short_lines_exempt(out):
 def test_counts(out):
     assert out[1]["n_total"] == 3 and out[1]["n_kept"] == 3
     assert out[2]["n_total"] == 2 and out[2]["n_kept"] == 1
+
+
+def test_null_text_survives_as_empty(out):
+    assert 5 in out  # the row is not lost
+    assert out[5]["text_dedup"] == ""
+    assert out[5]["n_total"] == 1 and out[5]["n_kept"] == 1
 
 
 # --- corpus-level properties over random line soups ---

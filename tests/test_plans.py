@@ -88,8 +88,15 @@ def test_filters_pushed_to_scan(spark, name):
 
 
 def test_exclusion_list_is_exact():
-    """Every declared quadratic twin still exists, and nothing new
-    joined the exclusion list silently."""
+    """The exclusion list is pinned to EXACTLY the three declared
+    verification twins — adding a name to DECLARED_QUADRATIC to dodge
+    the smell gate fails here until this pinned set is consciously
+    edited too."""
+    assert DECLARED_QUADRATIC == {
+        "q_simsearch_topk",
+        "q_embed_neardup_exact",
+        "q_jaccard_pairs",
+    }
     queries, _ = collect_registry()
     missing = DECLARED_QUADRATIC - queries.keys()
     assert not missing, f"excluded queries vanished: {missing}"

@@ -118,6 +118,13 @@ def test_time_travel_reads_old_snapshot(spark, store):
     assert sorted(hist) == [1, 2]
 
 
+def test_read_uncommitted_version_raises(spark, store):
+    store.write(mk(spark, [("BTC", dt.datetime(2021, 1, 1), 1.0)]))
+    for bad in (0, 99):
+        with pytest.raises(FileNotFoundError):
+            store.read(version=bad).collect()
+
+
 def test_vacuum_bounds_time_travel(spark, store):
     """vacuum(0) reclaims files the newest manifest no longer lists;
     the head snapshot survives, the rewritten old version does not —
