@@ -145,6 +145,44 @@ def test_ingest_restart_is_idempotent(spark, source_files, tmp_path):
     assert first == again
 
 
+def test_dedup_increment_resume_equals_single_run(spark, sf_dir, tmp_path):
+    """Continuous-curation restart contract: stop the stream at a batch
+    boundary (only 2 of 4 chunks visible), then resume on the SAME
+    checkpoint + work dir after the remaining chunks arrive — the
+    accumulated pair table must equal an uninterrupted run over all 4
+    chunks (the index snapshot each batch sees is identical in both
+    histories)."""
+    from mora_spark.streaming.increment import (
+        docs_chunked_source,
+        stream_dedup_increment,
+    )
+
+    full_src = docs_chunked_source(
+        spark, sf_dir, str(tmp_path / "cache"), n_chunks=4
+    )
+    chunks = sorted(glob.glob(os.path.join(full_src, "chunk-*.parquet")))
+    assert len(chunks) == 4
+    grow_src = str(tmp_path / "grow")
+    os.makedirs(grow_src)
+    for c in chunks[:2]:
+        shutil.copy2(c, grow_src)  # copy2 keeps the ordering mtimes
+    work = str(tmp_path / "work")
+    first = stream_dedup_increment(spark, grow_src, work).collect()
+    for c in chunks[2:]:
+        shutil.copy2(c, grow_src)
+    resumed = stream_dedup_increment(spark, grow_src, work)
+    ref = stream_dedup_increment(
+        spark, full_src, str(tmp_path / "work_ref")
+    )
+    key = lambda r: (r["doc_id"], r["dup_id"], r["src"],  # noqa: E731
+                     round(r["jaccard"], 9))
+    got, want = sorted(map(key, resumed.collect())), sorted(
+        map(key, ref.collect())
+    )
+    assert got == want
+    assert len(first) < len(got)  # the resume actually added batches
+
+
 def test_wire_roundtrip_lossless(spark, sf_dir):
     """Kafka wire contract: encode events as (key, value-JSON) records,
     parse them back with the consumer-side parser — every field must
