@@ -1,8 +1,10 @@
 """Embedding / similarity-search declared queries over ``embeddings``.
 
-Brute-force cosine top-k is the correctness baseline (oracle-checked);
-the LSH-bucketed variant in ``mora_spark.llm.simsearch`` is the scale
-path (rows-only checked — bucketing parameters are engine-internal).
+Brute-force cosine top-k is the correctness baseline; the LSH/IVF
+variants in ``mora_spark.llm.simsearch`` are the scale paths. ALL are
+exact-oracle checked: the ANN queries run over a planted corpus whose
+true top-k is structural (see the plant notes below), so the DuckDB
+brute-force replay verifies their recall hash-exactly.
 """
 
 from __future__ import annotations
