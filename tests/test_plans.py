@@ -26,11 +26,14 @@ SF_DIR = "/root/testdata/sf0.001"
 # bench headlines: relational, timeseries, text, curation, vectors.
 SMELL_QUERIES = [
     "q_tpch_q1",
+    "q_tpch_q2",
     "q_tpch_q3",
     "q_tpch_q5",
     "q_tpch_q9",
+    "q_tpch_q11",
     "q_tpch_q12",
     "q_tpch_q16",
+    "q_tpch_q20",
     "q_topk_volume",
     "q_user_stats",
     "q_sessionize",
