@@ -115,12 +115,37 @@ class _TxnLog:
             return json.load(f)
 
     def pointers_at(self, version: int) -> list[dict]:
-        return self.read_version(version)["pages"]
+        m = self.read_version(version)
+        if "pages" in m:
+            return m["pages"]
+        if "files" in m:
+            # Legacy (pre-paging) manifest: a flat inline file list.
+            # Group it into per-partition INLINE pointers (``files``
+            # instead of a ``page`` ref) so every reader — pruning,
+            # entries_at, history — works unchanged on old stores.
+            by_part: dict[tuple, dict] = {}
+            for e in m["files"]:
+                t = tuple(sorted(e["partition"].items()))
+                g = by_part.setdefault(
+                    t, {"partition": e["partition"], "files": []}
+                )
+                g["files"].append(e["path"])
+            return [
+                {**g, "n": len(g["files"])} for g in by_part.values()
+            ]
+        raise ValueError(
+            f"unsupported manifest format at version {version}: "
+            f"expected a 'pages' (paged) or 'files' (legacy) field, "
+            f"found keys {sorted(m)}"
+        )
 
     def load_page(self, pointer: dict) -> list[dict]:
         """Expand one partition pointer to its (path, partition) entries."""
-        with open(os.path.join(self.dir, pointer["page"])) as f:
-            paths = json.load(f)
+        if "files" in pointer:  # inline pointer from a legacy manifest
+            paths = pointer["files"]
+        else:
+            with open(os.path.join(self.dir, pointer["page"])) as f:
+                paths = json.load(f)
         return [{"path": p, "partition": pointer["partition"]} for p in paths]
 
     def entries_at(self, version: int, keep=None) -> list[dict]:
@@ -403,8 +428,11 @@ class CandleStore:
         if os.path.isdir(staging_root):
             for d in os.listdir(staging_root):
                 p = os.path.join(staging_root, d)
-                if os.path.getmtime(p) <= cutoff:
-                    shutil.rmtree(p, ignore_errors=True)
+                try:
+                    if os.path.getmtime(p) <= cutoff:
+                        shutil.rmtree(p, ignore_errors=True)
+                except FileNotFoundError:
+                    pass  # concurrent vacuum, or the writer cleaned up
         # Half-written page temp files from a writer that crashed
         # between write+fsync and rename (committed pages are .json
         # and stay). A LIVE writer may rename its .tmp between our
@@ -477,9 +505,12 @@ class CandleStore:
         its transaction id and live-file count — the operational analogue
         of Delta's DESCRIBE HISTORY over this store's manifest log."""
         rows = [
-            (v, m["txn"], sum(p["n"] for p in m["pages"]))
+            (
+                v,
+                self._log.read_version(v).get("txn", ""),
+                sum(p["n"] for p in self._log.pointers_at(v)),
+            )
             for v in self._log.versions()
-            for m in [self._log.read_version(v)]
         ]
         return self.spark.createDataFrame(
             rows, "version long, txn string, n_files long"

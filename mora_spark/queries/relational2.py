@@ -277,11 +277,15 @@ GROUP BY p_brand, p_type, p_size
 
 # --- q_tpch_q2: minimum-cost supplier per part in a region ---
 # partsupp's ps_supplycost is absent; the offered cost is DERIVED from
-# lineitem as each (part, supplier)'s minimum observed unit price
-# (extendedprice/quantity, rounded to 6 dp so the min-equality rejoin
-# is bit-stable across engines). The distinctive Q2 machinery — a
-# correlated per-part minimum re-joined by equality against the offer
-# table, inside a region-filtered dimension join — is intact.
+# lineitem as each (part, supplier)'s minimum observed unit price. The
+# price is carried as an EXACT integer surrogate — floor(price/qty *
+# 1e6), i.e. micro-units — because the correlated-min rejoin compares
+# offers for equality: both engines evaluate the identical IEEE-double
+# expression and floor it to int64, so ties are bit-stable by
+# construction (a 6-dp round could land HALF_UP boundaries differently
+# across engines). The distinctive Q2 machinery — a correlated
+# per-part minimum re-joined by equality against the offer table,
+# inside a region-filtered dimension join — is intact.
 
 def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = _t(spark, sf_dir, "part").where(
@@ -294,7 +298,9 @@ def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_nationkey", "n_name", "n_regionkey"
     )
     r = _t(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
-    unit = F.round(F.col("l_extendedprice") / F.col("l_quantity"), 6)
+    unit = F.floor(
+        F.col("l_extendedprice") / F.col("l_quantity") * F.lit(1000000.0)
+    )
     offers = (
         _t(spark, sf_dir, "lineitem")
         .join(broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
@@ -302,25 +308,26 @@ def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .join(broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy("p_partkey", "s_suppkey", "s_name", "s_acctbal", "n_name")
-        .agg(F.min(unit).alias("offer"))
+        .agg(F.min(unit).alias("offer_micros"))
     )
     best = offers.groupBy(F.col("p_partkey").alias("bp")).agg(
-        F.min("offer").alias("best_offer")
+        F.min("offer_micros").alias("best_offer")
     )
     return (
         offers.join(
             broadcast(best),
             (F.col("p_partkey") == F.col("bp"))
-            & (F.col("offer") == F.col("best_offer")),
+            & (F.col("offer_micros") == F.col("best_offer")),
         )
-        .select("s_acctbal", "s_name", "n_name", "p_partkey", "offer")
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "offer_micros")
     )
 
 
 O_TPCH_Q2 = """
 WITH offers AS (
   SELECT p_partkey, s_suppkey, s_name, s_acctbal, n_name,
-         min(round(l_extendedprice / l_quantity, 6)) AS offer
+         min(CAST(floor(l_extendedprice / l_quantity * 1000000.0)
+                  AS BIGINT)) AS offer_micros
   FROM lineitem
   JOIN part ON l_partkey = p_partkey
   JOIN supplier ON l_suppkey = s_suppkey
@@ -329,10 +336,10 @@ WITH offers AS (
   WHERE p_size <= 15 AND p_type = 'STANDARD' AND r_name = 'EUROPE'
   GROUP BY p_partkey, s_suppkey, s_name, s_acctbal, n_name
 )
-SELECT s_acctbal, s_name, n_name, p_partkey, offer
+SELECT s_acctbal, s_name, n_name, p_partkey, offer_micros
 FROM offers o
-WHERE offer = (SELECT min(offer) FROM offers i
-               WHERE i.p_partkey = o.p_partkey)
+WHERE offer_micros = (SELECT min(offer_micros) FROM offers i
+                      WHERE i.p_partkey = o.p_partkey)
 """
 
 

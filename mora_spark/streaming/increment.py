@@ -101,6 +101,14 @@ def stream_dedup_increment(
     join) and overwrites, never duplicates.
     That makes the whole sink idempotent — the streaming analogue of
     the store's WAL-before-apply + committed-only-replay discipline.
+
+    ``work_dir``'s index is SINK-OWNED: it must start empty (first run)
+    or contain only this sink's own ``batch_id=`` layout (restart). To
+    seed from a prebuilt ``save_minhash_index`` corpus, point the sink
+    at a FRESH work_dir and copy/symlink the saved index's ``bands``
+    and ``groups`` parquet in as plain (non-partitioned) files first —
+    mixing ``shard=`` and ``batch_id=`` subdirs under one parquet root
+    would break partition discovery on reload.
     """
     from mora_spark.llm.dedup import (
         build_minhash_index,
@@ -129,9 +137,13 @@ def stream_dedup_increment(
                 # batches before it — without this, a crash after step
                 # 3 would replay the batch against its own survivors
                 # and emit spurious self/corpus pairs. Partition
-                # pruning makes it free.
-                bands = bands.where(F.col("batch_id") < batch_id)
-                groups = groups.where(F.col("batch_id") < batch_id)
+                # pruning makes it free. An index seeded by
+                # ``save_minhash_index`` (shard layout, no batch_id)
+                # has no replay exposure — its rows predate every
+                # micro-batch — so it is always in-snapshot.
+                if "batch_id" in bands.columns:
+                    bands = bands.where(F.col("batch_id") < batch_id)
+                    groups = groups.where(F.col("batch_id") < batch_id)
                 pairs = dedup_increment(
                     batch, bands, groups, threshold=threshold,
                     prebuilt=(groups_b, bands_b),

@@ -410,3 +410,45 @@ def test_read_prunes_partitions(spark, store):
     assert df.count() == 1
     # Year pruning must reach the scan (partition filters present).
     assert "year" in plan
+
+
+def test_legacy_flat_manifest_still_readable(spark, store, tmp_path):
+    """The pre-paging manifest format ({"files": [...]}) must stay
+    readable: pointers_at synthesizes inline pointers from the flat
+    list, and a new commit on top re-pages normally."""
+    import json
+    import os
+
+    store.write(mk(spark, [("BTC", dt.datetime(2021, 1, 1, 0, 0), 1.0),
+                           ("ETH", dt.datetime(2021, 1, 1, 0, 0), 2.0)]))
+    # Rewrite version 1 into the legacy flat format.
+    log = store._log
+    v1 = os.path.join(log.dir, f"{1:012d}.json")
+    entries = log.entries_at(1)
+    with open(v1, "w") as f:
+        json.dump({"version": 1, "files": entries}, f)
+    fresh = CandleStore(spark, str(tmp_path / "candles"))
+    assert fresh.read().count() == 2
+    assert fresh.read(code="ETH").count() == 1
+    hist = {r["version"]: r["n_files"] for r in fresh.history().collect()}
+    assert hist[1] == 2
+    # A merge on top of a legacy manifest commits v2: the touched
+    # partition is re-paged; the untouched one may carry its inline
+    # legacy pointer forward by reference (valid in both formats).
+    fresh.write(mk(spark, [("BTC", dt.datetime(2021, 1, 1, 0, 1), 3.0)]))
+    assert fresh.read().count() == 3
+    v2 = {p["partition"]["code"]: p for p in fresh._log.pointers_at(2)}
+    assert "page" in v2["BTC"]
+    assert fresh.read(code="ETH").count() == 1
+
+
+def test_unsupported_manifest_format_raises(spark, store):
+    import json
+    import os
+
+    store.write(mk(spark, [("BTC", dt.datetime(2021, 1, 1), 1.0)]))
+    v1 = os.path.join(store._log.dir, f"{1:012d}.json")
+    with open(v1, "w") as f:
+        json.dump({"version": 1, "blobs": []}, f)
+    with pytest.raises(ValueError, match="unsupported manifest format"):
+        store.read().collect()
