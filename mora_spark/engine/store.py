@@ -71,6 +71,23 @@ _KEY = ["market", "code", "candle_length", "ts"]
 
 MAX_COMMIT_RETRIES = 10
 
+# Every K-th commit refreshes the _last_checkpoint marker; the hot-path
+# current() then stat-probes forward from it (versions are DENSE — the
+# CAS publishes exactly version+1 — so the probe is <= K stats plus the
+# concurrency window) instead of listing the whole _log/ directory.
+CHECKPOINT_INTERVAL = 10
+
+
+class VersionVacuumedError(RuntimeError):
+    """Time travel to a version older than the newest vacuum: vacuum
+    reclaims data files the newest manifest no longer references, so
+    older snapshots may name deleted files (Delta-style retention)."""
+
+
+class VersionExpiredError(RuntimeError):
+    """Time travel to a version whose manifest file was removed by
+    :meth:`CandleStore.expire_versions` (log retention)."""
+
 
 def _local(path: str) -> str:
     """Strip a file: scheme so driver-side manifest I/O can use os.*
@@ -98,9 +115,12 @@ class _TxnLog:
     def __init__(self, root: str):
         self.dir = os.path.join(root, "_log")
         self.pages_dir = os.path.join(self.dir, "pages")
+        self.marker_path = os.path.join(self.dir, "_last_checkpoint")
+        self.retention_path = os.path.join(self.dir, "_retention.json")
 
     def versions(self) -> list[int]:
-        """All committed versions, ascending."""
+        """All committed versions, ascending (full listing — used by
+        history()/maintenance, never the read/write hot path)."""
         if not os.path.isdir(self.dir):
             return []
         return sorted(
@@ -109,10 +129,83 @@ class _TxnLog:
             if n.endswith(".json") and n[:-5].isdigit()
         )
 
+    def _vpath(self, version: int) -> str:
+        return os.path.join(self.dir, f"{version:012d}.json")
+
+    # -- checkpoint marker + retention record ------------------------
+
+    def checkpoint_hint(self) -> int:
+        """Version recorded in ``_last_checkpoint`` (0 if none). A
+        HINT, not truth: current_version() verifies it and probes
+        forward; a stale/corrupt marker only costs a listdir."""
+        try:
+            with open(self.marker_path) as f:
+                return int(json.load(f)["version"])
+        except (FileNotFoundError, ValueError, KeyError):
+            return 0
+
+    def write_checkpoint(self, version: int, txn: str) -> None:
+        """Advance the marker to ``version`` (monotonic; atomic
+        tmp+rename). Losing a race just leaves an older hint — the
+        forward probe absorbs it."""
+        if version <= self.checkpoint_hint():
+            return
+        tmp = os.path.join(self.dir, f".ckpt-{txn}")
+        with open(tmp, "w") as f:
+            json.dump({"version": version}, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, self.marker_path)
+
+    def retention(self) -> dict:
+        """{"vacuum_horizon": V, "expired_before": X} — both optional,
+        both monotonically advanced by update_retention."""
+        try:
+            with open(self.retention_path) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            return {}
+
+    def update_retention(self, **fields: int) -> None:
+        cur = self.retention()
+        for k, v in fields.items():
+            cur[k] = max(v, cur.get(k, 0))
+        tmp = self.retention_path + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump(cur, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, self.retention_path)
+
+    def current_version(self) -> int:
+        """Newest committed version WITHOUT listing the log directory:
+        start at the checkpoint marker and stat-probe forward through
+        the dense version sequence. O(commits since last checkpoint),
+        independent of total log size; falls back to a full listing
+        only when no (valid) marker exists yet."""
+        start = self.checkpoint_hint()
+        if not (start and os.path.exists(self._vpath(start))):
+            vs = self.versions()
+            return vs[-1] if vs else 0
+        v = start
+        while os.path.exists(self._vpath(v + 1)):
+            v += 1
+        return v
+
     def read_version(self, version: int) -> dict:
         """The manifest record {version, txn, pages} at ``version``."""
-        with open(os.path.join(self.dir, f"{version:012d}.json")) as f:
-            return json.load(f)
+        try:
+            with open(self._vpath(version)) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            floor = self.retention().get("expired_before", 0)
+            if version < floor:
+                raise VersionExpiredError(
+                    f"version {version} was expired by log retention "
+                    f"(versions before {floor} are gone); time travel "
+                    f"is bounded by expire_versions(keep_last=...)"
+                ) from None
+            raise
 
     def pointers_at(self, version: int) -> list[dict]:
         m = self.read_version(version)
@@ -161,10 +254,9 @@ class _TxnLog:
 
     def current(self) -> tuple[int, list[dict]]:
         """Newest (version, pointers); (0, []) for an empty store."""
-        versions = self.versions()
-        if not versions:
+        v = self.current_version()
+        if not v:
             return 0, []
-        v = versions[-1]
         return v, self.pointers_at(v)
 
     def write_page(
@@ -191,14 +283,16 @@ class _TxnLog:
             json.dump({"version": version, "txn": txn, "pages": pointers}, f)
             f.flush()
             os.fsync(f.fileno())
-        dst = os.path.join(self.dir, f"{version:012d}.json")
+        dst = self._vpath(version)
         try:
             os.link(tmp, dst)  # atomic fail-if-exists: the commit point
-            return True
         except FileExistsError:
             return False
         finally:
             os.remove(tmp)
+        if version % CHECKPOINT_INTERVAL == 0:
+            self.write_checkpoint(version, txn)
+        return True
 
 
 class CandleStore:
@@ -407,8 +501,12 @@ class CandleStore:
         retention); pass 0 only when no writer is active. Returns the
         number of files removed. Superseded PAGE files are kept — they
         are small JSON under ``_log/`` and older version files reference
-        them for time travel; only data files age out."""
-        _, pointers = self._log.current()
+        them for time travel; only data files age out. When anything is
+        removed the VACUUM HORIZON advances to the current version:
+        older snapshots may now reference deleted files, so
+        :meth:`read` with ``version <`` horizon raises
+        :class:`VersionVacuumedError` instead of an opaque read error."""
+        at_version, pointers = self._log.current()
         live = {
             os.path.join(self.data_dir, e["path"])
             for e in self._entries_for(pointers)
@@ -447,6 +545,56 @@ class CandleStore:
                         os.remove(p)
                 except FileNotFoundError:
                     pass
+        if removed:
+            self._log.update_retention(vacuum_horizon=at_version)
+        return removed
+
+    def expire_versions(self, keep_last: int = 100) -> int:
+        """Log retention: delete manifest version files older than the
+        newest ``keep_last`` versions, plus page files referenced ONLY
+        by the expired versions. Without this the ``_log/`` dir grows
+        one file per commit forever (the round-3 audit's 1e6-commit
+        bottleneck). The expiry floor is recorded in
+        ``_log/_retention.json`` FIRST, so time travel below it raises
+        :class:`VersionExpiredError` even mid-delete; the checkpoint
+        marker is advanced to the current version first, keeping the
+        O(1) ``current()`` probe anchored on a retained file. Returns
+        the number of version files removed."""
+        versions = self._log.versions()
+        if len(versions) <= keep_last:
+            return 0
+        tip = versions[-1]
+        floor = versions[max(0, len(versions) - keep_last)]
+        txn = uuid.uuid4().hex
+        self._log.write_checkpoint(tip, txn)
+        self._log.update_retention(expired_before=floor)
+        keep_pages = {
+            p["page"]
+            for v in versions
+            if v >= floor
+            for p in self._log.pointers_at(v)
+            if "page" in p
+        }
+        drop_pages = set()
+        removed = 0
+        for v in versions:
+            if v >= floor:
+                continue
+            drop_pages.update(
+                p["page"]
+                for p in self._log.pointers_at(v)
+                if "page" in p
+            )
+            try:
+                os.remove(self._log._vpath(v))
+                removed += 1
+            except FileNotFoundError:
+                pass  # concurrent expiry
+        for rel in drop_pages - keep_pages:
+            try:
+                os.remove(os.path.join(self._log.dir, rel))
+            except FileNotFoundError:
+                pass
         return removed
 
     def stats(self) -> DataFrame:
@@ -571,6 +719,14 @@ class CandleStore:
         # ``version`` that was never committed raises (the pre-paging
         # contract); only the implicit empty-store read returns empty.
         if version is not None:
+            horizon = self._log.retention().get("vacuum_horizon", 0)
+            if version < horizon:
+                raise VersionVacuumedError(
+                    f"version {version} predates the newest vacuum "
+                    f"(horizon: version {horizon}); its data files may "
+                    f"have been reclaimed. Time travel is bounded by "
+                    f"vacuum, as in Delta retention."
+                )
             entries = self._log.entries_at(version, keep=keep)
         else:
             v = self._log.current()[0]

@@ -452,3 +452,100 @@ def test_unsupported_manifest_format_raises(spark, store):
         json.dump({"version": 1, "blobs": []}, f)
     with pytest.raises(ValueError, match="unsupported manifest format"):
         store.read().collect()
+
+
+def test_checkpoint_marker_gives_o1_current(spark, store):
+    """After CHECKPOINT_INTERVAL commits the marker exists, and
+    current() resolves by forward-probing from it — never listing the
+    log directory (the 1e6-commit scale path)."""
+    import os
+
+    from mora_spark.engine.store import CHECKPOINT_INTERVAL
+
+    base = dt.datetime(2021, 1, 1)
+    for i in range(CHECKPOINT_INTERVAL + 3):
+        store.write(
+            mk(spark, [("BTC", base + dt.timedelta(minutes=i), float(i))]),
+            mode="append",
+        )
+    log = store._log
+    assert os.path.exists(log.marker_path)
+    assert log.checkpoint_hint() == CHECKPOINT_INTERVAL
+    # current() must not fall back to the full listing.
+    def boom():
+        raise AssertionError("current() listed the log dir")
+
+    orig = type(log).versions
+    type(log).versions = lambda self: boom()
+    try:
+        assert log.current_version() == CHECKPOINT_INTERVAL + 3
+        assert store.read().count() == CHECKPOINT_INTERVAL + 3
+    finally:
+        type(log).versions = orig
+
+
+def test_expire_versions_bounds_log_growth(spark, store):
+    from mora_spark.engine.store import VersionExpiredError
+
+    base = dt.datetime(2021, 1, 1)
+    for i in range(12):
+        store.write(
+            mk(spark, [("BTC", base + dt.timedelta(minutes=i), float(i))]),
+            mode="append",
+        )
+    assert store.expire_versions(keep_last=3) == 9
+    assert store._log.versions() == [10, 11, 12]
+    # Retained versions stay time-travelable; expired ones raise typed.
+    assert store.read(version=10).count() == 10
+    assert store.read().count() == 12
+    with pytest.raises(VersionExpiredError, match="expired"):
+        store.read(version=5).collect()
+    hist = [r["version"] for r in store.history().collect()]
+    assert sorted(hist) == [10, 11, 12]
+    # A new commit on top of the trimmed log works.
+    store.write(
+        mk(spark, [("BTC", base + dt.timedelta(minutes=99), 99.0)]),
+        mode="append",
+    )
+    assert store._log.current_version() == 13
+
+
+def test_vacuum_horizon_is_a_typed_contract(spark, store):
+    from mora_spark.engine.store import VersionVacuumedError
+
+    store.write(mk(spark, [("BTC", dt.datetime(2021, 1, 1), 1.0)]))
+    store.write(mk(spark, [("BTC", dt.datetime(2021, 1, 1), 2.0)]))
+    assert store.vacuum(older_than_s=0) > 0
+    with pytest.raises(VersionVacuumedError, match="vacuum"):
+        store.read(version=1)
+    assert [r["open"] for r in store.read(version=2).collect()] == [2.0]
+    assert [r["open"] for r in store.read().collect()] == [2.0]
+
+
+def test_current_version_probe_at_1000_commits(tmp_path):
+    """The 1e6-commit shape in miniature: after 1,000 commits the
+    hot-path current_version() does a bounded number of stats from the
+    checkpoint marker — independent of log size — instead of listing
+    1,000 files."""
+    import os
+
+    from mora_spark.engine.store import CHECKPOINT_INTERVAL, _TxnLog
+
+    log = _TxnLog(str(tmp_path / "s"))
+    for v in range(1, 1001):
+        assert log.try_commit(v, [], f"t{v}")
+    assert log.checkpoint_hint() == 1000
+    calls = {"n": 0}
+    real_exists = os.path.exists
+
+    def counting(p):
+        calls["n"] += 1
+        return real_exists(p)
+
+    os.path.exists = counting
+    try:
+        assert log.current_version() == 1000
+    finally:
+        os.path.exists = real_exists
+    # marker check + one probe past the tip; never O(versions)
+    assert calls["n"] <= CHECKPOINT_INTERVAL + 2
