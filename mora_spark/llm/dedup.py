@@ -427,32 +427,41 @@ def build_minhash_index(
     return bands, groups
 
 
-# Fixed shard count for the on-disk bands layout. Both the writer and
-# the increment reader derive shard = pmod(xxhash64(band_key), this),
-# so it is part of the index format, not a tunable.
+# Fixed shard counts for the on-disk index layout. Writer and increment
+# reader derive shard = pmod(xxhash64(key), these), so they are part of
+# the index format, not tunables.
 BAND_SHARDS = 64
+GROUP_SHARDS = 64
 
 
 def _band_shard(band_key: Column) -> Column:
     return F.pmod(F.xxhash64(band_key), F.lit(BAND_SHARDS)).cast("int")
 
 
+def _gid_shard(gid: Column) -> Column:
+    return F.pmod(F.xxhash64(gid), F.lit(GROUP_SHARDS)).cast("int")
+
+
 def save_minhash_index(
     bands: DataFrame, groups: DataFrame, path: str
 ) -> None:
-    """Persist an LSH index: ``bands`` Hive-partitioned by a
-    band_key-derived shard, ``groups`` plain parquet.
+    """Persist an LSH index, BOTH tables Hive-partitioned by a
+    key-derived shard: ``bands`` by band_key, ``groups`` by gid.
 
-    The shard layout is what makes the increment's index-side join
+    The shard layouts are what make the increment's index-side joins
     scale: ``dedup_increment`` collects the (bounded, <= BAND_SHARDS)
-    shard set of the incoming batch and prunes the bands scan to those
-    directories before any file is opened — at 100 TB a small crawl
-    increment touches a fraction of the index's posting lists instead
-    of streaming all of them through the broadcast join. The
-    ``repartition`` keeps it one file per shard per save (files scale
-    with saves, not tasks x shards); ``groups`` stays unsharded because
-    its gid fetch is driven by a join key produced mid-plan, which
-    directory pruning cannot see."""
+    band-shard set of the incoming batch and prunes the bands scan to
+    those directories before any file is opened — at 100 TB a small
+    crawl increment touches a fraction of the index's posting lists
+    instead of streaming all of them through the broadcast join. The
+    gid fetch is driven by a join key produced mid-plan, which STATIC
+    pruning cannot see — so the increment materializes its (tiny)
+    candidate set first and prunes ``groups`` by the candidates'
+    gid-shard set the same way, cutting the one remaining full-index
+    touch (the token-array fetch — by far the widest rows in the
+    index) to the candidate shards. The ``repartition`` keeps it one
+    file per shard per save (files scale with saves, not
+    tasks x shards)."""
     (
         bands.withColumn("shard", _band_shard(F.col("band_key")))
         .repartition(F.col("shard"))
@@ -460,14 +469,20 @@ def save_minhash_index(
         .partitionBy("shard")
         .parquet(f"{path}/bands")
     )
-    groups.write.mode("overwrite").parquet(f"{path}/groups")
+    (
+        groups.withColumn("gshard", _gid_shard(F.col("gid")))
+        .repartition(F.col("gshard"))
+        .write.mode("overwrite")
+        .partitionBy("gshard")
+        .parquet(f"{path}/groups")
+    )
 
 
 def load_minhash_index(spark, path: str) -> tuple[DataFrame, DataFrame]:
     """Load an index written by :func:`save_minhash_index` (sharded) or
     appended as plain parquet (the streaming sink): partition discovery
-    surfaces ``shard`` only when the layout has it, and
-    :func:`dedup_increment` prunes only when it is there."""
+    surfaces ``shard``/``gshard`` only when the layout has them, and
+    :func:`dedup_increment` prunes only when they are there."""
     return (
         spark.read.parquet(f"{path}/bands"),
         spark.read.parquet(f"{path}/groups"),
@@ -497,8 +512,9 @@ def dedup_increment(
     equi-join, pruned to the batch's band-key SHARDS when the index
     carries the sharded layout (see :func:`save_minhash_index` —
     directory-level pruning before any index file is opened) and (b)
-    one gid-keyed fetch of candidate groups' token sets. The corpus
-    text is never re-tokenized.
+    one gid-keyed fetch of candidate groups' token sets, itself pruned
+    to the CANDIDATE gids' shard directories when ``groups`` carries
+    the gid-sharded layout. The corpus text is never re-tokenized.
 
     The batch group table is persisted here and its cached blocks live
     until the session ends (or the caller clears them); loop callers —
@@ -545,6 +561,22 @@ def dedup_increment(
         .where(first_shared == F.col("n.band") + 1)
         .select(F.col("n.gid").alias("gid_n"), F.col("c.gid").alias("gid_c"))
     )
+    if "gshard" in index_groups.columns:
+        # The candidate set is batch-bounded and tiny relative to the
+        # corpus; materialize it once (localCheckpoint — it feeds both
+        # the shard collect and the verification join) and prune the
+        # groups scan — the widest table in the index, every kept
+        # document's token array — to the candidate gids' shard
+        # directories. Like the bands pruning above, the collect is
+        # bounded by GROUP_SHARDS.
+        cand = cand.localCheckpoint(eager=True)
+        gshards = [
+            r["s"]
+            for r in cand.select(_gid_shard(F.col("gid_c")).alias("s"))
+            .distinct()
+            .collect()
+        ]
+        index_groups = index_groups.where(F.col("gshard").isin(gshards))
     cross = (
         cand.join(
             F.broadcast(

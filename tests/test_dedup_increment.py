@@ -80,6 +80,16 @@ def test_index_shard_pruning(spark, docs, tmp_path):
         if "PartitionFilters" in ln and "shard" in ln
     ]
     assert pruned, f"no shard partition filter in plan:\n{plan[:2000]}"
+    # groups is gid-sharded too: the candidate-driven fetch must carry
+    # its own gshard partition filter (the one remaining full-index
+    # touch before round 4 — every kept doc's token array).
+    assert "gshard" in groups.columns
+    gpruned = [
+        ln
+        for ln in plan.splitlines()
+        if "PartitionFilters" in ln and "gshard" in ln
+    ]
+    assert gpruned, f"no gshard partition filter in plan:\n{plan[:2000]}"
     mem_bands, mem_groups = build_minhash_index(corpus)
     assert _pairs(out) == _pairs(
         dedup_increment(batch, mem_bands, mem_groups)
