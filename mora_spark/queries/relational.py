@@ -823,8 +823,46 @@ GROUP BY c_nationkey
 """
 
 
+# --- q_skew_join: salted equi-join on a hot-keyed fact table ---
+# events has ~150 distinct user_ids over the whole stream (10k rows at
+# sf0.01) — every key is hot, the shape AQE's skew splitting does NOT
+# cover (it only splits shuffled sort-merge sides). salted_join spreads
+# each hot key across 8 deterministic sub-buckets and replicates the
+# customer dimension 8x, so no single task owns a whole key's rows.
+# The salt is invisible in the result: output == the plain equi-join,
+# which is exactly what the oracle runs.
+
+def q_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mora_spark.operators.skew import salted_join
+
+    e = _t(spark, sf_dir, "events").select("user_id", "event_type", "value")
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    joined = salted_join(e, c, on=["user_id"], salt=8)
+    return joined.groupBy("c_mktsegment", "event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        # Exact decimal summation (same trick as q_user_stats): double
+        # addition order differs between engines and partitionings.
+        F.sum(F.col("value").cast("decimal(38,10)"))
+        .cast("double")
+        .alias("total_value"),
+    )
+
+
+O_SKEW_JOIN = """
+SELECT c_mktsegment, event_type,
+       count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(38,10))) AS DOUBLE) AS total_value
+FROM events
+JOIN customer ON user_id = c_custkey
+GROUP BY c_mktsegment, event_type
+"""
+
+
 QUERIES = {
     "q_tpch_q1": q_tpch_q1,
+    "q_skew_join": q_skew_join,
     "q_tpch_q3": q_tpch_q3,
     "q_revenue_by_nation": q_revenue_by_nation,
     "q_rollup_acctbal": q_rollup_acctbal,
@@ -852,6 +890,7 @@ QUERIES = {
 
 ORACLES = {
     "q_tpch_q1": O_TPCH_Q1,
+    "q_skew_join": O_SKEW_JOIN,
     "q_tpch_q3": O_TPCH_Q3,
     "q_revenue_by_nation": O_REVENUE_BY_NATION,
     "q_rollup_acctbal": O_ROLLUP_ACCTBAL,
