@@ -31,7 +31,9 @@ HEADLINE = [
     "q_tpch_q1",
     "q_tpch_q3",
     "q_tpch_q8",
+    "q_tpch_q9",
     "q_tpch_q21",
+    "q_skew_join",
     "q_revenue_by_nation",
     "q_sessionize",
     "q_interval_join",
@@ -99,6 +101,34 @@ def main() -> None:
             print(f"bench error {name}: {exc}", file=sys.stderr)
             timings[name] = -1.0
 
+    # Contention canaries: re-run a handful of pure, stateless batch
+    # queries twice more and report all three wall times. If the bench
+    # environment was contended (another JVM, CPU pressure), the spread
+    # makes it self-evident in the recorded JSON — no rerun needed to
+    # adjudicate (the round-2 "inflation" episode took an isolated
+    # re-run to root-cause). Stateful queries (streaming, store writes)
+    # and session-memoized ones (the LSH cascade) are excluded: their
+    # repeats measure caches, not the plan. The headline "queries"/
+    # "value" stay single-pass, comparable with earlier rounds.
+    canaries = [
+        "q_tpch_q1",
+        "q_tpch_q3",
+        "q_topk_volume",
+        "q_asof_trades",
+        "q_dedup_exact",
+    ]
+    canary_runs: dict[str, list[float]] = {}
+    for name in canaries:
+        fn = queries.get(name)
+        if fn is None or timings.get(name, -1.0) < 0:
+            continue
+        runs = [timings[name]]
+        for _ in range(2):
+            t0 = time.time()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            runs.append(round(time.time() - t0, 3))
+        canary_runs[name] = runs
+
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     print(
         json.dumps(
@@ -107,6 +137,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "canary_runs": canary_runs,
                 "sf": sf,
             }
         )

@@ -719,7 +719,15 @@ class CandleStore:
         # ``version`` that was never committed raises (the pre-paging
         # contract); only the implicit empty-store read returns empty.
         if version is not None:
-            horizon = self._log.retention().get("vacuum_horizon", 0)
+            ret = self._log.retention()
+            floor = ret.get("expired_before", 0)
+            if version < floor:
+                raise VersionExpiredError(
+                    f"version {version} was expired by log retention "
+                    f"(versions before {floor} are gone); time travel "
+                    f"is bounded by expire_versions(keep_last=...)"
+                )
+            horizon = ret.get("vacuum_horizon", 0)
             if version < horizon:
                 raise VersionVacuumedError(
                     f"version {version} predates the newest vacuum "

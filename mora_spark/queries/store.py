@@ -146,13 +146,76 @@ def q_ysf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 O_YSF_ROUNDTRIP = candles_sql("SELECT * FROM candles")
 
 
+N_MAINT_APPENDS = 11  # crosses CHECKPOINT_INTERVAL (10): v1 + 11 = v12
+
+
+def q_store_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production maintenance loop under driver verification:
+    enough commits to cross the manifest-log CHECKPOINT interval (so
+    ``current()`` resolves from the ``_last_checkpoint`` marker, not a
+    directory listing), then ``compact`` → ``vacuum`` → ``expire_versions``
+    — and the read-back must still be byte-identical to the plain
+    derivation. Also asserts the typed time-travel contract: an
+    expired version raises ``VersionExpiredError``, a vacuumed one
+    ``VersionVacuumedError`` (the round-3 audit's "opaque read error"
+    gap, now a contract)."""
+    from mora_spark.engine.store import (
+        CHECKPOINT_INTERVAL,
+        VersionExpiredError,
+        VersionVacuumedError,
+    )
+
+    path = scratch_dir("store_maint", sf_dir)
+    shutil.rmtree(path, ignore_errors=True)
+    store = CandleStore(spark, path)
+
+    clicks = candles_from_events(
+        load_table(spark, sf_dir, "events")
+    ).where(F.col("code") == "click")
+    store.write(clicks)  # v1
+    for i in range(1, N_MAINT_APPENDS + 1):
+        store.write(
+            clicks.withColumn("ts", F.col("ts") + F.expr(f"INTERVAL {i} DAYS")),
+            mode="append",
+        )  # v2 .. v12 — v10's commit refreshes the checkpoint marker
+    assert store._log.checkpoint_hint() >= CHECKPOINT_INTERVAL
+    store.compact()  # v13: one ts-sorted file set per partition
+    store.vacuum(older_than_s=0)  # reclaim pre-compaction files
+    store.expire_versions(keep_last=3)  # trim the manifest log
+    for bad, exc in ((2, VersionExpiredError), (12, VersionVacuumedError)):
+        try:
+            store.read(version=bad)
+            raise AssertionError(f"version {bad} should raise {exc.__name__}")
+        except exc:
+            pass
+    cols = [
+        "market", "code", "candle_length", "ts",
+        "open", "high", "low", "close", "volume", "bit_fields",
+    ]
+    return store.read(market="SYN").select(*cols)
+
+
+O_STORE_MAINTENANCE = candles_sql(
+    f"""
+SELECT market, code, candle_length,
+       ts + d * INTERVAL 1 DAY AS ts,
+       open, high, low, close, volume, bit_fields
+FROM candles
+CROSS JOIN (SELECT unnest(range({N_MAINT_APPENDS + 1})) AS d)
+WHERE code = 'click'
+"""
+)
+
+
 QUERIES = {
     "q_store_roundtrip": q_store_roundtrip,
     "q_store_append": q_store_append,
+    "q_store_maintenance": q_store_maintenance,
     "q_ysf_roundtrip": q_ysf_roundtrip,
 }
 ORACLES = {
     "q_store_roundtrip": O_STORE_ROUNDTRIP,
     "q_store_append": O_STORE_APPEND,
+    "q_store_maintenance": O_STORE_MAINTENANCE,
     "q_ysf_roundtrip": O_YSF_ROUNDTRIP,
 }

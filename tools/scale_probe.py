@@ -69,9 +69,23 @@ def main() -> None:
     run("resample_5m", resample(candles, 300))
     run("gapfill", fill_gaps(candles))
     run("minhash_lsh", minhash_lsh_pairs(docs))
-    from mora_spark.llm.dedup import neardup_clusters
+    from mora_spark.llm.dedup import dedup_lines, neardup_clusters
 
     run("neardup_clusters", neardup_clusters(docs, threshold=0.8))
+
+    # Line-level corpus dedup is a corpus-wide posexplode of every
+    # line — THE shape to probe: as copies multiply, the duplication
+    # ratio of every line rises, and the winner-agg + semi-join plan
+    # must stay flat (a first-occurrence window would concentrate each
+    # hot line in one sort partition and cliff here).
+    run("dedup_lines", dedup_lines(docs))
+
+    # Train-shard export: md5 permutation + per-shard rank windows —
+    # uniform by construction, so the probe verifies the rank sort
+    # scales with rows/shard, not corpus shape.
+    from mora_spark.llm.curation import train_shards
+
+    run("train_shards", train_shards(docs))
 
     # Incremental dedup: index the standing corpus once, then dedup a
     # 10% increment against the persisted index (what a continuous
