@@ -652,14 +652,18 @@ class CandleStore:
         """The commit log as a table: one row per committed version with
         its transaction id and live-file count — the operational analogue
         of Delta's DESCRIBE HISTORY over this store's manifest log."""
-        rows = [
-            (
-                v,
-                self._log.read_version(v).get("txn", ""),
-                sum(p["n"] for p in self._log.pointers_at(v)),
-            )
-            for v in self._log.versions()
-        ]
+        rows = []
+        for v in self._log.versions():
+            try:
+                rows.append(
+                    (
+                        v,
+                        self._log.read_version(v).get("txn", ""),
+                        sum(p["n"] for p in self._log.pointers_at(v)),
+                    )
+                )
+            except (FileNotFoundError, VersionExpiredError):
+                pass  # expired between the listing and the read
         return self.spark.createDataFrame(
             rows, "version long, txn string, n_files long"
         )

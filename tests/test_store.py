@@ -376,10 +376,13 @@ def test_concurrent_appenders_lose_no_rows(spark, tmp_path):
     )  # v1 so both appenders race on v2+
     errs = []
 
+    # 6 batches per appender: the 13 racing commits cross the
+    # CHECKPOINT_INTERVAL (10) so the marker refresh runs inside the
+    # CAS race, and current() keeps resolving correctly from it.
     def appender(offset):
         try:
             s = CandleStore(spark, path)
-            for batch in range(2):
+            for batch in range(6):
                 rows = [("BTC",
                          base + dt.timedelta(minutes=offset + 10 * batch + j),
                          float(offset + 10 * batch + j))
@@ -393,11 +396,14 @@ def test_concurrent_appenders_lose_no_rows(spark, tmp_path):
     t1.start(); t2.start(); t1.join(); t2.join()
     assert not errs
     out = CandleStore(spark, path).read()
-    assert out.count() == 13  # 1 seed + 2 appenders x 2 batches x 3 rows
+    assert out.count() == 37  # 1 seed + 2 appenders x 6 batches x 3 rows
+    log = CandleStore(spark, path)._log
+    assert log.current_version() == 13
+    assert log.checkpoint_hint() == 10
     # the single BTC/2021 page accumulated every writer's files
-    _, pointers = CandleStore(spark, path)._log.current()
+    _, pointers = log.current()
     assert len(pointers) == 1
-    assert pointers[0]["n"] >= 5  # >= 1 seed file + 1 per append
+    assert pointers[0]["n"] >= 13  # >= 1 seed file + 1 per append
 
 
 def test_read_prunes_partitions(spark, store):
