@@ -34,6 +34,7 @@ SMELL_QUERIES = [
     "q_tpch_q12",
     "q_tpch_q16",
     "q_tpch_q20",
+    "q_skew_join",
     "q_topk_volume",
     "q_user_stats",
     "q_sessionize",
@@ -91,6 +92,13 @@ def test_filters_pushed_to_scan(spark, name):
         if "PushedFilters: [" in ln and "PushedFilters: []" not in ln
     ]
     assert pushed, f"{name}: no non-empty PushedFilters in scan:\n{plan[:1500]}"
+
+
+def test_skew_join_plans_salted_shape(spark):
+    """q_skew_join must actually join on the salt: the hot key alone
+    never appears as the full join key set."""
+    plan = _plan(spark, "q_skew_join")
+    assert "__salt" in plan, f"salt column missing from plan:\n{plan[:1500]}"
 
 
 def test_exclusion_list_is_exact():
