@@ -19,6 +19,7 @@ from mora_spark.llm.multimodal import (
 )
 from mora_spark.llm.simsearch import (
     build_ivf_index,
+    ivf_index_add,
     embedding_neardup_pairs,
     ivf_index_topk,
     load_ivf_index,
@@ -35,6 +36,7 @@ __all__ = [
     "load_minhash_index",
     "save_minhash_index",
     "build_ivf_index",
+    "ivf_index_add",
     "ivf_index_topk",
     "load_ivf_index",
     "save_ivf_index",

@@ -429,6 +429,16 @@ def build_ivf_index(
         )
     else:
         cents = _hyperplanes(dim, n_cells, seed="ivf")
+    return cents, embeddings.withColumn(
+        "cell", _cell_assigner(cents)(F.col(vec_col))
+    )
+
+
+def _cell_assigner(cents: np.ndarray):
+    """Arrow-batched nearest-centroid assignment under fixed centroids
+    (assignment is on the NORMALIZED vector — scale-invariant, the
+    property the planted ANN oracles rely on). Shared by the initial
+    build and incremental adds so both produce the identical layout."""
 
     @pandas_udf(T.IntegerType())
     def nearest_cell(vs: pd.Series) -> pd.Series:
@@ -439,7 +449,7 @@ def build_ivf_index(
             np.argmax((m / norms) @ cents.T, axis=1).astype("int32")
         )
 
-    return cents, embeddings.withColumn("cell", nearest_cell(F.col(vec_col)))
+    return nearest_cell
 
 
 def save_ivf_index(
@@ -465,6 +475,35 @@ def load_ivf_index(spark, path: str) -> tuple[np.ndarray, DataFrame]:
     for r in rows:
         cents[r["cell"]] = r["centroid"]
     return cents, spark.read.parquet(f"{path}/cells")
+
+
+def ivf_index_add(
+    spark, path: str, new_vectors: DataFrame, vec_col: str = "embedding"
+) -> None:
+    """Incremental maintenance of a persisted IVF index: assign the new
+    vectors to cells under the SAVED centroids (no retraining — the
+    standard inverted-file maintenance op; periodic retraining is a
+    full rebuild) and append them partition-wise into the existing
+    cell layout. Probing is unchanged — ``ivf_index_topk`` still prunes
+    to n_probe cell directories, which now include the new postings.
+    At scale the append writes only the cells the batch lands in, so
+    maintenance cost follows the BATCH, not the index size. The new
+    vectors are cast to the index's element type (same dtype contract
+    as :func:`ivf_index_topk`: a float32 index must not silently grow
+    float64 postings, or scores could diverge in the rounded 6th
+    decimal)."""
+    cents, assigned = load_ivf_index(spark, path)
+    data_cols = [c for c in assigned.columns if c != "cell"]
+    elem = assigned.schema[vec_col].dataType.elementType.simpleString()
+    batch = new_vectors.select(*data_cols).withColumn(
+        vec_col, F.col(vec_col).cast(f"array<{elem}>")
+    )
+    (
+        batch.withColumn("cell", _cell_assigner(cents)(F.col(vec_col)))
+        .write.partitionBy("cell")
+        .mode("append")
+        .parquet(f"{path}/cells")
+    )
 
 
 def ivf_index_topk(

@@ -275,6 +275,43 @@ def q_ann_ivf_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- q_ann_ivf_add: incremental index maintenance, then search ---
+# The production ANN loop: the index is built and TRAINED on the base
+# corpus only; the planted true-top-k rows arrive LATER via
+# ivf_index_add (nearest-cell assignment under the saved centroids,
+# partition-wise append into the cell layout — no retraining). Because
+# a scaled copy normalizes to its query vector, its nearest saved
+# centroid is the query's own cell whatever corpus the centroids were
+# trained on — so the probe provably covers the plants and the search
+# returns exactly the shared planted oracle's rows: index maintenance
+# cannot lose recall on the appended vectors.
+
+def q_ann_ivf_add(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from mora_spark.llm.simsearch import (
+        build_ivf_index,
+        ivf_index_add,
+        ivf_index_topk,
+        save_ivf_index,
+    )
+    from mora_spark.queries.store import scratch_dir
+
+    path = scratch_dir("ivf_index_add", sf_dir)
+    shutil.rmtree(path, ignore_errors=True)
+    base = _emb(spark, sf_dir).select(
+        "vec_id", as_double(F.col("embedding")).alias("embedding")
+    )
+    save_ivf_index(*build_ivf_index(base, train_iters=2), path)
+    plants = _planted_topk(base).where(
+        F.col("vec_id") >= F.lit(TOPK_PLANT_OFFSET)
+    )
+    ivf_index_add(spark, path, plants)
+    return ivf_index_topk(
+        spark, path, query_ids=list(range(N_QUERIES)), k=TOP_K, n_probe=4
+    )
+
+
 # --- q_embed_neardup: embedding-cosine near-duplicate pairs ---
 # Declared as the band-OR SRP-LSH path (the 100 TB plan: skinny banded
 # equi-join + broadcast cosine verify — never an all-pairs cross join).
@@ -388,6 +425,7 @@ QUERIES = {
     "q_ann_srp": q_ann_srp,
     "q_ann_ivf": q_ann_ivf,
     "q_ann_ivf_index": q_ann_ivf_index,
+    "q_ann_ivf_add": q_ann_ivf_add,
     "q_embed_neardup": q_embed_neardup,
     "q_embed_neardup_exact": q_embed_neardup_exact,
 }
@@ -399,6 +437,7 @@ ORACLES = {
     "q_ann_srp": _o_ann_topk(),
     "q_ann_ivf": _o_ann_topk(),
     "q_ann_ivf_index": _o_ann_topk(),
+    "q_ann_ivf_add": _o_ann_topk(),
     "q_embed_neardup": O_EMBED_NEARDUP,
     "q_embed_neardup_exact": O_EMBED_NEARDUP_EXACT,
 }

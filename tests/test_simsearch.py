@@ -154,3 +154,30 @@ def test_ivf_index_roundtrip_equals_direct(spark, sf_dir, tmp_path):
     assert sorted(map(tuple, direct.collect())) == sorted(
         map(tuple, via_index.collect())
     )
+
+
+def test_ivf_index_add_equals_rebuild(spark, sf_dir, tmp_path):
+    """Incremental maintenance is lossless: under FIXED centroids
+    (train_iters=0 — both layouts share the deterministic hyperplane
+    cells), building on A then ivf_index_add(B) must answer queries
+    identically to building once on A ∪ B."""
+    from mora_spark.datasets import load_table
+    from mora_spark.llm.simsearch import (
+        build_ivf_index,
+        ivf_index_add,
+        ivf_index_topk,
+        save_ivf_index,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    old = e.where(F.col("vec_id") % 3 != 0)  # queries 1,2 stay indexed
+    new = e.where(F.col("vec_id") % 3 == 0)
+    full, incr = str(tmp_path / "full"), str(tmp_path / "incr")
+    save_ivf_index(*build_ivf_index(e, n_cells=16, train_iters=0), full)
+    save_ivf_index(*build_ivf_index(old, n_cells=16, train_iters=0), incr)
+    ivf_index_add(spark, incr, new)
+    a = ivf_index_topk(spark, full, query_ids=[1, 2], k=5, n_probe=4)
+    b = ivf_index_topk(spark, incr, query_ids=[1, 2], k=5, n_probe=4)
+    rows_a = sorted(map(tuple, a.collect()))
+    assert rows_a == sorted(map(tuple, b.collect()))
+    assert len(rows_a) == 10  # k results for both queries
