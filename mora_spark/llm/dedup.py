@@ -497,6 +497,7 @@ def dedup_increment(
     id_col: str = "doc_id",
     threshold: float = 0.5,
     prebuilt: tuple[DataFrame, DataFrame] | None = None,
+    include_intra: bool = True,
 ) -> DataFrame:
     """Dedup a new batch against an indexed corpus + within itself.
 
@@ -519,7 +520,12 @@ def dedup_increment(
     The batch group table is persisted here and its cached blocks live
     until the session ends (or the caller clears them); loop callers —
     the streaming sink — should pass ``prebuilt`` and own the persist
-    lifetime so per-micro-batch caches do not accumulate."""
+    lifetime so per-micro-batch caches do not accumulate.
+
+    ``include_intra=False`` returns only the ``src='corpus'`` rows —
+    for callers deduping one batch against SEVERAL indexes (e.g. the
+    seeded streaming sink: a saved corpus index + its own growing
+    index), which must emit the within-batch pairs exactly once."""
     # One tokenization of the batch: the same (groups, bands) feed the
     # cross join against the index AND the within-batch self-join.
     if prebuilt is not None:
@@ -615,6 +621,8 @@ def dedup_increment(
             F.lit("corpus").alias("src"),
         )
     )
+    if not include_intra:
+        return cross
     intra = minhash_lsh_pairs(
         batch, text_col, id_col, threshold, prebuilt=(bgroups, bbands)
     ).select(

@@ -97,7 +97,12 @@ PRIORITY: tuple[str, ...] = (
     "q_asof_trades",
     "q_ema_12",
     "q_upsert_lww",
-    "q_dedup_exact",
+    # new this round: the seeded continuous-curation composition
+    # (saved sharded corpus index as the stream's batch "-1") — it
+    # exercises the restructured sink + include_intra dedup path, so
+    # it takes the slot of q_dedup_exact (machinery unchanged since
+    # r1, keeps its r2-green row).
+    "q_stream_dedup_seeded",
 )
 # Demoted below the window: every demoted query keeps its green
 # CORRECTNESS_r02/r03.json row as evidence. After this rotation the

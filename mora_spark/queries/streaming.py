@@ -300,15 +300,11 @@ def q_stream_dedup_increment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream_dedup_increment(spark, src, work, threshold=_INCR_T)
 
 
-def _o_stream_dedup_increment(
-    n: int = _INCR_BATCHES, t: float = _INCR_T
-) -> str:
-    """Unrolled replay of the streaming drop rule: batch k = docs with
-    doc_id % n == k; ``pairs`` holds every LSH-banded, Jaccard-verified
-    pair (same banding as :func:`mora_spark.queries.text._o_minhash`);
-    kept_k excludes docs pairing with an earlier kept doc (either
-    orientation) or an earlier same-batch doc; emitted rows mirror the
-    engine's (doc_id, dup_id, jaccard, src) exactly."""
+def _pairs_prefix_sql(t: float) -> str:
+    """The tokenize → MinHash → band → verify WITH-prefix shared by
+    the streaming-replay oracles (same banding as
+    :func:`mora_spark.queries.text._o_minhash`): defines ``pairs``
+    (da < db, exact jaccard >= t) over the whole documents table."""
     from mora_spark.llm.dedup import MINHASH_AB, MINHASH_P
     from mora_spark.queries.text import TOKS_SQL
 
@@ -316,42 +312,7 @@ def _o_stream_dedup_increment(
         f"list_min(list_transform(ti, h -> ({a} * (h // 2) + {b}) % {MINHASH_P}))"
         for a, b in MINHASH_AB
     )
-    kept_ctes, emits = [], []
-    for k in range(n):
-        prev = (
-            " UNION ALL ".join(
-                f"SELECT doc_id FROM kept_{j}" for j in range(k)
-            )
-            or "SELECT NULL::BIGINT AS doc_id WHERE false"
-        )
-        kept_ctes.append(f"""
-prev_{k} AS ({prev}),
-dropped_{k} AS (
-  SELECT p.db AS doc_id FROM pairs p
-  WHERE p.db % {n} = {k} AND p.da % {n} = {k}
-  UNION ALL
-  SELECT p.db FROM pairs p JOIN prev_{k} u ON p.da = u.doc_id
-  WHERE p.db % {n} = {k}
-  UNION ALL
-  SELECT p.da FROM pairs p JOIN prev_{k} u ON p.db = u.doc_id
-  WHERE p.da % {n} = {k}
-),
-kept_{k} AS (
-  SELECT doc_id FROM documents
-  WHERE doc_id % {n} = {k}
-    AND doc_id NOT IN (SELECT doc_id FROM dropped_{k})
-)""")
-        emits.append(f"""
-SELECT p.db AS doc_id, p.da AS dup_id, p.jaccard, 'corpus' AS src
-FROM pairs p JOIN prev_{k} u ON p.da = u.doc_id WHERE p.db % {n} = {k}
-UNION ALL
-SELECT p.da, p.db, p.jaccard, 'corpus'
-FROM pairs p JOIN prev_{k} u ON p.db = u.doc_id WHERE p.da % {n} = {k}""")
-    intra = f"""
-SELECT p.db AS doc_id, p.da AS dup_id, p.jaccard, 'batch' AS src
-FROM pairs p WHERE p.da % {n} = p.db % {n}"""
-    return f"""
-WITH t AS (
+    return f"""t AS (
   SELECT doc_id,
          list_distinct(list_transform(list_distinct({TOKS_SQL}),
            tok -> CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT))) AS ti
@@ -378,15 +339,130 @@ pairs AS (
     JOIN sig tb ON tb.doc_id = db
     WHERE least(ta.n, tb.n) >= {t} * greatest(ta.n, tb.n)
   ) WHERE jaccard >= {t}
-),{",".join(kept_ctes)}
+)"""
+
+
+def _o_stream_dedup(
+    n: int,
+    t: float,
+    member: "callable",
+    seed_sql: str | None = None,
+) -> str:
+    """Unrolled replay of the streaming drop rule. ``member(x, k)`` is
+    a SQL predicate placing column ``x`` in micro-batch ``k``;
+    ``seed_sql`` (optional) selects the doc_ids of a standing corpus
+    the stream was seeded with — always "previously kept", exactly the
+    sink's batch "-1". kept_k excludes docs pairing with an earlier
+    kept doc (either orientation) or an earlier same-batch doc;
+    emitted rows mirror the engine's (doc_id, dup_id, jaccard, src)."""
+    kept_ctes, emits = [], []
+    for k in range(n):
+        prevs = ([seed_sql] if seed_sql else []) + [
+            f"SELECT doc_id FROM kept_{j}" for j in range(k)
+        ]
+        prev = (
+            " UNION ALL ".join(prevs)
+            or "SELECT NULL::BIGINT AS doc_id WHERE false"
+        )
+        kept_ctes.append(f"""
+prev_{k} AS ({prev}),
+dropped_{k} AS (
+  SELECT p.db AS doc_id FROM pairs p
+  WHERE {member("p.db", k)} AND {member("p.da", k)}
+  UNION ALL
+  SELECT p.db FROM pairs p JOIN prev_{k} u ON p.da = u.doc_id
+  WHERE {member("p.db", k)}
+  UNION ALL
+  SELECT p.da FROM pairs p JOIN prev_{k} u ON p.db = u.doc_id
+  WHERE {member("p.da", k)}
+),
+kept_{k} AS (
+  SELECT doc_id FROM documents
+  WHERE {member("doc_id", k)}
+    AND doc_id NOT IN (SELECT doc_id FROM dropped_{k})
+)""")
+        emits.append(f"""
+SELECT p.db AS doc_id, p.da AS dup_id, p.jaccard, 'corpus' AS src
+FROM pairs p JOIN prev_{k} u ON p.da = u.doc_id WHERE {member("p.db", k)}
+UNION ALL
+SELECT p.da, p.db, p.jaccard, 'corpus'
+FROM pairs p JOIN prev_{k} u ON p.db = u.doc_id WHERE {member("p.da", k)}""")
+    same_batch = " OR ".join(
+        f"({member('p.da', k)} AND {member('p.db', k)})" for k in range(n)
+    )
+    intra = f"""
+SELECT p.db AS doc_id, p.da AS dup_id, p.jaccard, 'batch' AS src
+FROM pairs p WHERE {same_batch}"""
+    return f"""
+WITH {_pairs_prefix_sql(t)},{",".join(kept_ctes)}
 {intra}
 {"".join("UNION ALL" + e for e in emits)}
 """
 
 
+def _o_stream_dedup_increment(
+    n: int = _INCR_BATCHES, t: float = _INCR_T
+) -> str:
+    """Replay of q_stream_dedup_increment: batch k = docs with
+    doc_id % n == k, no seed corpus."""
+    return _o_stream_dedup(n, t, lambda x, k: f"{x} % {n} = {k}")
+
+
+# --- q_stream_dedup_seeded: continuous curation against a standing corpus ---
+
+_SEED_CHUNKS = 3
+
+
+def q_stream_dedup_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The seeded continuous-curation composition: half the corpus
+    (even doc_ids) is indexed up front with ``save_minhash_index`` —
+    the sharded, directory-pruned layout — and the other half streams
+    through the incremental-dedup sink in 3 micro-batches with the
+    saved index as ``seed_index_path``. Every batch dedups against
+    seed + earlier kept streamed docs + itself; only streamed
+    survivors grow the sink-owned index. The oracle replays the same
+    greedy sequence with the seed as batch "-1"."""
+    from mora_spark.llm.dedup import build_minhash_index, save_minhash_index
+    from mora_spark.streaming.increment import (
+        docs_chunked_source,
+        stream_dedup_increment,
+    )
+
+    work = _work("stream_dedup_seeded", sf_dir)
+    seed_ix = os.path.join(work, "seed_index")
+    seed_docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .where(F.col("doc_id") % 2 == 0)
+    )
+    save_minhash_index(*build_minhash_index(seed_docs), seed_ix)
+    src = docs_chunked_source(
+        spark, sf_dir, _src_cache(sf_dir), n_chunks=_SEED_CHUNKS,
+        filter_expr="doc_id % 2 = 1", chunk_expr="doc_id div 2",
+    )
+    return stream_dedup_increment(
+        spark, src, work, threshold=_INCR_T, seed_index_path=seed_ix
+    )
+
+
+def _o_stream_dedup_seeded(
+    n: int = _SEED_CHUNKS, t: float = _INCR_T
+) -> str:
+    """Replay of q_stream_dedup_seeded: seed = even doc_ids (standing
+    corpus, always previously-kept); batch k = odd docs with
+    (doc_id // 2) % n == k."""
+    return _o_stream_dedup(
+        n,
+        t,
+        lambda x, k: f"({x} % 2 = 1 AND ({x} // 2) % {n} = {k})",
+        seed_sql="SELECT doc_id FROM documents WHERE doc_id % 2 = 0",
+    )
+
+
 QUERIES = {
     "q_stream_ingest": q_stream_ingest,
     "q_stream_dedup_increment": q_stream_dedup_increment,
+    "q_stream_dedup_seeded": q_stream_dedup_seeded,
     "q_stream_wire": q_stream_wire,
     "q_stream_candles": q_stream_candles,
     "q_stream_store_merge": q_stream_store_merge,
@@ -400,6 +476,7 @@ QUERIES = {
 ORACLES = {
     "q_stream_ingest": O_STREAM_INGEST,
     "q_stream_dedup_increment": _o_stream_dedup_increment(),
+    "q_stream_dedup_seeded": _o_stream_dedup_seeded(),
     "q_stream_wire": O_STREAM_WIRE,
     "q_stream_candles": O_STREAM_CANDLES,
     "q_stream_store_merge": O_STREAM_STORE_MERGE,

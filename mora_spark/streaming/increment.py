@@ -38,15 +38,30 @@ DOC_STREAM_SCHEMA = T.StructType(
 
 
 def docs_chunked_source(
-    spark: SparkSession, sf_dir: str, out_dir: str, n_chunks: int = 4
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str,
+    n_chunks: int = 4,
+    filter_expr: str | None = None,
+    chunk_expr: str = "doc_id",
 ) -> str:
     """Materialize documents as ``n_chunks`` parquet files (chunk k =
-    docs with ``doc_id % n_chunks == k``) with increasing mtimes, so a
+    rows with ``chunk_expr % n_chunks == k``, optionally restricted to
+    ``filter_expr``) with increasing mtimes, so a
     ``maxFilesPerTrigger=1`` file stream replays them as deterministic
-    micro-batches. Modulo chunking (unlike range chunking) is exactly
-    reproducible in the DuckDB oracle. The per-chunk write loop is
-    driver-side but bounded by n_chunks, not rows."""
-    src = os.path.join(out_dir, f"docs_source_{n_chunks}")
+    micro-batches. Both expressions are plain SQL over ``doc_id`` so
+    the chunking (unlike range chunking) is exactly reproducible in
+    the DuckDB oracle. The per-chunk write loop is driver-side but
+    bounded by n_chunks, not rows."""
+    import hashlib
+
+    key = str(n_chunks)
+    if filter_expr is not None or chunk_expr != "doc_id":
+        sig = hashlib.md5(
+            f"{filter_expr}|{chunk_expr}".encode()
+        ).hexdigest()[:8]
+        key = f"{n_chunks}_{sig}"
+    src = os.path.join(out_dir, f"docs_source_{key}")
     if os.path.exists(src):
         return src
     # Assemble EVERYTHING under the build dir and publish with one
@@ -57,9 +72,11 @@ def docs_chunked_source(
     shutil.rmtree(build, ignore_errors=True)
     os.makedirs(build)
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    if filter_expr is not None:
+        docs = docs.where(F.expr(filter_expr))
     for k in range(n_chunks):
         (
-            docs.where(F.col("doc_id") % n_chunks == k)
+            docs.where(F.expr(chunk_expr) % n_chunks == k)
             .coalesce(1)
             .write.mode("overwrite")
             .parquet(os.path.join(build, str(k)))
@@ -83,6 +100,7 @@ def stream_dedup_increment(
     src: str,
     work_dir: str,
     threshold: float = 0.5,
+    seed_index_path: str | None = None,
 ) -> DataFrame:
     """Run the continuous-curation loop over a document file stream;
     returns the accumulated dup-pair table (doc_id, dup_id, jaccard,
@@ -104,11 +122,14 @@ def stream_dedup_increment(
 
     ``work_dir``'s index is SINK-OWNED: it must start empty (first run)
     or contain only this sink's own ``batch_id=`` layout (restart). To
-    seed from a prebuilt ``save_minhash_index`` corpus, point the sink
-    at a FRESH work_dir and copy/symlink the saved index's ``bands``
-    and ``groups`` parquet in as plain (non-partitioned) files first —
-    mixing ``shard=`` and ``batch_id=`` subdirs under one parquet root
-    would break partition discovery on reload.
+    dedup the stream against a PREBUILT ``save_minhash_index`` corpus,
+    pass it as ``seed_index_path`` — the seed stays in its own sharded
+    layout (keeping its directory-pruned joins) and is treated as an
+    always-in-snapshot batch "-1": every micro-batch dedups against
+    seed + earlier kept streamed docs + itself, and only streamed
+    survivors are appended to the sink-owned index. Never copy a
+    sharded index INTO work_dir: mixing ``shard=`` and ``batch_id=``
+    subdirs under one parquet root breaks partition discovery.
     """
     from mora_spark.llm.dedup import (
         build_minhash_index,
@@ -120,16 +141,33 @@ def stream_dedup_increment(
     index_path = os.path.join(work_dir, "lsh_index")
     pairs_dir = os.path.join(work_dir, "dup_pairs")
     ckpt = os.path.join(work_dir, "ckpt_dedup_incr")
+    seed = (
+        load_minhash_index(spark, seed_index_path)
+        if seed_index_path is not None
+        else None
+    )
 
     def sink(batch: DataFrame, batch_id: int) -> None:
         batch = batch.select("doc_id", "text")
-        # One tokenization of the batch for the index join, the
+        # One tokenization of the batch for every index join, the
         # within-batch self-join, and the kept-set rebuild; the persist
         # lifetime is OWNED HERE (unpersisted after the checkpoint) so
         # cached blocks do not accumulate across micro-batches.
         bands_b, groups_b = build_minhash_index(batch)
         groups_b.persist()
         try:
+            # One corpus-pair pass per index; each keeps its native
+            # layout (the seed its shard/gshard pruning, the sink-owned
+            # index its batch_id snapshot filter), and the within-batch
+            # pairs are emitted exactly once at the end.
+            parts = []
+            if seed is not None:
+                parts.append(
+                    dedup_increment(
+                        batch, seed[0], seed[1], threshold=threshold,
+                        prebuilt=(groups_b, bands_b), include_intra=False,
+                    )
+                )
             if os.path.isdir(os.path.join(index_path, "groups")):
                 bands, groups = load_minhash_index(spark, index_path)
                 # The subdir layout doubles as a snapshot filter: a
@@ -137,27 +175,31 @@ def stream_dedup_increment(
                 # batches before it — without this, a crash after step
                 # 3 would replay the batch against its own survivors
                 # and emit spurious self/corpus pairs. Partition
-                # pruning makes it free. An index seeded by
-                # ``save_minhash_index`` (shard layout, no batch_id)
-                # has no replay exposure — its rows predate every
-                # micro-batch — so it is always in-snapshot.
+                # pruning makes it free. (The seed index has no replay
+                # exposure — its rows predate every micro-batch — so
+                # it is always in-snapshot; same for a foreign
+                # pre-existing index without the batch_id layout.)
                 if "batch_id" in bands.columns:
                     bands = bands.where(F.col("batch_id") < batch_id)
                     groups = groups.where(F.col("batch_id") < batch_id)
-                pairs = dedup_increment(
-                    batch, bands, groups, threshold=threshold,
-                    prebuilt=(groups_b, bands_b),
+                parts.append(
+                    dedup_increment(
+                        batch, bands, groups, threshold=threshold,
+                        prebuilt=(groups_b, bands_b), include_intra=False,
+                    )
                 )
-            else:  # first batch: no corpus yet, only within-batch dedup
-                pairs = minhash_lsh_pairs(
-                    batch, threshold=threshold,
-                    prebuilt=(groups_b, bands_b),
-                ).select(
-                    F.col("doc_b").alias("doc_id"),
-                    F.col("doc_a").alias("dup_id"),
-                    "jaccard",
-                    F.lit("batch").alias("src"),
-                )
+            intra = minhash_lsh_pairs(
+                batch, threshold=threshold,
+                prebuilt=(groups_b, bands_b),
+            ).select(
+                F.col("doc_b").alias("doc_id"),
+                F.col("doc_a").alias("dup_id"),
+                "jaccard",
+                F.lit("batch").alias("src"),
+            )
+            pairs = intra
+            for p in parts:
+                pairs = pairs.unionByName(p)
             # Eager checkpoint: the pair set is fully materialized
             # against the PRE-append index, then feeds both the result
             # sink and the kept-set anti-join without re-evaluating the
