@@ -2,6 +2,7 @@
 re-expressed as micro-batch streams with checkpoint recovery."""
 
 from mora_spark.streaming.increment import (
+    compact_stream_index,
     docs_chunked_source,
     stream_dedup_increment,
 )
@@ -21,6 +22,7 @@ from mora_spark.streaming.ingest import (
 __all__ = [
     "chunked_source",
     "docs_chunked_source",
+    "compact_stream_index",
     "stream_dedup_increment",
     "ordered_chunked_source",
     "stream_candles",

@@ -246,3 +246,28 @@ def stream_dedup_increment(
     return spark.read.parquet(pairs_dir).select(
         "doc_id", "dup_id", "jaccard", "src"
     )
+
+
+def compact_stream_index(
+    spark: SparkSession, work_dir: str, dest: str
+) -> None:
+    """Close the curation loop: re-shard the sink-owned streaming index
+    (one ``batch_id=`` subdir per micro-batch, accumulated forever by a
+    long-running stream) into the ``save_minhash_index`` layout at
+    ``dest`` — band-key-sharded bands, gid-sharded groups, one file per
+    shard. The compacted index is the natural SEED for the next stream
+    epoch (``seed_index_path=dest``), so the production cadence is
+    stream → compact → seed, mirroring ``CandleStore.compact`` for the
+    store. Group membership is identical — the batch_id column is a
+    layout detail, dropped here — so searches and increments against
+    the compacted index return exactly what the raw accumulated layout
+    returns, now with directory-pruned joins."""
+    from mora_spark.llm.dedup import load_minhash_index, save_minhash_index
+
+    index_path = os.path.join(work_dir, "lsh_index")
+    bands, groups = load_minhash_index(spark, index_path)
+    save_minhash_index(
+        bands.drop("batch_id").select("gid", "bks", "band", "band_key"),
+        groups.drop("batch_id").select("gid", "members", "ti", "n"),
+        dest,
+    )

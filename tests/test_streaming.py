@@ -242,3 +242,50 @@ def test_rate_source_events(spark, tmp_path):
     got = spark.read.parquet(str(out))
     assert got.count() == 100
     assert got.where(F.col("event_type").isin("view", "click", "purchase")).count() == 100
+
+
+def test_compact_stream_index_is_lossless_and_seeds_next_epoch(
+    spark, sf_dir, tmp_path
+):
+    """stream → compact → seed: compacting the sink-owned batch_id
+    layout into the save_minhash_index shard layout must preserve the
+    group table exactly, and an increment against the compacted index
+    (directory-pruned) must return exactly what the raw accumulated
+    index returns."""
+    from mora_spark.datasets import load_table
+    from mora_spark.llm.dedup import dedup_increment, load_minhash_index
+    from mora_spark.streaming.increment import (
+        compact_stream_index,
+        docs_chunked_source,
+        stream_dedup_increment,
+    )
+
+    src = docs_chunked_source(
+        spark, sf_dir, str(tmp_path / "cache"), n_chunks=2,
+        filter_expr="doc_id % 3 != 0",
+    )
+    work = str(tmp_path / "work")
+    stream_dedup_increment(spark, src, work)
+    raw = load_minhash_index(spark, os.path.join(work, "lsh_index"))
+    dest = str(tmp_path / "compacted")
+    compact_stream_index(spark, work, dest)
+    comp = load_minhash_index(spark, dest)
+    assert "shard" in comp[0].columns and "gshard" in comp[1].columns
+    g_raw = sorted(
+        (r["gid"], tuple(r["members"])) for r in raw[1].collect()
+    )
+    g_comp = sorted(
+        (r["gid"], tuple(r["members"])) for r in comp[1].collect()
+    )
+    assert g_raw == g_comp
+    probe = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .where(F.col("doc_id") % 3 == 0)
+        .limit(60)
+    )
+    key = lambda r: (r["doc_id"], r["dup_id"], r["src"],  # noqa: E731
+                     round(r["jaccard"], 9))
+    got = sorted(map(key, dedup_increment(probe, *comp).collect()))
+    want = sorted(map(key, dedup_increment(probe, *raw).collect()))
+    assert got == want
