@@ -125,7 +125,14 @@ def main() -> None:
         runs = [timings[name]]
         for _ in range(2):
             t0 = time.time()
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            try:
+                fn(spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+            except Exception as exc:  # pragma: no cover
+                print(f"canary error {name}: {exc}", file=sys.stderr)
+                runs.append(-1.0)
+                break
             runs.append(round(time.time() - t0, 3))
         canary_runs[name] = runs
 

@@ -157,25 +157,42 @@ class _TxnLog:
             os.fsync(f.fileno())
         os.replace(tmp, self.marker_path)
 
+    def _retention_field_path(self, key: str) -> str:
+        return os.path.join(self.dir, f"_retention_{key}.json")
+
     def retention(self) -> dict:
         """{"vacuum_horizon": V, "expired_before": X} — both optional,
-        both monotonically advanced by update_retention."""
+        both monotonically advanced by update_retention. Each field
+        lives in its OWN file so concurrent maintenance ops (a vacuum
+        racing an expire_versions) can never lose each other's field
+        to a read-modify-write of one shared record; the legacy
+        combined ``_retention.json`` is still read, max-merged."""
+        out: dict = {}
         try:
             with open(self.retention_path) as f:
-                return json.load(f)
-        except FileNotFoundError:
-            return {}
+                out.update(json.load(f))
+        except (FileNotFoundError, ValueError):
+            pass
+        for key in ("vacuum_horizon", "expired_before"):
+            try:
+                with open(self._retention_field_path(key)) as f:
+                    v = int(json.load(f)[key])
+                out[key] = max(v, out.get(key, 0))
+            except (FileNotFoundError, ValueError, KeyError):
+                pass
+        return out
 
     def update_retention(self, **fields: int) -> None:
         cur = self.retention()
         for k, v in fields.items():
-            cur[k] = max(v, cur.get(k, 0))
-        tmp = self.retention_path + f".tmp-{uuid.uuid4().hex}"
-        with open(tmp, "w") as f:
-            json.dump(cur, f)
-            f.flush()
-            os.fsync(f.fileno())
-        os.replace(tmp, self.retention_path)
+            if v <= cur.get(k, 0):
+                continue
+            tmp = self._retention_field_path(k) + f".tmp-{uuid.uuid4().hex}"
+            with open(tmp, "w") as f:
+                json.dump({k: v}, f)
+                f.flush()
+                os.fsync(f.fileno())
+            os.replace(tmp, self._retention_field_path(k))
 
     def current_version(self) -> int:
         """Newest committed version WITHOUT listing the log directory:
@@ -208,7 +225,11 @@ class _TxnLog:
             raise
 
     def pointers_at(self, version: int) -> list[dict]:
-        m = self.read_version(version)
+        return self._pointers_of(self.read_version(version), version)
+
+    @staticmethod
+    def _pointers_of(m: dict, version: int) -> list[dict]:
+        """Partition pointers of an already-parsed manifest record."""
         if "pages" in m:
             return m["pages"]
         if "files" in m:
@@ -253,11 +274,23 @@ class _TxnLog:
         return out
 
     def current(self) -> tuple[int, list[dict]]:
-        """Newest (version, pointers); (0, []) for an empty store."""
+        """Newest (version, pointers); (0, []) for an empty store.
+
+        A concurrent expire_versions can delete files the forward
+        probe was walking, making it stop early on a just-deleted
+        version — so a failed pointer read falls back to a fresh full
+        listing (the expirer keeps everything >= its floor, so the
+        listing's newest version is always readable)."""
         v = self.current_version()
         if not v:
             return 0, []
-        return v, self.pointers_at(v)
+        try:
+            return v, self.pointers_at(v)
+        except (FileNotFoundError, VersionExpiredError):
+            vs = self.versions()
+            if not vs:
+                return 0, []
+            return vs[-1], self.pointers_at(vs[-1])
 
     def write_page(
         self, partition: dict, paths: list[str], txn: str, k: int
@@ -291,7 +324,14 @@ class _TxnLog:
         finally:
             os.remove(tmp)
         if version % CHECKPOINT_INTERVAL == 0:
-            self.write_checkpoint(version, txn)
+            # The link above IS the commit point; the marker is a hint.
+            # A marker-write failure (disk full, permissions) must not
+            # fail the already-durable commit — the caller would retry
+            # and double-apply the batch.
+            try:
+                self.write_checkpoint(version, txn)
+            except OSError:
+                pass
         return True
 
 
@@ -549,16 +589,23 @@ class CandleStore:
             self._log.update_retention(vacuum_horizon=at_version)
         return removed
 
-    def expire_versions(self, keep_last: int = 100) -> int:
+    def expire_versions(
+        self, keep_last: int = 100, older_than_s: float = 3600.0
+    ) -> int:
         """Log retention: delete manifest version files older than the
-        newest ``keep_last`` versions, plus page files referenced ONLY
-        by the expired versions. Without this the ``_log/`` dir grows
-        one file per commit forever (the round-3 audit's 1e6-commit
-        bottleneck). The expiry floor is recorded in
-        ``_log/_retention.json`` FIRST, so time travel below it raises
-        :class:`VersionExpiredError` even mid-delete; the checkpoint
-        marker is advanced to the current version first, keeping the
-        O(1) ``current()`` probe anchored on a retained file. Returns
+        newest ``keep_last`` versions, then sweep page files that no
+        RETAINED version references. Without this the ``_log/`` dir
+        grows one file per commit forever (the round-3 audit's
+        1e6-commit bottleneck). The expiry floor is recorded first, so
+        time travel below it raises :class:`VersionExpiredError` even
+        mid-delete; the checkpoint marker is advanced to the current
+        version first, keeping the O(1) ``current()`` probe anchored
+        on a retained file. The page sweep works from a LISTING of the
+        pages dir (not from the expired manifests), so a crash in an
+        earlier expiry cannot orphan pages forever — any page outside
+        the retained set is reclaimed on the next run. ``older_than_s``
+        protects a racing writer's freshly written, not-yet-committed
+        pages, exactly like :meth:`vacuum`'s staging guard. Returns
         the number of version files removed."""
         versions = self._log.versions()
         if len(versions) <= keep_last:
@@ -568,33 +615,43 @@ class CandleStore:
         txn = uuid.uuid4().hex
         self._log.write_checkpoint(tip, txn)
         self._log.update_retention(expired_before=floor)
-        keep_pages = {
-            p["page"]
-            for v in versions
-            if v >= floor
-            for p in self._log.pointers_at(v)
-            if "page" in p
-        }
-        drop_pages = set()
+        keep_pages = set()
+        for v in versions:
+            if v < floor:
+                continue
+            try:
+                keep_pages.update(
+                    p["page"]
+                    for p in self._log.pointers_at(v)
+                    if "page" in p
+                )
+            except (FileNotFoundError, VersionExpiredError):
+                pass  # a concurrent expirer with a higher floor got it
         removed = 0
+        # Ascending deletion order matters: current()'s forward probe
+        # stopping early on a deleted file then always FAILS its
+        # pointer read (the earlier version is gone too) and falls
+        # back to the listing, instead of silently reading stale.
         for v in versions:
             if v >= floor:
                 continue
-            drop_pages.update(
-                p["page"]
-                for p in self._log.pointers_at(v)
-                if "page" in p
-            )
             try:
                 os.remove(self._log._vpath(v))
                 removed += 1
             except FileNotFoundError:
                 pass  # concurrent expiry
-        for rel in drop_pages - keep_pages:
-            try:
-                os.remove(os.path.join(self._log.dir, rel))
-            except FileNotFoundError:
-                pass
+        cutoff = time.time() - older_than_s
+        if os.path.isdir(self._log.pages_dir):
+            for name in os.listdir(self._log.pages_dir):
+                rel = os.path.join("pages", name)
+                if rel in keep_pages or not name.endswith(".json"):
+                    continue
+                p = os.path.join(self._log.pages_dir, name)
+                try:
+                    if os.path.getmtime(p) <= cutoff:
+                        os.remove(p)
+                except FileNotFoundError:
+                    pass
         return removed
 
     def stats(self) -> DataFrame:
@@ -655,15 +712,16 @@ class CandleStore:
         rows = []
         for v in self._log.versions():
             try:
-                rows.append(
-                    (
-                        v,
-                        self._log.read_version(v).get("txn", ""),
-                        sum(p["n"] for p in self._log.pointers_at(v)),
-                    )
-                )
+                m = self._log.read_version(v)
             except (FileNotFoundError, VersionExpiredError):
-                pass  # expired between the listing and the read
+                continue  # expired between the listing and the read
+            rows.append(
+                (
+                    v,
+                    m.get("txn", ""),
+                    sum(p["n"] for p in self._log._pointers_of(m, v)),
+                )
+            )
         return self.spark.createDataFrame(
             rows, "version long, txn string, n_files long"
         )

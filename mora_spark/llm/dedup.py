@@ -462,10 +462,17 @@ def save_minhash_index(
     index) to the candidate shards. The ``repartition`` keeps it one
     file per shard per save (files scale with saves, not
     tasks x shards)."""
+    # Static overwrite: the session default is partitionOverwriteMode=
+    # dynamic (right for the candle store), under which a partitioned
+    # overwrite only replaces MATCHING shard dirs — re-saving over an
+    # old index (e.g. a pre-shard plain-parquet layout) would leave its
+    # root-level files mixed in and break partition discovery. Static
+    # mode clears the whole destination first.
     (
         bands.withColumn("shard", _band_shard(F.col("band_key")))
         .repartition(F.col("shard"))
         .write.mode("overwrite")
+        .option("partitionOverwriteMode", "static")
         .partitionBy("shard")
         .parquet(f"{path}/bands")
     )
@@ -473,6 +480,7 @@ def save_minhash_index(
         groups.withColumn("gshard", _gid_shard(F.col("gid")))
         .repartition(F.col("gshard"))
         .write.mode("overwrite")
+        .option("partitionOverwriteMode", "static")
         .partitionBy("gshard")
         .parquet(f"{path}/groups")
     )

@@ -555,3 +555,48 @@ def test_current_version_probe_at_1000_commits(tmp_path):
         os.path.exists = real_exists
     # marker check + one probe past the tip; never O(versions)
     assert calls["n"] <= CHECKPOINT_INTERVAL + 2
+
+
+def test_retention_fields_survive_concurrent_maintenance(tmp_path):
+    """vacuum_horizon and expired_before live in separate files, so a
+    vacuum racing an expire_versions can never lose the other op's
+    field to a shared read-modify-write."""
+    from mora_spark.engine.store import _TxnLog
+
+    a, b = _TxnLog(str(tmp_path / "s")), _TxnLog(str(tmp_path / "s"))
+    import os
+    os.makedirs(a.dir, exist_ok=True)
+    # interleave: both read (empty), then write different fields
+    a.update_retention(vacuum_horizon=13)
+    b.update_retention(expired_before=11)
+    assert a.retention() == {"vacuum_horizon": 13, "expired_before": 11}
+    # monotonic: a stale writer cannot regress a field
+    a.update_retention(vacuum_horizon=5)
+    assert a.retention()["vacuum_horizon"] == 13
+
+
+def test_expire_page_sweep_self_heals_orphans(spark, store):
+    """The page sweep works from a pages-dir listing, so pages orphaned
+    by an earlier crashed expiry are reclaimed on the next run — while
+    a fresh (possibly in-flight) page is protected by the mtime guard."""
+    import os
+    import time as _time
+
+    base = dt.datetime(2021, 1, 1)
+    for i in range(6):
+        store.write(
+            mk(spark, [("BTC", base + dt.timedelta(minutes=i), float(i))]),
+            mode="append",
+        )
+    pages = store._log.pages_dir
+    orphan_old = os.path.join(pages, "deadbeef-000000.json")
+    orphan_new = os.path.join(pages, "cafebabe-000000.json")
+    for p in (orphan_old, orphan_new):
+        with open(p, "w") as f:
+            f.write("[]")
+    old = _time.time() - 7200
+    os.utime(orphan_old, (old, old))
+    store.expire_versions(keep_last=2, older_than_s=3600)
+    assert not os.path.exists(orphan_old)   # reclaimed
+    assert os.path.exists(orphan_new)       # mtime-guarded
+    assert store.read().count() == 6        # live data intact
