@@ -394,3 +394,52 @@ def pack_sequences(
             "tok_len", "cum_tokens", "bin_first", "bin_last", "n_bins",
         )
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    size: int = 48,
+    overlap: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split documents into overlapping training windows — the step
+    between curation and packing when documents exceed the training
+    sequence length: chunk w of a document covers tokens
+    ``[w*stride, w*stride + size)`` with ``stride = size - overlap``,
+    so adjacent chunks share ``overlap`` tokens of context. A document
+    yields ``max(1, ceil((n_tokens - overlap) / stride))`` chunks (one
+    chunk, possibly short, for documents at or under ``size`` tokens),
+    covering every token.
+
+    Returns (id_col, chunk_id, chunk_text, n_tokens). Scale shape: one
+    scan, zero shuffles — the window arithmetic is per-row JVM
+    sequence + explode + slice, and output size is input tokens
+    times ~size/stride.
+    """
+    if not 0 <= overlap < size:
+        raise ValueError("need 0 <= overlap < size")
+    stride = size - overlap
+    t = df.select(F.col(id_col), tokens(F.col(text_col)).alias("toks"))
+    n_chunks = F.greatest(
+        F.lit(1),
+        F.ceil((F.size("toks") - F.lit(overlap)) / F.lit(stride)).cast(
+            "int"
+        ),
+    )
+    piece = F.slice(
+        F.col("toks"), F.col("chunk_id") * stride + 1, size
+    )
+    return (
+        t.select(
+            F.col(id_col),
+            F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id"),
+            "toks",
+        )
+        .select(
+            F.col(id_col),
+            F.col("chunk_id").cast("long").alias("chunk_id"),
+            F.array_join(piece, " ").alias("chunk_text"),
+            F.size(piece).cast("long").alias("n_tokens"),
+        )
+    )

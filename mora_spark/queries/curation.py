@@ -338,8 +338,49 @@ FROM s
 """
 
 
+# --- q_chunk_docs: overlapping training-window chunking ---
+# The step between curation and packing when documents exceed the
+# training sequence length: chunk w covers tokens [w*stride, w*stride
+# + size), stride = size - overlap, so adjacent chunks share overlap
+# tokens of context and every token is covered. One scan, zero
+# shuffles (sequence + explode + slice, all JVM-side).
+
+CHUNK_SIZE = 48
+CHUNK_OVERLAP = 8
+
+
+def q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mora_spark.llm.curation import chunk_documents
+
+    return chunk_documents(
+        _docs(spark, sf_dir), size=CHUNK_SIZE, overlap=CHUNK_OVERLAP
+    )
+
+
+_CHUNK_STRIDE = CHUNK_SIZE - CHUNK_OVERLAP
+
+O_CHUNK_DOCS = f"""
+WITH t AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
+c AS (
+  SELECT doc_id, toks,
+         greatest(1, CAST(ceil((len(toks) - {CHUNK_OVERLAP})
+                               / {_CHUNK_STRIDE}.0) AS INT)) AS n_chunks
+  FROM t
+),
+w AS (SELECT doc_id, toks, unnest(range(n_chunks)) AS chunk_id FROM c)
+SELECT doc_id, chunk_id,
+       array_to_string(
+         toks[chunk_id * {_CHUNK_STRIDE} + 1 :
+              chunk_id * {_CHUNK_STRIDE} + {CHUNK_SIZE}], ' ') AS chunk_text,
+       len(toks[chunk_id * {_CHUNK_STRIDE} + 1 :
+                chunk_id * {_CHUNK_STRIDE} + {CHUNK_SIZE}]) AS n_tokens
+FROM w
+"""
+
+
 QUERIES = {
     "q_stratified_sample": q_stratified_sample,
+    "q_chunk_docs": q_chunk_docs,
     "q_train_shards": q_train_shards,
     "q_quality_rules": q_quality_rules,
     "q_boilerplate": q_boilerplate,
@@ -351,6 +392,7 @@ QUERIES = {
 
 ORACLES = {
     "q_stratified_sample": O_STRATIFIED_SAMPLE,
+    "q_chunk_docs": O_CHUNK_DOCS,
     "q_train_shards": O_TRAIN_SHARDS,
     "q_quality_rules": O_QUALITY_RULES,
     "q_boilerplate": O_BOILERPLATE,

@@ -161,3 +161,45 @@ def test_vocab_topk_ordering(spark, sf_dir):
         assert (earlier.cnt, later.token) > (later.cnt, earlier.token) or (
             earlier.cnt > later.cnt
         ) or (earlier.cnt == later.cnt and earlier.token < later.token)
+
+
+def test_chunk_documents_covers_every_token(spark):
+    """Reconstruction property: chunk 0's tokens plus every later
+    chunk's tokens after the overlap prefix concatenate back to the
+    exact original token stream — no token lost, none duplicated
+    outside the declared overlap."""
+    from mora_spark.functions.text import tokens as tok_fn
+    from mora_spark.llm.curation import chunk_documents
+
+    import pytest as _pytest
+
+    rows = [
+        (1, " ".join(f"w{i}" for i in range(100))),   # multiple chunks
+        (2, " ".join(f"x{i}" for i in range(12))),    # single full-ish
+        (3, "solo"),                                  # under overlap
+        (4, " ".join(f"y{i}" for i in range(41))),    # boundary: n=size+1? no: stride+1
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    size, overlap = 16, 4
+    stride = size - overlap
+    out = chunk_documents(df, size=size, overlap=overlap)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["doc_id"], {})[r["chunk_id"]] = r["chunk_text"]
+        assert r["n_tokens"] == len(r["chunk_text"].split(" "))
+        assert r["n_tokens"] <= size
+    orig = {r["doc_id"]: r["toks"] for r in df.select(
+        "doc_id", tok_fn("text").alias("toks")).collect()}
+    for doc_id, chunks in got.items():
+        ordered = [chunks[i] for i in sorted(chunks)]
+        rebuilt = ordered[0].split(" ")
+        for c in ordered[1:]:
+            ts = c.split(" ")
+            assert ts[:overlap] == rebuilt[-overlap:]  # shared context
+            rebuilt.extend(ts[overlap:])
+        assert rebuilt == orig[doc_id]
+    assert len(got[1]) == -(-(100 - overlap) // stride)  # ceil
+    assert len(got[3]) == 1
+
+    with _pytest.raises(ValueError):
+        chunk_documents(df, size=8, overlap=8)
