@@ -559,3 +559,44 @@ def ivf_index_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "score", "rank")
     )
+
+
+def quantize_embeddings(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    bits: int = 8,
+) -> DataFrame:
+    """Per-vector symmetric integer quantization — the storage knob for
+    100 TB embedding corpora: an int8 inverted file is 4x smaller than
+    float32 (8x vs float64), so every ANN probe reads a quarter of the
+    bytes, and candidates are re-scored against the full-precision
+    column only for the final top-k.
+
+    q_i = clip(floor(v_i / scale + 0.5), -Q, Q) with Q = 2^(bits-1)-1
+    and scale = max|v| / Q per vector (scale 1 for an all-zero
+    vector). ``floor(x + 0.5)`` instead of round(): both engines
+    evaluate the identical IEEE-double expression, so the quantized
+    grid is bit-stable across Spark and any SQL oracle — no HALF_UP vs
+    banker's-rounding divergence on grid-boundary values.
+
+    Adds ``qvec`` (array<int>), ``scale`` (double). Everything is JVM
+    higher-order functions on the scan — no shuffle, no Python.
+    """
+    q = (1 << (bits - 1)) - 1
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    amax = F.array_max(F.transform(v, F.abs))
+    scale = F.when(amax > 0, amax / F.lit(float(q))).otherwise(F.lit(1.0))
+    df = df.withColumn("scale", scale)
+    qv = F.transform(
+        F.col(vec_col),
+        lambda x: F.greatest(
+            F.lit(-q),
+            F.least(
+                F.lit(q),
+                F.floor(x.cast("double") / F.col("scale") + F.lit(0.5)).cast(
+                    "int"
+                ),
+            ),
+        ),
+    )
+    return df.withColumn("qvec", qv)

@@ -275,6 +275,63 @@ def q_ann_ivf_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- q_quantize_embed: int8 symmetric quantization profile ---
+# The 100 TB storage knob (int8 posting lists are 4x smaller than
+# float32, 8x than float64; probes read a quarter of the bytes and
+# re-score survivors at full precision). The profile columns verify
+# the ENTIRE quantized vector exactly without array outputs: the md5
+# of the joined int grid, the (order-independent) integer dot product,
+# the saturation count, and the per-vector scale.
+
+def q_quantize_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mora_spark.llm.simsearch import quantize_embeddings
+
+    e = _emb(spark, sf_dir).select(
+        "vec_id", as_double(F.col("embedding")).alias("embedding")
+    )
+    qd = quantize_embeddings(e)
+    return qd.select(
+        "vec_id",
+        "scale",
+        F.md5(F.concat_ws(",", "qvec")).alias("qsig"),
+        F.size(
+            F.filter(F.col("qvec"), lambda q: F.abs(q) == 127)
+        ).cast("long").alias("n_saturated"),
+        F.aggregate(
+            F.transform(F.col("qvec"), lambda q: q.cast("long") * q),
+            F.lit(0).cast("long"),
+            lambda a, x: a + x,
+        ).alias("qdot"),
+    )
+
+
+O_QUANTIZE_EMBED = """
+WITH e AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), s AS (
+  SELECT vec_id, v,
+         CASE WHEN list_max(list_transform(v, x -> abs(x))) > 0
+              THEN list_max(list_transform(v, x -> abs(x))) / 127.0
+              ELSE 1.0 END AS scale
+  FROM e
+), q AS (
+  SELECT vec_id, scale,
+         list_transform(v, x -> greatest(-127, least(127,
+             CAST(floor(x / scale + 0.5) AS INT)))) AS qv
+  FROM s
+)
+SELECT vec_id, scale,
+       md5(array_to_string(qv, ',')) AS qsig,
+       CAST(len(list_filter(qv, y -> abs(y) = 127)) AS BIGINT)
+         AS n_saturated,
+       CAST(list_sum(list_transform(qv, y -> CAST(y AS BIGINT) * y))
+            AS BIGINT) AS qdot
+FROM q
+"""
+
+
 # --- q_ann_ivf_add: incremental index maintenance, then search ---
 # The production ANN loop: the index is built and TRAINED on the base
 # corpus only; the planted true-top-k rows arrive LATER via
@@ -426,6 +483,7 @@ QUERIES = {
     "q_ann_ivf": q_ann_ivf,
     "q_ann_ivf_index": q_ann_ivf_index,
     "q_ann_ivf_add": q_ann_ivf_add,
+    "q_quantize_embed": q_quantize_embed,
     "q_embed_neardup": q_embed_neardup,
     "q_embed_neardup_exact": q_embed_neardup_exact,
 }
@@ -438,6 +496,7 @@ ORACLES = {
     "q_ann_ivf": _o_ann_topk(),
     "q_ann_ivf_index": _o_ann_topk(),
     "q_ann_ivf_add": _o_ann_topk(),
+    "q_quantize_embed": O_QUANTIZE_EMBED,
     "q_embed_neardup": O_EMBED_NEARDUP,
     "q_embed_neardup_exact": O_EMBED_NEARDUP_EXACT,
 }

