@@ -89,6 +89,48 @@ class VersionExpiredError(RuntimeError):
     :meth:`CandleStore.expire_versions` (log retention)."""
 
 
+def _ts_micros(x) -> int:
+    """Exact epoch-microsecond value of a (naive-UTC or tz-aware)
+    datetime/date — integer arithmetic, no float round-trip."""
+    import datetime as _dt
+
+    if hasattr(x, "to_pydatetime"):  # pandas.Timestamp from pyarrow
+        x = x.to_pydatetime()
+    if isinstance(x, _dt.datetime):
+        epoch = _dt.datetime(1970, 1, 1, tzinfo=x.tzinfo)
+    else:  # date
+        x = _dt.datetime(x.year, x.month, x.day)
+        epoch = _dt.datetime(1970, 1, 1)
+    d = x - epoch
+    return (d.days * 86_400 + d.seconds) * 1_000_000 + d.microseconds
+
+
+def _parquet_ts_range(path: str, col: str = "ts") -> tuple[int, int] | None:
+    """(min, max) epoch micros of ``col`` from the parquet footer's
+    row-group statistics — one driver-side footer read per staged
+    file (the source of the manifest's file-level skipping stats).
+    None when any row group lacks min/max for the column."""
+    try:
+        import pyarrow.parquet as pq
+
+        md = pq.ParquetFile(path).metadata
+        names = [md.schema.column(i).name for i in range(md.num_columns)]
+        ci = names.index(col)
+        lo = hi = None
+        for r in range(md.num_row_groups):
+            st = md.row_group(r).column(ci).statistics
+            if st is None or not st.has_min_max:
+                return None
+            mn, mx = _ts_micros(st.min), _ts_micros(st.max)
+            lo = mn if lo is None else min(lo, mn)
+            hi = mx if hi is None else max(hi, mx)
+        if lo is None:
+            return None
+        return lo, hi
+    except Exception:
+        return None  # stats are an optimization, never a correctness need
+
+
 def _local(path: str) -> str:
     """Strip a file: scheme so driver-side manifest I/O can use os.*
     (the store targets one filesystem; swap this layer for HDFS/S3)."""
@@ -254,13 +296,29 @@ class _TxnLog:
         )
 
     def load_page(self, pointer: dict) -> list[dict]:
-        """Expand one partition pointer to its (path, partition) entries."""
+        """Expand one partition pointer to its file entries. Page items
+        are either plain path strings (legacy) or ``{"p", "lo", "hi"}``
+        records carrying the file's ts min/max in epoch micros — the
+        Delta-style file-level statistics the read path prunes on."""
         if "files" in pointer:  # inline pointer from a legacy manifest
-            paths = pointer["files"]
+            items = pointer["files"]
         else:
             with open(os.path.join(self.dir, pointer["page"])) as f:
-                paths = json.load(f)
-        return [{"path": p, "partition": pointer["partition"]} for p in paths]
+                items = json.load(f)
+        out = []
+        for it in items:
+            if isinstance(it, str):
+                out.append({"path": it, "partition": pointer["partition"]})
+            else:
+                out.append(
+                    {
+                        "path": it["p"],
+                        "ts_lo": it["lo"],
+                        "ts_hi": it["hi"],
+                        "partition": pointer["partition"],
+                    }
+                )
+        return out
 
     def entries_at(self, version: int, keep=None) -> list[dict]:
         """Flattened file entries at ``version``; with ``keep`` (a
@@ -293,20 +351,28 @@ class _TxnLog:
             return vs[-1], self.pointers_at(vs[-1])
 
     def write_page(
-        self, partition: dict, paths: list[str], txn: str, k: int
+        self, partition: dict, files: list[dict], txn: str, k: int
     ) -> dict:
         """Write one immutable page file; returns its pointer. Unique
         (txn, k) naming means no CAS is needed here — a page is dead
-        weight until a committed version references it."""
+        weight until a committed version references it. Entries with
+        ts statistics serialize as {"p","lo","hi"}; those without stay
+        plain path strings (both readable by load_page)."""
         os.makedirs(self.pages_dir, exist_ok=True)
         rel = os.path.join("pages", f"{txn}-{k:06d}.json")
         tmp = os.path.join(self.dir, rel + ".tmp")
+        items = [
+            {"p": e["path"], "lo": e["ts_lo"], "hi": e["ts_hi"]}
+            if "ts_lo" in e and "ts_hi" in e
+            else e["path"]
+            for e in sorted(files, key=lambda e: e["path"])
+        ]
         with open(tmp, "w") as f:
-            json.dump(sorted(paths), f)
+            json.dump(items, f)
             f.flush()
             os.fsync(f.fileno())
         os.rename(tmp, os.path.join(self.dir, rel))
-        return {"partition": partition, "page": rel, "n": len(paths)}
+        return {"partition": partition, "page": rel, "n": len(items)}
 
     def try_commit(self, version: int, pointers: list[dict], txn: str) -> bool:
         """CAS-publish ``version``; False if a racer got there first."""
@@ -369,20 +435,21 @@ class CandleStore:
 
     @classmethod
     def _group_by_partition(cls, entries: list[dict]) -> dict[tuple, dict]:
-        """{partition tuple: {"partition", "paths"}} for staged entries."""
+        """{partition tuple: {"partition", "files"}} for staged entries
+        (full entry dicts, so per-file ts stats ride along)."""
         by_part: dict[tuple, dict] = {}
         for e in entries:
             g = by_part.setdefault(
-                cls._tuple_of(e), {"partition": e["partition"], "paths": []}
+                cls._tuple_of(e), {"partition": e["partition"], "files": []}
             )
-            g["paths"].append(e["path"])
+            g["files"].append(e)
         return by_part
 
     def _page_out(self, entries: list[dict], txn: str) -> list[dict]:
         """Group staged file entries by partition and write one page
         per partition; returns the new pointers."""
         return [
-            self._log.write_page(g["partition"], g["paths"], txn, k)
+            self._log.write_page(g["partition"], g["files"], txn, k)
             for k, g in enumerate(self._group_by_partition(entries).values())
         ]
 
@@ -439,7 +506,11 @@ class CandleStore:
                 dest = os.path.join(self.data_dir, dest_rel)
                 os.makedirs(os.path.dirname(dest), exist_ok=True)
                 os.rename(os.path.join(dirpath, name), dest)
-                entries.append({"path": dest_rel, "partition": partition})
+                entry = {"path": dest_rel, "partition": partition}
+                rng = _parquet_ts_range(dest)
+                if rng is not None:
+                    entry["ts_lo"], entry["ts_hi"] = rng
+                entries.append(entry)
         shutil.rmtree(staging, ignore_errors=True)
         return entries
 
@@ -470,12 +541,12 @@ class CandleStore:
                 for ptr in pointers:
                     t = self._tuple_of(ptr)
                     if t in by_part:
-                        paths = [
-                            e["path"] for e in self._log.load_page(ptr)
-                        ] + by_part[t]["paths"]
+                        files = (
+                            self._log.load_page(ptr) + by_part[t]["files"]
+                        )
                         out.append(
                             self._log.write_page(
-                                ptr["partition"], paths, txn, k
+                                ptr["partition"], files, txn, k
                             )
                         )
                         k += 1
@@ -486,7 +557,7 @@ class CandleStore:
                     if t not in seen:
                         out.append(
                             self._log.write_page(
-                                g["partition"], g["paths"], txn, k
+                                g["partition"], g["files"], txn, k
                             )
                         )
                         k += 1
@@ -780,6 +851,20 @@ class CandleStore:
         # key touches, not the store's total file count. An explicit
         # ``version`` that was never committed raises (the pre-paging
         # contract); only the implicit empty-store read returns empty.
+        lo_req = _ts_micros(start) if start is not None else None
+        hi_req = _ts_micros(end) if end is not None else None
+
+        def keep_file(e: dict) -> bool:
+            # Delta-style file skipping on the manifest's ts stats:
+            # a file whose [lo, hi] range cannot overlap [start, end)
+            # is never even named to Spark. Entries without stats
+            # (legacy pages) always pass.
+            if lo_req is not None and "ts_hi" in e and e["ts_hi"] < lo_req:
+                return False
+            if hi_req is not None and "ts_lo" in e and e["ts_lo"] >= hi_req:
+                return False
+            return True
+
         if version is not None:
             ret = self._log.retention()
             floor = ret.get("expired_before", 0)
@@ -801,6 +886,7 @@ class CandleStore:
         else:
             v = self._log.current()[0]
             entries = self._log.entries_at(v, keep=keep) if v else []
+        entries = [e for e in entries if keep_file(e)]
         df = self._read_files(entries)
         if market is not None:
             df = df.where(F.col("market") == market)

@@ -54,6 +54,12 @@ def get_spark(
         # rejects by default; read as long, converted in load_table().
         "spark.sql.legacy.parquet.nanosAsLong": "true",
         "spark.sql.parquet.aggregatePushdown": "true",
+        # Write INT64 micros timestamps, not legacy INT96: INT96 chunks
+        # carry NO min/max statistics, which would blind both parquet
+        # row-group skipping and the store manifest's file-level ts
+        # stats (engine/store.py:_parquet_ts_range) on everything this
+        # engine writes.
+        "spark.sql.parquet.outputTimestampType": "TIMESTAMP_MICROS",
         # Keep partition discovery cheap for the hive-style candle store.
         "spark.sql.sources.partitionOverwriteMode": "dynamic",
         "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),

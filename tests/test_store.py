@@ -600,3 +600,39 @@ def test_expire_page_sweep_self_heals_orphans(spark, store):
     assert not os.path.exists(orphan_old)   # reclaimed
     assert os.path.exists(orphan_new)       # mtime-guarded
     assert store.read().count() == 6        # live data intact
+
+
+def test_manifest_file_stats_prune_within_partition(spark, store):
+    """Delta-style file skipping: appends of disjoint hour ranges into
+    ONE (series, year) partition record per-file ts min/max in the
+    page entries, and a narrow range read names only the overlapping
+    files to Spark — pruning finer than the year partition."""
+    base = dt.datetime(2021, 1, 1)
+    for h in range(4):  # four files: hours 0, 6, 12, 18
+        rows = [("BTC", base + dt.timedelta(hours=6 * h, minutes=m),
+                 float(h * 100 + m)) for m in range(3)]
+        store.write(mk(spark, rows), mode="append")
+    _, pointers = store._log.current()
+    entries = store._entries_for(pointers)
+    assert all("ts_lo" in e and "ts_hi" in e for e in entries), entries
+    # every file whose range is outside hour 6 must never be named
+    named = []
+    orig = type(store)._read_files
+
+    def spy(self, es):
+        named.extend(es)
+        return orig(self, es)
+
+    lo = base + dt.timedelta(hours=6)
+    hi = base + dt.timedelta(hours=7)
+    type(store)._read_files = spy
+    try:
+        out = store.read(start=lo, end=hi)
+        assert out.count() == 3  # exactly the hour-6 append's rows
+    finally:
+        type(store)._read_files = orig
+    from mora_spark.engine.store import _ts_micros
+
+    assert 0 < len(named) < len(entries)
+    for e in named:
+        assert e["ts_hi"] >= _ts_micros(lo) and e["ts_lo"] < _ts_micros(hi)
