@@ -97,7 +97,14 @@ def _ts_micros(x) -> int:
     if hasattr(x, "to_pydatetime"):  # pandas.Timestamp from pyarrow
         x = x.to_pydatetime()
     if isinstance(x, _dt.datetime):
-        epoch = _dt.datetime(1970, 1, 1, tzinfo=x.tzinfo)
+        # Aware datetimes need the aware UTC epoch — subtracting from
+        # an epoch pinned to the INPUT's tz would shift the result by
+        # that offset and mis-prune files. Naive datetimes are UTC by
+        # session contract.
+        epoch = _dt.datetime(
+            1970, 1, 1,
+            tzinfo=None if x.tzinfo is None else _dt.timezone.utc,
+        )
     else:  # date
         x = _dt.datetime(x.year, x.month, x.day)
         epoch = _dt.datetime(1970, 1, 1)
@@ -199,42 +206,56 @@ class _TxnLog:
             os.fsync(f.fileno())
         os.replace(tmp, self.marker_path)
 
-    def _retention_field_path(self, key: str) -> str:
-        return os.path.join(self.dir, f"_retention_{key}.json")
+    @property
+    def retention_markers_dir(self) -> str:
+        return os.path.join(self.dir, "_retention")
 
     def retention(self) -> dict:
         """{"vacuum_horizon": V, "expired_before": X} — both optional,
-        both monotonically advanced by update_retention. Each field
-        lives in its OWN file so concurrent maintenance ops (a vacuum
-        racing an expire_versions) can never lose each other's field
-        to a read-modify-write of one shared record; the legacy
-        combined ``_retention.json`` is still read, max-merged."""
+        both monotonically advanced by update_retention. Each advance
+        is a CREATE-ONLY marker file ``_retention/{key}.{value:012d}``
+        (value in the NAME, nothing to parse or corrupt); the field's
+        value is the max over markers, so concurrent maintenance ops —
+        two vacuums, a vacuum racing an expire — can never regress or
+        lose a field the way any read-modify-write of a shared record
+        could. The marker dir stays tiny (lower markers are swept on
+        each advance). The legacy combined ``_retention.json`` is
+        still read and max-merged; a CORRUPT legacy record raises
+        rather than silently zeroing the safety floors."""
         out: dict = {}
         try:
             with open(self.retention_path) as f:
                 out.update(json.load(f))
-        except (FileNotFoundError, ValueError):
+        except FileNotFoundError:
             pass
-        for key in ("vacuum_horizon", "expired_before"):
-            try:
-                with open(self._retention_field_path(key)) as f:
-                    v = int(json.load(f)[key])
-                out[key] = max(v, out.get(key, 0))
-            except (FileNotFoundError, ValueError, KeyError):
-                pass
+        except ValueError as e:
+            raise ValueError(
+                f"corrupt retention record {self.retention_path}: {e}"
+            ) from e
+        d = self.retention_markers_dir
+        if os.path.isdir(d):
+            for n in os.listdir(d):
+                key, _, raw = n.rpartition(".")
+                if key and raw.isdigit():
+                    out[key] = max(int(raw), out.get(key, 0))
         return out
 
     def update_retention(self, **fields: int) -> None:
-        cur = self.retention()
+        d = self.retention_markers_dir
+        os.makedirs(d, exist_ok=True)
         for k, v in fields.items():
-            if v <= cur.get(k, 0):
-                continue
-            tmp = self._retention_field_path(k) + f".tmp-{uuid.uuid4().hex}"
-            with open(tmp, "w") as f:
-                json.dump({k: v}, f)
-                f.flush()
-                os.fsync(f.fileno())
-            os.replace(tmp, self._retention_field_path(k))
+            v = int(v)
+            with open(os.path.join(d, f"{k}.{v:012d}"), "w"):
+                pass  # creation IS the record; content irrelevant
+            # Opportunistic sweep: removing any marker strictly below
+            # another existing marker never changes the max.
+            for n in os.listdir(d):
+                key, _, raw = n.rpartition(".")
+                if key == k and raw.isdigit() and int(raw) < v:
+                    try:
+                        os.remove(os.path.join(d, n))
+                    except FileNotFoundError:
+                        pass
 
     def current_version(self) -> int:
         """Newest committed version WITHOUT listing the log directory:
@@ -375,7 +396,21 @@ class _TxnLog:
         return {"partition": partition, "page": rel, "n": len(items)}
 
     def try_commit(self, version: int, pointers: list[dict], txn: str) -> bool:
-        """CAS-publish ``version``; False if a racer got there first."""
+        """CAS-publish ``version``; False if a racer got there first.
+
+        Before linking, this txn's OWN page files are stat-verified: a
+        concurrent expire_versions page sweep could (past its mtime
+        guard) have reclaimed a not-yet-referenced page, and
+        publishing a manifest that names a deleted page would poison
+        every subsequent read. A missing page returns False — the
+        caller's retry loop rewrites pages and tries again. (Carried-
+        forward pointers are referenced by the retained tip, so the
+        sweep never touches them.)"""
+        for p in pointers:
+            rel = p.get("page", "")
+            if rel.startswith(os.path.join("pages", f"{txn}-")):
+                if not os.path.exists(os.path.join(self.dir, rel)):
+                    return False
         os.makedirs(self.dir, exist_ok=True)
         tmp = os.path.join(self.dir, f".tmp-{txn}")
         with open(tmp, "w") as f:

@@ -108,14 +108,13 @@ PRIORITY: tuple[str, ...] = (
     "q_stream_dedup_seeded",
 )
 # Demoted below the window: every demoted query keeps its green
-# CORRECTNESS_r02/r03.json row as evidence. 104 queries are declared;
-# after this round's driver check the union over rounds covers all but
-# q_stream_dedup_seeded / q_store_maintenance / q_ann_ivf_add /
-# q_skew_join / the 6 TPC-H shapes IF this window runs green — those
-# ten are in-window precisely because they are the never-checked ones.
-# Remaining r1-era-only evidence after this round: q_tpch_q13,
-# q_tpch_q14 (displaced for the two new store/ANN queries; both pass
-# the local oracle gate on the current corpus, rerun this session).
+# CORRECTNESS_r02/r03.json row as evidence. 106 queries are declared;
+# never driver-checked after this round's window runs green:
+# q_chunk_docs and q_quantize_embed (added after the window was
+# frozen; both pass the local oracle gate — rotate them in next
+# round). Remaining r1-era-only evidence: q_tpch_q13, q_tpch_q14
+# (displaced for the two new store/ANN queries; both pass the local
+# oracle gate on the current corpus, rerun this session).
 
 
 def collect_registry() -> tuple[dict[str, QueryFn], dict[str, str]]:

@@ -249,7 +249,10 @@ def stream_dedup_increment(
 
 
 def compact_stream_index(
-    spark: SparkSession, work_dir: str, dest: str
+    spark: SparkSession,
+    work_dir: str,
+    dest: str,
+    seed_index_path: str | None = None,
 ) -> None:
     """Close the curation loop: re-shard the sink-owned streaming index
     (one ``batch_id=`` subdir per micro-batch, accumulated forever by a
@@ -258,16 +261,42 @@ def compact_stream_index(
     shard. The compacted index is the natural SEED for the next stream
     epoch (``seed_index_path=dest``), so the production cadence is
     stream → compact → seed, mirroring ``CandleStore.compact`` for the
-    store. Group membership is identical — the batch_id column is a
-    layout detail, dropped here — so searches and increments against
-    the compacted index return exactly what the raw accumulated layout
+    store.
+
+    If the epoch itself ran seeded, pass the SAME ``seed_index_path``
+    here: the sink only appends streamed survivors to its own index,
+    so the seed corpus must be folded into the compaction or the next
+    epoch would forget every document older than one epoch and
+    re-admit their duplicates. Seed and stream groups are merged by
+    gid (an identical token set in both can only be the degenerate
+    empty-token case — any non-empty match would have been dropped as
+    a duplicate — but the merge unions members regardless, so the
+    result is a well-formed group table either way). Group membership
+    is exactly seed ∪ kept streamed docs, so searches and increments
+    against the compacted index return what the two-index composition
     returns, now with directory-pruned joins."""
-    from mora_spark.llm.dedup import load_minhash_index, save_minhash_index
+    from mora_spark.llm.dedup import (
+        _band_table,
+        load_minhash_index,
+        save_minhash_index,
+    )
 
     index_path = os.path.join(work_dir, "lsh_index")
-    bands, groups = load_minhash_index(spark, index_path)
-    save_minhash_index(
-        bands.drop("batch_id").select("gid", "bks", "band", "band_key"),
-        groups.drop("batch_id").select("gid", "members", "ti", "n"),
-        dest,
-    )
+    _, groups = load_minhash_index(spark, index_path)
+    groups = groups.select("gid", "members", "ti", "n")
+    if seed_index_path is not None:
+        _, seed_groups = load_minhash_index(spark, seed_index_path)
+        groups = (
+            groups.unionByName(
+                seed_groups.select("gid", "members", "ti", "n")
+            )
+            .groupBy("gid")
+            .agg(
+                F.sort_array(
+                    F.array_distinct(F.flatten(F.collect_list("members")))
+                ).alias("members"),
+                F.first("ti").alias("ti"),
+                F.first("n").alias("n"),
+            )
+        )
+    save_minhash_index(_band_table(groups), groups, dest)

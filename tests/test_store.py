@@ -636,3 +636,20 @@ def test_manifest_file_stats_prune_within_partition(spark, store):
     assert 0 < len(named) < len(entries)
     for e in named:
         assert e["ts_hi"] >= _ts_micros(lo) and e["ts_lo"] < _ts_micros(hi)
+
+
+def test_ts_micros_handles_timezones():
+    import datetime as dtm
+
+    from mora_spark.engine.store import _ts_micros
+
+    naive = dtm.datetime(2021, 1, 1, 9, 0)
+    aware_utc = dtm.datetime(2021, 1, 1, 9, 0, tzinfo=dtm.timezone.utc)
+    aware_plus5 = dtm.datetime(
+        2021, 1, 1, 14, 0,
+        tzinfo=dtm.timezone(dtm.timedelta(hours=5)),
+    )  # same instant as 09:00 UTC
+    assert _ts_micros(naive) == _ts_micros(aware_utc) == _ts_micros(
+        aware_plus5
+    )
+    assert _ts_micros(dtm.date(1970, 1, 2)) == 86_400_000_000

@@ -289,3 +289,23 @@ def test_compact_stream_index_is_lossless_and_seeds_next_epoch(
     got = sorted(map(key, dedup_increment(probe, *comp).collect()))
     want = sorted(map(key, dedup_increment(probe, *raw).collect()))
     assert got == want
+
+    # Epoch chain: run a SECOND epoch seeded with the compacted index,
+    # then compact WITH the seed — the result must remember both the
+    # seed corpus and the new epoch's survivors (a seedless compaction
+    # here would forget everything older than one epoch).
+    src2 = docs_chunked_source(
+        spark, sf_dir, str(tmp_path / "cache"), n_chunks=2,
+        filter_expr="doc_id % 3 = 0",
+    )
+    work2 = str(tmp_path / "work2")
+    stream_dedup_increment(spark, src2, work2, seed_index_path=dest)
+    raw2 = load_minhash_index(spark, os.path.join(work2, "lsh_index"))
+    dest2 = str(tmp_path / "compacted2")
+    compact_stream_index(spark, work2, dest2, seed_index_path=dest)
+    comp2 = load_minhash_index(spark, dest2)
+    members = lambda t: {  # noqa: E731
+        m for r in t.select("members").collect() for m in r["members"]
+    }
+    assert members(comp2[1]) == members(comp2[1]) | members(comp[1])
+    assert members(comp2[1]) == members(raw2[1]) | members(comp[1])
