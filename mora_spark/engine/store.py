@@ -371,6 +371,31 @@ class _TxnLog:
                 return 0, []
             return vs[-1], self.pointers_at(vs[-1])
 
+    def version_at(self, as_of_s: float) -> int:
+        """Newest version whose commit time is <= ``as_of_s`` (epoch
+        seconds) — Delta's TIMESTAMP AS OF. Binary search over the
+        DENSE retained version range, so resolution costs O(log
+        versions) manifest reads, not a scan. Commit times are
+        monotone because commits serialize through the CAS. Returns 0
+        when nothing was committed that early (or the era was
+        expired)."""
+        lo = max(1, self.retention().get("expired_before", 1))
+        hi = self.current_version()
+        best = 0
+        while lo <= hi:
+            mid = (lo + hi) // 2
+            try:
+                ts = float(self.read_version(mid).get("ts", 0.0))
+            except (FileNotFoundError, VersionExpiredError):
+                lo = mid + 1  # expired under us: only newer remain
+                continue
+            if ts <= as_of_s:
+                best = mid
+                lo = mid + 1
+            else:
+                hi = mid - 1
+        return best
+
     def write_page(
         self, partition: dict, files: list[dict], txn: str, k: int
     ) -> dict:
@@ -414,7 +439,15 @@ class _TxnLog:
         os.makedirs(self.dir, exist_ok=True)
         tmp = os.path.join(self.dir, f".tmp-{txn}")
         with open(tmp, "w") as f:
-            json.dump({"version": version, "txn": txn, "pages": pointers}, f)
+            json.dump(
+                {
+                    "version": version,
+                    "txn": txn,
+                    "ts": time.time(),  # for timestamp time travel
+                    "pages": pointers,
+                },
+                f,
+            )
             f.flush()
             os.fsync(f.fileno())
         dst = self._vpath(version)
@@ -826,10 +859,12 @@ class CandleStore:
                     v,
                     m.get("txn", ""),
                     sum(p["n"] for p in self._log._pointers_of(m, v)),
+                    float(m.get("ts", 0.0)),
                 )
             )
         return self.spark.createDataFrame(
-            rows, "version long, txn string, n_files long"
+            rows,
+            "version long, txn string, n_files long, committed_at double",
         )
 
     def read(
@@ -840,6 +875,7 @@ class CandleStore:
         start=None,
         end=None,
         version: int | None = None,
+        as_of=None,
     ) -> DataFrame:
         """Keyed/temporal read with two pruning layers: manifest entries
         are filtered driver-side (no file outside the key/year range is
@@ -886,6 +922,25 @@ class CandleStore:
         # key touches, not the store's total file count. An explicit
         # ``version`` that was never committed raises (the pre-paging
         # contract); only the implicit empty-store read returns empty.
+        if as_of is not None:
+            # Timestamp time travel (Delta's TIMESTAMP AS OF): resolve
+            # the newest version committed at or before the instant,
+            # then read that snapshot.
+            if version is not None:
+                raise ValueError("pass either version or as_of, not both")
+            as_of_s = (
+                float(as_of)
+                if isinstance(as_of, (int, float))
+                else _ts_micros(as_of) / 1e6
+            )
+            version = self._log.version_at(as_of_s)
+            if not version:
+                raise ValueError(
+                    f"no committed version at or before {as_of!r} "
+                    f"(earliest retained commit is newer, or the era "
+                    f"was expired)"
+                )
+
         lo_req = _ts_micros(start) if start is not None else None
         hi_req = _ts_micros(end) if end is not None else None
 

@@ -653,3 +653,24 @@ def test_ts_micros_handles_timezones():
         aware_plus5
     )
     assert _ts_micros(dtm.date(1970, 1, 2)) == 86_400_000_000
+
+
+def test_timestamp_time_travel(spark, store):
+    """TIMESTAMP AS OF: read(as_of=t) resolves the newest version
+    committed at or before t via O(log n) binary search over the dense
+    version range, using the commit instants the manifest records."""
+    store.write(mk(spark, [("BTC", dt.datetime(2021, 1, 1), 1.0)]))
+    store.write(mk(spark, [("BTC", dt.datetime(2021, 1, 1), 2.0)]))
+    t1 = store._log.read_version(1)["ts"]
+    t2 = store._log.read_version(2)["ts"]
+    assert t1 < t2  # commits serialize through the CAS
+    mid = (t1 + t2) / 2
+    assert [r["open"] for r in store.read(as_of=mid).collect()] == [1.0]
+    assert [r["open"] for r in store.read(as_of=t2).collect()] == [2.0]
+    with pytest.raises(ValueError, match="no committed version"):
+        store.read(as_of=t1 - 10.0)
+    with pytest.raises(ValueError, match="not both"):
+        store.read(version=1, as_of=t2)
+    hist = {r["version"]: r["committed_at"]
+            for r in store.history().collect()}
+    assert hist[1] == t1 and hist[2] == t2
