@@ -100,3 +100,55 @@ def vwap(candles: DataFrame) -> DataFrame:
     pv = F.sum(F.col("close") * F.col("volume")).over(w)
     v = F.sum("volume").over(w)
     return candles.withColumn("vwap", F.when(v != 0, pv / v))
+
+
+def bollinger(
+    candles: DataFrame, n: int = 20, k: float = 2.0, col: str = "close"
+) -> DataFrame:
+    """Bollinger bands: trailing n-bar SMA ± k sample standard
+    deviations (null until the window is full). mid and sd are rounded
+    to 6 dp BEFORE the band arithmetic so the emitted values are
+    bit-identical across engines (the same discipline as the rolling
+    correlation's round)."""
+    w = _series_window().rowsBetween(-(n - 1), Window.currentRow)
+    full = F.count(col).over(w) >= n
+    mid = F.when(full, F.round(F.avg(col).over(w), 6))
+    sd = F.when(full, F.round(F.stddev_samp(col).over(w), 6))
+    return (
+        candles.withColumn(f"bb_mid_{n}", mid)
+        .withColumn(f"bb_sd_{n}", sd)
+        .withColumn(
+            f"bb_up_{n}",
+            F.round(F.col(f"bb_mid_{n}") + k * F.col(f"bb_sd_{n}"), 6),
+        )
+        .withColumn(
+            f"bb_dn_{n}",
+            F.round(F.col(f"bb_mid_{n}") - k * F.col(f"bb_sd_{n}"), 6),
+        )
+    )
+
+
+def rsi(candles: DataFrame, n: int = 14, col: str = "close") -> DataFrame:
+    """Relative Strength Index over the trailing n bar-to-bar moves —
+    the simple-moving-average variant (Cutler's RSI), which is a pure
+    window expression and therefore cross-engine exact; Wilder's
+    recursive smoothing belongs to the EMA operator's pandas-UDF path.
+    Null until n moves are in the window; a window with zero average
+    loss pins at 100 (the conventional saturation)."""
+    wl = _series_window()
+    d = F.col(col) - F.lag(col).over(wl)
+    base = candles.withColumn(
+        "__gain", F.when(d > 0, d).otherwise(F.lit(0.0))
+    ).withColumn(
+        "__loss", F.when(d < 0, -d).otherwise(F.lit(0.0))
+    ).withColumn("__d", d)
+    w = _series_window().rowsBetween(-(n - 1), Window.currentRow)
+    full = F.count("__d").over(w) >= n  # n REAL moves (first is null)
+    ag = F.avg("__gain").over(w)
+    al = F.avg("__loss").over(w)
+    value = F.when(al == 0, F.lit(100.0)).otherwise(
+        F.round(F.lit(100.0) - F.lit(100.0) / (1 + ag / al), 6)
+    )
+    return base.withColumn(
+        f"rsi_{n}", F.when(full, value)
+    ).drop("__gain", "__loss", "__d")

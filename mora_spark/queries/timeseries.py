@@ -431,8 +431,83 @@ WINDOW w AS (PARTITION BY market, code, candle_length
 )
 
 
+# --- q_bollinger: trailing-volatility bands ---
+
+def q_bollinger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mora_spark.operators.windows import bollinger
+
+    return bollinger(_candles(spark, sf_dir), n=20, k=2.0).select(
+        "market", "code", "candle_length", "ts", "close",
+        "bb_mid_20", "bb_sd_20", "bb_up_20", "bb_dn_20",
+    )
+
+
+O_BOLLINGER = candles_sql(
+    """
+SELECT market, code, candle_length, ts, close,
+       bb_mid_20, bb_sd_20,
+       round(bb_mid_20 + 2.0 * bb_sd_20, 6) AS bb_up_20,
+       round(bb_mid_20 - 2.0 * bb_sd_20, 6) AS bb_dn_20
+FROM (
+  SELECT market, code, candle_length, ts, close,
+    CASE WHEN count(close) OVER w >= 20
+         THEN round(avg(close) OVER w, 6) END AS bb_mid_20,
+    CASE WHEN count(close) OVER w >= 20
+         THEN round(stddev_samp(close) OVER w, 6) END AS bb_sd_20
+  FROM candles
+  WINDOW w AS (PARTITION BY market, code, candle_length ORDER BY ts
+               ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+)
+"""
+)
+
+
+# --- q_rsi: relative strength index (Cutler's SMA variant) ---
+# The pure-window formulation is cross-engine exact; Wilder's recursive
+# smoothing is EMA territory (operators.ema, q_ema_12).
+
+def q_rsi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mora_spark.operators.windows import rsi
+
+    return rsi(_candles(spark, sf_dir), n=14).select(
+        "market", "code", "candle_length", "ts", "close", "rsi_14"
+    )
+
+
+O_RSI = candles_sql(
+    """
+, d AS (
+  SELECT market, code, candle_length, ts, close,
+         close - lag(close) OVER (PARTITION BY market, code, candle_length
+                                  ORDER BY ts) AS d
+  FROM candles
+), g AS (
+  SELECT *, CASE WHEN d > 0 THEN d ELSE 0.0 END AS gain,
+            CASE WHEN d < 0 THEN -d ELSE 0.0 END AS loss
+  FROM d
+)
+SELECT market, code, candle_length, ts, close,
+       CASE WHEN cnt >= 14 THEN
+         CASE WHEN al = 0 THEN 100.0
+              ELSE round(100.0 - 100.0 / (1 + ag / al), 6) END
+       END AS rsi_14
+FROM (
+  SELECT market, code, candle_length, ts, close,
+         count(d) OVER w AS cnt,
+         avg(gain) OVER w AS ag,
+         avg(loss) OVER w AS al
+  FROM g
+  WINDOW w AS (PARTITION BY market, code, candle_length ORDER BY ts
+               ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+)
+"""
+)
+
+
 QUERIES = {
     "q_candles_1m": q_candles_1m,
+    "q_bollinger": q_bollinger,
+    "q_rsi": q_rsi,
     "q_time_window": q_time_window,
     "q_upsert_lww": q_upsert_lww,
     "q_range_scan": q_range_scan,
@@ -451,6 +526,8 @@ QUERIES = {
 
 ORACLES = {
     "q_candles_1m": O_CANDLES_1M,
+    "q_bollinger": O_BOLLINGER,
+    "q_rsi": O_RSI,
     "q_time_window": O_TIME_WINDOW,
     "q_upsert_lww": O_UPSERT_LWW,
     "q_range_scan": O_RANGE_SCAN,
