@@ -34,3 +34,46 @@ def ema(candles: DataFrame, span: int, col: str = "close") -> DataFrame:
         return pdf
 
     return candles.groupBy(*SERIES_KEY).applyInPandas(_ema, schema=schema)
+
+
+def macd(
+    candles: DataFrame,
+    fast: int = 12,
+    slow: int = 26,
+    signal: int = 9,
+    col: str = "close",
+) -> DataFrame:
+    """MACD (fast EMA − slow EMA), its signal line (EMA of MACD), and
+    the histogram — all three EWM passes in ONE grouped pass, so the
+    whole indicator costs a single shuffle on the series key.
+
+    The MACD line is snapped to the 1e-6 grid with ``floor(x·1e6 +
+    0.5)/1e6`` BEFORE the signal recursion (and the outputs likewise):
+    the identical IEEE-double expression on both engines, so a SQL
+    oracle that expands the recursions in closed form lands on exactly
+    the same doubles — no engine rounding-mode divergence, no
+    compounded drift through the second recursion.
+    """
+    import numpy as np
+
+    out_cols = ["macd", "macd_signal", "macd_hist"]
+    schema = T.StructType(
+        candles.schema.fields
+        + [T.StructField(c, T.DoubleType()) for c in out_cols]
+    )
+
+    def snap(s):
+        return np.floor(s * 1e6 + 0.5) / 1e6
+
+    def _macd(pdf):
+        pdf = pdf.sort_values("ts")
+        f = pdf[col].ewm(alpha=2.0 / (fast + 1.0), adjust=False).mean()
+        s = pdf[col].ewm(alpha=2.0 / (slow + 1.0), adjust=False).mean()
+        m = snap(f - s)
+        sig = snap(m.ewm(alpha=2.0 / (signal + 1.0), adjust=False).mean())
+        pdf["macd"] = m
+        pdf["macd_signal"] = sig
+        pdf["macd_hist"] = snap(m - sig)
+        return pdf
+
+    return candles.groupBy(*SERIES_KEY).applyInPandas(_macd, schema=schema)

@@ -431,6 +431,67 @@ WINDOW w AS (PARTITION BY market, code, candle_length
 )
 
 
+# --- q_macd: MACD + signal + histogram (one grouped pandas pass) ---
+# Oracle: both EMA recursions expanded in closed form (the O_EMA_12
+# construction, 400-lag truncation — (25/27)^400 is far below double
+# resolution), with the MACD line snapped to the 1e-6 grid via
+# floor(x*1e6 + 0.5)/1e6 before the signal-stage expansion — the same
+# IEEE expression the operator applies, so the grids coincide exactly.
+
+def q_macd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mora_spark.operators.ema import macd
+
+    return macd(_candles(spark, sf_dir)).select(
+        "market", "code", "candle_length", "ts", "close",
+        "macd", "macd_signal", "macd_hist",
+    )
+
+
+def _ema_closed(src: str, val: str, span: int, out: str) -> str:
+    """Closed-form EMA over table ``src`` (needs rn): one 400-lag sum."""
+    a = f"2.0 / {span + 1}.0"
+    return f"""
+  SELECT t.market, t.code, t.candle_length, t.ts, t.rn,
+         sum((CASE WHEN j.rn = 1 THEN 1.0 ELSE {a} END)
+             * power(1.0 - {a}, t.rn - j.rn) * j.{val}) AS {out}
+  FROM {src} t
+  JOIN {src} j
+    ON j.market = t.market AND j.code = t.code
+   AND j.candle_length = t.candle_length
+   AND j.rn BETWEEN t.rn - 400 AND t.rn
+  GROUP BY t.market, t.code, t.candle_length, t.ts, t.rn"""
+
+
+O_MACD = candles_sql(
+    f"""
+, seq AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY market, code, candle_length ORDER BY ts) AS rn
+  FROM candles
+),
+e12 AS ({_ema_closed("seq", "close", 12, "v")}),
+e26 AS ({_ema_closed("seq", "close", 26, "v")}),
+m AS (
+  SELECT e12.market, e12.code, e12.candle_length, e12.ts, e12.rn,
+         floor((e12.v - e26.v) * 1e6 + 0.5) / 1e6 AS macd
+  FROM e12
+  JOIN e26 ON e12.market = e26.market AND e12.code = e26.code
+          AND e12.candle_length = e26.candle_length AND e12.rn = e26.rn
+),
+sig AS ({_ema_closed("m", "macd", 9, "v")})
+SELECT s.market, s.code, s.candle_length, s.ts, c.close, m.macd,
+       floor(s.v * 1e6 + 0.5) / 1e6 AS macd_signal,
+       floor((m.macd - floor(s.v * 1e6 + 0.5) / 1e6) * 1e6 + 0.5) / 1e6
+         AS macd_hist
+FROM sig s
+JOIN m ON m.market = s.market AND m.code = s.code
+      AND m.candle_length = s.candle_length AND m.rn = s.rn
+JOIN seq c ON c.market = s.market AND c.code = s.code
+          AND c.candle_length = s.candle_length AND c.rn = s.rn
+"""
+)
+
+
 # --- q_bollinger: trailing-volatility bands ---
 
 def q_bollinger(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -508,6 +569,7 @@ QUERIES = {
     "q_candles_1m": q_candles_1m,
     "q_bollinger": q_bollinger,
     "q_rsi": q_rsi,
+    "q_macd": q_macd,
     "q_time_window": q_time_window,
     "q_upsert_lww": q_upsert_lww,
     "q_range_scan": q_range_scan,
@@ -528,6 +590,7 @@ ORACLES = {
     "q_candles_1m": O_CANDLES_1M,
     "q_bollinger": O_BOLLINGER,
     "q_rsi": O_RSI,
+    "q_macd": O_MACD,
     "q_time_window": O_TIME_WINDOW,
     "q_upsert_lww": O_UPSERT_LWW,
     "q_range_scan": O_RANGE_SCAN,
