@@ -152,3 +152,48 @@ def rsi(candles: DataFrame, n: int = 14, col: str = "close") -> DataFrame:
     return base.withColumn(
         f"rsi_{n}", F.when(full, value)
     ).drop("__gain", "__loss", "__d")
+
+
+def obv(candles: DataFrame, close_col: str = "close",
+        vol_col: str = "volume") -> DataFrame:
+    """On-balance volume: running sum of signed volume (sign of the
+    bar-to-bar close move; the first bar contributes 0). Volume is
+    summed exactly in decimal so the running total is bit-identical
+    across engines and partitionings, then emitted as double."""
+    wl = _series_window()
+    d = F.col(close_col) - F.lag(close_col).over(wl)
+    signed = (
+        F.when(d > 0, F.col(vol_col))
+        .when(d < 0, -F.col(vol_col))
+        .otherwise(F.lit(0.0))
+        .cast("decimal(38,10)")
+    )
+    run = _series_window().rowsBetween(Window.unboundedPreceding, 0)
+    return candles.withColumn("__sv", signed).withColumn(
+        "obv", F.sum("__sv").over(run).cast("double")
+    ).drop("__sv")
+
+
+def atr(candles: DataFrame, n: int = 14) -> DataFrame:
+    """Average true range: TR = greatest(high-low, |high-prev_close|,
+    |low-prev_close|) (first bar: high-low), ATR = trailing n-bar
+    simple average of TR, rounded to 6 dp, null until n bars."""
+    wl = _series_window()
+    pc = F.lag("close").over(wl)
+    tr = F.when(
+        pc.isNull(), F.col("high") - F.col("low")
+    ).otherwise(
+        F.greatest(
+            F.col("high") - F.col("low"),
+            F.abs(F.col("high") - pc),
+            F.abs(F.col("low") - pc),
+        )
+    )
+    w = _series_window().rowsBetween(-(n - 1), Window.currentRow)
+    base = candles.withColumn("tr", tr)
+    return base.withColumn(
+        f"atr_{n}",
+        F.when(
+            F.count("tr").over(w) >= n, F.round(F.avg("tr").over(w), 6)
+        ),
+    )

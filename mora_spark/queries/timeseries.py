@@ -431,6 +431,65 @@ WINDOW w AS (PARTITION BY market, code, candle_length
 )
 
 
+# --- q_obv / q_atr: volume-flow and volatility indicators ---
+
+def q_obv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mora_spark.operators.windows import obv
+
+    return obv(_candles(spark, sf_dir)).select(
+        "market", "code", "candle_length", "ts", "close", "volume", "obv"
+    )
+
+
+O_OBV = candles_sql(
+    """
+, d AS (
+  SELECT market, code, candle_length, ts, close, volume,
+         close - lag(close) OVER (PARTITION BY market, code, candle_length
+                                  ORDER BY ts) AS d
+  FROM candles
+)
+SELECT market, code, candle_length, ts, close, volume,
+       CAST(sum(CAST(CASE WHEN d > 0 THEN volume
+                          WHEN d < 0 THEN -volume
+                          ELSE 0.0 END AS DECIMAL(38,10)))
+            OVER (PARTITION BY market, code, candle_length ORDER BY ts
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS DOUBLE) AS obv
+FROM d
+"""
+)
+
+
+def q_atr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mora_spark.operators.windows import atr
+
+    return atr(_candles(spark, sf_dir), n=14).select(
+        "market", "code", "candle_length", "ts", "tr", "atr_14"
+    )
+
+
+O_ATR = candles_sql(
+    """
+, t AS (
+  SELECT market, code, candle_length, ts,
+         CASE WHEN lag(close) OVER w IS NULL THEN high - low
+              ELSE greatest(high - low,
+                            abs(high - lag(close) OVER w),
+                            abs(low - lag(close) OVER w)) END AS tr
+  FROM candles
+  WINDOW w AS (PARTITION BY market, code, candle_length ORDER BY ts)
+)
+SELECT market, code, candle_length, ts, tr,
+       CASE WHEN count(tr) OVER w14 >= 14
+            THEN round(avg(tr) OVER w14, 6) END AS atr_14
+FROM t
+WINDOW w14 AS (PARTITION BY market, code, candle_length ORDER BY ts
+               ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+"""
+)
+
+
 # --- q_macd: MACD + signal + histogram (one grouped pandas pass) ---
 # Oracle: both EMA recursions expanded in closed form (the O_EMA_12
 # construction, 400-lag truncation — (25/27)^400 is far below double
@@ -570,6 +629,8 @@ QUERIES = {
     "q_bollinger": q_bollinger,
     "q_rsi": q_rsi,
     "q_macd": q_macd,
+    "q_obv": q_obv,
+    "q_atr": q_atr,
     "q_time_window": q_time_window,
     "q_upsert_lww": q_upsert_lww,
     "q_range_scan": q_range_scan,
@@ -591,6 +652,8 @@ ORACLES = {
     "q_bollinger": O_BOLLINGER,
     "q_rsi": O_RSI,
     "q_macd": O_MACD,
+    "q_obv": O_OBV,
+    "q_atr": O_ATR,
     "q_time_window": O_TIME_WINDOW,
     "q_upsert_lww": O_UPSERT_LWW,
     "q_range_scan": O_RANGE_SCAN,
