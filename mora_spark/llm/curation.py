@@ -312,6 +312,87 @@ def train_shards(
     )
 
 
+def lm_score(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus bigram language-model scoring — the perplexity-filter
+    staple of LLM data curation (a doc whose bigrams are improbable
+    under the corpus model is likely noise/garble). Self-trained:
+    unigram/bigram counts come from the corpus itself, and each doc's
+    score is the mean natural-log probability of its bigrams under
+    add-one smoothing over the unigram vocabulary:
+
+        lm_logp(doc) = mean over bigrams (w1 w2) of
+                       ln((c(w1 w2) + 1) / (c(w1) + V))
+
+    plus the per-doc perplexity exp(-lm_logp). Docs with fewer than
+    two tokens (or empty/NULL text) keep a row with n_bigrams = 0 and
+    NULL scores — the no-row-loss contract the dedup family follows.
+
+    Plan shape: one tokenize pass builds the bigram array JVM-side
+    (zip_with over two slices — no per-token shuffle); counts are two
+    map-side-combined aggs; scoring is two equi-joins on the bigram /
+    unigram keys and one per-doc agg. The vocabulary size rides in as
+    a broadcast one-row cross join, so nothing collects to the
+    driver. At 100 TB every stage is a hash shuffle on a text key —
+    no broadcast of the (unbounded) count tables is assumed.
+    """
+    toks = tokens(text_col)
+    n = F.size(toks)
+    bigrams = F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice(toks, 1, n - 1),
+            F.slice(toks, 2, n - 1),
+            lambda a, b: F.concat_ws(" ", a, b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    d = df.select(id_col, bigrams.alias("bigrams"))
+    exploded = d.select(
+        id_col,
+        F.explode("bigrams").alias("bg"),
+    ).withColumn("w1", F.split(F.col("bg"), " ")[0])
+
+    uni = (
+        df.select(F.explode(toks).alias("tok"))
+        .where(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cu"))
+    )
+    vocab = uni.agg(F.count(F.lit(1)).cast("double").alias("v_size"))
+    big = exploded.groupBy("bg").agg(F.count(F.lit(1)).alias("cb"))
+
+    scored = (
+        exploded.join(big, "bg")
+        .join(uni, exploded["w1"] == uni["tok"])
+        .crossJoin(F.broadcast(vocab))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.avg(
+                F.log(
+                    (F.col("cb") + F.lit(1.0))
+                    / (F.col("cu") + F.col("v_size"))
+                )
+            ).alias("lm_logp"),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(scored, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_bigrams"), F.lit(0).cast("long")).alias(
+                "n_bigrams"
+            ),
+            "lm_logp",
+            F.exp(-F.col("lm_logp")).alias("lm_ppl"),
+        )
+    )
+
+
 def vocab_topk(
     df: DataFrame,
     text_col: str = "text",

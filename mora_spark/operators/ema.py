@@ -77,3 +77,45 @@ def macd(
         return pdf
 
     return candles.groupBy(*SERIES_KEY).applyInPandas(_macd, schema=schema)
+
+
+def heikin_ashi(candles: DataFrame) -> DataFrame:
+    """Heikin-Ashi candle transform — the smoothed-candle chart type:
+
+    - ha_close_t = (open_t + high_t + low_t + close_t) / 4
+    - ha_open_t  = (ha_open_{t-1} + ha_close_{t-1}) / 2,
+      seeded with (open_1 + close_1) / 2
+    - ha_high_t  = max(high_t, ha_open_t, ha_close_t)
+    - ha_low_t   = min(low_t,  ha_open_t, ha_close_t)
+
+    The ha_open recursion is a fixed-alpha EWM (alpha = 1/2) over the
+    one-bar-lagged ha_close with the seed as its first element, so the
+    whole transform is one grouped pandas pass (one shuffle on the
+    series key) — and a SQL oracle can expand it in closed form with
+    exact powers of two (the O_EMA_12 construction at span 3).
+    """
+    import numpy as np
+
+    out_cols = ["ha_open", "ha_high", "ha_low", "ha_close"]
+    schema = T.StructType(
+        candles.schema.fields
+        + [T.StructField(c, T.DoubleType()) for c in out_cols]
+    )
+
+    def _ha(pdf):
+        pdf = pdf.sort_values("ts")
+        hc = (pdf["open"] + pdf["high"] + pdf["low"] + pdf["close"]) / 4.0
+        src = hc.shift(1)
+        src.iloc[0] = (pdf["open"].iloc[0] + pdf["close"].iloc[0]) / 2.0
+        ho = src.ewm(alpha=0.5, adjust=False).mean()
+        pdf["ha_open"] = ho
+        pdf["ha_close"] = hc
+        pdf["ha_high"] = np.maximum.reduce(
+            [pdf["high"].to_numpy(), ho.to_numpy(), hc.to_numpy()]
+        )
+        pdf["ha_low"] = np.minimum.reduce(
+            [pdf["low"].to_numpy(), ho.to_numpy(), hc.to_numpy()]
+        )
+        return pdf
+
+    return candles.groupBy(*SERIES_KEY).applyInPandas(_ha, schema=schema)

@@ -174,6 +174,81 @@ def obv(candles: DataFrame, close_col: str = "close",
     ).drop("__sv")
 
 
+def stochastic(candles: DataFrame, n: int = 14, d: int = 3) -> DataFrame:
+    """Stochastic oscillator: %K = 100·(close − min(low,n)) /
+    (max(high,n) − min(low,n)) over the trailing n bars (50 when the
+    range is flat, null until full), %D = trailing d-bar SMA of %K.
+    %K is rounded to 6 dp BEFORE the %D average so both engines feed
+    the identical doubles into the second window (the bollinger/MACD
+    grid discipline)."""
+    w = _series_window().rowsBetween(-(n - 1), Window.currentRow)
+    full = F.count("close").over(w) >= n
+    lo = F.min("low").over(w)
+    hi = F.max("high").over(w)
+    k = F.when(hi > lo,
+               F.round(F.lit(100.0) * (F.col("close") - lo) / (hi - lo), 6)
+               ).otherwise(F.lit(50.0))
+    base = candles.withColumn(f"stoch_k_{n}", F.when(full, k))
+    wd = _series_window().rowsBetween(-(d - 1), Window.currentRow)
+    dfull = F.count(f"stoch_k_{n}").over(wd) >= d
+    return base.withColumn(
+        f"stoch_d_{d}",
+        F.when(dfull, F.round(F.avg(f"stoch_k_{n}").over(wd), 6)),
+    )
+
+
+def donchian(candles: DataFrame, n: int = 20) -> DataFrame:
+    """Donchian channel: trailing n-bar extremes of high/low plus the
+    mid-line and channel width (null until the window is full). Pure
+    min/max — order-independent, so the outputs are bit-identical
+    across engines with no rounding needed; mid/width are single IEEE
+    ops on those exact extremes."""
+    w = _series_window().rowsBetween(-(n - 1), Window.currentRow)
+    full = F.count("close").over(w) >= n
+    up = F.max("high").over(w)
+    dn = F.min("low").over(w)
+    return (
+        candles.withColumn(f"dc_up_{n}", F.when(full, up))
+        .withColumn(f"dc_dn_{n}", F.when(full, dn))
+        .withColumn(
+            f"dc_mid_{n}",
+            (F.col(f"dc_up_{n}") + F.col(f"dc_dn_{n}")) / F.lit(2.0),
+        )
+        .withColumn(
+            f"dc_width_{n}", F.col(f"dc_up_{n}") - F.col(f"dc_dn_{n}")
+        )
+    )
+
+
+def zscore_anomaly(
+    candles: DataFrame,
+    n: int = 60,
+    threshold: float = 3.0,
+    col: str = "close",
+) -> DataFrame:
+    """Rolling z-score outlier detection — the data-quality monitor a
+    candle feed runs on ingest: z = (x − trailing-n mean) / trailing-n
+    sample stddev, flagged when |z| exceeds ``threshold``. Mean and sd
+    round to 6 dp BEFORE the division and z rounds after it, so the
+    flag (a discrete decision) is taken on bit-identical doubles in
+    both engines. Null until the window is full or when sd is 0."""
+    w = _series_window().rowsBetween(-(n - 1), Window.currentRow)
+    full = F.count(col).over(w) >= n
+    mu = F.when(full, F.round(F.avg(col).over(w), 6))
+    sd = F.when(full, F.round(F.stddev_samp(col).over(w), 6))
+    z = F.when(sd > 0, F.round((F.col(col) - mu) / sd, 6))
+    return (
+        candles.withColumn(f"z_{n}", z)
+        .withColumn(
+            "is_anomaly",
+            F.when(
+                F.col(f"z_{n}").isNotNull(),
+                F.abs(F.col(f"z_{n}")) > F.lit(threshold),
+            ),
+        )
+    )
+
+
 def atr(candles: DataFrame, n: int = 14) -> DataFrame:
     """Average true range: TR = greatest(high-low, |high-prev_close|,
     |low-prev_close|) (first bar: high-low), ATR = trailing n-bar

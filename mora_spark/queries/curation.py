@@ -378,8 +378,56 @@ FROM w
 """
 
 
+# --- q_lm_score: self-trained bigram LM scoring (perplexity filter) ---
+# The scores are unrounded doubles (libm ln/exp agree across engines
+# to ~1 ulp, well inside the gate's 1e-9 relative tolerance); rounding
+# would ADD divergence risk at 6-dp grid boundaries since no discrete
+# decision is taken on the values.
+
+def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mora_spark.llm.curation import lm_score
+
+    return lm_score(_docs(spark, sf_dir))
+
+
+O_LM_SCORE = f"""
+WITH d AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
+b AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(toks)),
+                i -> toks[i] || ' ' || toks[i + 1])) AS bg
+  FROM d
+), e AS (
+  SELECT doc_id, bg, split_part(bg, ' ', 1) AS w1 FROM b
+), uni AS (
+  SELECT tok, count(*) AS cu
+  FROM (SELECT unnest(toks) AS tok FROM d)
+  WHERE tok != '' GROUP BY tok
+), v AS (
+  SELECT CAST(count(*) AS DOUBLE) AS v_size FROM uni
+), big AS (
+  SELECT bg, count(*) AS cb FROM e GROUP BY bg
+), scored AS (
+  SELECT e.doc_id,
+         CAST(count(*) AS BIGINT) AS n_bigrams,
+         avg(ln((cb + 1.0) / (cu + v_size))) AS lm_logp
+  FROM e
+  JOIN big USING (bg)
+  JOIN uni ON e.w1 = uni.tok
+  CROSS JOIN v
+  GROUP BY e.doc_id
+)
+SELECT d.doc_id,
+       coalesce(s.n_bigrams, 0) AS n_bigrams,
+       s.lm_logp,
+       exp(-s.lm_logp) AS lm_ppl
+FROM d LEFT JOIN scored s USING (doc_id)
+"""
+
+
 QUERIES = {
     "q_stratified_sample": q_stratified_sample,
+    "q_lm_score": q_lm_score,
     "q_chunk_docs": q_chunk_docs,
     "q_train_shards": q_train_shards,
     "q_quality_rules": q_quality_rules,
@@ -392,6 +440,7 @@ QUERIES = {
 
 ORACLES = {
     "q_stratified_sample": O_STRATIFIED_SAMPLE,
+    "q_lm_score": O_LM_SCORE,
     "q_chunk_docs": O_CHUNK_DOCS,
     "q_train_shards": O_TRAIN_SHARDS,
     "q_quality_rules": O_QUALITY_RULES,

@@ -490,6 +490,145 @@ WINDOW w14 AS (PARTITION BY market, code, candle_length ORDER BY ts
 )
 
 
+# --- q_stochastic: stochastic oscillator %K / %D ---
+
+def q_stochastic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mora_spark.operators.windows import stochastic
+
+    return stochastic(_candles(spark, sf_dir), n=14, d=3).select(
+        "market", "code", "candle_length", "ts", "close",
+        "stoch_k_14", "stoch_d_3",
+    )
+
+
+O_STOCHASTIC = candles_sql(
+    """
+, k AS (
+  SELECT market, code, candle_length, ts, close,
+    CASE WHEN count(close) OVER w >= 14 THEN
+      CASE WHEN max(high) OVER w > min(low) OVER w
+           THEN round(100.0 * (close - min(low) OVER w)
+                      / (max(high) OVER w - min(low) OVER w), 6)
+           ELSE 50.0 END
+    END AS stoch_k_14
+  FROM candles
+  WINDOW w AS (PARTITION BY market, code, candle_length ORDER BY ts
+               ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+)
+SELECT market, code, candle_length, ts, close, stoch_k_14,
+       CASE WHEN count(stoch_k_14) OVER wd >= 3
+            THEN round(avg(stoch_k_14) OVER wd, 6) END AS stoch_d_3
+FROM k
+WINDOW wd AS (PARTITION BY market, code, candle_length ORDER BY ts
+              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+"""
+)
+
+
+# --- q_donchian: Donchian channel (n-bar extremes; exact, no rounding) ---
+
+def q_donchian(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mora_spark.operators.windows import donchian
+
+    return donchian(_candles(spark, sf_dir), n=20).select(
+        "market", "code", "candle_length", "ts", "close",
+        "dc_up_20", "dc_dn_20", "dc_mid_20", "dc_width_20",
+    )
+
+
+O_DONCHIAN = candles_sql(
+    """
+SELECT market, code, candle_length, ts, close,
+       dc_up_20, dc_dn_20,
+       (dc_up_20 + dc_dn_20) / 2.0 AS dc_mid_20,
+       dc_up_20 - dc_dn_20 AS dc_width_20
+FROM (
+  SELECT market, code, candle_length, ts, close,
+    CASE WHEN count(close) OVER w >= 20 THEN max(high) OVER w END AS dc_up_20,
+    CASE WHEN count(close) OVER w >= 20 THEN min(low) OVER w END AS dc_dn_20
+  FROM candles
+  WINDOW w AS (PARTITION BY market, code, candle_length ORDER BY ts
+               ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+)
+"""
+)
+
+
+# --- q_anomaly_zscore: rolling z-score outlier flags ---
+
+def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mora_spark.operators.windows import zscore_anomaly
+
+    return zscore_anomaly(_candles(spark, sf_dir), n=60, threshold=3.0).select(
+        "market", "code", "candle_length", "ts", "close",
+        "z_60", "is_anomaly",
+    )
+
+
+O_ANOMALY_ZSCORE = candles_sql(
+    """
+SELECT market, code, candle_length, ts, close, z_60,
+       CASE WHEN z_60 IS NOT NULL THEN abs(z_60) > 3.0 END AS is_anomaly
+FROM (
+  SELECT market, code, candle_length, ts, close,
+         CASE WHEN sd > 0 THEN round((close - mu) / sd, 6) END AS z_60
+  FROM (
+    SELECT market, code, candle_length, ts, close,
+      CASE WHEN count(close) OVER w >= 60
+           THEN round(avg(close) OVER w, 6) END AS mu,
+      CASE WHEN count(close) OVER w >= 60
+           THEN round(stddev_samp(close) OVER w, 6) END AS sd
+    FROM candles
+    WINDOW w AS (PARTITION BY market, code, candle_length ORDER BY ts
+                 ROWS BETWEEN 59 PRECEDING AND CURRENT ROW)
+  )
+)
+"""
+)
+
+
+# --- q_heikin_ashi: recursive smoothed-candle transform ---
+# ha_open is the alpha=1/2 EWM of the lagged ha_close seeded with
+# (open_1+close_1)/2, so the oracle expands it with the O_EMA_12
+# closed form at span 3 (weights are exact powers of two; the 400-lag
+# truncation is ~1e-121, far inside the 1e-9 gate tolerance).
+
+def q_heikin_ashi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mora_spark.operators.ema import heikin_ashi
+
+    return heikin_ashi(_candles(spark, sf_dir)).select(
+        "market", "code", "candle_length", "ts",
+        "ha_open", "ha_high", "ha_low", "ha_close",
+    )
+
+
+def _o_heikin_ashi() -> str:
+    return candles_sql(
+        f"""
+, hc AS (
+  SELECT market, code, candle_length, ts, high, low,
+         (open + high + low + close) / 4.0 AS ha_close,
+         row_number() OVER w AS rn,
+         CASE WHEN lag(close) OVER w IS NULL
+              THEN (open + close) / 2.0
+              ELSE lag((open + high + low + close) / 4.0) OVER w
+         END AS src
+  FROM candles
+  WINDOW w AS (PARTITION BY market, code, candle_length ORDER BY ts)
+),
+ho AS ({_ema_closed("hc", "src", 3, "ha_open")})
+SELECT h.market, h.code, h.candle_length, h.ts,
+       o.ha_open,
+       greatest(h.high, o.ha_open, h.ha_close) AS ha_high,
+       least(h.low, o.ha_open, h.ha_close) AS ha_low,
+       h.ha_close
+FROM hc h
+JOIN ho o ON o.market = h.market AND o.code = h.code
+         AND o.candle_length = h.candle_length AND o.rn = h.rn
+"""
+    )
+
+
 # --- q_macd: MACD + signal + histogram (one grouped pandas pass) ---
 # Oracle: both EMA recursions expanded in closed form (the O_EMA_12
 # construction, 400-lag truncation — (25/27)^400 is far below double
@@ -631,6 +770,10 @@ QUERIES = {
     "q_macd": q_macd,
     "q_obv": q_obv,
     "q_atr": q_atr,
+    "q_stochastic": q_stochastic,
+    "q_donchian": q_donchian,
+    "q_heikin_ashi": q_heikin_ashi,
+    "q_anomaly_zscore": q_anomaly_zscore,
     "q_time_window": q_time_window,
     "q_upsert_lww": q_upsert_lww,
     "q_range_scan": q_range_scan,
@@ -654,6 +797,10 @@ ORACLES = {
     "q_macd": O_MACD,
     "q_obv": O_OBV,
     "q_atr": O_ATR,
+    "q_stochastic": O_STOCHASTIC,
+    "q_donchian": O_DONCHIAN,
+    "q_heikin_ashi": _o_heikin_ashi(),
+    "q_anomaly_zscore": O_ANOMALY_ZSCORE,
     "q_time_window": O_TIME_WINDOW,
     "q_upsert_lww": O_UPSERT_LWW,
     "q_range_scan": O_RANGE_SCAN,

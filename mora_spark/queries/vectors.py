@@ -332,6 +332,76 @@ FROM q
 """
 
 
+# --- q_ann_sq8: scalar-quantized two-stage search ---
+# Quantize-then-rerank over the RAW corpus (no plants needed): stage 1
+# ranks by cosine against the int8 grid and keeps a 50-deep shortlist,
+# stage 2 re-scores the shortlist at full precision. The oracle replays
+# BOTH stages — the quantization grid, the quantized ranking, and the
+# exact re-rank — so the driver hash verifies the whole pipeline, not
+# just its final answer.
+
+SQ8_SHORTLIST = 50
+
+
+def q_ann_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mora_spark.llm.simsearch import sq8_rerank_topk
+
+    e = _emb(spark, sf_dir).select(
+        "vec_id", as_double(F.col("embedding")).alias("embedding")
+    )
+    return sq8_rerank_topk(
+        e, query_ids=list(range(N_QUERIES)), k=TOP_K,
+        shortlist=SQ8_SHORTLIST,
+    )
+
+
+O_ANN_SQ8 = f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), s AS (
+  SELECT vec_id, v,
+         CASE WHEN list_max(list_transform(v, x -> abs(x))) > 0
+              THEN list_max(list_transform(v, x -> abs(x))) / 127.0
+              ELSE 1.0 END AS scale
+  FROM e
+), qz AS (
+  SELECT vec_id, v,
+         list_transform(v, x -> CAST(greatest(-127, least(127,
+             CAST(floor(x / scale + 0.5) AS INT))) AS DOUBLE)) AS cq
+  FROM s
+), q AS (
+  SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < {N_QUERIES}
+), c AS (
+  SELECT vec_id AS neighbor_id, v AS cv, cq FROM qz
+  WHERE vec_id >= {N_QUERIES}
+), stage1 AS (
+  SELECT query_id, neighbor_id, cv, qv,
+         round(list_dot_product(qv, cq)
+               / (sqrt(list_dot_product(qv, qv))
+                  * sqrt(list_dot_product(cq, cq))), 6) AS qscore
+  FROM c CROSS JOIN q
+), short AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY qscore DESC, neighbor_id) AS qrank
+    FROM stage1
+  ) WHERE qrank <= {SQ8_SHORTLIST}
+), rescored AS (
+  SELECT query_id, neighbor_id,
+         round(list_dot_product(qv, cv)
+               / (sqrt(list_dot_product(qv, qv))
+                  * sqrt(list_dot_product(cv, cv))), 6) AS score
+  FROM short
+)
+SELECT query_id, neighbor_id, score, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY score DESC, neighbor_id) AS rank
+  FROM rescored
+) WHERE rank <= {TOP_K}
+"""
+
+
 # --- q_ann_ivf_add: incremental index maintenance, then search ---
 # The production ANN loop: the index is built and TRAINED on the base
 # corpus only; the planted true-top-k rows arrive LATER via
@@ -483,6 +553,7 @@ QUERIES = {
     "q_ann_ivf": q_ann_ivf,
     "q_ann_ivf_index": q_ann_ivf_index,
     "q_ann_ivf_add": q_ann_ivf_add,
+    "q_ann_sq8": q_ann_sq8,
     "q_quantize_embed": q_quantize_embed,
     "q_embed_neardup": q_embed_neardup,
     "q_embed_neardup_exact": q_embed_neardup_exact,
@@ -496,6 +567,7 @@ ORACLES = {
     "q_ann_ivf": _o_ann_topk(),
     "q_ann_ivf_index": _o_ann_topk(),
     "q_ann_ivf_add": _o_ann_topk(),
+    "q_ann_sq8": O_ANN_SQ8,
     "q_quantize_embed": O_QUANTIZE_EMBED,
     "q_embed_neardup": O_EMBED_NEARDUP,
     "q_embed_neardup_exact": O_EMBED_NEARDUP_EXACT,

@@ -42,6 +42,12 @@ SMELL_QUERIES = [
     "q_resample_5m",
     "q_asof_trades",
     "q_interval_join",
+    "q_stochastic",
+    "q_donchian",
+    "q_heikin_ashi",
+    "q_anomaly_zscore",
+    "q_lm_score",
+    "q_ann_sq8",
     "q_text_stats",
     "q_lang_id",
     "q_quality_rules",

@@ -209,3 +209,34 @@ def test_quantize_embeddings_error_bound(spark, sf_dir):
     )
     worst = err.agg(F.max("excess")).first()[0]
     assert worst <= 1e-12, f"grid error exceeds scale/2 by {worst}"
+
+
+def test_sq8_rerank_recall_and_exact_scores(spark, sf_dir):
+    from mora_spark.llm.simsearch import sq8_rerank_topk
+
+    exact = q_simsearch_topk(spark, sf_dir).collect()
+    want = {(r["query_id"], r["neighbor_id"]) for r in exact}
+    exact_scores = {
+        (r["query_id"], r["neighbor_id"]): r["score"] for r in exact
+    }
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias(
+            "embedding"
+        ),
+    )
+    got_rows = sq8_rerank_topk(
+        e, query_ids=[0, 1, 2, 3, 4], k=5, shortlist=50
+    ).collect()
+    got = {(r["query_id"], r["neighbor_id"]) for r in got_rows}
+
+    # int8 error on cosine is ~1/127; a 50-deep shortlist recovers the
+    # true top-5 on this corpus, and the stage-2 re-rank emits EXACT
+    # full-precision scores for everything it returns.
+    recall = len(want & got) / len(want)
+    assert recall >= 0.8, f"recall {recall}"
+    for r in got_rows:
+        key = (r["query_id"], r["neighbor_id"])
+        if key in exact_scores:
+            assert abs(r["score"] - exact_scores[key]) < 1e-9

@@ -100,3 +100,80 @@ def test_asof_exact_and_before(spark):
     assert tol[1] == 100.0
     assert tol[2] is None
     assert tol[3] is None
+
+
+def test_heikin_ashi_matches_manual_recursion(spark):
+    import datetime as dt
+
+    from mora_spark.operators.ema import heikin_ashi
+    from mora_spark.schema import CANDLE_SCHEMA
+
+    bars = [  # (open, high, low, close)
+        (10.0, 12.0, 9.0, 11.0),
+        (11.0, 13.0, 10.0, 12.5),
+        (12.5, 14.0, 12.0, 13.0),
+        (13.0, 13.5, 11.0, 11.5),
+        (11.5, 12.0, 10.5, 11.0),
+    ]
+    rows = [
+        ("M", "X", 60, dt.datetime(2024, 1, 1, 0, i), o, h, lo, c, 1.0, 0)
+        for i, (o, h, lo, c) in enumerate(bars)
+    ]
+    df = spark.createDataFrame(rows, CANDLE_SCHEMA)
+    out = {r["ts"].minute: r for r in heikin_ashi(df).collect()}
+
+    ho = (bars[0][0] + bars[0][3]) / 2.0
+    for i, (o, h, lo, c) in enumerate(bars):
+        hc = (o + h + lo + c) / 4.0
+        if i > 0:
+            prev = bars[i - 1]
+            prev_hc = (prev[0] + prev[1] + prev[2] + prev[3]) / 4.0
+            ho = (ho + prev_hc) / 2.0
+        r = out[i]
+        assert math.isclose(r["ha_open"], ho, rel_tol=1e-12), i
+        assert math.isclose(r["ha_close"], hc, rel_tol=1e-12), i
+        assert math.isclose(r["ha_high"], max(h, ho, hc), rel_tol=1e-12)
+        assert math.isclose(r["ha_low"], min(lo, ho, hc), rel_tol=1e-12)
+
+
+def test_stochastic_bounds_and_flat_window(spark, candles):
+    from mora_spark.operators.windows import stochastic
+
+    out = stochastic(candles, n=14, d=3)
+    bad = out.where(
+        (F.col("stoch_k_14") < 0) | (F.col("stoch_k_14") > 100)
+        | (F.col("stoch_d_3") < 0) | (F.col("stoch_d_3") > 100)
+    ).count()
+    assert bad == 0
+    # first n-1 bars of each series have no %K
+    first = out.where(F.col("stoch_k_14").isNull()).count()
+    n_series = candles.select("market", "code", "candle_length").distinct().count()
+    assert first == 13 * n_series
+
+    # a perfectly flat window pins %K at 50
+    import datetime as dt
+
+    from mora_spark.schema import CANDLE_SCHEMA
+
+    flat = spark.createDataFrame(
+        [("M", "X", 60, dt.datetime(2024, 1, 1, 0, i),
+          5.0, 5.0, 5.0, 5.0, 1.0, 0) for i in range(20)],
+        CANDLE_SCHEMA,
+    )
+    ks = [r["stoch_k_14"] for r in stochastic(flat, n=14, d=3).collect()
+          if r["stoch_k_14"] is not None]
+    assert ks and all(k == 50.0 for k in ks)
+
+
+def test_donchian_channel_contains_prices(candles):
+    from mora_spark.operators.windows import donchian
+
+    out = donchian(candles, n=20).where(F.col("dc_up_20").isNotNull())
+    bad = out.where(
+        (F.col("high") > F.col("dc_up_20"))
+        | (F.col("low") < F.col("dc_dn_20"))
+        | (F.col("dc_mid_20") > F.col("dc_up_20"))
+        | (F.col("dc_mid_20") < F.col("dc_dn_20"))
+        | (F.col("dc_width_20") < 0)
+    ).count()
+    assert bad == 0
