@@ -76,7 +76,12 @@ def main() -> None:
 
     # Untimed warmup: initialize codegen, the parquet reader, the noop
     # sink, and the Python worker pool once, so the first timed query
-    # isn't charged for one-time JVM/session setup.
+    # isn't charged for one-time JVM/session setup. The pandas-UDF
+    # warmup MUST fan out across every executor thread: a single-task
+    # warmup leaves 31 cold workers, and the first 32-partition numpy
+    # UDF stage then pays all their simultaneous numpy imports inside
+    # its measured time (observed: q_ann_srp 10.6s first run vs 2.5s
+    # warmed — the entire "inflation" of the vector family).
     from mora_spark.datasets import load_table
     from pyspark.sql import functions as F
 
@@ -84,9 +89,18 @@ def main() -> None:
     warm.groupBy("event_type").count().write.format("noop").mode(
         "overwrite"
     ).save()
-    warm.select(
-        F.pandas_udf(lambda s: s, "double")(F.col("value")).alias("v")
-    ).limit(1000).write.format("noop").mode("overwrite").save()
+
+    def _np_warm(s):
+        import numpy as np  # pre-import in every pooled worker
+        import pandas as pd
+
+        m = np.ones((8, 8)) @ np.ones((8, 8))
+        return pd.Series(s.to_numpy() + float(m[0, 0]) * 0.0)
+
+    n_workers = spark.sparkContext.defaultParallelism
+    warm.repartition(n_workers).select(
+        F.pandas_udf(_np_warm, "double")(F.col("value")).alias("v")
+    ).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -863,3 +863,75 @@ def simhash_neardup_pairs(
             "hamming",
         )
     )
+
+
+def duplicate_spans(
+    df: DataFrame,
+    k: int = 8,
+    max_df: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact duplicated-substring span detection — the "substring
+    dedup" mode of training-data curation (two documents sharing a
+    long verbatim token run, e.g. a quoted license block, even when
+    their overall Jaccard is low). Suffix-array engines find these
+    single-node; the shuffle-friendly equivalent is shingle algebra:
+    two docs share a duplicated run of >= k tokens iff they share a
+    k-token shingle, and the RUN LENGTH is recoverable from shingle
+    positions — aligned matches (pa, pb) on one diagonal (pa - pb)
+    with consecutive pa form one shared run of (run + k - 1) tokens.
+
+    Emits one row per document pair sharing at least one k-shingle:
+    (id_a, id_b, n_shared aligned shingle matches, max_span = longest
+    exactly-shared token run).
+
+    Scale guards: shingles occurring in more than ``max_df`` documents
+    are excluded from pair generation (an m-doc boilerplate shingle
+    would emit m² pairs; corpus-wide boilerplate is the job of
+    ``dedup_lines`` / ``boilerplate_frac``, and the cap is the same
+    df-capping every production substring-dedup applies), so the pair
+    fan-out is bounded by max_df²·n_shingles. Everything else is
+    equi-joins and window/agg on (pair, diagonal) keys — no cross
+    join, no per-pair text rescan.
+    """
+    from mora_spark.functions.text import tokens
+    from mora_spark.llm.curation import shingle_hashes
+    from pyspark.sql import Window
+
+    d = df.select(
+        F.col(id_col).alias("id"), tokens(text_col).alias("toks")
+    ).select("id", shingle_hashes(F.col("toks"), n=k).alias("shingles"))
+    sh = d.select("id", F.posexplode("shingles").alias("pos", "sh"))
+
+    keep = (
+        sh.groupBy("sh")
+        .agg(F.countDistinct("id").alias("df_docs"))
+        .where(F.col("df_docs") <= max_df)
+        .select("sh")
+    )
+    shk = sh.join(keep, "sh")
+
+    a = shk.select(
+        F.col("sh"), F.col("id").alias("id_a"), F.col("pos").alias("pa")
+    )
+    b = shk.select(
+        F.col("sh").alias("sh_b"),
+        F.col("id").alias("id_b"),
+        F.col("pos").alias("pb"),
+    )
+    matches = a.join(
+        b,
+        (F.col("sh") == F.col("sh_b")) & (F.col("id_a") < F.col("id_b")),
+    ).select("id_a", "id_b", "pa", "pb", (F.col("pa") - F.col("pb")).alias("diag"))
+
+    w = Window.partitionBy("id_a", "id_b", "diag").orderBy("pa")
+    runs = (
+        matches.withColumn("grp", F.col("pa") - F.row_number().over(w))
+        .groupBy("id_a", "id_b", "diag", "grp")
+        .agg(F.count(F.lit(1)).alias("run"))
+    )
+    return runs.groupBy("id_a", "id_b").agg(
+        F.sum("run").cast("long").alias("n_shared"),
+        (F.max("run") + F.lit(k - 1)).cast("long").alias("max_span"),
+    )

@@ -618,8 +618,69 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
 """
 
 
+# --- q_dup_spans: exact duplicated-substring span detection ---
+# Substring dedup (Lee et al.'s exact-substring mode) as shingle
+# algebra: pairs share a >= k-token verbatim run iff they share a
+# k-shingle; run length = longest consecutive diagonal of aligned
+# shingle positions + k - 1. Shingles in more than DUP_SPAN_MAX_DF
+# docs are excluded (boilerplate guard, bounds pair fan-out) — the
+# oracle applies the identical cap, so the driver verifies the whole
+# contract including the cap.
+
+DUP_SPAN_K = 8
+DUP_SPAN_MAX_DF = 32
+
+
+def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mora_spark.llm.dedup import duplicate_spans
+
+    return duplicate_spans(
+        _docs(spark, sf_dir), k=DUP_SPAN_K, max_df=DUP_SPAN_MAX_DF
+    )
+
+
+def _o_dup_spans() -> str:
+    k, max_df = DUP_SPAN_K, DUP_SPAN_MAX_DF
+    pos_range = f"range(1, greatest(len(toks) - {k - 1}, 0) + 1)"
+    return f"""
+WITH d AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
+sh AS (
+  SELECT doc_id,
+         unnest({pos_range}) AS pos,
+         unnest(list_transform({pos_range},
+                i -> md5(array_to_string(toks[i:i + {k - 1}], ' ')))) AS sh
+  FROM d
+), keep AS (
+  SELECT sh FROM (
+    SELECT sh, count(DISTINCT doc_id) AS df_docs FROM sh GROUP BY sh
+  ) WHERE df_docs <= {max_df}
+), shk AS (
+  SELECT sh.* FROM sh JOIN keep USING (sh)
+), m AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.pos AS pa,
+         a.pos - b.pos AS diag
+  FROM shk a JOIN shk b ON a.sh = b.sh AND a.doc_id < b.doc_id
+), runs AS (
+  SELECT id_a, id_b, diag, grp, count(*) AS run
+  FROM (
+    SELECT id_a, id_b, diag, pa,
+           pa - row_number() OVER (PARTITION BY id_a, id_b, diag
+                                   ORDER BY pa) AS grp
+    FROM m
+  )
+  GROUP BY id_a, id_b, diag, grp
+)
+SELECT id_a, id_b,
+       CAST(sum(run) AS BIGINT) AS n_shared,
+       CAST(max(run) + {k - 1} AS BIGINT) AS max_span
+FROM runs
+GROUP BY id_a, id_b
+"""
+
+
 QUERIES = {
     "q_dedup_exact": q_dedup_exact,
+    "q_dup_spans": q_dup_spans,
     "q_text_stats": q_text_stats,
     "q_lang_id": q_lang_id,
     "q_fingerprint": q_fingerprint,
@@ -636,6 +697,7 @@ QUERIES = {
 
 ORACLES = {
     "q_dedup_exact": O_DEDUP_EXACT,
+    "q_dup_spans": _o_dup_spans(),
     "q_text_stats": O_TEXT_STATS,
     "q_lang_id": _o_lang_id(),
     "q_fingerprint": O_FINGERPRINT,

@@ -1,0 +1,58 @@
+"""duplicate_spans: exact shared-substring span recovery + df cap."""
+
+from __future__ import annotations
+
+from mora_spark.llm.dedup import duplicate_spans
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_span_length_recovered_exactly(spark):
+    # B copies tokens 5..14 of A verbatim (a 10-token run); C is
+    # unrelated. k=8 -> 3 aligned shingles on one diagonal ->
+    # max_span = 3 + 7 = 10.
+    a_toks = [f"w{i}" for i in range(20)]
+    b_toks = ["b0", "b1"] + a_toks[5:15] + ["b2", "b3"]
+    rows = [
+        (1, " ".join(a_toks)),
+        (2, " ".join(b_toks)),
+        (3, " ".join(f"z{i}" for i in range(20))),
+    ]
+    out = duplicate_spans(_docs(spark, rows), k=8).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["id_a"], r["id_b"]) == (1, 2)
+    assert r["n_shared"] == 3
+    assert r["max_span"] == 10
+
+
+def test_two_separate_runs_not_merged(spark):
+    # Two disjoint shared runs (10 and 9 tokens) separated by
+    # divergent text on BOTH sides land on different diagonals /
+    # groups: max_span reports the longer one, n_shared counts both.
+    run1 = [f"r{i}" for i in range(10)]
+    run2 = [f"s{i}" for i in range(9)]
+    a = run1 + ["a1", "a2", "a3"] + run2
+    b = run1 + ["b1", "b2", "b3", "b4"] + run2
+    rows = [(1, " ".join(a)), (2, " ".join(b))]
+    out = duplicate_spans(_docs(spark, rows), k=8).collect()
+    assert len(out) == 1
+    r = out[0]
+    # run1: 10-8+1 = 3 shingles; run2: 9-8+1 = 2 shingles
+    assert r["n_shared"] == 3 + 2
+    assert r["max_span"] == 10
+
+
+def test_boilerplate_df_cap_excludes_hot_shingle(spark):
+    # One 8-token phrase shared by 40 docs: above max_df=32 the
+    # shingle is excluded, so no pairs at all (a boilerplate phrase
+    # must not emit 40*39/2 rows).
+    phrase = " ".join(f"p{i}" for i in range(8))
+    rows = [(i, f"u{i} " + phrase + f" v{i}") for i in range(40)]
+    out = duplicate_spans(_docs(spark, rows), k=8, max_df=32)
+    assert out.count() == 0
+    # with a permissive cap the pairs appear
+    out2 = duplicate_spans(_docs(spark, rows), k=8, max_df=64)
+    assert out2.count() == 40 * 39 // 2

@@ -55,6 +55,7 @@ SMELL_QUERIES = [
     "q_train_shards",
     "q_minhash_lsh",
     "q_dedup_lines",
+    "q_dup_spans",
     "q_embed_neardup",
     "q_ann_srp",
 ]

@@ -87,6 +87,16 @@ def main() -> None:
 
     run("train_shards", train_shards(docs))
 
+    # Bigram LM scoring: a corpus-wide bigram explode feeding two
+    # map-side-combined count aggs and two equi-joins back onto the
+    # exploded stream. As copies multiply, every bigram's count rises
+    # n-fold while distinct keys stay constant — the probe verifies
+    # the count aggs combine map-side (flat) and the join stays a
+    # hash shuffle on the bigram key (no broadcast-of-counts assumed).
+    from mora_spark.llm.curation import lm_score
+
+    run("lm_score", lm_score(docs))
+
     # Incremental dedup: index the standing corpus once, then dedup a
     # 10% increment against the persisted index (what a continuous
     # ingestion pipeline pays per batch — watch that it scales with
