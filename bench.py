@@ -25,7 +25,9 @@ HEADLINE = [
     "q_resample_5m",
     "q_gapfill",
     "q_sma_roll",
+    "q_stochastic",
     "q_ema_12",
+    "q_heikin_ashi",
     "q_asof_trades",
     "q_topk_volume",
     "q_tpch_q1",
@@ -48,12 +50,15 @@ HEADLINE = [
     "q_minhash_lsh",
     "q_dedup_increment",
     "q_dedup_lines",
+    "q_dup_spans",
+    "q_lm_score",
     "q_dedup_clusters",
     "q_corpus_curation",
     "q_embed_neardup",
     "q_text_stats",
     "q_simsearch_topk",
     "q_ann_srp",
+    "q_ann_sq8",
     "q_store_roundtrip",
     "q_grouping_sets",
     "q_stream_candles",

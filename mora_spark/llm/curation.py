@@ -66,7 +66,16 @@ def shingle_hashes(toks: Column, n: int = 8) -> Column:
     tokenization expression: it is read inside the per-window lambda
     (the transform input is the position ``sequence``), so an inlined
     expression would be re-evaluated once per shingle — measured 17x
-    end-to-end slowdown when ``tokens(text)`` was passed directly."""
+    end-to-end slowdown when ``tokens(text)`` was passed directly.
+
+    The dual trap: when the RESULT feeds a generator, explode/
+    posexplode DIRECTLY over this function's output — never project
+    it into a named array column and explode that in a later select.
+    A generate over a separately-projected HOF column re-evaluates
+    the whole array build per OUTPUT row: measured 217 s vs 5.4 s
+    (40x) for this function at the 10x scale probe, and 3-4x even
+    for a plain ``explode(tokens(text))``. See duplicate_spans /
+    lm_score / simhash16 for the audited call shapes."""
     n_sh = F.size(toks) - F.lit(n - 1)
     return F.when(
         n_sh > 0,
@@ -178,8 +187,15 @@ def quality_rules(
             F.lit(1.0) - F.size(F.array_distinct(grams)) / (n - 1), 6
         )).otherwise(F.lit(0.0)).alias("dup_2gram_frac"),
     )
+    # explode directly over the tokenization HOF: generating from the
+    # projected `toks` attribute re-evaluates the regex chain per
+    # OUTPUT row (~3x on this branch; see duplicate_spans for the
+    # 40x nested-transform case).
     top = (
-        toked.select("id", F.explode(t).alias("token"))
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(tokens(text_col)).alias("token"),
+        )
         .groupBy("id", "token")
         .agg(F.count(F.lit(1)).alias("c"))
         .groupBy("id")
@@ -331,32 +347,40 @@ def lm_score(
     two tokens (or empty/NULL text) keep a row with n_bigrams = 0 and
     NULL scores — the no-row-loss contract the dedup family follows.
 
-    Plan shape: one tokenize pass builds the bigram array JVM-side
-    (zip_with over two slices — no per-token shuffle); counts are two
-    map-side-combined aggs; scoring is two equi-joins on the bigram /
-    unigram keys and one per-doc agg. The vocabulary size rides in as
-    a broadcast one-row cross join, so nothing collects to the
-    driver. At 100 TB every stage is a hash shuffle on a text key —
-    no broadcast of the (unbounded) count tables is assumed.
+    Plan shape: the tokenization is materialized in its own
+    projection and the bigram explode generates DIRECTLY over the
+    zip_with HOF of that attribute (routing the array through an
+    intermediate projected column re-evaluates the whole build per
+    output row — the shingle trap, measured 40x on duplicate_spans).
+    Counts are two map-side-combined aggs — deliberately groupBy +
+    join rather than window counts over the bigram key: partial
+    aggregation absorbs hot boilerplate bigrams ("of the" at 1e9
+    occurrences) and AQE can split the skewed join, whereas a window
+    partitioned by bigram would funnel each hot key into a single
+    sort partition. The vocabulary size rides in as a broadcast
+    one-row cross join, so nothing collects to the driver. At 100 TB
+    every stage is a hash shuffle on a text key — no broadcast of
+    the (unbounded) count tables is assumed.
     """
-    toks = tokens(text_col)
-    n = F.size(toks)
+    toked = df.select(id_col, tokens(text_col).alias("_toks"))
+    t = F.col("_toks")
+    n = F.size(t)
     bigrams = F.when(
         n >= 2,
         F.zip_with(
-            F.slice(toks, 1, n - 1),
-            F.slice(toks, 2, n - 1),
+            F.slice(t, 1, n - 1),
+            F.slice(t, 2, n - 1),
             lambda a, b: F.concat_ws(" ", a, b),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    d = df.select(id_col, bigrams.alias("bigrams"))
-    exploded = d.select(
-        id_col,
-        F.explode("bigrams").alias("bg"),
+    exploded = toked.select(
+        id_col, F.explode(bigrams).alias("bg")
     ).withColumn("w1", F.split(F.col("bg"), " ")[0])
 
+    # B-shape again: explode(tokens(...)) directly (the projected-
+    # attribute form measured 9.0 s vs 2.1 s for this branch at 10x).
     uni = (
-        df.select(F.explode(toks).alias("tok"))
+        df.select(F.explode(tokens(text_col)).alias("tok"))
         .where(F.col("tok") != "")
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("cu"))

@@ -768,10 +768,14 @@ def simhash16(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     relational (explode tokens × bits → two aggregations) so it has an
     exact SQL oracle and scales as a pair of shuffles.
     """
-    toks = df.select(
-        F.col(id_col).alias("id"), distinct_tokens(text_col).alias("toks")
-    )
-    tok = toks.select("id", F.explode("toks").alias("tok")).withColumn(
+    # explode directly over the tokenization HOF — generating from a
+    # separately-projected array column re-evaluates the regex chain
+    # per OUTPUT row (measured 3x on this stage at the 10x probe; see
+    # duplicate_spans for the 40x nested-transform case).
+    tok = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(distinct_tokens(text_col)).alias("tok"),
+    ).withColumn(
         "h", F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long")
     )
     bits = tok.select(
@@ -899,10 +903,22 @@ def duplicate_spans(
     from mora_spark.llm.curation import shingle_hashes
     from pyspark.sql import Window
 
-    d = df.select(
-        F.col(id_col).alias("id"), tokens(text_col).alias("toks")
-    ).select("id", shingle_hashes(F.col("toks"), n=k).alias("shingles"))
-    sh = d.select("id", F.posexplode("shingles").alias("pos", "sh"))
+    # Tokenization materialized in its own projection, and the
+    # posexplode generates DIRECTLY over the shingle HOF of that
+    # attribute (the decontaminate pattern): routing the shingle
+    # array through an intermediate projected column makes the
+    # Generate re-evaluate the whole tokenize+md5 transform per
+    # OUTPUT row — measured 217 s vs 5.4 s for this very stage at
+    # the 10x scale probe.
+    toked = df.select(
+        F.col(id_col).alias("id"), tokens(text_col).alias("_toks")
+    )
+    sh = toked.select(
+        "id",
+        F.posexplode(shingle_hashes(F.col("_toks"), n=k)).alias(
+            "pos", "sh"
+        ),
+    )
 
     keep = (
         sh.groupBy("sh")

@@ -97,6 +97,17 @@ def main() -> None:
 
     run("lm_score", lm_score(docs))
 
+    # Substring-span dedup: copy-mode scaling multiplies every
+    # shingle's document frequency by n_copies, so with the default
+    # cap every base-UNIQUE shingle would spawn C(n,2) pairs — pure
+    # output explosion, the failure mode the df cap exists to stop.
+    # Probe with the cap BELOW the copy factor: verifies the
+    # freq-count + cap-join stages scale linearly and that the cap
+    # suppresses the pair blow-up (the production boilerplate guard).
+    from mora_spark.llm.dedup import duplicate_spans
+
+    run("dup_spans_capped", duplicate_spans(docs, max_df=max(2, n - 2)))
+
     # Incremental dedup: index the standing corpus once, then dedup a
     # 10% increment against the persisted index (what a continuous
     # ingestion pipeline pays per batch — watch that it scales with
