@@ -107,6 +107,31 @@ def main() -> None:
         F.pandas_udf(_np_warm, "double")(F.col("value")).alias("v")
     ).write.format("noop").mode("overwrite").save()
 
+    # Code-independent host-health fingerprint, recorded in the JSON:
+    # wall time of a fixed numpy workload, single-thread and
+    # all-cores, sampled before and after the query loop. The round-4
+    # host showed 5-9x throughput swings on identical code (CPU
+    # frequency/credit capping, zero steal time); this probe lets a
+    # reader attribute per-query outliers to the environment without
+    # rerunning anything.
+    def _env_probe() -> dict[str, float]:
+        import numpy as np
+        from concurrent.futures import ThreadPoolExecutor
+
+        a = np.ones((1500, 1500))
+        t0 = time.time()
+        for _ in range(3):
+            a @ a
+        single = time.time() - t0
+        bs = [np.ones((500, 500)) for _ in range(n_workers)]
+        t0 = time.time()
+        with ThreadPoolExecutor(n_workers) as ex:
+            list(ex.map(lambda b: [b @ b for _ in range(12)], bs))
+        multi = time.time() - t0
+        return {"single_s": round(single, 3), "multi_s": round(multi, 3)}
+
+    env_before = _env_probe()
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = queries.get(name)
@@ -164,6 +189,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "canary_runs": canary_runs,
+                "env_probe": {"before": env_before, "after": _env_probe()},
                 "sf": sf,
             }
         )
