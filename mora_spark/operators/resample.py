@@ -13,17 +13,29 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def resample(candles: DataFrame, target_length_s: int) -> DataFrame:
+def resample(
+    candles: DataFrame, target_length_s: int, anchor_s: int = 0
+) -> DataFrame:
     """Aggregate finer candles into ``target_length_s``-second bars.
 
     Requires source ``candle_length`` to divide ``target_length_s``
     evenly for exact bucket alignment (60→300→3600 algebra holds:
     resampling twice equals resampling once, tested in
     tests/test_resample.py).
+
+    ``anchor_s`` shifts the bucket grid: a bar covers
+    ``[k·L + anchor, (k+1)·L + anchor)`` instead of the epoch-aligned
+    ``[k·L, (k+1)·L)``. The classic use is session-aligned daily
+    candles (L = 86400, anchor = the exchange session open, e.g.
+    09:30 UTC → 34200), where midnight-aligned dailies would split
+    every trading session across two bars. The emitted ``ts`` is the
+    anchored bucket start. anchor_s = 0 is exactly the unanchored
+    grid.
     """
+    e = F.unix_timestamp("ts") - F.lit(anchor_s)
     bucket = F.timestamp_seconds(
-        (F.unix_timestamp("ts") / target_length_s).cast("bigint")
-        * target_length_s
+        F.floor(e / target_length_s).cast("bigint") * target_length_s
+        + F.lit(anchor_s)
     )
     return (
         candles.groupBy(

@@ -126,6 +126,34 @@ GROUP BY market, code, bucket_ts
     )
 
 
+# --- q_resample_anchored: session-aligned daily candles ---
+# Daily bars anchored at a 09:30 session open (anchor 34200 s):
+# each bar covers [k·86400 + 34200, (k+1)·86400 + 34200), so a
+# trading session is never split across two midnight-aligned bars.
+
+ANCHOR_S = 34_200  # 09:30 UTC
+
+
+def q_resample_anchored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return resample(_candles(spark, sf_dir), 86_400, anchor_s=ANCHOR_S)
+
+
+O_RESAMPLE_ANCHORED = candles_sql(
+    f"""
+SELECT market, code, 86400 AS candle_length, bucket_ts AS ts,
+       arg_min(open, ts) AS open, max(high) AS high, min(low) AS low,
+       arg_max(close, ts) AS close, sum(volume) AS volume,
+       CAST(sum(bit_fields) AS BIGINT) AS bit_fields
+FROM (
+  SELECT *, make_timestamp((CAST(floor((epoch(ts) - {ANCHOR_S}) / 86400)
+            AS BIGINT) * 86400 + {ANCHOR_S}) * 1000000) AS bucket_ts
+  FROM candles
+)
+GROUP BY market, code, bucket_ts
+"""
+)
+
+
 # --- q_gapfill: densify + forward fill ---
 
 def q_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -779,6 +807,7 @@ QUERIES = {
     "q_range_scan": q_range_scan,
     "q_resample_5m": q_resample_5m,
     "q_resample_1h": q_resample_1h,
+    "q_resample_anchored": q_resample_anchored,
     "q_gapfill": q_gapfill,
     "q_sma_roll": q_sma_roll,
     "q_lag_lead": q_lag_lead,
@@ -806,6 +835,7 @@ ORACLES = {
     "q_range_scan": O_RANGE_SCAN,
     "q_resample_5m": _resample_oracle(300),
     "q_resample_1h": _resample_oracle(3600),
+    "q_resample_anchored": O_RESAMPLE_ANCHORED,
     "q_gapfill": O_GAPFILL,
     "q_sma_roll": O_SMA_ROLL,
     "q_lag_lead": O_LAG_LEAD,

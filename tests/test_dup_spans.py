@@ -56,3 +56,60 @@ def test_boilerplate_df_cap_excludes_hot_shingle(spark):
     # with a permissive cap the pairs appear
     out2 = duplicate_spans(_docs(spark, rows), k=8, max_df=64)
     assert out2.count() == 40 * 39 // 2
+
+
+def test_matches_python_reference_on_random_docs(spark):
+    # Property check vs a brute-force reference: random short docs
+    # over a tiny alphabet force plenty of shared k-shingles; the
+    # operator's (n_shared, max_span) must equal the O(n^2 * m^2)
+    # direct computation for every pair. Deterministic seed.
+    import random
+
+    rng = random.Random(42)
+    K = 3
+    docs = {
+        i: [rng.choice("abcde") for _ in range(rng.randint(3, 18))]
+        for i in range(14)
+    }
+
+    def shingles(toks):
+        return [
+            (p, tuple(toks[p:p + K])) for p in range(len(toks) - K + 1)
+        ]
+
+    expected = {}
+    for a in docs:
+        for b in docs:
+            if a >= b:
+                continue
+            matches = [
+                (pa, pb)
+                for pa, sa in shingles(docs[a])
+                for pb, sb in shingles(docs[b])
+                if sa == sb
+            ]
+            if not matches:
+                continue
+            runs = []
+            by_diag = {}
+            for pa, pb in sorted(matches):
+                by_diag.setdefault(pa - pb, []).append(pa)
+            for diag, pas in by_diag.items():
+                run = 1
+                for prev, cur in zip(pas, pas[1:]):
+                    if cur == prev + 1:
+                        run += 1
+                    else:
+                        runs.append(run)
+                        run = 1
+                runs.append(run)
+            expected[(a, b)] = (len(matches), max(runs) + K - 1)
+
+    rows = [(i, " ".join(toks)) for i, toks in docs.items()]
+    got = {
+        (r["id_a"], r["id_b"]): (r["n_shared"], r["max_span"])
+        for r in duplicate_spans(
+            _docs(spark, rows), k=K, max_df=100
+        ).collect()
+    }
+    assert got == expected

@@ -177,3 +177,22 @@ def test_donchian_channel_contains_prices(candles):
         | (F.col("dc_width_20") < 0)
     ).count()
     assert bad == 0
+
+
+def test_anchored_resample_grid_and_totals(candles):
+    # Session-anchored daily bars: every bucket start sits on the
+    # anchored grid (epoch ≡ anchor mod 86400), volume is conserved,
+    # and anchor=0 equals the plain resample.
+    anchored = resample(candles, 86_400, anchor_s=34_200)
+    rows = anchored.collect()
+    assert rows
+    for r in rows:
+        assert int(r["ts"].timestamp()) % 86_400 == 34_200
+    src_vol = candles.agg(F.sum("volume")).collect()[0][0]
+    dst_vol = sum(r["volume"] for r in rows)
+    assert math.isclose(src_vol, dst_vol, rel_tol=1e-9)
+
+    plain = resample(candles, 3600).collect()
+    zero = resample(candles, 3600, anchor_s=0).collect()
+    key = lambda r: (r["market"], r["code"], r["ts"])
+    assert sorted(map(key, plain)) == sorted(map(key, zero))
