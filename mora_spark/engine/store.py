@@ -54,6 +54,7 @@ commit references them.
 
 from __future__ import annotations
 
+import datetime as dt
 import json
 import os
 import shutil
@@ -841,6 +842,68 @@ class CandleStore:
             ):
                 return
         raise RuntimeError("compact: commit contention, retries exhausted")
+
+    def derive_rollup(
+        self,
+        batch: DataFrame,
+        target_length_s: int,
+        source_length_s: int = 60,
+        anchor_s: int = 0,
+    ) -> None:
+        """Incrementally maintain a coarser candle series derived from
+        a finer one stored here — the continuous-aggregate (hypertable
+        rollup) pattern on the store's (market, code, candle_length,
+        year) grid. The reference keys series by ``CandleLength``
+        precisely so clients can store multiple granularities
+        (`page/index.go:19-23`); this closes that loop engine-side.
+
+        Call AFTER ``write(batch)``: the affected coarse buckets —
+        exactly the distinct (market, code, bucket) keys present in the
+        batch — are recomputed from the POST-WRITE source series and
+        last-writer-wins-merged under ``candle_length =
+        target_length_s``. Untouched buckets are neither read nor
+        rewritten, so maintenance cost follows the batch, not the
+        series: the read-back is manifest-pruned to the batch's ts
+        span, and the bucket restriction is a broadcast semi-join on
+        the batch's distinct bucket set (bounded by batch size).
+        Recomputing a bucket from source is idempotent, so overlapping
+        batches and upserts converge to the same bars as a full
+        ``resample`` of the final source series (the invariant
+        tests/test_store.py asserts).
+        """
+        from mora_spark.operators.resample import resample
+
+        if target_length_s % source_length_s:
+            raise ValueError(
+                "target_length_s must be a multiple of source_length_s"
+            )
+        b = self._normalize(batch)
+        bucket = F.timestamp_seconds(
+            F.floor(
+                (F.unix_timestamp("ts") - F.lit(anchor_s))
+                / target_length_s
+            ).cast("bigint")
+            * target_length_s
+            + F.lit(anchor_s)
+        )
+        touched = (
+            b.select("market", "code", bucket.alias("__bucket"))
+            .distinct()
+        )
+        span = b.agg(
+            F.min("ts").alias("lo"), F.max("ts").alias("hi")
+        ).collect()[0]
+        if span["lo"] is None:
+            return
+        lo = span["lo"] - dt.timedelta(seconds=target_length_s)
+        hi = span["hi"] + dt.timedelta(seconds=target_length_s)
+        src = self.read(
+            candle_length=source_length_s, start=lo, end=hi
+        ).withColumn("__bucket", bucket)
+        affected = src.join(
+            F.broadcast(touched), ["market", "code", "__bucket"]
+        ).drop("__bucket")
+        self.write(resample(affected, target_length_s, anchor_s=anchor_s))
 
     # -- read path ---------------------------------------------------
 

@@ -207,14 +207,73 @@ WHERE code = 'click'
 )
 
 
+def q_store_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental continuous-aggregate maintenance under driver
+    verification: the 1-minute series arrives in two OVERLAPPING
+    batches (everything before Jan 20, then everything from Jan 15 on,
+    where the second batch also RESTATES its rows' volume), each
+    followed by ``derive_rollup`` into the 5-minute series. The
+    read-back of the derived series must equal a from-scratch 5m
+    resample of the final source data — proving touched-bucket
+    recomputation converges under overlap and upsert (buckets written
+    twice take the restated values; buckets from batch 1 alone are
+    never recomputed or rewritten)."""
+    path = scratch_dir("store_rollup", sf_dir)
+    shutil.rmtree(path, ignore_errors=True)
+    store = CandleStore(spark, path)
+
+    candles = candles_from_events(load_table(spark, sf_dir, "events"))
+    cut1 = "2024-01-20 00:00:00"
+    cut0 = "2024-01-15 00:00:00"
+    b1 = candles.where(F.col("ts") < F.lit(cut1))
+    b2 = candles.where(F.col("ts") >= F.lit(cut0)).withColumn(
+        "volume", F.col("volume") + 5.0
+    )
+    store.write(b1)
+    store.derive_rollup(b1, 300)
+    store.write(b2)
+    store.derive_rollup(b2, 300)
+
+    cols = [
+        "market", "code", "candle_length", "ts",
+        "open", "high", "low", "close", "volume", "bit_fields",
+    ]
+    return store.read(market="SYN", candle_length=300).select(*cols)
+
+
+O_STORE_ROLLUP = candles_sql(
+    """
+, final AS (
+  SELECT market, code, candle_length, ts, open, high, low, close,
+         CASE WHEN ts >= TIMESTAMP '2024-01-15 00:00:00'
+              THEN volume + 5.0 ELSE volume END AS volume,
+         bit_fields
+  FROM candles
+)
+SELECT market, code, 300 AS candle_length, bucket_ts AS ts,
+       arg_min(open, ts) AS open, max(high) AS high, min(low) AS low,
+       arg_max(close, ts) AS close, sum(volume) AS volume,
+       CAST(sum(bit_fields) AS BIGINT) AS bit_fields
+FROM (
+  SELECT *, make_timestamp(CAST(floor(epoch(ts) / 300) AS BIGINT)
+            * 300 * 1000000) AS bucket_ts
+  FROM final
+)
+GROUP BY market, code, bucket_ts
+"""
+)
+
+
 QUERIES = {
     "q_store_roundtrip": q_store_roundtrip,
+    "q_store_rollup": q_store_rollup,
     "q_store_append": q_store_append,
     "q_store_maintenance": q_store_maintenance,
     "q_ysf_roundtrip": q_ysf_roundtrip,
 }
 ORACLES = {
     "q_store_roundtrip": O_STORE_ROUNDTRIP,
+    "q_store_rollup": O_STORE_ROLLUP,
     "q_store_append": O_STORE_APPEND,
     "q_store_maintenance": O_STORE_MAINTENANCE,
     "q_ysf_roundtrip": O_YSF_ROUNDTRIP,

@@ -674,3 +674,77 @@ def test_timestamp_time_travel(spark, store):
     hist = {r["version"]: r["committed_at"]
             for r in store.history().collect()}
     assert hist[1] == t1 and hist[2] == t2
+
+
+def test_derive_rollup_converges_to_full_recompute(spark, store):
+    # Three overlapping out-of-order batches with an upsert
+    # restatement; after write+derive per batch, the stored 5m series
+    # must equal resample() of the final source series, and buckets
+    # untouched by later batches must not have been rewritten.
+    from mora_spark.operators.resample import resample
+
+    base = dt.datetime(2024, 3, 1, 0, 0)
+    mins = lambda m: base + dt.timedelta(minutes=m)
+    b1 = mk(spark, [("BTC", mins(i), 100.0 + i) for i in range(0, 20)])
+    b2 = mk(spark, [("BTC", mins(i), 200.0 + i) for i in range(15, 35)])
+    b3 = mk(spark, [("ETH", mins(i), 50.0 + i) for i in range(3, 9)])
+
+    for b in (b1, b2, b3):
+        store.write(b)
+        store.derive_rollup(b, 300)
+
+    got = {
+        (r["code"], r["ts"]): (r["open"], r["close"], r["volume"])
+        for r in store.read(candle_length=300).collect()
+    }
+    want = {
+        (r["code"], r["ts"]): (r["open"], r["close"], r["volume"])
+        for r in resample(
+            store.read(candle_length=60), 300
+        ).collect()
+    }
+    assert got == want
+    # b2's restatement of minutes 15-19 won in the source, so the
+    # bucket covering 15-19 must carry the restated open.
+    assert got[("BTC", mins(15))][0] == 215.0
+
+
+def test_derive_rollup_untouched_partitions_not_rewritten(spark, store):
+    # Rollup maintenance has two granularities: buckets are the
+    # RECOMPUTE unit (only the batch's buckets are re-derived from
+    # source) and partitions are the REWRITE unit (the store's merge
+    # replaces touched partitions). A later batch in a different year
+    # must leave the earlier year's derived files byte-identical in
+    # the manifest — maintenance cost follows the batch.
+    base1 = dt.datetime(2024, 3, 1, 0, 0)
+    base2 = dt.datetime(2025, 3, 1, 0, 0)
+    b1 = mk(spark, [
+        ("BTC", base1 + dt.timedelta(minutes=i), 100.0 + i)
+        for i in range(0, 5)
+    ])
+    b2 = mk(spark, [
+        ("BTC", base2 + dt.timedelta(minutes=i), 900.0 + i)
+        for i in range(0, 5)
+    ])
+    store.write(b1)
+    store.derive_rollup(b1, 300)
+    v_after_first = store._log.current()[0]
+    store.write(b2)
+    store.derive_rollup(b2, 300)
+    rows = {
+        r["ts"]: r["open"]
+        for r in store.read(candle_length=300).collect()
+    }
+    assert rows[base1] == 100.0
+    assert rows[base2] == 900.0
+    old = {
+        e["path"]
+        for e in store._log.entries_at(v_after_first)
+        if e["partition"]["candle_length"] == "300"
+    }
+    new = {
+        e["path"]
+        for e in store._log.entries_at(store._log.current()[0])
+        if e["partition"]["candle_length"] == "300"
+    }
+    assert old and old <= new
