@@ -143,6 +143,41 @@ def q_stream_store_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 O_STREAM_STORE_MERGE = candles_sql("SELECT * FROM candles")
 
 
+def q_stream_store_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming continuous aggregate: the same store-merge stream, but
+    each micro-batch also maintains the derived 5-minute series via
+    ``derive_rollup`` (only the batch's buckets recompute). The derived
+    series read back after the stream drains must equal a from-scratch
+    5m resample of the full batch candle derivation — late emissions
+    and checkpoint-replayed batches converge by idempotent recompute."""
+    work = _work("stream_store_rollup", sf_dir)
+    src = chunked_source(spark, sf_dir, _src_cache(sf_dir))
+    store = stream_store_merge(
+        spark, src, work, os.path.join(work, "store"),
+        rollup_lengths=(300,),
+    )
+    return store.read(market="SYN", candle_length=300).select(
+        "market", "code", "candle_length", "ts",
+        "open", "high", "low", "close", "volume", "bit_fields",
+    )
+
+
+O_STREAM_STORE_ROLLUP = candles_sql(
+    """
+SELECT market, code, 300 AS candle_length, bucket_ts AS ts,
+       arg_min(open, ts) AS open, max(high) AS high, min(low) AS low,
+       arg_max(close, ts) AS close, sum(volume) AS volume,
+       CAST(sum(bit_fields) AS BIGINT) AS bit_fields
+FROM (
+  SELECT *, make_timestamp(CAST(floor(epoch(ts) / 300) AS BIGINT)
+            * 300 * 1000000) AS bucket_ts
+  FROM candles
+)
+GROUP BY market, code, bucket_ts
+"""
+)
+
+
 def q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming session windows (30-min inactivity gap) — must equal
     gap-based batch sessionization. Note the boundary differs from
@@ -466,6 +501,7 @@ QUERIES = {
     "q_stream_wire": q_stream_wire,
     "q_stream_candles": q_stream_candles,
     "q_stream_store_merge": q_stream_store_merge,
+    "q_stream_store_rollup": q_stream_store_rollup,
     "q_stream_sessions": q_stream_sessions,
     "q_stream_ema": q_stream_ema,
     "q_stream_sliding": q_stream_sliding,
@@ -480,6 +516,7 @@ ORACLES = {
     "q_stream_wire": O_STREAM_WIRE,
     "q_stream_candles": O_STREAM_CANDLES,
     "q_stream_store_merge": O_STREAM_STORE_MERGE,
+    "q_stream_store_rollup": O_STREAM_STORE_ROLLUP,
     "q_stream_sessions": O_STREAM_SESSIONS,
     "q_stream_ema": O_STREAM_EMA,
     "q_stream_sliding": O_STREAM_SLIDING,

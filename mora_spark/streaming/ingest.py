@@ -239,7 +239,11 @@ def stream_candles(
 
 
 def stream_store_merge(
-    spark: SparkSession, src: str, work_dir: str, store_path: str
+    spark: SparkSession,
+    src: str,
+    work_dir: str,
+    store_path: str,
+    rollup_lengths: tuple[int, ...] = (),
 ):
     """Streaming candle aggregation upserted into the persistent
     :class:`~mora_spark.engine.CandleStore` — mora's late-backfill path
@@ -252,6 +256,14 @@ def stream_store_merge(
     exactly the batch-derived candle table regardless of how events were
     split across micro-batches, including events for minutes whose
     partition was committed many batches ago. Returns the CandleStore.
+
+    ``rollup_lengths`` turns the sink into a streaming continuous
+    aggregate: after each micro-batch's merge, ``derive_rollup``
+    re-derives ONLY the coarse buckets that batch touched, for each
+    listed target length. Both the merge and the bucket recompute are
+    idempotent, so checkpoint-replayed batches (exactly-once under
+    at-least-once delivery) and late backfill converge to the same
+    coarse series a from-scratch resample would produce.
     """
     from mora_spark.engine import CandleStore
 
@@ -288,6 +300,8 @@ def stream_store_merge(
             "bit_fields",
         )
         store.write(candles, mode="merge")
+        for length in rollup_lengths:
+            store.derive_rollup(candles, length)
 
     with _state_partitions(spark, 8):
         q = (
