@@ -286,6 +286,54 @@ WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
 """
 
 
+# --- q_full_outer: two-source reconciliation (FULL OUTER join) ---
+# The join flavor the rest of the suite doesn't exercise: daily order
+# counts vs daily lineitem-ship counts, full-outer on the date so days
+# present on only one side survive with a typed presence tag. Dates
+# emitted as formatted strings (never DATE columns — pandas round-trip
+# differs between engines).
+
+def q_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.date_format("o_orderdate", "yyyy-MM-dd").alias("d"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    l = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy(F.date_format("l_shipdate", "yyyy-MM-dd").alias("d"))
+        .agg(F.count(F.lit(1)).alias("n_ships"))
+    )
+    j = o.join(l, "d", "full_outer")
+    return j.select(
+        "d",
+        F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+        F.coalesce("n_ships", F.lit(0)).alias("n_ships"),
+        F.when(F.col("n_orders").isNull(), F.lit("ship_only"))
+        .when(F.col("n_ships").isNull(), F.lit("order_only"))
+        .otherwise(F.lit("both"))
+        .alias("presence"),
+    )
+
+
+O_FULL_OUTER = """
+WITH o AS (
+  SELECT strftime(o_orderdate, '%Y-%m-%d') AS d, count(*) AS n_orders
+  FROM orders GROUP BY 1
+), l AS (
+  SELECT strftime(l_shipdate, '%Y-%m-%d') AS d, count(*) AS n_ships
+  FROM lineitem GROUP BY 1
+)
+SELECT coalesce(o.d, l.d) AS d,
+       coalesce(n_orders, 0) AS n_orders,
+       coalesce(n_ships, 0) AS n_ships,
+       CASE WHEN n_orders IS NULL THEN 'ship_only'
+            WHEN n_ships IS NULL THEN 'order_only'
+            ELSE 'both' END AS presence
+FROM o FULL OUTER JOIN l ON o.d = l.d
+"""
+
+
 # --- q_order_rank: per-customer top-3 orders by price ---
 
 def q_order_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -870,6 +918,7 @@ QUERIES = {
     "q_grouping_sets": q_grouping_sets,
     "q_setops": q_setops,
     "q_semi_anti": q_semi_anti,
+    "q_full_outer": q_full_outer,
     "q_order_rank": q_order_rank,
     "q_percentiles": q_percentiles,
     "q_sessionize": q_sessionize,
@@ -898,6 +947,7 @@ ORACLES = {
     "q_grouping_sets": O_GROUPING_SETS,
     "q_setops": O_SETOPS,
     "q_semi_anti": O_SEMI_ANTI,
+    "q_full_outer": O_FULL_OUTER,
     "q_order_rank": O_ORDER_RANK,
     "q_percentiles": O_PERCENTILES,
     "q_sessionize": O_SESSIONIZE,
