@@ -63,6 +63,7 @@ HEADLINE = [
     "q_grouping_sets",
     "q_stream_candles",
     "q_stream_store_merge",
+    "q_stream_store_rollup",
     "q_stream_ema",
 ]
 
