@@ -154,6 +154,66 @@ GROUP BY market, code, bucket_ts
 )
 
 
+# --- q_mtf_join: multi-timeframe context enrichment ---
+# Each 1-minute bar joined to its series' PREVIOUS COMPLETED 1-hour
+# bar (bucket - 3600): the lookahead-free form — joining the current
+# hour's bar would leak the future into the minute rows. Left join so
+# the first hour's minutes survive with NULL context.
+
+def q_mtf_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _candles(spark, sf_dir)
+    h = resample(c, 3600).select(
+        F.col("market").alias("h_market"),
+        F.col("code").alias("h_code"),
+        F.col("ts").alias("h_ts"),
+        F.col("open").alias("h_open"),
+        F.col("high").alias("h_high"),
+        F.col("low").alias("h_low"),
+        F.col("close").alias("h_close"),
+        F.col("volume").alias("h_volume"),
+    )
+    prev_hour = F.timestamp_seconds(
+        (F.unix_timestamp("ts") / 3600).cast("bigint") * 3600 - 3600
+    )
+    return (
+        c.withColumn("prev_h", prev_hour)
+        .join(
+            h,
+            (F.col("market") == F.col("h_market"))
+            & (F.col("code") == F.col("h_code"))
+            & (F.col("prev_h") == F.col("h_ts")),
+            "left",
+        )
+        .select(
+            "market", "code", "candle_length", "ts", "close",
+            "h_open", "h_high", "h_low", "h_close", "h_volume",
+        )
+    )
+
+
+O_MTF_JOIN = candles_sql(
+    """
+, h AS (
+  SELECT market, code,
+         make_timestamp(CAST(floor(epoch(ts) / 3600) AS BIGINT)
+                        * 3600 * 1000000) AS h_ts,
+         arg_min(open, ts) AS h_open, max(high) AS h_high,
+         min(low) AS h_low, arg_max(close, ts) AS h_close,
+         sum(volume) AS h_volume
+  FROM candles
+  GROUP BY market, code, h_ts
+)
+SELECT c.market, c.code, c.candle_length, c.ts, c.close,
+       h.h_open, h.h_high, h.h_low, h.h_close, h.h_volume
+FROM candles c
+LEFT JOIN h
+  ON h.market = c.market AND h.code = c.code
+ AND h.h_ts = make_timestamp((CAST(floor(epoch(c.ts) / 3600) AS BIGINT)
+                              * 3600 - 3600) * 1000000)
+"""
+)
+
+
 # --- q_gapfill: densify + forward fill ---
 
 def q_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -808,6 +868,7 @@ QUERIES = {
     "q_resample_5m": q_resample_5m,
     "q_resample_1h": q_resample_1h,
     "q_resample_anchored": q_resample_anchored,
+    "q_mtf_join": q_mtf_join,
     "q_gapfill": q_gapfill,
     "q_sma_roll": q_sma_roll,
     "q_lag_lead": q_lag_lead,
@@ -836,6 +897,7 @@ ORACLES = {
     "q_resample_5m": _resample_oracle(300),
     "q_resample_1h": _resample_oracle(3600),
     "q_resample_anchored": O_RESAMPLE_ANCHORED,
+    "q_mtf_join": O_MTF_JOIN,
     "q_gapfill": O_GAPFILL,
     "q_sma_roll": O_SMA_ROLL,
     "q_lag_lead": O_LAG_LEAD,
