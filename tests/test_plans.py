@@ -42,6 +42,9 @@ SMELL_QUERIES = [
     "q_resample_5m",
     "q_asof_trades",
     "q_interval_join",
+    "q_full_outer",
+    "q_mtf_join",
+    "q_resample_anchored",
     "q_stochastic",
     "q_donchian",
     "q_heikin_ashi",
