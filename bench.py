@@ -104,7 +104,10 @@ def main() -> None:
         return pd.Series(s.to_numpy() + float(m[0, 0]) * 0.0)
 
     n_workers = spark.sparkContext.defaultParallelism
-    warm.repartition(n_workers).select(
+    # A few rows per worker suffice to spawn + import the whole pool;
+    # pushing the full table through Arrow here would cost real
+    # (untimed) seconds at larger scale factors.
+    warm.limit(n_workers * 100).repartition(n_workers).select(
         F.pandas_udf(_np_warm, "double")(F.col("value")).alias("v")
     ).write.format("noop").mode("overwrite").save()
 

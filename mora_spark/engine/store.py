@@ -871,30 +871,41 @@ class CandleStore:
         ``resample`` of the final source series (the invariant
         tests/test_store.py asserts).
         """
-        from mora_spark.operators.resample import resample
+        from mora_spark.operators.resample import bucket_expr, resample
 
         if target_length_s % source_length_s:
             raise ValueError(
                 "target_length_s must be a multiple of source_length_s"
             )
         b = self._normalize(batch)
-        bucket = F.timestamp_seconds(
-            F.floor(
-                (F.unix_timestamp("ts") - F.lit(anchor_s))
-                / target_length_s
-            ).cast("bigint")
-            * target_length_s
-            + F.lit(anchor_s)
-        )
+        # The touched-bucket grid MUST be the identical expression
+        # resample writes on (shared bucket_expr) — a divergent grid
+        # would make the semi-join silently drop buckets.
+        bucket = bucket_expr(target_length_s, anchor_s)
         touched = (
             b.select("market", "code", bucket.alias("__bucket"))
             .distinct()
         )
         span = b.agg(
-            F.min("ts").alias("lo"), F.max("ts").alias("hi")
+            F.min("ts").alias("lo"),
+            F.max("ts").alias("hi"),
+            F.min("candle_length").alias("len_lo"),
+            F.max("candle_length").alias("len_hi"),
         ).collect()[0]
         if span["lo"] is None:
             return
+        if (
+            span["len_lo"] != source_length_s
+            or span["len_hi"] != source_length_s
+        ):
+            # A wrong-granularity batch would compute a touched set
+            # whose buckets the source read-back can't fill — the
+            # derived series would go silently stale.
+            raise ValueError(
+                f"derive_rollup: batch candle_length"
+                f" {span['len_lo']}..{span['len_hi']} != source series"
+                f" length {source_length_s}"
+            )
         lo = span["lo"] - dt.timedelta(seconds=target_length_s)
         hi = span["hi"] + dt.timedelta(seconds=target_length_s)
         src = self.read(

@@ -913,12 +913,17 @@ def duplicate_spans(
     toked = df.select(
         F.col(id_col).alias("id"), tokens(text_col).alias("_toks")
     )
+    # Lazy localCheckpoint: the shingle stream feeds the df-cap agg,
+    # the probe side, AND the build side of the pair join — without a
+    # materialization the tokenize+md5 scan (the dominant cost) would
+    # re-run for each consumer (the same two-pass trade the
+    # boilerplate/cluster operators make).
     sh = toked.select(
         "id",
         F.posexplode(shingle_hashes(F.col("_toks"), n=k)).alias(
             "pos", "sh"
         ),
-    )
+    ).localCheckpoint(eager=False)
 
     keep = (
         sh.groupBy("sh")

@@ -9,8 +9,24 @@ so batch and streaming share the plan shape (one hash aggregate).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+
+def bucket_expr(
+    target_length_s: int, anchor_s: int = 0, ts_col: str = "ts"
+) -> Column:
+    """THE bucket-grid expression: floored (not truncation-cast, so
+    pre-1970 timestamps land on the same grid as every SQL oracle's
+    ``floor(epoch(ts)/L)``), anchor-shifted. Single source of truth —
+    ``resample``, ``CandleStore.derive_rollup``'s touched-bucket set,
+    and the multi-timeframe join all MUST share this expression, or
+    their grids can silently diverge."""
+    e = F.unix_timestamp(ts_col) - F.lit(anchor_s)
+    return F.timestamp_seconds(
+        F.floor(e / target_length_s).cast("bigint") * target_length_s
+        + F.lit(anchor_s)
+    )
 
 
 def resample(
@@ -32,11 +48,7 @@ def resample(
     anchored bucket start. anchor_s = 0 is exactly the unanchored
     grid.
     """
-    e = F.unix_timestamp("ts") - F.lit(anchor_s)
-    bucket = F.timestamp_seconds(
-        F.floor(e / target_length_s).cast("bigint") * target_length_s
-        + F.lit(anchor_s)
-    )
+    bucket = bucket_expr(target_length_s, anchor_s)
     return (
         candles.groupBy(
             "market",

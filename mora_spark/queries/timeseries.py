@@ -172,9 +172,12 @@ def q_mtf_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("close").alias("h_close"),
         F.col("volume").alias("h_volume"),
     )
-    prev_hour = F.timestamp_seconds(
-        (F.unix_timestamp("ts") / 3600).cast("bigint") * 3600 - 3600
-    )
+    # Shared floored bucket grid (operators.resample.bucket_expr) minus
+    # one hour — a truncation cast here would diverge from resample's
+    # (and the oracle's) floor on pre-1970 timestamps.
+    from mora_spark.operators.resample import bucket_expr
+
+    prev_hour = bucket_expr(3600) - F.expr("INTERVAL 3600 SECONDS")
     return (
         c.withColumn("prev_h", prev_hour)
         .join(

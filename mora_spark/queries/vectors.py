@@ -346,11 +346,11 @@ SQ8_SHORTLIST = 50
 def q_ann_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mora_spark.llm.simsearch import sq8_rerank_topk
 
-    e = _emb(spark, sf_dir).select(
-        "vec_id", as_double(F.col("embedding")).alias("embedding")
-    )
+    # No as_double here: sq8_rerank_topk casts its input itself (a
+    # second transform pass would be pure duplicated per-element work).
     return sq8_rerank_topk(
-        e, query_ids=list(range(N_QUERIES)), k=TOP_K,
+        _emb(spark, sf_dir),
+        query_ids=list(range(N_QUERIES)), k=TOP_K,
         shortlist=SQ8_SHORTLIST,
     )
 

@@ -299,9 +299,18 @@ def stream_store_merge(
             "volume",
             "bit_fields",
         )
-        store.write(candles, mode="merge")
-        for length in rollup_lengths:
-            store.derive_rollup(candles, length)
+        if rollup_lengths:
+            # The merge action plus each length's span-collect and
+            # touched-bucket broadcast would otherwise re-evaluate the
+            # uncached micro-batch projection once per job.
+            candles = candles.persist()
+        try:
+            store.write(candles, mode="merge")
+            for length in rollup_lengths:
+                store.derive_rollup(candles, length)
+        finally:
+            if rollup_lengths:
+                candles.unpersist()
 
     with _state_partitions(spark, 8):
         q = (
