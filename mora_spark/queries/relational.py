@@ -908,9 +908,138 @@ GROUP BY c_mktsegment, event_type
 """
 
 
+# --- q_funnel: ordered conversion funnel (view > click > purchase) ---
+# Product-analytics staple the single-table reference cannot express
+# (no windows/joins exist there; SURVEY §2.B). Per (user, day): did a
+# view happen, then a click strictly AFTER a view, then a purchase
+# strictly after such a click — order enforced by running mins over the
+# (ts, event_id)-ordered per-user-day window, so the whole funnel is
+# ONE shuffle (by user_id, day) + two window passes + one hash agg.
+# At 100 TB: partitions are (user, day) — naturally high-cardinality
+# and bounded per key, no skew funnel, no self-join per step (the
+# classic k-way-join funnel formulation shuffles k times and explodes
+# on hot users; this shape stays linear in events).
+
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events").withColumn(
+        "day", F.date_trunc("day", F.col("ts"))
+    )
+    w = Window.partitionBy("user_id", "day").orderBy("ts", "event_id")
+    prior = w.rowsBetween(Window.unboundedPreceding, -1)
+    e = e.withColumn(
+        "fv",
+        F.min(
+            F.when(F.col("event_type") == "view", F.col("ts"))
+        ).over(prior),
+    )
+    e = e.withColumn(
+        "fqc",
+        F.min(
+            F.when(
+                (F.col("event_type") == "click") & F.col("fv").isNotNull(),
+                F.col("ts"),
+            )
+        ).over(prior),
+    )
+    u = e.groupBy("user_id", "day").agg(
+        F.max(
+            F.when(F.col("event_type") == "view", 1).otherwise(0)
+        ).alias("s1"),
+        F.max(
+            F.when(
+                (F.col("event_type") == "click") & F.col("fv").isNotNull(), 1
+            ).otherwise(0)
+        ).alias("s2"),
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & F.col("fqc").isNotNull(),
+                1,
+            ).otherwise(0)
+        ).alias("s3"),
+    )
+    return u.groupBy("day").agg(
+        F.sum("s1").cast("long").alias("n_view"),
+        F.sum("s2").cast("long").alias("n_view_click"),
+        F.sum("s3").cast("long").alias("n_full_funnel"),
+    )
+
+
+O_FUNNEL = """
+WITH o AS (
+  SELECT user_id, event_id, ts, event_type,
+         date_trunc('day', ts) AS day,
+         min(CASE WHEN event_type = 'view' THEN ts END) OVER (
+           PARTITION BY user_id, date_trunc('day', ts)
+           ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS fv
+  FROM events
+), c AS (
+  SELECT *,
+         min(CASE WHEN event_type = 'click' AND fv IS NOT NULL
+                  THEN ts END) OVER (
+           PARTITION BY user_id, day ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS fqc
+  FROM o
+), u AS (
+  SELECT user_id, day,
+         max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS s1,
+         max(CASE WHEN event_type = 'click' AND fv IS NOT NULL
+                  THEN 1 ELSE 0 END) AS s2,
+         max(CASE WHEN event_type = 'purchase' AND fqc IS NOT NULL
+                  THEN 1 ELSE 0 END) AS s3
+  FROM c GROUP BY user_id, day
+)
+SELECT day,
+       CAST(sum(s1) AS BIGINT) AS n_view,
+       CAST(sum(s2) AS BIGINT) AS n_view_click,
+       CAST(sum(s3) AS BIGINT) AS n_full_funnel
+FROM u GROUP BY day
+"""
+
+
+# --- q_retention_cohort: day-cohort retention matrix ---
+# Users are cohorted by first-active day; each (cohort, day-offset)
+# cell counts users active that many days later. Two shuffles, both on
+# user_id (distinct + cohort agg reuse one exchange under AQE); the
+# rejoin is an equi-join keyed by user_id, never a broadcast of the
+# user population (unbounded at 100 TB). (user, day) rows are distinct
+# by construction so the cell count is count(*), not count(distinct).
+
+def q_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    dk = e.select(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("day")
+    ).distinct()
+    cohort = dk.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    j = dk.join(cohort, "user_id")
+    off = (
+        (F.unix_timestamp("day") - F.unix_timestamp("cohort_day")) / 86400
+    ).cast("long")
+    return j.groupBy("cohort_day", off.alias("day_offset")).agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
+
+
+O_RETENTION_COHORT = """
+WITH dk AS (
+  SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events
+), cohort AS (
+  SELECT user_id, min(day) AS cohort_day FROM dk GROUP BY user_id
+)
+SELECT cohort_day,
+       CAST(date_diff('day', cohort_day, day) AS BIGINT) AS day_offset,
+       count(*) AS n_users
+FROM dk JOIN cohort USING (user_id)
+GROUP BY cohort_day, day_offset
+"""
+
+
 QUERIES = {
     "q_tpch_q1": q_tpch_q1,
     "q_skew_join": q_skew_join,
+    "q_funnel": q_funnel,
+    "q_retention_cohort": q_retention_cohort,
     "q_tpch_q3": q_tpch_q3,
     "q_revenue_by_nation": q_revenue_by_nation,
     "q_rollup_acctbal": q_rollup_acctbal,
@@ -940,6 +1069,8 @@ QUERIES = {
 ORACLES = {
     "q_tpch_q1": O_TPCH_Q1,
     "q_skew_join": O_SKEW_JOIN,
+    "q_funnel": O_FUNNEL,
+    "q_retention_cohort": O_RETENTION_COHORT,
     "q_tpch_q3": O_TPCH_Q3,
     "q_revenue_by_nation": O_REVENUE_BY_NATION,
     "q_rollup_acctbal": O_ROLLUP_ACCTBAL,

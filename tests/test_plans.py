@@ -35,6 +35,8 @@ SMELL_QUERIES = [
     "q_tpch_q16",
     "q_tpch_q20",
     "q_skew_join",
+    "q_funnel",
+    "q_retention_cohort",
     "q_topk_volume",
     "q_user_stats",
     "q_sessionize",
