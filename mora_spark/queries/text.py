@@ -553,6 +553,57 @@ WHERE doc_id NOT IN (SELECT doc_id FROM near_dups)
 """
 
 
+# --- q_cluster_best: quality-aware canonical selection per cluster ---
+# The realistic dedup policy: within each near-dup cluster keep the
+# HIGHEST-QUALITY member (tie-break min doc_id), not the min-id one.
+# The winner is picked with a single max(struct(quality, -doc_id))
+# aggregation — partial-aggregable (map-side combine), so a
+# billion-member boilerplate cluster never funnels into one sort
+# partition the way a row_number-over-cluster window would. Quality is
+# rounded to 6 dp on BOTH sides before comparison (same policy as the
+# ANN score ranks) so near-tie ordering cannot diverge across engines.
+
+def q_cluster_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mora_spark.functions.text import quality_score
+
+    d = _docs(spark, sf_dir)
+    cc = neardup_clusters(d, threshold=0.8, cache_key=sf_dir)
+    q = d.withColumn("toks", tokens("text")).select(
+        "doc_id", F.round(quality_score(F.col("toks")), 6).alias("quality")
+    )
+    j = cc.join(q, "doc_id")
+    best = j.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size"),
+        F.max(
+            F.struct(F.col("quality"), (-F.col("doc_id")).alias("nid"))
+        ).alias("w"),
+    )
+    return best.select(
+        "cluster_id",
+        (-F.col("w.nid")).cast("long").alias("keep_doc_id"),
+        F.col("w.quality").alias("best_quality"),
+        "cluster_size",
+    )
+
+
+def _o_cluster_best() -> str:
+    return f"""
+WITH cc AS (
+  SELECT doc_id, cluster_id FROM ({_o_dedup_clusters(threshold=0.8)})
+),
+q AS (SELECT doc_id, round(quality, 6) AS quality FROM ({O_TEXT_STATS})),
+j AS (SELECT cluster_id, doc_id, quality FROM cc JOIN q USING (doc_id))
+SELECT cluster_id, doc_id AS keep_doc_id, quality AS best_quality,
+       cluster_size
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY cluster_id
+                               ORDER BY quality DESC, doc_id) AS rn,
+         count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+  FROM j
+) WHERE rn = 1
+"""
+
+
 # --- q_simhash: 16-bit simhash signatures ---
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -693,6 +744,7 @@ QUERIES = {
     "q_simhash_pairs": q_simhash_pairs,
     "q_dedup_clusters": q_dedup_clusters,
     "q_corpus_curation": q_corpus_curation,
+    "q_cluster_best": q_cluster_best,
 }
 
 ORACLES = {
@@ -710,4 +762,5 @@ ORACLES = {
     "q_simhash_pairs": O_SIMHASH_PAIRS,
     "q_dedup_clusters": _o_dedup_clusters(),
     "q_corpus_curation": _o_corpus_curation(),
+    "q_cluster_best": _o_cluster_best(),
 }

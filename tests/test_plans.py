@@ -59,6 +59,7 @@ SMELL_QUERIES = [
     "q_stratified_sample",
     "q_train_shards",
     "q_minhash_lsh",
+    "q_cluster_best",
     "q_dedup_lines",
     "q_dup_spans",
     "q_embed_neardup",
