@@ -920,10 +920,10 @@ GROUP BY c_mktsegment, event_type
 # classic k-way-join funnel formulation shuffles k times and explodes
 # on hot users; this shape stays linear in events).
 
-def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = _t(spark, sf_dir, "events").withColumn(
-        "day", F.date_trunc("day", F.col("ts"))
-    )
+def funnel_daily(e: DataFrame) -> DataFrame:
+    """Per-day funnel counts over an ``events``-shaped DataFrame
+    (used by q_funnel and by tools/scale_probe.py on scaled inputs)."""
+    e = e.withColumn("day", F.date_trunc("day", F.col("ts")))
     w = Window.partitionBy("user_id", "day").orderBy("ts", "event_id")
     prior = w.rowsBetween(Window.unboundedPreceding, -1)
     e = e.withColumn(
@@ -963,6 +963,10 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("s2").cast("long").alias("n_view_click"),
         F.sum("s3").cast("long").alias("n_full_funnel"),
     )
+
+
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return funnel_daily(_t(spark, sf_dir, "events"))
 
 
 O_FUNNEL = """
@@ -1006,8 +1010,9 @@ FROM u GROUP BY day
 # user population (unbounded at 100 TB). (user, day) rows are distinct
 # by construction so the cell count is count(*), not count(distinct).
 
-def q_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = _t(spark, sf_dir, "events")
+def retention_cohort(e: DataFrame) -> DataFrame:
+    """Day-cohort retention matrix over an ``events``-shaped DataFrame
+    (used by q_retention_cohort and by tools/scale_probe.py)."""
     dk = e.select(
         "user_id", F.date_trunc("day", F.col("ts")).alias("day")
     ).distinct()
@@ -1019,6 +1024,10 @@ def q_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.groupBy("cohort_day", off.alias("day_offset")).agg(
         F.count(F.lit(1)).alias("n_users")
     )
+
+
+def q_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return retention_cohort(_t(spark, sf_dir, "events"))
 
 
 O_RETENTION_COHORT = """

@@ -68,6 +68,16 @@ def main() -> None:
     run("candles_1m", candles)
     run("resample_5m", resample(candles, 300))
     run("gapfill", fill_gaps(candles))
+
+    # Event analytics: the funnel is one shuffle on (user, day) + two
+    # window passes; copy-mode scaling multiplies users n-fold with
+    # per-key row counts unchanged, so it must scale with events.
+    # Retention re-shuffles (distinct + cohort agg + rejoin) on
+    # user_id — same property.
+    from mora_spark.queries.relational import funnel_daily, retention_cohort
+
+    run("funnel_daily", funnel_daily(events))
+    run("retention_cohort", retention_cohort(events))
     run("minhash_lsh", minhash_lsh_pairs(docs))
     from mora_spark.llm.dedup import dedup_lines, neardup_clusters
 
