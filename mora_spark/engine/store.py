@@ -93,22 +93,20 @@ class VersionExpiredError(RuntimeError):
 def _ts_micros(x) -> int:
     """Exact epoch-microsecond value of a (naive-UTC or tz-aware)
     datetime/date — integer arithmetic, no float round-trip."""
-    import datetime as _dt
-
     if hasattr(x, "to_pydatetime"):  # pandas.Timestamp from pyarrow
         x = x.to_pydatetime()
-    if isinstance(x, _dt.datetime):
+    if isinstance(x, dt.datetime):
         # Aware datetimes need the aware UTC epoch — subtracting from
         # an epoch pinned to the INPUT's tz would shift the result by
         # that offset and mis-prune files. Naive datetimes are UTC by
         # session contract.
-        epoch = _dt.datetime(
+        epoch = dt.datetime(
             1970, 1, 1,
-            tzinfo=None if x.tzinfo is None else _dt.timezone.utc,
+            tzinfo=None if x.tzinfo is None else dt.timezone.utc,
         )
     else:  # date
-        x = _dt.datetime(x.year, x.month, x.day)
-        epoch = _dt.datetime(1970, 1, 1)
+        x = dt.datetime(x.year, x.month, x.day)
+        epoch = dt.datetime(1970, 1, 1)
     d = x - epoch
     return (d.days * 86_400 + d.seconds) * 1_000_000 + d.microseconds
 
@@ -681,18 +679,37 @@ class CandleStore:
         retention); pass 0 only when no writer is active. Returns the
         number of files removed. Superseded PAGE files are kept — they
         are small JSON under ``_log/`` and older version files reference
-        them for time travel; only data files age out. When anything is
-        removed the VACUUM HORIZON advances to the current version:
-        older snapshots may now reference deleted files, so
-        :meth:`read` with ``version <`` horizon raises
-        :class:`VersionVacuumedError` instead of an opaque read error."""
+        them for time travel; only data files age out. The VACUUM
+        HORIZON advances only past snapshots that actually LOST a
+        referenced file — so :meth:`read` with ``version <`` horizon
+        raises :class:`VersionVacuumedError` instead of an opaque read
+        error, while a vacuum that reclaimed only orphans (files a
+        crashed writer published but never committed) leaves every
+        intact snapshot readable."""
         at_version, pointers = self._log.current()
         live = {
             os.path.join(self.data_dir, e["path"])
             for e in self._entries_for(pointers)
         }
+        # Per retained older version: the data files it references.
+        # Removing one of THOSE (not an orphan) is what invalidates
+        # time travel to that snapshot. Retained versions are bounded
+        # by expire_versions' keep_last policy, so this walk is cheap
+        # relative to the data-dir scan below.
+        old_refs: dict[int, set[str]] = {}
+        for v in self._log.versions():
+            if v == at_version:
+                continue
+            try:
+                old_refs[v] = {
+                    os.path.join(self.data_dir, e["path"])
+                    for e in self._entries_for(self._log.pointers_at(v))
+                }
+            except (FileNotFoundError, VersionExpiredError):
+                pass  # concurrently expired; below the floor anyway
         cutoff = time.time() - older_than_s
         removed = 0
+        removed_paths: set[str] = set()
         for dirpath, _, names in os.walk(self.data_dir):
             for name in names:
                 p = os.path.join(dirpath, name)
@@ -700,6 +717,7 @@ class CandleStore:
                     if p not in live and os.path.getmtime(p) <= cutoff:
                         os.remove(p)
                         removed += 1
+                        removed_paths.add(p)
                 except FileNotFoundError:
                     pass  # another vacuum (or a racing rename) got it
         staging_root = os.path.join(self.path, "_staging")
@@ -725,8 +743,14 @@ class CandleStore:
                         os.remove(p)
                 except FileNotFoundError:
                     pass
-        if removed:
-            self._log.update_retention(vacuum_horizon=at_version)
+        affected = [
+            v for v, refs in old_refs.items() if refs & removed_paths
+        ]
+        if affected:
+            # Everything at or below the newest broken snapshot is
+            # fenced (a single scalar horizon — Delta-style); intact
+            # snapshots above it stay readable.
+            self._log.update_retention(vacuum_horizon=max(affected) + 1)
         return removed
 
     def expire_versions(

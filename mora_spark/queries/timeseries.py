@@ -681,8 +681,8 @@ FROM (
 # --- q_heikin_ashi: recursive smoothed-candle transform ---
 # ha_open is the alpha=1/2 EWM of the lagged ha_close seeded with
 # (open_1+close_1)/2, so the oracle expands it with the O_EMA_12
-# closed form at span 3 (weights are exact powers of two; the 400-lag
-# truncation is ~1e-121, far inside the 1e-9 gate tolerance).
+# closed form at span 3 (weights are exact powers of two; the EMA_LAG
+# truncation is ~(1/2)^600 ≈ 1e-181, far inside the gate tolerance).
 
 def q_heikin_ashi(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mora_spark.operators.ema import heikin_ashi
@@ -722,10 +722,16 @@ JOIN ho o ON o.market = h.market AND o.code = h.code
 
 # --- q_macd: MACD + signal + histogram (one grouped pandas pass) ---
 # Oracle: both EMA recursions expanded in closed form (the O_EMA_12
-# construction, 400-lag truncation — (25/27)^400 is far below double
-# resolution), with the MACD line snapped to the 1e-6 grid via
+# construction), with the MACD line snapped to the 1e-6 grid via
 # floor(x*1e6 + 0.5)/1e6 before the signal-stage expansion — the same
 # IEEE expression the operator applies, so the grids coincide exactly.
+# The expansion truncates at EMA_LAG=600 lagged terms: for the slowest
+# recursion (span 26) the dropped mass is (25/27)^600 ≈ 9e-21 relative
+# — far below float64 resolution, so the only engine-vs-oracle
+# difference left is intrinsic summation-order noise (~1e-14 relative,
+# the same residual every grid-snapped oracle here carries). At the
+# previous 400-lag cut the truncation alone was ~4e-14 relative —
+# large enough to flip a snap on an unlucky data draw.
 
 def q_macd(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mora_spark.operators.ema import macd
@@ -736,8 +742,11 @@ def q_macd(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+EMA_LAG = 600  # truncation depth; see the q_macd note above
+
+
 def _ema_closed(src: str, val: str, span: int, out: str) -> str:
-    """Closed-form EMA over table ``src`` (needs rn): one 400-lag sum."""
+    """Closed-form EMA over ``src`` (needs rn): one EMA_LAG-deep sum."""
     a = f"2.0 / {span + 1}.0"
     return f"""
   SELECT t.market, t.code, t.candle_length, t.ts, t.rn,
@@ -747,7 +756,7 @@ def _ema_closed(src: str, val: str, span: int, out: str) -> str:
   JOIN {src} j
     ON j.market = t.market AND j.code = t.code
    AND j.candle_length = t.candle_length
-   AND j.rn BETWEEN t.rn - 400 AND t.rn
+   AND j.rn BETWEEN t.rn - {EMA_LAG} AND t.rn
   GROUP BY t.market, t.code, t.candle_length, t.ts, t.rn"""
 
 

@@ -528,6 +528,24 @@ def test_vacuum_horizon_is_a_typed_contract(spark, store):
     assert [r["open"] for r in store.read().collect()] == [2.0]
 
 
+def test_vacuum_of_orphans_only_keeps_time_travel(spark, store):
+    """A vacuum that reclaims only ORPHANS (files a crashed writer
+    published but never committed) must NOT advance the horizon:
+    every committed snapshot is still fully intact and readable."""
+    import os
+
+    store.write(mk(spark, [("BTC", dt.datetime(2021, 1, 1), 1.0)]))
+    store.write(mk(spark, [("ETH", dt.datetime(2021, 1, 1), 2.0)]))
+    orphan = os.path.join(store.data_dir, "orphan-crashed-writer.parquet")
+    with open(orphan, "wb") as f:
+        f.write(b"not a real page")
+    assert store.vacuum(older_than_s=0) == 1
+    assert not os.path.exists(orphan)
+    # append-only history: v1's files are all still referenced/live
+    assert [r["open"] for r in store.read(version=1).collect()] == [1.0]
+    assert store._log.retention().get("vacuum_horizon", 0) == 0
+
+
 def test_current_version_probe_at_1000_commits(tmp_path):
     """The 1e6-commit shape in miniature: after 1,000 commits the
     hot-path current_version() does a bounded number of stats from the
