@@ -38,6 +38,7 @@ HEADLINE = [
     "q_skew_join",
     "q_revenue_by_nation",
     "q_sessionize",
+    "q_funnel",
     "q_interval_join",
     "q_json_props",
     "q_dedup_exact",
