@@ -921,42 +921,16 @@ GROUP BY c_mktsegment, event_type
 # on hot users; this shape stays linear in events).
 
 def funnel_daily(e: DataFrame) -> DataFrame:
-    """Per-day funnel counts over an ``events``-shaped DataFrame
-    (used by q_funnel and by tools/scale_probe.py on scaled inputs)."""
-    e = e.withColumn("day", F.date_trunc("day", F.col("ts")))
-    w = Window.partitionBy("user_id", "day").orderBy("ts", "event_id")
-    prior = w.rowsBetween(Window.unboundedPreceding, -1)
-    e = e.withColumn(
-        "fv",
-        F.min(
-            F.when(F.col("event_type") == "view", F.col("ts"))
-        ).over(prior),
-    )
-    e = e.withColumn(
-        "fqc",
-        F.min(
-            F.when(
-                (F.col("event_type") == "click") & F.col("fv").isNotNull(),
-                F.col("ts"),
-            )
-        ).over(prior),
-    )
-    u = e.groupBy("user_id", "day").agg(
-        F.max(
-            F.when(F.col("event_type") == "view", 1).otherwise(0)
-        ).alias("s1"),
-        F.max(
-            F.when(
-                (F.col("event_type") == "click") & F.col("fv").isNotNull(), 1
-            ).otherwise(0)
-        ).alias("s2"),
-        F.max(
-            F.when(
-                (F.col("event_type") == "purchase")
-                & F.col("fqc").isNotNull(),
-                1,
-            ).otherwise(0)
-        ).alias("s3"),
+    """Per-day view>click>purchase funnel counts over an
+    ``events``-shaped DataFrame (used by q_funnel and by
+    tools/scale_probe.py on scaled inputs). The ordered-step machinery
+    is the generic :func:`mora_spark.operators.funnel.funnel_steps`."""
+    from mora_spark.operators.funnel import funnel_steps
+
+    u = funnel_steps(
+        e.withColumn("day", F.date_trunc("day", F.col("ts"))),
+        steps=("view", "click", "purchase"),
+        keys=("user_id", "day"),
     )
     return u.groupBy("day").agg(
         F.sum("s1").cast("long").alias("n_view"),

@@ -86,6 +86,32 @@ def test_funnel_scoped_per_day(spark):
     assert out[2]["n_view"] == 0 and out[2]["n_view_click"] == 0
 
 
+def test_funnel_steps_generalizes_to_n_steps(spark):
+    from mora_spark.operators.funnel import funnel_steps
+
+    t = lambda m: D(2024, 1, 1, 0, m)
+    rows = [
+        # user 1 completes all four steps in order
+        (1, t(1), "signup"),
+        (1, t(2), "view"),
+        (1, t(3), "click"),
+        (1, t(4), "purchase"),
+        # user 2 misses the middle step: depth stops at 2
+        (2, t(1), "signup"),
+        (2, t(2), "view"),
+        (2, t(3), "purchase"),
+    ]
+    out = {
+        r["user_id"]: (r["s1"], r["s2"], r["s3"], r["s4"])
+        for r in funnel_steps(
+            _events(spark, rows),
+            steps=("signup", "view", "click", "purchase"),
+            keys=("user_id",),
+        ).collect()
+    }
+    assert out == {1: (1, 1, 1, 1), 2: (1, 1, 0, 0)}
+
+
 def test_retention_offsets(spark):
     rows = [
         # user 1: first seen Jan 1, active again Jan 3 (two events that
