@@ -220,6 +220,25 @@ def donchian(candles: DataFrame, n: int = 20) -> DataFrame:
     )
 
 
+def drawdown(
+    candles: DataFrame,
+    price_col: str = "close",
+    peak_col: str = "high",
+) -> DataFrame:
+    """Running-peak drawdown per series: the trailing all-time peak
+    (cumulative max of ``peak_col``) and the fractional drawdown of
+    ``price_col`` from it — the risk-analysis staple over the candle
+    model. Cumulative max involves no float accumulation, so peak and
+    the single IEEE division are bit-identical across engines with no
+    rounding; one window pass on the shared series sort."""
+    w = _series_window().rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return candles.withColumn("peak", F.max(peak_col).over(w)).withColumn(
+        "drawdown", (F.col(price_col) - F.col("peak")) / F.col("peak")
+    )
+
+
 def zscore_anomaly(
     candles: DataFrame,
     n: int = 60,

@@ -618,6 +618,29 @@ WINDOW wd AS (PARTITION BY market, code, candle_length ORDER BY ts
 
 # --- q_donchian: Donchian channel (n-bar extremes; exact, no rounding) ---
 
+# --- q_drawdown: running-peak drawdown (risk analytics) ---
+
+def q_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mora_spark.operators.windows import drawdown
+
+    return drawdown(_candles(spark, sf_dir)).select(
+        "market", "code", "candle_length", "ts", "close",
+        "peak", "drawdown",
+    )
+
+
+O_DRAWDOWN = candles_sql(
+    """
+SELECT market, code, candle_length, ts, close,
+       max(high) OVER w AS peak,
+       (close - max(high) OVER w) / max(high) OVER w AS drawdown
+FROM candles
+WINDOW w AS (PARTITION BY market, code, candle_length ORDER BY ts
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+)
+
+
 def q_donchian(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mora_spark.operators.windows import donchian
 
@@ -872,6 +895,7 @@ QUERIES = {
     "q_atr": q_atr,
     "q_stochastic": q_stochastic,
     "q_donchian": q_donchian,
+    "q_drawdown": q_drawdown,
     "q_heikin_ashi": q_heikin_ashi,
     "q_anomaly_zscore": q_anomaly_zscore,
     "q_time_window": q_time_window,
@@ -901,6 +925,7 @@ ORACLES = {
     "q_atr": O_ATR,
     "q_stochastic": O_STOCHASTIC,
     "q_donchian": O_DONCHIAN,
+    "q_drawdown": O_DRAWDOWN,
     "q_heikin_ashi": _o_heikin_ashi(),
     "q_anomaly_zscore": O_ANOMALY_ZSCORE,
     "q_time_window": O_TIME_WINDOW,

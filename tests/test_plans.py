@@ -49,6 +49,7 @@ SMELL_QUERIES = [
     "q_resample_anchored",
     "q_stochastic",
     "q_donchian",
+    "q_drawdown",
     "q_heikin_ashi",
     "q_anomaly_zscore",
     "q_lm_score",
