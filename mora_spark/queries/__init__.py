@@ -108,7 +108,7 @@ PRIORITY: tuple[str, ...] = (
     "q_stream_dedup_seeded",
 )
 # Demoted below the window: every demoted query keeps its green
-# CORRECTNESS_r02/r03.json row as evidence. 127 queries are declared;
+# CORRECTNESS_r02/r03.json row as evidence. 128 queries are declared;
 # never driver-checked after this round's window runs green (all added
 # after the round-4 window froze; every one passes the local oracle
 # gate — rotate them in next round): q_chunk_docs, q_quantize_embed,
@@ -116,7 +116,8 @@ PRIORITY: tuple[str, ...] = (
 # q_heikin_ashi, q_anomaly_zscore, q_ann_sq8, q_lm_score,
 # q_dup_spans, q_resample_anchored, q_store_rollup,
 # q_stream_store_rollup, q_full_outer, q_mtf_join, q_funnel,
-# q_retention_cohort, q_cluster_best, q_drawdown. Remaining r1-era-only
+# q_retention_cohort, q_cluster_best, q_drawdown, q_seasonality.
+# Remaining r1-era-only
 # evidence: q_tpch_q13, q_tpch_q14 (displaced for the two new
 # store/ANN queries; both pass the local oracle gate on the current
 # corpus, rerun this session).

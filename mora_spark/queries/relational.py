@@ -1018,11 +1018,45 @@ GROUP BY cohort_day, day_offset
 """
 
 
+# --- q_seasonality: day-of-week x hour activity profile ---
+# The classic periodicity heatmap over the event stream: one map-side-
+# combined hash agg on a derived (dow, hour) key — a single shuffle of
+# at most 168 groups whatever the corpus size. English day names are
+# engine-identical ('EEEE' == DuckDB dayname()); the value sum goes
+# through decimal so summation order cannot perturb the hash.
+
+def q_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.date_format("ts", "EEEE").alias("dow"),
+            F.hour("ts").cast("long").alias("hour"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(38,10)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+    )
+
+
+O_SEASONALITY = """
+SELECT dayname(ts) AS dow,
+       CAST(extract(hour FROM ts) AS BIGINT) AS hour,
+       count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(38,10))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY dow, hour
+"""
+
+
 QUERIES = {
     "q_tpch_q1": q_tpch_q1,
     "q_skew_join": q_skew_join,
     "q_funnel": q_funnel,
     "q_retention_cohort": q_retention_cohort,
+    "q_seasonality": q_seasonality,
     "q_tpch_q3": q_tpch_q3,
     "q_revenue_by_nation": q_revenue_by_nation,
     "q_rollup_acctbal": q_rollup_acctbal,
@@ -1054,6 +1088,7 @@ ORACLES = {
     "q_skew_join": O_SKEW_JOIN,
     "q_funnel": O_FUNNEL,
     "q_retention_cohort": O_RETENTION_COHORT,
+    "q_seasonality": O_SEASONALITY,
     "q_tpch_q3": O_TPCH_Q3,
     "q_revenue_by_nation": O_REVENUE_BY_NATION,
     "q_rollup_acctbal": O_ROLLUP_ACCTBAL,

@@ -37,6 +37,7 @@ SMELL_QUERIES = [
     "q_skew_join",
     "q_funnel",
     "q_retention_cohort",
+    "q_seasonality",
     "q_topk_volume",
     "q_user_stats",
     "q_sessionize",
