@@ -697,6 +697,7 @@ class CandleStore:
         # by expire_versions' keep_last policy, so this walk is cheap
         # relative to the data-dir scan below.
         old_refs: dict[int, set[str]] = {}
+        corrupt: set[int] = set()
         for v in self._log.versions():
             if v == at_version:
                 continue
@@ -707,6 +708,12 @@ class CandleStore:
                 }
             except (FileNotFoundError, VersionExpiredError):
                 pass  # concurrently expired; below the floor anyway
+            except ValueError:
+                # Corrupt/truncated manifest JSON: that snapshot is
+                # unreadable regardless of what this vacuum removes.
+                # Fence it (typed VersionVacuumedError on read) instead
+                # of aborting every future vacuum run.
+                corrupt.add(v)
         cutoff = time.time() - older_than_s
         removed = 0
         removed_paths: set[str] = set()
@@ -746,6 +753,7 @@ class CandleStore:
         affected = [
             v for v, refs in old_refs.items() if refs & removed_paths
         ]
+        affected.extend(corrupt)
         if affected:
             # Everything at or below the newest broken snapshot is
             # fenced (a single scalar horizon — Delta-style); intact

@@ -992,9 +992,10 @@ def retention_cohort(e: DataFrame) -> DataFrame:
     ).distinct()
     cohort = dk.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
     j = dk.join(cohort, "user_id")
-    off = (
-        (F.unix_timestamp("day") - F.unix_timestamp("cohort_day")) / 86400
-    ).cast("long")
+    # Calendar-based day difference (matches DuckDB date_diff under any
+    # session timezone) — epoch-seconds arithmetic would truncate a
+    # 23-hour DST day to n-1.
+    off = F.datediff("day", "cohort_day").cast("long")
     return j.groupBy("cohort_day", off.alias("day_offset")).agg(
         F.count(F.lit(1)).alias("n_users")
     )

@@ -352,33 +352,14 @@ SELECT market, code, day, ts, volume, rank_k FROM (
 
 
 # --- q_ema_12: recursive indicator via applyInPandas; oracle is the
-#     closed-form weighted sum (truncated at 400 lags: error < 1e-28,
-#     far inside the 1e-9 gate tolerance) ---
+#     closed-form weighted sum built from the shared _ema_closed helper
+#     (O_EMA_12 itself is defined after the helper, below O_MACD, so the
+#     EMA_LAG truncation depth has a single source of truth) ---
 
 def q_ema_12(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ema(_candles(spark, sf_dir), 12).select(
         "market", "code", "candle_length", "ts", "close", "ema_12"
     )
-
-
-O_EMA_12 = candles_sql(
-    """
-, seq AS (
-  SELECT *, row_number() OVER (
-    PARTITION BY market, code, candle_length ORDER BY ts) AS rn
-  FROM candles
-)
-SELECT t.market, t.code, t.candle_length, t.ts, t.close,
-       sum((CASE WHEN j.rn = 1 THEN 1.0 ELSE 2.0 / 13.0 END)
-           * power(11.0 / 13.0, t.rn - j.rn) * j.close) AS ema_12
-FROM seq t
-JOIN seq j
-  ON j.market = t.market AND j.code = t.code
- AND j.candle_length = t.candle_length
- AND j.rn BETWEEN t.rn - 400 AND t.rn
-GROUP BY t.market, t.code, t.candle_length, t.ts, t.close
-"""
-)
 
 
 # --- q_asof_trades: as-of join of raw events against their series'
@@ -809,6 +790,26 @@ JOIN m ON m.market = s.market AND m.code = s.code
       AND m.candle_length = s.candle_length AND m.rn = s.rn
 JOIN seq c ON c.market = s.market AND c.code = s.code
           AND c.candle_length = s.candle_length AND c.rn = s.rn
+"""
+)
+
+
+# O_EMA_12 shares _ema_closed (and thus EMA_LAG) with O_MACD — at depth
+# 600 the span-12 truncation error is (11/13)^600 ≈ 1e-44 relative,
+# far inside the gate tolerance; no grid snap is needed because the
+# operator emits the raw recursion.
+O_EMA_12 = candles_sql(
+    f"""
+, seq AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY market, code, candle_length ORDER BY ts) AS rn
+  FROM candles
+),
+e12 AS ({_ema_closed("seq", "close", 12, "ema_12")})
+SELECT e.market, e.code, e.candle_length, e.ts, c.close, e.ema_12
+FROM e12 e
+JOIN seq c ON c.market = e.market AND c.code = e.code
+          AND c.candle_length = e.candle_length AND c.rn = e.rn
 """
 )
 

@@ -528,6 +528,27 @@ def test_vacuum_horizon_is_a_typed_contract(spark, store):
     assert [r["open"] for r in store.read().collect()] == [2.0]
 
 
+def test_vacuum_fences_corrupt_manifest_instead_of_failing(spark, store):
+    """A truncated/corrupt retained manifest must not abort vacuum
+    forever: the broken version is fenced (typed VersionVacuumedError)
+    and vacuum keeps working."""
+    import os
+
+    from mora_spark.engine.store import VersionVacuumedError
+
+    store.write(mk(spark, [("BTC", dt.datetime(2021, 1, 1), 1.0)]))
+    store.write(mk(spark, [("BTC", dt.datetime(2021, 1, 1), 2.0)]))
+    store.write(mk(spark, [("BTC", dt.datetime(2021, 1, 1), 3.0)]))
+    with open(store._log._vpath(2), "w") as f:
+        f.write('{"truncated mid-write')
+    store.vacuum(older_than_s=0)  # must not raise
+    with pytest.raises(VersionVacuumedError):
+        store.read(version=2)
+    # the newest snapshot stays readable, and a later vacuum still runs
+    assert [r["open"] for r in store.read().collect()] == [3.0]
+    store.vacuum(older_than_s=0)
+
+
 def test_vacuum_of_orphans_only_keeps_time_travel(spark, store):
     """A vacuum that reclaims only ORPHANS (files a crashed writer
     published but never committed) must NOT advance the horizon:
