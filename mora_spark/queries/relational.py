@@ -520,23 +520,81 @@ GROUP BY event_type
 """
 
 
-# --- q_approx_profile: sketch aggregates (rows-only) ---
+# --- q_approx_profile: sketch aggregates with a tolerance-banded
+#     oracle ---
 # HLL distinct + approximate percentiles — the profiling pass you run
-# on 100 TB before exact queries. No DuckDB oracle: sketch outputs are
-# implementation-defined; the EXACT twins are oracle-checked in
-# q_user_stats / q_percentiles.
+# on 100 TB before exact queries. Sketch OUTPUTS are implementation-
+# defined (no engine can hash-match them), so the checkable contract is
+# their ERROR BOUND: the query emits the exact anchors (cross-engine-
+# verified against DuckDB) plus boolean in-band verdicts computed
+# against exact aggregates; the oracle recomputes the anchors and
+# asserts TRUE. A sketch drifting outside its documented bound flips a
+# boolean and fails the driver's hash compare.
+#   - approx_count_distinct(rsd=0.02): banded at 3*rsd (σ≈rsd for
+#     HLL++), floor 8 absolute for tiny groups.
+#   - percentile_approx(accuracy=10000): rank-error guarantee is
+#     n/accuracy, so the verdict checks the EMPIRICAL CDF position of
+#     the returned value: |count(value <= v)/n - p| within
+#     max(0.005, 2/n) — generous vs the 1e-4 guarantee, still far
+#     below any real sketch breakage.
+# Plan shape: two map-side-combined passes over events (one for the
+# sketches + exact anchors, one for the CDF counts), rejoined on the
+# 5-row event_type key via broadcast — no all-row shuffle beyond the
+# grouped aggregations themselves.
 
 def q_approx_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "events")
-    # Scalar columns only: array outputs break downstream row
-    # canonicalization (pandas can't sort/hash list cells).
-    pcts = F.percentile_approx("value", [0.5, 0.95, 0.99])
-    return e.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id").alias("approx_users"),
-        pcts.getItem(0).alias("value_p50"),
-        pcts.getItem(1).alias("value_p95"),
-        pcts.getItem(2).alias("value_p99"),
+    pcts = F.percentile_approx("value", [0.5, 0.95, 0.99], 10000)
+    g = e.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("exact_users"),
+        F.approx_count_distinct("user_id", 0.02).alias("au"),
+        F.count(F.lit(1)).alias("n"),
+        pcts.getItem(0).alias("a50"),
+        pcts.getItem(1).alias("a95"),
+        pcts.getItem(2).alias("a99"),
     )
+    cdf = (
+        e.join(F.broadcast(g), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.first("exact_users").alias("exact_users"),
+            F.first("au").alias("au"),
+            F.first("n").alias("n"),
+            *[
+                F.sum(
+                    F.when(F.col("value") <= F.col(a), 1).otherwise(0)
+                ).alias(c)
+                for a, c in [("a50", "c50"), ("a95", "c95"), ("a99", "c99")]
+            ],
+        )
+    )
+    users_ok = (
+        F.abs(F.col("au") - F.col("exact_users"))
+        <= F.greatest(F.lit(8.0), F.col("exact_users") * 0.06)
+    )
+    band = F.greatest(F.lit(0.005), F.lit(2.0) / F.col("n"))
+
+    def pct_ok(c: str, p: float):  # CDF position of the sketch value
+        return F.abs(F.col(c) / F.col("n") - F.lit(p)) <= band
+
+    return cdf.select(
+        "event_type",
+        "exact_users",
+        users_ok.alias("users_ok"),
+        pct_ok("c50", 0.5).alias("p50_ok"),
+        pct_ok("c95", 0.95).alias("p95_ok"),
+        pct_ok("c99", 0.99).alias("p99_ok"),
+    )
+
+
+O_APPROX_PROFILE = """
+SELECT event_type,
+       count(DISTINCT user_id) AS exact_users,
+       TRUE AS users_ok,
+       TRUE AS p50_ok, TRUE AS p95_ok, TRUE AS p99_ok
+FROM events
+GROUP BY event_type
+"""
 
 
 # --- q_pivot_daily: pivot (wide reshape) with an explicit value list ---
@@ -1109,6 +1167,7 @@ ORACLES = {
     "q_tpch_q22": O_TPCH_Q22,
     "q_interval_join": O_INTERVAL_JOIN,
     "q_json_props": O_JSON_PROPS,
+    "q_approx_profile": O_APPROX_PROFILE,
     "q_pivot_daily": O_PIVOT_DAILY,
     "q_value_histogram": O_VALUE_HISTOGRAM,
     "q_data_profile": O_DATA_PROFILE,
