@@ -931,12 +931,16 @@ GROUP BY c_nationkey
 
 # --- q_skew_join: salted equi-join on a hot-keyed fact table ---
 # events has ~150 distinct user_ids over the whole stream (10k rows at
-# sf0.01) — every key is hot, the shape AQE's skew splitting does NOT
-# cover (it only splits shuffled sort-merge sides). salted_join spreads
-# each hot key across 8 deterministic sub-buckets and replicates the
-# customer dimension 8x, so no single task owns a whole key's rows.
-# The salt is invisible in the result: output == the plain equi-join,
-# which is exactly what the oracle runs.
+# sf0.01) — hot keys everywhere, the shape AQE's skew splitting does
+# NOT cover (it only splits shuffled sort-merge sides). salted_join
+# SAMPLES the fact side first: keys above the share threshold are split
+# across 8 deterministic sub-buckets with only their slice of the
+# customer dimension replicated 8x; the uniform remainder takes a plain
+# equi-join and the halves are unioned. The thresholds here put most
+# keys in the salted half and the light tail in the plain half, so the
+# driver row exercises BOTH branches plus the union. The salt is
+# invisible in the result: output == the plain equi-join, which is
+# exactly what the oracle runs.
 
 def q_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mora_spark.operators.skew import salted_join
@@ -945,7 +949,9 @@ def q_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _t(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("user_id"), "c_mktsegment"
     )
-    joined = salted_join(e, c, on=["user_id"], salt=8)
+    joined = salted_join(
+        e, c, on=["user_id"], salt=8, sample_fraction=0.2, hot_share=0.005
+    )
     return joined.groupBy("c_mktsegment", "event_type").agg(
         F.count(F.lit(1)).alias("n_events"),
         # Exact decimal summation (same trick as q_user_stats): double
