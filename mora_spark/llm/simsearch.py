@@ -201,6 +201,41 @@ def train_ivf_centroids(
             nrm = np.linalg.norm(v)
             if nrm > 0:
                 new[c] = np.round(v / nrm, 8)
+        empty = [c for c in range(n_cells) if cnt[c] == 0]
+        if empty:
+            # Lloyd's never repopulates an empty cell on its own: its
+            # centroid sits wherever the seed left it, and on a DRIFTED
+            # corpus (every vector in one orthant, say) that means the
+            # whole index collapses into few cells forever. Re-seed
+            # each empty cell from the corpus point FARTHEST from the
+            # occupied centroids (max-sim ascending — the k-means++
+            # idea, made deterministic with a hash tie-break). One
+            # TakeOrdered job per iteration that has empties.
+            occ = np.stack([new[c] for c in range(n_cells) if cnt[c] > 0])
+
+            @pandas_udf(T.DoubleType())
+            def max_sim(vs: pd.Series) -> pd.Series:
+                m = np.stack(
+                    vs.apply(lambda v: np.asarray(v, dtype=np.float64))
+                )
+                norms = np.linalg.norm(m, axis=1, keepdims=True)
+                norms[norms == 0] = 1.0
+                return pd.Series(np.max((m / norms) @ occ.T, axis=1))
+
+            far = (
+                embeddings.select(
+                    F.col(vec_col).alias("v"),
+                    max_sim(F.col(vec_col)).alias("s"),
+                )
+                .orderBy(F.col("s").asc(), F.xxhash64("v"))
+                .limit(len(empty))
+                .collect()
+            )
+            for c, r in zip(empty, far):
+                v = np.asarray(r["v"], dtype=np.float64)
+                nrm = np.linalg.norm(v)
+                if nrm > 0:
+                    new[c] = np.round(v / nrm, 8)
         cents = new
     return cents
 
@@ -504,6 +539,99 @@ def ivf_index_add(
         .mode("append")
         .parquet(f"{path}/cells")
     )
+
+
+def ivf_index_health(spark, path: str) -> dict:
+    """Fragmentation/balance probe of a persisted IVF index: rows and
+    file counts per cell (files via ``input_file_name`` over the cell
+    scan — engine-portable, no filesystem walk) and the cell-size
+    imbalance ratio max/mean. ``ivf_index_add`` appends one file set
+    per increment forever, so files_per_cell growing without bound —
+    or imbalance drifting as the ingested distribution shifts away
+    from the trained centroids — is the signal to compact."""
+    cents, assigned = load_ivf_index(spark, path)
+    rows = (
+        # input_file_name() is non-deterministic to the analyzer, so it
+        # must be projected before the aggregate, not inside it.
+        assigned.withColumn("__f", F.input_file_name())
+        .groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct("__f").alias("files"),
+        )
+        .collect()
+    )
+    total = sum(r["n"] for r in rows)
+    # Mean over ALL trained cells, not just non-empty ones — an index
+    # collapsed into one cell must read as maximally imbalanced, not
+    # as balanced-because-the-empty-cells-vanished.
+    mean = total / len(cents) if len(cents) else 0.0
+    return {
+        "n_cells": len(cents),
+        "rows": total,
+        "files": sum(r["files"] for r in rows),
+        "max_files_per_cell": max((r["files"] for r in rows), default=0),
+        "imbalance": (max((r["n"] for r in rows), default=0) / mean)
+        if mean
+        else 0.0,
+    }
+
+
+def ivf_index_compact(
+    spark,
+    path: str,
+    dest: str,
+    retrain_imbalance: float = 4.0,
+    train_iters: int = 2,
+    vec_col: str = "embedding",
+) -> dict:
+    """Maintenance for an incrementally-grown IVF index, mirroring
+    ``compact_stream_index`` for the LSH index: rewrite the cell layout
+    at ``dest`` with ONE file per cell (each ``ivf_index_add`` appends
+    its own file set, so a long-lived index fragments into
+    increments-many small files per cell), and — when the cell-size
+    imbalance ratio max/mean exceeds ``retrain_imbalance`` — RE-TRAIN
+    the centroids on the current corpus and re-assign, since heavy
+    drift means the ingested distribution no longer matches what the
+    centroids were trained on and probes over oversized cells scan far
+    more postings than n_probe/n_cells of the corpus.
+
+    Writing to ``dest`` (never in place) keeps readers of ``path``
+    consistent mid-compaction; the production cadence is
+    add* → compact → point probes at the compacted copy, the same
+    epoch loop as stream → compact → seed for the dedup index.
+    Retraining is the deterministic spherical k-means of the original
+    build, and assignment normalizes the vector first — so planted/
+    scaled duplicates keep landing in their source vector's cell and
+    probe recall is preserved across a retrain (the property
+    tests/test_simsearch.py pins). Returns the health stats observed
+    plus whether the retrain branch ran."""
+    cents, assigned = load_ivf_index(spark, path)
+    n_cells = len(cents)
+    counts = (
+        assigned.groupBy("cell").agg(F.count(F.lit(1)).alias("n")).collect()
+    )
+    total = sum(r["n"] for r in counts)
+    mean = total / n_cells if n_cells else 0.0
+    imbalance = (
+        max((r["n"] for r in counts), default=0) / mean if mean else 0.0
+    )
+    retrained = imbalance > retrain_imbalance
+    if retrained:
+        data = assigned.drop("cell")
+        cents = train_ivf_centroids(
+            data,
+            n_cells=n_cells,
+            n_iter=train_iters,
+            dim=cents.shape[1],
+            vec_col=vec_col,
+        )
+        assigned = data.withColumn("cell", _cell_assigner(cents)(F.col(vec_col)))
+    # One shuffle keyed by cell -> each cell's rows land in exactly one
+    # task -> exactly one file per cell directory, whatever the number
+    # of increments being folded in.
+    save_ivf_index(cents, assigned.repartition(n_cells, "cell"), dest)
+    return {"retrained": retrained, "imbalance": imbalance, "rows": total}
 
 
 def ivf_index_topk(

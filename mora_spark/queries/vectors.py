@@ -439,6 +439,57 @@ def q_ann_ivf_add(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- q_ann_ivf_compact: index maintenance after many increments ---
+# Closes the production loop of q_ann_ivf_add: the plants arrive in
+# one ivf_index_add per scale (5 increments — 5 file sets appended per
+# touched cell), then ivf_index_compact rewrites the layout at one
+# file per cell (retraining centroids if the cell-size imbalance
+# crossed the threshold), and the search runs against the COMPACTED
+# copy. Compaction can't lose recall on the plants: assignment
+# normalizes the vector, so a scaled copy lands in its query's cell
+# under the original AND any retrained centroids — the probe always
+# covers them and the result is exactly the shared planted oracle,
+# whichever compaction branch ran.
+
+def q_ann_ivf_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from mora_spark.llm.simsearch import (
+        build_ivf_index,
+        ivf_index_add,
+        ivf_index_compact,
+        ivf_index_topk,
+        save_ivf_index,
+    )
+    from mora_spark.queries.store import scratch_dir
+
+    path = scratch_dir("ivf_index_compact_src", sf_dir)
+    dest = scratch_dir("ivf_index_compact_dst", sf_dir)
+    shutil.rmtree(path, ignore_errors=True)
+    shutil.rmtree(dest, ignore_errors=True)
+    base = _emb(spark, sf_dir).select(
+        "vec_id", as_double(F.col("embedding")).alias("embedding")
+    )
+    save_ivf_index(*build_ivf_index(base, train_iters=2), path)
+    plants = _planted_topk(base).where(
+        F.col("vec_id") >= F.lit(TOPK_PLANT_OFFSET)
+    )
+    for j in range(len(TOPK_PLANT_SCALES)):  # one increment per scale
+        lo = (j + 1) * TOPK_PLANT_OFFSET
+        ivf_index_add(
+            spark,
+            path,
+            plants.where(
+                (F.col("vec_id") >= lo)
+                & (F.col("vec_id") < lo + TOPK_PLANT_OFFSET)
+            ),
+        )
+    ivf_index_compact(spark, path, dest)
+    return ivf_index_topk(
+        spark, dest, query_ids=list(range(N_QUERIES)), k=TOP_K, n_probe=4
+    )
+
+
 # --- q_embed_neardup: embedding-cosine near-duplicate pairs ---
 # Declared as the band-OR SRP-LSH path (the 100 TB plan: skinny banded
 # equi-join + broadcast cosine verify — never an all-pairs cross join).
@@ -553,6 +604,7 @@ QUERIES = {
     "q_ann_ivf": q_ann_ivf,
     "q_ann_ivf_index": q_ann_ivf_index,
     "q_ann_ivf_add": q_ann_ivf_add,
+    "q_ann_ivf_compact": q_ann_ivf_compact,
     "q_ann_sq8": q_ann_sq8,
     "q_quantize_embed": q_quantize_embed,
     "q_embed_neardup": q_embed_neardup,
@@ -567,6 +619,7 @@ ORACLES = {
     "q_ann_ivf": _o_ann_topk(),
     "q_ann_ivf_index": _o_ann_topk(),
     "q_ann_ivf_add": _o_ann_topk(),
+    "q_ann_ivf_compact": _o_ann_topk(),
     "q_ann_sq8": O_ANN_SQ8,
     "q_quantize_embed": O_QUANTIZE_EMBED,
     "q_embed_neardup": O_EMBED_NEARDUP,

@@ -183,6 +183,79 @@ def test_ivf_index_add_equals_rebuild(spark, sf_dir, tmp_path):
     assert len(rows_a) == 10  # k results for both queries
 
 
+def test_ivf_compact_bounds_files_and_preserves_results(spark, sf_dir, tmp_path):
+    """The N-increment probe of VERDICT r4 #5: after 6 incremental adds
+    the index holds ~7 file sets per touched cell; compaction rewrites
+    it at EXACTLY one file per cell, search results are unchanged, and
+    a balanced index does not trigger the retrain branch."""
+    from mora_spark.datasets import load_table
+    from mora_spark.llm.simsearch import (
+        build_ivf_index,
+        ivf_index_add,
+        ivf_index_compact,
+        ivf_index_health,
+        ivf_index_topk,
+        save_ivf_index,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    base = e.where(F.col("vec_id") % 8 < 2)
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    save_ivf_index(*build_ivf_index(base, n_cells=8, train_iters=1), src)
+    for m in range(2, 8):  # six increments, one file set each
+        ivf_index_add(spark, src, e.where(F.col("vec_id") % 8 == m))
+    before = ivf_index_health(spark, src)
+    assert before["max_files_per_cell"] >= 4  # fragmented
+    pre = sorted(
+        map(tuple, ivf_index_topk(spark, src, [1, 2], k=5, n_probe=4).collect())
+    )
+    stats = ivf_index_compact(spark, src, dst)
+    after = ivf_index_health(spark, dst)
+    assert after["max_files_per_cell"] == 1
+    assert after["rows"] == before["rows"] == stats["rows"]
+    post = sorted(
+        map(tuple, ivf_index_topk(spark, dst, [1, 2], k=5, n_probe=4).collect())
+    )
+    assert pre == post
+    assert stats["retrained"] is False  # uniform corpus stays in band
+
+
+def test_ivf_compact_retrains_on_imbalance(spark, sf_dir, tmp_path):
+    """When ingest drift piles the corpus into few cells (untrained
+    hyperplane centroids on a shifted corpus), compaction retrains and
+    the rebalanced index still answers with full per-query result sets."""
+    import numpy as np
+
+    from mora_spark.datasets import load_table
+    from mora_spark.llm.simsearch import (
+        build_ivf_index,
+        ivf_index_compact,
+        ivf_index_health,
+        ivf_index_topk,
+        save_ivf_index,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        # Shift every vector into one orthant: untrained sign-pattern
+        # centroids collapse most of the corpus into very few cells.
+        F.transform("embedding", lambda x: F.abs(x) + 1.0).alias("embedding"),
+    )
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    save_ivf_index(*build_ivf_index(e, n_cells=8, train_iters=0), src)
+    before = ivf_index_health(spark, src)
+    stats = ivf_index_compact(spark, src, dst, retrain_imbalance=2.0)
+    assert stats["retrained"] is True
+    after = ivf_index_health(spark, dst)
+    assert after["imbalance"] < before["imbalance"]
+    assert after["rows"] == before["rows"]
+    got = ivf_index_topk(spark, dst, [1, 2], k=5, n_probe=4)
+    counts = {r["query_id"]: 0 for r in got.collect()}
+    for r in got.collect():
+        counts[r["query_id"]] += 1
+    assert all(v == 5 for v in counts.values())
+
+
 def test_quantize_embeddings_error_bound(spark, sf_dir):
     """Symmetric int8 grid guarantee: every dequantized element is
     within scale/2 of the original (no element saturates beyond the
