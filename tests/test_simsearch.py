@@ -129,6 +129,54 @@ def test_multimodal_features_deterministic(spark, sf_dir):
     assert kinds == {"image", "audio", "video"}
 
 
+def _png_1x1() -> bytes:
+    """Minimal valid 1x1 RGB PNG, built from the public spec (IHDR +
+    IDAT + IEND, zlib-deflated scanline) — the fixture for the runtime
+    codec probe without shipping binary blobs in the test file."""
+    import struct
+    import zlib
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", 1, 1, 8, 2, 0, 0, 0)  # 1x1, 8-bit RGB
+    idat = zlib.compress(b"\x00\xff\x00\x00")  # filter None + red pixel
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", idat)
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_decode_dims_falls_back_deterministically():
+    """Undecodable payloads (and non-image kinds) take the stub path
+    whether or not PIL is installed — text bytes are never a valid
+    image, so in-container and real-cluster behavior agree here."""
+    from mora_spark.llm.multimodal import _decode_dims, _fake_decode
+
+    payload = b"just some document text, not an image"
+    assert _decode_dims(payload, "image") == _fake_decode(payload, "image")
+    assert _decode_dims(payload, "audio") == _fake_decode(payload, "audio")
+    assert _decode_dims(b"", "image") == _fake_decode(b"", "image")
+
+
+def test_decode_dims_uses_real_codec_when_present():
+    """On a cluster with PIL installed the same operator decodes real
+    images (skipped in this codec-less container)."""
+    import pytest
+
+    pytest.importorskip("PIL")
+    from mora_spark.llm.multimodal import _decode_dims
+
+    assert _decode_dims(_png_1x1(), "image")[:2] == (1, 1)
+
+
 def test_ivf_index_roundtrip_equals_direct(spark, sf_dir, tmp_path):
     """Searching the persisted cell-partitioned index returns exactly
     the direct ivf_topk results (training is deterministic, so the
