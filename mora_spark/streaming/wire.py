@@ -15,6 +15,14 @@ with a JSON event payload in ``value`` — and gives it two transports:
 Both funnel through :func:`parse_event_wire`, so the deserialization
 logic the cluster would run against Kafka is exactly the logic verified
 against the DuckDB oracle in-container.
+
+DECLARED CONTRACT (SURVEY §2.D): wire-parser parity. What this repo
+owns is the encode↔parse round-trip over the exact ``format("kafka")``
+column schema — verified byte-exactly (microsecond timestamps included)
+by ``tests/test_streaming.py::test_wire_roundtrip_lossless`` and the
+``q_stream_wire`` oracle row. The connector jar and a broker are
+Spark-shipped infrastructure outside the repo's surface; no broker
+exercise is owed beyond this parity.
 """
 
 from __future__ import annotations
