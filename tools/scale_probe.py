@@ -170,6 +170,80 @@ def main() -> None:
     run("vocab_topk", vocab_topk(docs))
     run("pack_sequences", pack_sequences(docs, chunk=4096))
 
+    # Streaming continuous aggregate, end-to-end: replay the scaled
+    # corpus as EQUAL-SIZED micro-batches covering disjoint time
+    # windows (each copy is ts-shifted 100 days), so the persisted
+    # series grows by one window per batch while batch size stays
+    # constant. The contract under test: per-batch maintenance wall
+    # (merge + derive_rollup) tracks the BATCH, not the accumulated
+    # series — the curve across batches must stay flat, not ramp. The
+    # touched-bucket pruning that makes this true is asserted
+    # algorithmically in tests/test_store.py; this probe is the
+    # wall-clock evidence at scale.
+    import glob as _glob
+    import shutil as _sh1
+    import tempfile as _tf1
+
+    from mora_spark.streaming.ingest import stream_store_merge
+
+    stream_work = _tf1.mkdtemp(prefix="scale_stream_")
+    try:
+        src = os.path.join(stream_work, "source")
+        build = src + ".build"
+        # 2 chunks per copy; the file stream takes 2 files per trigger,
+        # so each micro-batch is exactly one ts-window's events.
+        (
+            events.repartitionByRange(2 * n, "event_id")
+            .sortWithinPartitions("event_id")
+            .write.mode("overwrite")
+            .parquet(build)
+        )
+        os.makedirs(src)
+        parts = sorted(_glob.glob(os.path.join(build, "part-*.parquet")))
+        for i, p in enumerate(parts):
+            path = os.path.join(src, f"chunk-{i:04d}.parquet")
+            os.rename(p, path)
+            os.utime(path, (1_600_000_000 + i, 1_600_000_000 + i))
+        _sh1.rmtree(build, ignore_errors=True)
+
+        stats: list[dict] = []
+        t0 = time.time()
+        stream_store_merge(
+            spark,
+            src,
+            stream_work,
+            os.path.join(stream_work, "store"),
+            rollup_lengths=(300,),
+            batch_stats=stats,
+        )
+        print(f"stream_store_rollup_total: {time.time() - t0:.2f}s")
+        for s in stats:
+            print(
+                f"  batch {s['batch_id']:>2}: rows={s['rows']:>7,} "
+                f"merge={s['merge_s']:.2f}s rollup={s['rollup_s']:.2f}s"
+            )
+        # The stream ends with an empty watermark-flush batch — exclude
+        # zero-row batches so the curve compares real maintenance work.
+        walls = [
+            s["merge_s"] + s["rollup_s"] for s in stats if s["rows"]
+        ]
+        if len(walls) >= 6:
+            # Flatness check with host-noise slack: the mean of the
+            # last third must not exceed 2x the mean of the first
+            # third (a series-length-proportional cost would ramp
+            # n/3-fold here).
+            k = len(walls) // 3
+            first, last = sum(walls[:k]) / k, sum(walls[-k:]) / k
+            print(
+                f"  per-batch maintenance: first-third {first:.2f}s "
+                f"-> last-third {last:.2f}s"
+            )
+            assert last <= 2.0 * first + 0.5, (
+                "per-batch maintenance cost ramps with series length"
+            )
+    finally:
+        _sh1.rmtree(stream_work, ignore_errors=True)
+
     # Manifest-log store: initial merge commit, an overlapping upsert
     # (read-back + replace of every touched partition), and a pruned
     # keyed read — the full reference write->commit->read contract.
