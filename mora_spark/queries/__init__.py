@@ -107,11 +107,13 @@ PRIORITY: tuple[str, ...] = (
     "q_sql_shared",
 )
 # Demoted below the window: every demoted query keeps its green
-# CORRECTNESS_r02/r03/r04.json row as evidence. 129 queries are
+# CORRECTNESS_r02/r03/r04.json row as evidence. 131 queries are
 # declared; once this window runs green, the union of driver rows
-# covers all 129 — no registry entry will ever have gone unchecked,
-# and none is older than the r2+ corpus era except nothing (q13/q14
-# re-green here).
+# covers all but the queries added after this window was frozen
+# (q_jsonl_roundtrip, q_jsonl_quarantine, ... — all local-green;
+# rotate them in next round). No other registry entry will have gone
+# unchecked, and after the q13/q14 re-green none carries r1-era-only
+# evidence.
 
 
 def collect_registry() -> tuple[dict[str, QueryFn], dict[str, str]]:

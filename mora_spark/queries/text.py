@@ -729,7 +729,81 @@ GROUP BY id_a, id_b
 """
 
 
+# --- q_jsonl_roundtrip: JSONL interchange losslessness ---
+# The LLM-pipeline interchange format: export documents as JSONL
+# shards, re-read under an explicit schema (no inference pass), return
+# the round-tripped table. The oracle is the source table itself, so
+# the driver hash verifies byte-exact survival of unicode, quotes, and
+# embedded newlines (JSON-escaped — line framing is safe) through
+# write -> read. FAILFAST read: any malformed line is a hard error
+# here; the quarantine path is q_jsonl_quarantine's surface.
+
+def q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from mora_spark.queries.store import scratch_dir
+    from mora_spark.sources.jsonl import read_jsonl, write_jsonl
+
+    docs = load_table(spark, sf_dir, "documents")
+    path = scratch_dir("jsonl_roundtrip", sf_dir)
+    shutil.rmtree(path, ignore_errors=True)
+    write_jsonl(docs, path)
+    return read_jsonl(spark, path, docs, mode="FAILFAST").select(
+        *docs.columns
+    )
+
+
+O_JSONL_ROUNDTRIP = "SELECT * FROM documents"
+
+
+# --- q_jsonl_quarantine: malformed-line capture on crawled corpora ---
+# PERMISSIVE read over a corpus with PLANTED broken lines (truncated
+# object, bare text, wrong-type field): good rows keep their columns,
+# bad lines land whole in _corrupt_record instead of failing the job.
+# Measured PERMISSIVE semantics (pinned by this oracle): ANY parse
+# error — including a single wrong-typed field — nulls ALL schema
+# fields of that record and captures the raw line, so every planted
+# line counts in n_rows, n_quarantined, AND n_null_doc. The oracle
+# derives n_rows from the exact DuckDB table + the planting arithmetic.
+
+def q_jsonl_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+
+    from mora_spark.queries.store import scratch_dir
+    from mora_spark.sources.jsonl import CORRUPT_COL, read_jsonl, write_jsonl
+
+    docs = load_table(spark, sf_dir, "documents")
+    path = scratch_dir("jsonl_quarantine", sf_dir)
+    shutil.rmtree(path, ignore_errors=True)
+    write_jsonl(docs, path)
+    with open(os.path.join(path, "part-99999-planted.json"), "w") as f:
+        f.write('{"doc_id": 1, "text": "truncated\n')  # unclosed object
+        f.write("not json at all\n")  # bare text
+        f.write('{"doc_id": "NaN-ish", "text": "typed wrong"}\n')
+    back = read_jsonl(spark, path, docs)
+    return back.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(F.col(CORRUPT_COL)).alias("n_quarantined"),
+        F.sum(
+            F.when(
+                F.col(CORRUPT_COL).isNotNull() & F.col("doc_id").isNull(), 1
+            ).otherwise(0)
+        ).alias("n_null_doc"),
+    )
+
+
+O_JSONL_QUARANTINE = """
+SELECT count(*) + 3 AS n_rows,
+       CAST(3 AS BIGINT) AS n_quarantined,
+       CAST(3 AS BIGINT) AS n_null_doc
+FROM documents
+"""
+
+
 QUERIES = {
+    "q_jsonl_roundtrip": q_jsonl_roundtrip,
+    "q_jsonl_quarantine": q_jsonl_quarantine,
     "q_dedup_exact": q_dedup_exact,
     "q_dup_spans": q_dup_spans,
     "q_text_stats": q_text_stats,
@@ -748,6 +822,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_jsonl_roundtrip": O_JSONL_ROUNDTRIP,
+    "q_jsonl_quarantine": O_JSONL_QUARANTINE,
     "q_dedup_exact": O_DEDUP_EXACT,
     "q_dup_spans": _o_dup_spans(),
     "q_text_stats": O_TEXT_STATS,
