@@ -810,7 +810,65 @@ LIMIT 100
 """
 
 
+# --- q_bucketed_join: shuffle-free big-big join via co-located
+#     bucketed tables ---
+# The 100 TB fact-fact join strategy that broadcast can't cover: both
+# sides are persisted bucketed by their join key (hash(key) % 8 on
+# disk, sorted within buckets), so the sort-merge join reads
+# co-located buckets with ZERO exchange and zero sort — the plan
+# assertion lives in tests/test_bucketed.py; this query verifies the
+# RESULT equals the plain join (bucketing must be invisible in the
+# answer). A per-order line summary joined against order metadata —
+# exactly the repeated big-big shape you'd pre-bucket for.
+
+def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from mora_spark.operators.bucketed import save_bucketed
+    from mora_spark.queries.store import scratch_dir
+
+    root = scratch_dir("bucketed_join", sf_dir)
+    shutil.rmtree(root, ignore_errors=True)
+    l = save_bucketed(
+        _t(spark, sf_dir, "lineitem"),
+        "bj_lineitem",
+        f"{root}/lineitem",
+        ["l_orderkey"],
+        n_buckets=8,
+        sort_cols=["l_orderkey"],
+    )
+    o = save_bucketed(
+        _t(spark, sf_dir, "orders"),
+        "bj_orders",
+        f"{root}/orders",
+        ["o_orderkey"],
+        n_buckets=8,
+        sort_cols=["o_orderkey"],
+    )
+    j = l.join(o, l.l_orderkey == o.o_orderkey)
+    return j.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                "decimal(38,10)"
+            )
+        )
+        .cast("double")
+        .alias("revenue"),
+    )
+
+
+O_BUCKETED_JOIN = """
+SELECT o_orderpriority, count(*) AS n_lines,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                AS DECIMAL(38,10))) AS DOUBLE) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+"""
+
+
 QUERIES = {
+    "q_bucketed_join": q_bucketed_join,
     "q_tpch_q4": q_tpch_q4,
     "q_tpch_q7": q_tpch_q7,
     "q_tpch_q8": q_tpch_q8,
@@ -830,6 +888,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_bucketed_join": O_BUCKETED_JOIN,
     "q_tpch_q4": O_TPCH_Q4,
     "q_tpch_q5": O_TPCH_Q5,
     "q_tpch_q9": O_TPCH_Q9,
