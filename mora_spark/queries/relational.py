@@ -649,6 +649,104 @@ GROUP BY event_type, CAST(floor(value / 50.0) * 50.0 AS DOUBLE)
 """
 
 
+# --- q_drift_psi: distribution-drift monitor between two periods ---
+# The data-quality gate a continuously-ingesting training pipeline
+# runs before trusting a new slice: per event_type, the Population
+# Stability Index of the value distribution between period A (first
+# half of the corpus by ts) and period B, over the same fixed-width
+# bins as q_value_histogram. PSI = sum over common bins of
+# (pa - pb) * ln(pa / pb); one-sided bins (mass in only one period)
+# are reported as counts instead of epsilon-clamped into the sum, so
+# the statistic stays exactly engine-reproducible. Each term is
+# rounded through decimal(38,10) before summation so the total is
+# independent of partition/summation order. Scale shape: one
+# map-side-combined count agg keyed (type, period, bin) — bounded
+# distinct keys whatever the corpus — a 10-row totals join, and a
+# bin-level full outer; nothing grows with row count after the scan.
+
+DRIFT_SPLIT = "2024-01-16 00:00:00"
+
+
+def q_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    p = F.when(
+        F.col("ts") < F.lit(DRIFT_SPLIT).cast("timestamp"), "a"
+    ).otherwise("b")
+    bin_c = (F.floor(F.col("value") / 50.0) * 50.0).cast("double")
+    c = e.groupBy(
+        "event_type", p.alias("p"), bin_c.alias("bin")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    t = c.groupBy("event_type", "p").agg(F.sum("n").alias("tot"))
+    s = c.join(F.broadcast(t), ["event_type", "p"]).withColumn(
+        "share", F.col("n").cast("double") / F.col("tot")
+    )
+    a = s.where(F.col("p") == "a").select(
+        "event_type", "bin", F.col("share").alias("sa")
+    )
+    b = s.where(F.col("p") == "b").select(
+        F.col("event_type").alias("event_type_b"),
+        F.col("bin").alias("bin_b"),
+        F.col("share").alias("sb"),
+    )
+    j = a.join(
+        b,
+        (F.col("event_type") == F.col("event_type_b"))
+        & (F.col("bin") == F.col("bin_b")),
+        "full_outer",
+    ).select(
+        F.coalesce("event_type", "event_type_b").alias("event_type"),
+        "sa",
+        "sb",
+    )
+    both = F.col("sa").isNotNull() & F.col("sb").isNotNull()
+    term = (F.col("sa") - F.col("sb")) * F.log(F.col("sa") / F.col("sb"))
+    return j.groupBy("event_type").agg(
+        F.sum(F.when(both, term.cast("decimal(38,10)")))
+        .cast("double")
+        .alias("psi"),
+        F.sum(F.when(both, 1).otherwise(0)).alias("n_bins_common"),
+        F.sum(F.when(F.col("sb").isNull(), 1).otherwise(0)).alias(
+            "n_bins_a_only"
+        ),
+        F.sum(F.when(F.col("sa").isNull(), 1).otherwise(0)).alias(
+            "n_bins_b_only"
+        ),
+    )
+
+
+O_DRIFT_PSI = f"""
+WITH c AS (
+  SELECT event_type,
+         CASE WHEN ts < TIMESTAMP '{DRIFT_SPLIT}' THEN 'a' ELSE 'b' END AS p,
+         CAST(floor(value / 50.0) * 50.0 AS DOUBLE) AS bin,
+         count(*) AS n
+  FROM events GROUP BY 1, 2, 3
+), t AS (
+  SELECT event_type, p, sum(n) AS tot FROM c GROUP BY 1, 2
+), s AS (
+  SELECT c.event_type, c.p, c.bin, CAST(c.n AS DOUBLE) / t.tot AS share
+  FROM c JOIN t USING (event_type, p)
+), a AS (SELECT event_type, bin, share AS sa FROM s WHERE p = 'a'),
+   b AS (SELECT event_type, bin, share AS sb FROM s WHERE p = 'b'),
+   j AS (
+  SELECT coalesce(a.event_type, b.event_type) AS event_type, sa, sb
+  FROM a FULL OUTER JOIN b
+    ON a.event_type = b.event_type AND a.bin = b.bin
+)
+SELECT event_type,
+  CAST(sum(CASE WHEN sa IS NOT NULL AND sb IS NOT NULL
+       THEN CAST((sa - sb) * ln(sa / sb) AS DECIMAL(38,10)) END)
+       AS DOUBLE) AS psi,
+  CAST(sum(CASE WHEN sa IS NOT NULL AND sb IS NOT NULL THEN 1 ELSE 0 END)
+       AS BIGINT) AS n_bins_common,
+  CAST(sum(CASE WHEN sb IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_bins_a_only,
+  CAST(sum(CASE WHEN sa IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_bins_b_only
+FROM j GROUP BY event_type
+"""
+
+
 # --- q_data_profile: per-column completeness/cardinality profile ---
 # The first pass of any training-data pipeline: null counts + exact
 # distinct counts per column in ONE aggregation job (sketch twins in
@@ -1142,6 +1240,7 @@ QUERIES = {
     "q_interval_join": q_interval_join,
     "q_json_props": q_json_props,
     "q_approx_profile": q_approx_profile,
+    "q_drift_psi": q_drift_psi,
     "q_pivot_daily": q_pivot_daily,
     "q_value_histogram": q_value_histogram,
     "q_data_profile": q_data_profile,
@@ -1174,6 +1273,7 @@ ORACLES = {
     "q_interval_join": O_INTERVAL_JOIN,
     "q_json_props": O_JSON_PROPS,
     "q_approx_profile": O_APPROX_PROFILE,
+    "q_drift_psi": O_DRIFT_PSI,
     "q_pivot_daily": O_PIVOT_DAILY,
     "q_value_histogram": O_VALUE_HISTOGRAM,
     "q_data_profile": O_DATA_PROFILE,
