@@ -113,6 +113,71 @@ GROUP BY event_type
 """
 
 
+def q_stream_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming JSONL corpus ingest with mid-stream quarantine: the
+    documents table replayed as JSONL shard micro-batches, one shard
+    carrying PLANTED malformed lines. The stream must survive (bad
+    lines land in _corrupt_record, good rows keep their columns) and
+    the parquet-sunk result must reconcile exactly with the batch
+    table + the planting arithmetic. Same schema contract as the batch
+    reader (q_jsonl_roundtrip), so backfill and live ingest share
+    their downstream logic verbatim."""
+    from mora_spark.sources.jsonl import (
+        CORRUPT_COL,
+        read_jsonl_stream,
+        write_jsonl,
+    )
+
+    work = _work("stream_jsonl", sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    src = os.path.join(work, "src")
+    write_jsonl(docs.repartition(4, "doc_id"), src)
+    # Shard mtimes define replay order; the planted-bad shard arrives
+    # mid-stream (not first, not last) to prove recovery, not luck.
+    parts = sorted(
+        n for n in os.listdir(src) if n.endswith(".json")
+    )
+    for i, n in enumerate(parts):
+        os.utime(os.path.join(src, n), (1_600_000_000 + i,) * 2)
+    bad = os.path.join(src, "part-mid-planted.json")
+    with open(bad, "w") as f:
+        f.write('{"doc_id": 7, "text": "truncated mid-write\n')
+        f.write("plain text, not a record\n")
+    os.utime(bad, (1_600_000_000 + len(parts) // 2, ) * 2)
+    out = os.path.join(work, "ingested")
+    ckpt = os.path.join(work, "ckpt_jsonl")
+    q = (
+        read_jsonl_stream(spark, src, docs)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    back = spark.read.parquet(out)
+    return back.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(F.col(CORRUPT_COL)).alias("n_quarantined"),
+        F.count_distinct(
+            F.when(F.col(CORRUPT_COL).isNull(), F.col("doc_id"))
+        ).alias("n_docs"),
+        F.sum(F.when(F.col(CORRUPT_COL).isNull(), F.col("n_chars"))).alias(
+            "sum_chars"
+        ),
+    )
+
+
+O_STREAM_JSONL = """
+SELECT count(*) + 2 AS n_rows,
+       CAST(2 AS BIGINT) AS n_quarantined,
+       count(DISTINCT doc_id) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM documents
+"""
+
+
 def q_stream_candles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming OHLCV aggregation (update mode + last-emission-wins)
     — must equal the batch candles derivation exactly."""
@@ -499,6 +564,7 @@ QUERIES = {
     "q_stream_dedup_increment": q_stream_dedup_increment,
     "q_stream_dedup_seeded": q_stream_dedup_seeded,
     "q_stream_wire": q_stream_wire,
+    "q_stream_jsonl": q_stream_jsonl,
     "q_stream_candles": q_stream_candles,
     "q_stream_store_merge": q_stream_store_merge,
     "q_stream_store_rollup": q_stream_store_rollup,
@@ -514,6 +580,7 @@ ORACLES = {
     "q_stream_dedup_increment": _o_stream_dedup_increment(),
     "q_stream_dedup_seeded": _o_stream_dedup_seeded(),
     "q_stream_wire": O_STREAM_WIRE,
+    "q_stream_jsonl": O_STREAM_JSONL,
     "q_stream_candles": O_STREAM_CANDLES,
     "q_stream_store_merge": O_STREAM_STORE_MERGE,
     "q_stream_store_rollup": O_STREAM_STORE_ROLLUP,

@@ -64,3 +64,31 @@ def read_jsonl(
         .option("columnNameOfCorruptRecord", CORRUPT_COL)
         .json(path)
     )
+
+
+def read_jsonl_stream(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | DataFrame,
+    max_files_per_trigger: int = 2,
+) -> DataFrame:
+    """Streaming twin of :func:`read_jsonl`: a file-stream over JSONL
+    shards under the same explicit schema + PERMISSIVE quarantine
+    contract (a continuously-ingesting curation pipeline must survive
+    malformed lines mid-stream, not die at batch 37 of a crawl). Same
+    record schema as the batch reader, so downstream logic is shared
+    verbatim between the backfill and the live path."""
+    if isinstance(schema, DataFrame):
+        schema = schema.schema
+    if CORRUPT_COL not in schema.fieldNames():
+        schema = T.StructType(
+            list(schema.fields)
+            + [T.StructField(CORRUPT_COL, T.StringType(), True)]
+        )
+    return (
+        spark.readStream.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", CORRUPT_COL)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .json(path)
+    )
