@@ -685,7 +685,10 @@ class CandleStore:
         raises :class:`VersionVacuumedError` instead of an opaque read
         error, while a vacuum that reclaimed only orphans (files a
         crashed writer published but never committed) leaves every
-        intact snapshot readable."""
+        intact snapshot readable. A version whose manifest is CORRUPT
+        is fenced individually (per-version marker, same typed error)
+        without advancing the horizon, so intact history around it
+        stays time-travelable."""
         at_version, pointers = self._log.current()
         live = {
             os.path.join(self.data_dir, e["path"])
@@ -753,12 +756,22 @@ class CandleStore:
         affected = [
             v for v, refs in old_refs.items() if refs & removed_paths
         ]
-        affected.extend(corrupt)
         if affected:
-            # Everything at or below the newest broken snapshot is
-            # fenced (a single scalar horizon — Delta-style); intact
-            # snapshots above it stay readable.
+            # Everything at or below the newest snapshot whose data
+            # files this run actually reclaimed is fenced (a single
+            # scalar horizon — Delta-style); intact snapshots above it
+            # stay readable.
             self._log.update_retention(vacuum_horizon=max(affected) + 1)
+        if corrupt:
+            # A corrupt manifest fences ONLY its own version — one
+            # per-version marker each, not the scalar horizon — so
+            # intact older snapshots whose data files are still
+            # present remain time-travelable (ADVICE r5: folding
+            # corrupt versions into the horizon over-fenced readable
+            # history below them).
+            self._log.update_retention(
+                **{f"fenced_{v:012d}": v for v in corrupt}
+            )
         return removed
 
     def expire_versions(
@@ -960,6 +973,8 @@ class CandleStore:
                 m = self._log.read_version(v)
             except (FileNotFoundError, VersionExpiredError):
                 continue  # expired between the listing and the read
+            except ValueError:
+                continue  # corrupt manifest — fenced by vacuum, not us
             rows.append(
                 (
                     v,
@@ -1077,6 +1092,13 @@ class CandleStore:
                     f"(horizon: version {horizon}); its data files may "
                     f"have been reclaimed. Time travel is bounded by "
                     f"vacuum, as in Delta retention."
+                )
+            if ret.get(f"fenced_{version:012d}"):
+                raise VersionVacuumedError(
+                    f"version {version} has a corrupt/unreadable "
+                    f"manifest and was fenced by vacuum; its snapshot "
+                    f"cannot be reconstructed (intact neighbors stay "
+                    f"readable)."
                 )
             entries = self._log.entries_at(version, keep=keep)
         else:

@@ -202,7 +202,10 @@ def train_ivf_centroids(
             if nrm > 0:
                 new[c] = np.round(v / nrm, 8)
         empty = [c for c in range(n_cells) if cnt[c] == 0]
-        if empty:
+        if empty and len(empty) < n_cells:
+            # (len(empty) == n_cells means an empty/degenerate training
+            # corpus assigned zero rows anywhere — keep the seed
+            # centroids instead of np.stack-ing zero occupied ones.)
             # Lloyd's never repopulates an empty cell on its own: its
             # centroid sits wherever the seed left it, and on a DRIFTED
             # corpus (every vector in one orthant, say) that means the

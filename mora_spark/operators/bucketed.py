@@ -50,11 +50,38 @@ def save_bucketed(
     return spark.table(name)
 
 
+def _walk_plan(node, out: list[str]) -> None:
+    cls = node.getClass().getSimpleName()
+    out.append(cls)
+    if cls == "AdaptiveSparkPlanExec":
+        # AQE root is a leaf node wrapping the current physical plan;
+        # walking it (not the initial plan string) is what keeps this
+        # count honest after runtime re-planning.
+        _walk_plan(node.executedPlan(), out)
+        return
+    if cls.endswith("QueryStageExec"):
+        # Materialized AQE stages wrap their shuffle/broadcast in
+        # .plan(); children() is empty (they are leaves).
+        _walk_plan(node.plan(), out)
+        return
+    if cls == "ReusedExchangeExec":
+        # Reuses the output of an exchange counted at its original
+        # site — no additional shuffle happens here.
+        return
+    ch = node.children()
+    for i in range(ch.length()):
+        _walk_plan(ch.apply(i), out)
+
+
 def exchanges_in_plan(df: DataFrame) -> int:
     """Number of SHUFFLE Exchange operators in the executed plan — the
     evidence surface for co-located joins (0 expected between two
-    same-spec bucketed scans). BroadcastExchange is not a shuffle and
-    is excluded (a broadcast moves one small side once; the shuffle a
-    bucketed layout eliminates repartitions BOTH sides)."""
-    plan = df._jdf.queryExecution().executedPlan().toString()
-    return plan.count("Exchange") - plan.count("BroadcastExchange")
+    same-spec bucketed scans). Counts ``ShuffleExchangeExec`` plan
+    NODES via a tree walk (not substring matching, which would
+    miscount ReusedExchange and, under AQE, the retained initial-plan
+    section of the plan string). BroadcastExchange is not a shuffle
+    and is excluded (a broadcast moves one small side once; the
+    shuffle a bucketed layout eliminates repartitions BOTH sides)."""
+    nodes: list[str] = []
+    _walk_plan(df._jdf.queryExecution().executedPlan(), nodes)
+    return sum(1 for c in nodes if c == "ShuffleExchangeExec")

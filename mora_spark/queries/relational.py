@@ -9,6 +9,8 @@ broadcast.
 
 from __future__ import annotations
 
+import operator
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
@@ -562,9 +564,16 @@ def q_approx_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.first("n").alias("n"),
             *[
                 F.sum(
-                    F.when(F.col("value") <= F.col(a), 1).otherwise(0)
+                    F.when(cmp(F.col("value"), F.col(a)), 1).otherwise(0)
                 ).alias(c)
-                for a, c in [("a50", "c50"), ("a95", "c95"), ("a99", "c99")]
+                for a, c, cmp in [
+                    ("a50", "lt50", operator.lt),
+                    ("a95", "lt95", operator.lt),
+                    ("a99", "lt99", operator.lt),
+                    ("a50", "le50", operator.le),
+                    ("a95", "le95", operator.le),
+                    ("a99", "le99", operator.le),
+                ]
             ],
         )
     )
@@ -574,16 +583,23 @@ def q_approx_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     band = F.greatest(F.lit(0.005), F.lit(2.0) / F.col("n"))
 
-    def pct_ok(c: str, p: float):  # CDF position of the sketch value
-        return F.abs(F.col(c) / F.col("n") - F.lit(p)) <= band
+    def pct_ok(lt: str, le: str, p: float):
+        # The sketch value occupies the RANK INTERVAL
+        # [count(value < v), count(value <= v)] / n in the empirical
+        # CDF; pass if that interval overlaps [p-band, p+band]. Tie-
+        # robust: a mass of rows tied exactly at v widens the interval
+        # instead of flipping the verdict (ADVICE r5).
+        return (F.col(lt) / F.col("n") <= F.lit(p) + band) & (
+            F.col(le) / F.col("n") >= F.lit(p) - band
+        )
 
     return cdf.select(
         "event_type",
         "exact_users",
         users_ok.alias("users_ok"),
-        pct_ok("c50", 0.5).alias("p50_ok"),
-        pct_ok("c95", 0.95).alias("p95_ok"),
-        pct_ok("c99", 0.99).alias("p99_ok"),
+        pct_ok("lt50", "le50", 0.5).alias("p50_ok"),
+        pct_ok("lt95", "le95", 0.95).alias("p95_ok"),
+        pct_ok("lt99", "le99", 0.99).alias("p99_ok"),
     )
 
 

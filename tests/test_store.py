@@ -549,6 +549,33 @@ def test_vacuum_fences_corrupt_manifest_instead_of_failing(spark, store):
     store.vacuum(older_than_s=0)
 
 
+def test_corrupt_manifest_fences_only_itself(spark, store):
+    """A corrupt manifest must fence ONLY its own version: intact
+    snapshots BELOW it whose data files are still present remain
+    time-travelable (the fence is a per-version marker, not the scalar
+    vacuum horizon — ADVICE r5)."""
+    from mora_spark.engine.store import VersionVacuumedError
+
+    # Disjoint codes: every version's pages stay live in the tip, so
+    # vacuum reclaims nothing and the horizon must not move.
+    store.write(mk(spark, [("BTC", dt.datetime(2021, 1, 1), 1.0)]))
+    store.write(mk(spark, [("ETH", dt.datetime(2021, 1, 1), 2.0)]))
+    store.write(mk(spark, [("SOL", dt.datetime(2021, 1, 1), 3.0)]))
+    with open(store._log._vpath(2), "w") as f:
+        f.write('{"truncated mid-write')
+    store.vacuum(older_than_s=0)
+    with pytest.raises(VersionVacuumedError, match="corrupt"):
+        store.read(version=2)
+    # v1 (below the corrupt version) and v3 both stay readable.
+    assert [r["open"] for r in store.read(version=1).collect()] == [1.0]
+    assert store.read(version=3).count() == 3
+    assert store._log.retention().get("vacuum_horizon", 0) == 0
+    # history() skips the fenced version instead of crashing.
+    assert sorted(
+        r["version"] for r in store.history().collect()
+    ) == [1, 3]
+
+
 def test_vacuum_of_orphans_only_keeps_time_travel(spark, store):
     """A vacuum that reclaims only ORPHANS (files a crashed writer
     published but never committed) must NOT advance the horizon:
