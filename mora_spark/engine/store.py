@@ -469,11 +469,51 @@ class _TxnLog:
 
 
 class CandleStore:
-    def __init__(self, spark: SparkSession, path: str):
+    def __init__(self, spark: SparkSession, path: str, n_buckets: int = 0):
+        """``n_buckets > 0`` lays every data file out Hive-BUCKETED by
+        ``hash(ts) % n_buckets`` within each partition dir (the only
+        candle data column — market/length/code/year are partition
+        dirs). The payoff is :meth:`bucketed_view`: store-store joins
+        on the candle key run with ZERO shuffle exchange, paid for by
+        one extra hash-shuffle of each INGEST batch (batch-sized, not
+        corpus-sized). The spec is persisted at first write and
+        re-adopted on reopen; flipping it on an existing store would
+        mix layouts and is refused."""
         self.spark = spark
         self.path = _local(path)
         self.data_dir = os.path.join(self.path, "data")
         self._log = _TxnLog(self.path)
+        self._spec_path = os.path.join(self.path, "_bucket_spec.json")
+        persisted = self._read_bucket_spec()
+        if persisted:
+            if n_buckets and n_buckets != persisted:
+                raise ValueError(
+                    f"store at {self.path} is bucketed into {persisted}; "
+                    f"cannot reopen with n_buckets={n_buckets}"
+                )
+            n_buckets = persisted
+        elif n_buckets and self._exists():
+            raise ValueError(
+                f"store at {self.path} already holds unbucketed data; "
+                f"bucketing cannot be enabled retroactively (rewrite "
+                f"into a new store instead)"
+            )
+        self.n_buckets = n_buckets
+
+    def _read_bucket_spec(self) -> int:
+        try:
+            with open(self._spec_path) as f:
+                return int(json.load(f).get("n_buckets", 0))
+        except FileNotFoundError:
+            return 0
+
+    def _persist_bucket_spec(self) -> None:
+        if self.n_buckets and not os.path.exists(self._spec_path):
+            os.makedirs(self.path, exist_ok=True)
+            tmp = self._spec_path + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump({"n_buckets": self.n_buckets, "col": "ts"}, f)
+            os.replace(tmp, self._spec_path)
 
     # -- helpers -----------------------------------------------------
 
@@ -549,14 +589,42 @@ class CandleStore:
         then move the files into the live tree under txn-unique names.
         The moved files stay invisible until a manifest lists them."""
         staging = os.path.join(self.path, "_staging", txn)
-        writer = (
-            df.sortWithinPartitions(*CANDLE_PARTITIONS, "ts")
-            .write.partitionBy(*CANDLE_PARTITIONS)
-            .mode("overwrite")
-        )
-        if max_records_per_file:
-            writer = writer.option("maxRecordsPerFile", max_records_per_file)
-        writer.parquet(staging)
+        if self.n_buckets:
+            # Bucketed layout: saveAsTable is the only write path that
+            # emits Spark's bucket-id file naming (part-...._NNNNN....),
+            # which is what bucketed_view() later re-exposes to the
+            # planner. The catalog entry is a throwaway; the files are
+            # what we keep (explicit path => EXTERNAL => DROP keeps
+            # them). sortBy orders each bucket by ts, preserving the
+            # reference's sorted-page locality (page/page.go:65).
+            self._persist_bucket_spec()
+            tmp = f"__mora_stage_{txn}"
+            writer = (
+                df.write.partitionBy(*CANDLE_PARTITIONS)
+                .bucketBy(self.n_buckets, "ts")
+                .sortBy("ts")
+                .mode("overwrite")
+                .option("path", staging)
+            )
+            if max_records_per_file:
+                writer = writer.option(
+                    "maxRecordsPerFile", max_records_per_file
+                )
+            try:
+                writer.saveAsTable(tmp)
+            finally:
+                self.spark.sql(f"DROP TABLE IF EXISTS {tmp}")
+        else:
+            writer = (
+                df.sortWithinPartitions(*CANDLE_PARTITIONS, "ts")
+                .write.partitionBy(*CANDLE_PARTITIONS)
+                .mode("overwrite")
+            )
+            if max_records_per_file:
+                writer = writer.option(
+                    "maxRecordsPerFile", max_records_per_file
+                )
+            writer.parquet(staging)
         entries: list[dict] = []
         for dirpath, _, names in os.walk(staging):
             for name in names:
@@ -962,6 +1030,63 @@ class CandleStore:
         self.write(resample(affected, target_length_s, anchor_s=anchor_s))
 
     # -- read path ---------------------------------------------------
+
+    def bucketed_view(self, name: str) -> DataFrame:
+        """Expose the CURRENT snapshot as a catalog-registered bucketed
+        table so store-store joins plan with ZERO shuffle exchange.
+
+        The manifest's live files are HARDLINKED (metadata-only; the
+        inodes survive a racing vacuum) into a per-version view dir,
+        preserving the Hive partition layout and the bucket-id file
+        names the staged write produced; an external ``CLUSTERED BY
+        (ts) INTO n BUCKETS`` table over that dir then carries
+        ``hash(ts) % n`` into the planner, which is what a raw parquet
+        read of the same files cannot do (the spec lives in the
+        catalog). Two stores built with the same ``n_buckets`` join
+        bucket-to-bucket — the 100 TB multi-feed enrichment (trades x
+        quotes x marks) never shuffles either fact side. The catalog
+        entry is session-local and rebuilt per call; the cost is one
+        link(2) per live file."""
+        if not self.n_buckets:
+            raise ValueError(
+                "bucketed_view requires a store created with n_buckets"
+            )
+        version, pointers = self._log.current()
+        views_root = os.path.join(self.path, "_views")
+        view_dir = os.path.join(views_root, f"{name}-v{version}")
+        # Older versions' view dirs for this name are dead weight.
+        if os.path.isdir(views_root):
+            for d in os.listdir(views_root):
+                if d.startswith(f"{name}-v"):
+                    shutil.rmtree(
+                        os.path.join(views_root, d), ignore_errors=True
+                    )
+        for e in self._entries_for(pointers):
+            src = os.path.join(self.data_dir, e["path"])
+            dst = os.path.join(view_dir, e["path"])
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            try:
+                os.link(src, dst)
+            except OSError:
+                shutil.copy2(src, dst)  # cross-device fallback
+        data_cols = ", ".join(
+            f"{f.name} {f.dataType.simpleString()}"
+            for f in CANDLE_SCHEMA.fields
+            if f.name not in CANDLE_PARTITIONS
+        )
+        # Partition columns (year is derived, not in CANDLE_SCHEMA).
+        part_cols = "market string, candle_length int, code string, year int"
+        self.spark.sql(f"DROP TABLE IF EXISTS {name}")
+        self.spark.sql(
+            f"CREATE TABLE {name} ({data_cols}, {part_cols}) "
+            f"USING parquet "
+            f"PARTITIONED BY (market, candle_length, code, year) "
+            f"CLUSTERED BY (ts) SORTED BY (ts) "
+            f"INTO {self.n_buckets} BUCKETS "
+            f"LOCATION '{view_dir}'"
+        )
+        self.spark.sql(f"MSCK REPAIR TABLE {name}")
+        return self.spark.table(name)
 
     def history(self) -> DataFrame:
         """The commit log as a table: one row per committed version with

@@ -264,8 +264,61 @@ GROUP BY market, code, bucket_ts
 )
 
 
+def q_store_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-shuffle store-store join via store-level bucketing.
+
+    Two persistent stores are built with the same ``n_buckets`` spec
+    (every data file hash(ts)%8-bucketed within its partition dir — the
+    write-path extension of ``save_bucketed``'s layout): a trade-bar
+    store and a sparser mark-price feed (even minutes only, restated
+    close). ``bucketed_view`` re-exposes the on-disk partitioning to
+    the planner, so the enrichment join on the full candle key plans
+    with no exchange on either fact side — the plan assertion lives in
+    ``tests/test_store_bucketed.py``; THIS query verifies bucketing is
+    invisible in the answer (join result == the plain relational
+    semantics the oracle states)."""
+    path_a = scratch_dir("store_bjoin_a", sf_dir)
+    path_b = scratch_dir("store_bjoin_b", sf_dir)
+    for p in (path_a, path_b):
+        shutil.rmtree(p, ignore_errors=True)
+    a = CandleStore(spark, path_a, n_buckets=8)
+    b = CandleStore(spark, path_b, n_buckets=8)
+
+    candles = candles_from_events(load_table(spark, sf_dir, "events"))
+    a.write(candles)
+    marks = (
+        candles.where(F.minute("ts") % 2 == 0)
+        .withColumn("close", F.col("close") * 1.01)
+        .withColumn("volume", F.col("volume") * 0.5)
+    )
+    b.write(marks)
+
+    key = ["market", "code", "candle_length", "ts"]
+    va = a.bucketed_view("sbj_trades")
+    vb = b.bucketed_view("sbj_marks")
+    return va.join(vb, key).select(
+        *key,
+        va["close"].alias("trade_close"),
+        vb["close"].alias("mark_close"),
+        (vb["close"] - va["close"]).alias("basis"),
+    )
+
+
+O_STORE_BUCKETED_JOIN = candles_sql(
+    """
+SELECT market, code, candle_length, ts,
+       close AS trade_close,
+       close * 1.01 AS mark_close,
+       close * 1.01 - close AS basis
+FROM candles
+WHERE minute(ts) % 2 = 0
+"""
+)
+
+
 QUERIES = {
     "q_store_roundtrip": q_store_roundtrip,
+    "q_store_bucketed_join": q_store_bucketed_join,
     "q_store_rollup": q_store_rollup,
     "q_store_append": q_store_append,
     "q_store_maintenance": q_store_maintenance,
@@ -273,6 +326,7 @@ QUERIES = {
 }
 ORACLES = {
     "q_store_roundtrip": O_STORE_ROUNDTRIP,
+    "q_store_bucketed_join": O_STORE_BUCKETED_JOIN,
     "q_store_rollup": O_STORE_ROLLUP,
     "q_store_append": O_STORE_APPEND,
     "q_store_maintenance": O_STORE_MAINTENANCE,

@@ -47,6 +47,14 @@ def get_spark(
         "spark.sql.adaptive.skewJoin.enabled": "true",
         # Arrow makes pandas UDF exchange columnar (10-100x vs pickling).
         "spark.sql.execution.arrow.pyspark.enabled": "true",
+        # Let a hash partitioning on a SUBSET of the join keys count as
+        # co-partitioned (rows equal on the full key are equal on the
+        # subset, so they land in the same bucket). The store's
+        # ts-bucketed layout (CandleStore n_buckets) relies on this:
+        # store-store joins key on (market, code, candle_length, ts)
+        # while the on-disk buckets hash ts alone — the only candle
+        # data column, since the rest are partition dirs.
+        "spark.sql.requireAllClusterKeysForCoPartition": "false",
         # Parquet pushdown is the analogue of the reference's page day
         # index (page/index.go:11-17): row-group min/max skipping on ts.
         "spark.sql.parquet.filterPushdown": "true",
