@@ -442,19 +442,19 @@ pairs AS (
 )"""
 
 
-def _o_stream_dedup(
+def _kept_ctes(
     n: int,
-    t: float,
     member: "callable",
     seed_sql: str | None = None,
-) -> str:
-    """Unrolled replay of the streaming drop rule. ``member(x, k)`` is
-    a SQL predicate placing column ``x`` in micro-batch ``k``;
-    ``seed_sql`` (optional) selects the doc_ids of a standing corpus
-    the stream was seeded with — always "previously kept", exactly the
-    sink's batch "-1". kept_k excludes docs pairing with an earlier
-    kept doc (either orientation) or an earlier same-batch doc;
-    emitted rows mirror the engine's (doc_id, dup_id, jaccard, src)."""
+) -> tuple[list[str], list[str]]:
+    """Shared unrolled replay of the streaming greedy drop rule:
+    returns (kept CTEs, emitted-corpus-pair selects) for ``n``
+    micro-batches. ``member(x, k)`` is a SQL predicate placing column
+    ``x`` in micro-batch ``k``; ``seed_sql`` (optional) selects the
+    doc_ids of a standing corpus the stream was seeded with — always
+    "previously kept", exactly the sink's batch "-1". kept_k excludes
+    docs pairing with an earlier kept doc (either orientation) or an
+    earlier same-batch doc."""
     kept_ctes, emits = [], []
     for k in range(n):
         prevs = ([seed_sql] if seed_sql else []) + [
@@ -487,6 +487,18 @@ FROM pairs p JOIN prev_{k} u ON p.da = u.doc_id WHERE {member("p.db", k)}
 UNION ALL
 SELECT p.da, p.db, p.jaccard, 'corpus'
 FROM pairs p JOIN prev_{k} u ON p.db = u.doc_id WHERE {member("p.da", k)}""")
+    return kept_ctes, emits
+
+
+def _o_stream_dedup(
+    n: int,
+    t: float,
+    member: "callable",
+    seed_sql: str | None = None,
+) -> str:
+    """Replay oracle for the PAIR output of the streaming dedup sink:
+    emitted rows mirror the engine's (doc_id, dup_id, jaccard, src)."""
+    kept_ctes, emits = _kept_ctes(n, member, seed_sql)
     same_batch = " OR ".join(
         f"({member('p.da', k)} AND {member('p.db', k)})" for k in range(n)
     )
@@ -498,6 +510,25 @@ WITH {_pairs_prefix_sql(t)},{",".join(kept_ctes)}
 {intra}
 {"".join("UNION ALL" + e for e in emits)}
 """
+
+
+def _o_stream_kept(
+    n: int,
+    t: float,
+    member: "callable",
+    seed_sql: str | None = None,
+    extra_ctes: str = "",
+) -> str:
+    """Replay oracle for the KEPT set of the streaming dedup sink (the
+    curated corpus: union of every batch's survivors). ``extra_ctes``
+    are injected after the pairs prefix so ``member`` may reference
+    them (e.g. a quality/language gate)."""
+    kept_ctes, _ = _kept_ctes(n, member, seed_sql)
+    union = " UNION ALL ".join(
+        f"SELECT doc_id FROM kept_{k}" for k in range(n)
+    )
+    extra = ("," + extra_ctes) if extra_ctes else ""
+    return f"WITH {_pairs_prefix_sql(t)}{extra},{','.join(kept_ctes)} {union}"
 
 
 def _o_stream_dedup_increment(
@@ -559,7 +590,115 @@ def _o_stream_dedup_seeded(
     )
 
 
+# --- q_corpus_pipeline_jsonl: the crawl-shaped pipeline, end-to-end ---
+# The flagship composition: JSONL shards (one planted-bad shard
+# mid-stream) -> PERMISSIVE quarantine -> language/quality/token gates
+# -> incremental LSH dedup against the growing index of earlier kept
+# docs -> batch-atomic curated appends -> packed training shards. Each
+# stage is an operator already driver-verified alone (q_stream_jsonl,
+# q_quality_rules/q_lang_id, q_stream_dedup_increment,
+# q_pack_sequences); this query checks their COMPOSITION in one
+# streaming job, replayed in DuckDB as gate-CTEs + the unrolled greedy
+# kept-set + the prefix-sum packing.
+
+_PIPE_BATCHES = 4
+_PIPE_T = 0.8
+
+
+def q_corpus_pipeline_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mora_spark.functions.text import lang_guess, quality_score, tokens
+    from mora_spark.llm.curation import pack_sequences
+    from mora_spark.queries.curation import PACK_BUDGET
+    from mora_spark.sources.jsonl import write_jsonl
+    from mora_spark.streaming.pipeline import stream_curate_jsonl
+
+    work = _work("corpus_pipeline", sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    src = os.path.join(work, "src")
+    os.makedirs(src, exist_ok=True)
+    # Shard k = docs with doc_id % 4 == k; mtimes define replay order
+    # (maxFilesPerTrigger=1 -> one shard per micro-batch).
+    for k in range(_PIPE_BATCHES):
+        tmp = os.path.join(work, f"_shard_{k}")
+        write_jsonl(
+            docs.where(F.col("doc_id") % _PIPE_BATCHES == k), tmp, n_files=1
+        )
+        part = next(n for n in os.listdir(tmp) if n.endswith(".json"))
+        dst = os.path.join(src, f"shard-{k}.json")
+        os.replace(os.path.join(tmp, part), dst)
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.utime(dst, (1_600_000_000 + 2 * k,) * 2)
+    # The planted-bad shard arrives mid-stream (between shards 1 and
+    # 2): both lines must quarantine without killing the job or
+    # perturbing the kept set.
+    bad = os.path.join(src, "shard-planted-bad.json")
+    with open(bad, "w") as f:
+        f.write('{"doc_id": 999999, "text": "truncated mid-wri\n')
+        f.write("plain text, not a record\n")
+    os.utime(bad, (1_600_000_000 + 3,) * 2)
+
+    def gate(df: DataFrame) -> DataFrame:
+        toks = tokens("text")
+        return df.where(
+            (lang_guess(toks) == "en")
+            & (quality_score(toks) >= 0.5)
+            & (F.size(toks) >= 20)
+        )
+
+    curated, n_quar = stream_curate_jsonl(
+        spark, src, work, docs, threshold=_PIPE_T, gate=gate
+    )
+    return pack_sequences(curated, budget=PACK_BUDGET).withColumn(
+        "n_quarantined", F.lit(n_quar).cast("long")
+    )
+
+
+def _o_corpus_pipeline(n: int = _PIPE_BATCHES, t: float = _PIPE_T) -> str:
+    from mora_spark.queries.curation import PACK_BUDGET
+    from mora_spark.queries.text import O_TEXT_STATS, TOKS_SQL, _o_lang_id
+
+    gated = f"""gated AS (
+  SELECT d.doc_id FROM documents d
+  JOIN (SELECT doc_id, lang_guess FROM ({_o_lang_id()})) l USING (doc_id)
+  JOIN (SELECT doc_id, quality, n_tokens FROM ({O_TEXT_STATS})) q
+    USING (doc_id)
+  WHERE lang_guess = 'en' AND quality >= 0.5 AND n_tokens >= 20
+)"""
+    kept_sql = _o_stream_kept(
+        n,
+        t,
+        lambda x, k: (
+            f"({x} % {n} = {k} AND {x} IN (SELECT doc_id FROM gated))"
+        ),
+        extra_ctes=gated,
+    )
+    return f"""
+WITH kept AS ({kept_sql}),
+pt AS (
+  SELECT doc_id, len({TOKS_SQL})::BIGINT AS tok_len
+  FROM documents WHERE doc_id IN (SELECT doc_id FROM kept)
+),
+pc AS (
+  SELECT doc_id, tok_len,
+         CAST(sum(tok_len) OVER (ORDER BY doc_id
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+  FROM pt
+)
+SELECT doc_id, tok_len, cum_tokens,
+       CAST(floor((cum_tokens - tok_len) / {PACK_BUDGET}.0) AS BIGINT)
+         AS bin_first,
+       CAST(floor((cum_tokens - 1) / {PACK_BUDGET}.0) AS BIGINT)
+         AS bin_last,
+       CAST(floor((cum_tokens - 1) / {PACK_BUDGET}.0) AS BIGINT)
+         - CAST(floor((cum_tokens - tok_len) / {PACK_BUDGET}.0) AS BIGINT)
+         + 1 AS n_bins,
+       CAST(2 AS BIGINT) AS n_quarantined
+FROM pc
+"""
+
+
 QUERIES = {
+    "q_corpus_pipeline_jsonl": q_corpus_pipeline_jsonl,
     "q_stream_ingest": q_stream_ingest,
     "q_stream_dedup_increment": q_stream_dedup_increment,
     "q_stream_dedup_seeded": q_stream_dedup_seeded,
@@ -576,6 +715,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_corpus_pipeline_jsonl": _o_corpus_pipeline(),
     "q_stream_ingest": O_STREAM_INGEST,
     "q_stream_dedup_increment": _o_stream_dedup_increment(),
     "q_stream_dedup_seeded": _o_stream_dedup_seeded(),

@@ -1,0 +1,127 @@
+"""The crawl-shaped corpus pipeline as ONE streaming job.
+
+JSONL shards in → curated corpus out, composing the independently
+verified stages end-to-end per micro-batch:
+
+1. **Quarantine**: malformed lines land in ``_corrupt_record``
+   (PERMISSIVE JSONL contract, ``sources/jsonl.py``) and are diverted
+   to a quarantine table instead of killing the stream mid-crawl.
+2. **Gates**: caller-supplied row-local filters (language ID, quality
+   score, token floor — all scan-stage JVM HOFs).
+3. **Incremental LSH dedup**: the batch dedups against the persisted
+   index of earlier KEPT docs + itself (same greedy discipline and
+   idempotent ``batch_id=`` layout as
+   :func:`mora_spark.streaming.increment.stream_dedup_increment` —
+   exact dups are subsumed, jaccard(identical) = 1 ≥ any threshold).
+4. **Curated append**: survivors land batch-atomically in a
+   ``batch_id=``-partitioned curated table; downstream packing/
+   sharding runs over it (the query composes
+   :func:`mora_spark.llm.curation.pack_sequences`).
+
+Every per-batch write targets a deterministic ``batch_id=<n>`` subdir
+with mode=overwrite and the drop set is materialized against the
+PRE-append index, so a foreachBatch replay after a crash recomputes
+the same survivors and overwrites, never duplicates — the streaming
+analogue of the reference's WAL-before-apply + committed-only replay
+(``database/storage/wal/flusher.go:74-150``).
+
+At 100 TB: each stage is batch-sized, not corpus-sized. The index
+joins stay directory-pruned (``batch_id`` snapshot filter), the gates
+run in the scan stage, and nothing in the loop scans the accumulated
+corpus — per-batch cost tracks batch size as the curated set grows
+(the same flatness contract the continuous aggregate proves).
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def stream_curate_jsonl(
+    spark: SparkSession,
+    src: str,
+    work_dir: str,
+    template: DataFrame,
+    threshold: float = 0.8,
+    gate: Callable[[DataFrame], DataFrame] | None = None,
+) -> tuple[DataFrame, int]:
+    """Run the JSONL curation pipeline over ``src`` shards; returns
+    ``(curated_docs, n_quarantined)`` — the kept (doc_id, text) corpus
+    and the count of malformed lines diverted mid-stream."""
+    from mora_spark.llm.dedup import (
+        build_minhash_index,
+        dedup_increment,
+        load_minhash_index,
+        minhash_lsh_pairs,
+    )
+    from mora_spark.sources.jsonl import CORRUPT_COL, read_jsonl_stream
+    from mora_spark.streaming.ingest import _state_partitions
+
+    index_path = os.path.join(work_dir, "lsh_index")
+    curated_dir = os.path.join(work_dir, "curated")
+    quar_dir = os.path.join(work_dir, "quarantine")
+    ckpt = os.path.join(work_dir, "ckpt_pipeline")
+
+    def sink(batch: DataFrame, batch_id: int) -> None:
+        batch.where(F.col(CORRUPT_COL).isNotNull()).select(
+            CORRUPT_COL
+        ).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(quar_dir, f"batch_id={batch_id}")
+        )
+        good = batch.where(F.col(CORRUPT_COL).isNull())
+        if gate is not None:
+            good = gate(good)
+        good = good.select("doc_id", "text")
+        bands_b, groups_b = build_minhash_index(good)
+        groups_b.persist()
+        try:
+            parts = []
+            if os.path.isdir(os.path.join(index_path, "groups")):
+                bands, groups = load_minhash_index(spark, index_path)
+                # Snapshot filter: a replayed batch dedups against the
+                # index AS OF the batches before it (see increment.py).
+                bands = bands.where(F.col("batch_id") < batch_id)
+                groups = groups.where(F.col("batch_id") < batch_id)
+                parts.append(
+                    dedup_increment(
+                        good, bands, groups, threshold=threshold,
+                        prebuilt=(groups_b, bands_b), include_intra=False,
+                    )
+                )
+            dropped = minhash_lsh_pairs(
+                good, threshold=threshold, prebuilt=(groups_b, bands_b)
+            ).select(F.col("doc_b").alias("doc_id"))
+            for p in parts:
+                dropped = dropped.unionByName(p.select("doc_id"))
+            # Materialized against the PRE-append index: replay-safe.
+            dropped = dropped.distinct().localCheckpoint(eager=True)
+        finally:
+            groups_b.unpersist()
+        kept = good.join(dropped, "doc_id", "left_anti")
+        kept.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(curated_dir, f"batch_id={batch_id}")
+        )
+        b, g = build_minhash_index(kept)
+        b.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(index_path, "bands", f"batch_id={batch_id}")
+        )
+        g.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(index_path, "groups", f"batch_id={batch_id}")
+        )
+
+    stream = read_jsonl_stream(spark, src, template, max_files_per_trigger=1)
+    with _state_partitions(spark, 8):
+        q = (
+            stream.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    curated = spark.read.parquet(curated_dir).select("doc_id", "text")
+    n_quarantined = spark.read.parquet(quar_dir).count()
+    return curated, n_quarantined

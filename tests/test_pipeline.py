@@ -1,0 +1,104 @@
+"""End-to-end JSONL curation pipeline (streaming/pipeline.py): one
+streaming job composing quarantine -> gates -> incremental LSH dedup ->
+curated appends. The oracle replay lives in q_corpus_pipeline_jsonl;
+these tests pin the operational contracts: malformed lines divert
+without killing the stream, the kept set is gate-clean and pair-free,
+and a restart mid-corpus converges to the single-run result."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from mora_spark.datasets import load_table
+from mora_spark.functions.text import lang_guess, quality_score, tokens
+from mora_spark.sources.jsonl import write_jsonl
+from mora_spark.streaming.pipeline import stream_curate_jsonl
+
+THRESHOLD = 0.8
+
+
+def _gate(df):
+    toks = tokens("text")
+    return df.where(
+        (lang_guess(toks) == "en")
+        & (quality_score(toks) >= 0.5)
+        & (F.size(toks) >= 20)
+    )
+
+
+def _make_shards(docs, src, n=3, t0=1_600_000_000):
+    os.makedirs(src, exist_ok=True)
+    for k in range(n):
+        tmp = src + f"_tmp{k}"
+        write_jsonl(docs.where(F.col("doc_id") % n == k), tmp, n_files=1)
+        part = next(p for p in os.listdir(tmp) if p.endswith(".json"))
+        dst = os.path.join(src, f"shard-{k}.json")
+        os.replace(os.path.join(tmp, part), dst)
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.utime(dst, (t0 + 2 * k,) * 2)
+
+
+def test_pipeline_quarantines_gates_and_dedups(spark, sf_dir, tmp_path):
+    docs = load_table(spark, sf_dir, "documents")
+    src = str(tmp_path / "src")
+    _make_shards(docs, src)
+    bad = os.path.join(src, "shard-bad.json")
+    with open(bad, "w") as f:
+        f.write('{"doc_id": 1, "text": "truncated mid-wri\n')
+        f.write("not json at all\n")
+    os.utime(bad, (1_600_000_001,) * 2)  # mid-stream, after shard 0
+
+    curated, n_quar = stream_curate_jsonl(
+        spark, src, str(tmp_path / "work"), docs,
+        threshold=THRESHOLD, gate=_gate,
+    )
+    assert n_quar == 2
+    kept = curated.collect()
+    assert kept  # the gates keep a non-trivial corpus
+    # Every kept doc passes the gates (the quarantined fake doc_id=1
+    # line never leaked into the corpus as a row).
+    assert _gate(curated).count() == len(kept)
+    # Greedy dedup leaves a pair-free corpus: any surviving pair would
+    # mean its later member should have been dropped.
+    from mora_spark.llm.dedup import minhash_lsh_pairs
+
+    assert minhash_lsh_pairs(curated, threshold=THRESHOLD).count() == 0
+
+
+def test_pipeline_resume_equals_single_run(spark, sf_dir, tmp_path):
+    """Restart contract (the WAL-replay analogue): stop after 2 of 4
+    shards, resume on the same checkpoint + work dir once the rest
+    arrive — curated corpus and quarantine count equal the
+    uninterrupted run."""
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") < 120
+    )
+    full = str(tmp_path / "full")
+    _make_shards(docs, full, n=4)
+    grow = str(tmp_path / "grow")
+    os.makedirs(grow)
+    shards = sorted(os.listdir(full))
+    for s in shards[:2]:
+        shutil.copy2(os.path.join(full, s), os.path.join(grow, s))
+    work = str(tmp_path / "work")
+    first, _ = stream_curate_jsonl(
+        spark, grow, work, docs, threshold=THRESHOLD, gate=_gate
+    )
+    n_first = first.count()
+    for s in shards[2:]:
+        shutil.copy2(os.path.join(full, s), os.path.join(grow, s))
+    resumed, _ = stream_curate_jsonl(
+        spark, grow, work, docs, threshold=THRESHOLD, gate=_gate
+    )
+    ref, _ = stream_curate_jsonl(
+        spark, full, str(tmp_path / "work_ref"), docs,
+        threshold=THRESHOLD, gate=_gate,
+    )
+    got = sorted(r["doc_id"] for r in resumed.collect())
+    want = sorted(r["doc_id"] for r in ref.collect())
+    assert got == want
+    assert n_first < len(got)  # the resume actually added batches
