@@ -17,103 +17,99 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 # The driver's correctness gate verifies the FIRST 50 registry entries
 # only (round-1 evidence: CORRECTNESS_r01.json stops at entry 50 in
-# registry order). PRIORITY pins the window to maximize EVIDENCE GAIN
-# for round 5 (VERDICT r4 "Next round" #1/#2):
-# - ALL 26 queries with no r2+-era driver row: the 24 added after the
-#   r4 window froze (indicators, event analytics, continuous
-#   aggregates, SQ8/quantize/chunk/LM-score/dup-spans/cluster-best,
-#   full-outer, mtf, anchored resample) plus q_tpch_q13/q14 (r1-era
-#   rows only). After this window runs green, the driver-green union
-#   covers every declared query;
-# - q_ann_ivf_compact (NEW this round: IVF maintenance — one file per
-#   cell after N increments, imbalance-triggered retrain);
-# - q_approx_profile (first CHECKABLE verdict ever: its no_oracle row
-#   is replaced by a tolerance-banded oracle this round);
-# - 13 guards for code that CHANGED this round: q_skew_join (salted
-#   join rewritten around sampled hot-key detection), q_ema_12 (oracle
-#   rebuilt on the shared _ema_closed helper), q_ann_ivf/_index/_add
-#   (k-means empty-cell re-seeding), q_media_features/q_frame_sample
-#   (runtime-probed codec path), q_stream_store_merge (instrumented
-#   sink), q_store_maintenance/q_store_roundtrip/q_store_append/
-#   q_upsert_lww/q_range_scan (vacuum corrupt-manifest fencing in
-#   engine/store.py);
-# - 9 family re-greens so every machinery family keeps a current-era
-#   representative (candle scan, as-of, interval, LSH dedup + index
-#   increment + line dedup, streaming curation, percentile agg, SQL
-#   surface).
-# Displaced to make room: the r4-green TPC-H family (17 kin checked
-# last round, machinery unchanged), the vectors family's unchanged
-# members, text/curation canaries, resample, and 7 of 9 streaming
-# queries — each keeps its CORRECTNESS_r03/r04.json green row.
+# registry order). PRIORITY pins the round-6 window (VERDICT r5
+# "Next round" #1/#8):
+# - ALL 7 queries with no driver row ever: the 5 added after the r5
+#   window froze (q_jsonl_roundtrip, q_jsonl_quarantine,
+#   q_stream_jsonl, q_bucketed_join, q_drift_psi) + the 2 new this
+#   round (q_corpus_pipeline_jsonl — the end-to-end JSONL curation
+#   pipeline; q_store_bucketed_join — zero-shuffle store-store join).
+#   After this window runs green, the driver-green union covers the
+#   full registry for the first time: 136/136;
+# - 16 changed-code guards (standing rule: machinery changed in-round
+#   re-enters the window): engine/store.py grew the per-version
+#   corrupt-manifest fence + the bucketed write path (q_store_roundtrip
+#   /_append/_maintenance/_rollup, q_upsert_lww, q_range_scan,
+#   q_stream_store_merge, q_stream_store_rollup); q_approx_profile's
+#   verdict became a tie-robust rank interval; llm/simsearch.py's
+#   k-means reseed got the all-empty guard (q_ann_ivf/_index/_add/
+#   _compact, q_ann_sq8); the streaming dedup oracles were refactored
+#   around the shared kept-set builder (q_stream_dedup_increment,
+#   q_stream_dedup_seeded). session.py's
+#   requireAllClusterKeysForCoPartition=false is plan-global; the
+#   window's cross-family spread is its guard;
+# - 27 oldest-evidence re-greens: every r2-era row (q_centroid_dist,
+#   q_dedup_exact, q_embed_neardup_exact, q_embedding_norms,
+#   q_multimodal_meta, q_stream_enrich, q_stream_join) and 20 r3-era
+#   rows spanning streaming, text, simhash/jaccard, resample, ysf and
+#   scalar surfaces.
+# Displaced to make room: the r4-green TPC-H family and the r5-green
+# indicator/event/vector families — machinery unchanged, each keeps
+# its CORRECTNESS_r04/r05.json green row.
 PRIORITY: tuple[str, ...] = (
-    # never driver-checked: post-r4 window indicators
-    "q_bollinger",
-    "q_rsi",
-    "q_macd",
-    "q_obv",
-    "q_atr",
-    "q_stochastic",
-    "q_donchian",
-    "q_heikin_ashi",
-    "q_anomaly_zscore",
-    "q_drawdown",
-    # never driver-checked: event analytics + relational additions
-    "q_funnel",
-    "q_retention_cohort",
-    "q_seasonality",
-    "q_full_outer",
-    "q_mtf_join",
-    "q_resample_anchored",
-    # never driver-checked: continuous aggregates (batch + streaming)
+    # never driver-checked (post-r5-freeze + new this round)
+    "q_jsonl_roundtrip",
+    "q_jsonl_quarantine",
+    "q_stream_jsonl",
+    "q_bucketed_join",
+    "q_drift_psi",
+    "q_corpus_pipeline_jsonl",
+    "q_store_bucketed_join",
+    # changed-code guards (r6): engine/store.py
+    "q_store_roundtrip",
+    "q_store_append",
+    "q_store_maintenance",
     "q_store_rollup",
+    "q_upsert_lww",
+    "q_range_scan",
+    "q_stream_store_merge",
     "q_stream_store_rollup",
-    # never driver-checked: vectors/curation additions
-    "q_ann_sq8",
-    "q_quantize_embed",
-    "q_chunk_docs",
-    "q_lm_score",
-    "q_dup_spans",
-    "q_cluster_best",
-    # r1-era-only evidence: corpus-era re-green
-    "q_tpch_q13",
-    "q_tpch_q14",
-    # new this round
-    "q_ann_ivf_compact",
-    # first checkable verdict (tolerance-banded oracle this round)
+    # changed-code guards (r6): relational sketch verdict
     "q_approx_profile",
-    # changed-code guards (r5)
-    "q_skew_join",
-    "q_ema_12",
+    # changed-code guards (r6): simsearch reseed guard
     "q_ann_ivf",
     "q_ann_ivf_index",
     "q_ann_ivf_add",
-    "q_media_features",
-    "q_frame_sample",
-    "q_stream_store_merge",
-    "q_store_maintenance",
-    "q_store_roundtrip",
-    "q_store_append",
-    "q_upsert_lww",
-    "q_range_scan",
-    # family re-greens
-    "q_candles_1m",
-    "q_asof_trades",
-    "q_interval_join",
-    "q_minhash_lsh",
-    "q_dedup_increment",
-    "q_dedup_lines",
+    "q_ann_ivf_compact",
+    "q_ann_sq8",
+    # changed-code guards (r6): streaming dedup oracle refactor
     "q_stream_dedup_increment",
-    "q_percentiles",
-    "q_sql_shared",
+    "q_stream_dedup_seeded",
+    # oldest evidence: every remaining r2-era row
+    "q_centroid_dist",
+    "q_dedup_exact",
+    "q_embed_neardup_exact",
+    "q_embedding_norms",
+    "q_multimodal_meta",
+    "q_stream_enrich",
+    "q_stream_join",
+    # oldest evidence: r3-era re-greens
+    "q_ysf_roundtrip",
+    "q_topk_volume",
+    "q_scalar_funcs",
+    "q_json_props",
+    "q_simhash",
+    "q_simhash_pairs",
+    "q_jaccard_pairs",
+    "q_stream_ema",
+    "q_text_stats",
+    "q_lang_id",
+    "q_fingerprint",
+    "q_redact_pii",
+    "q_resample_5m",
+    "q_resample_1h",
+    "q_sessionize",
+    "q_stream_candles",
+    "q_stream_ingest",
+    "q_stream_sessions",
+    "q_stream_sliding",
+    "q_stream_wire",
 )
 # Demoted below the window: every demoted query keeps its green
-# CORRECTNESS_r02/r03/r04.json row as evidence. 131 queries are
-# declared; once this window runs green, the union of driver rows
-# covers all but the queries added after this window was frozen
-# (q_jsonl_roundtrip, q_jsonl_quarantine, ... — all local-green;
-# rotate them in next round). No other registry entry will have gone
-# unchecked, and after the q13/q14 re-green none carries r1-era-only
-# evidence.
+# CORRECTNESS_r03/r04/r05.json row as evidence (none older — the last
+# r2-era rows are all IN this window). 136 queries are declared; once
+# this window runs green the driver-green union reaches 136/136 with
+# zero rotation debt.
 
 
 def collect_registry() -> tuple[dict[str, QueryFn], dict[str, str]]:

@@ -684,9 +684,12 @@ DRIFT_SPLIT = "2024-01-16 00:00:00"
 
 
 def q_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = _t(spark, sf_dir, "events")
+    return psi_drift(_t(spark, sf_dir, "events"))
+
+
+def psi_drift(e: DataFrame, split: str = DRIFT_SPLIT) -> DataFrame:
     p = F.when(
-        F.col("ts") < F.lit(DRIFT_SPLIT).cast("timestamp"), "a"
+        F.col("ts") < F.lit(split).cast("timestamp"), "a"
     ).otherwise("b")
     bin_c = (F.floor(F.col("value") / 50.0) * 50.0).cast("double")
     c = e.groupBy(

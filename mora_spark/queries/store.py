@@ -277,6 +277,14 @@ def q_store_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``tests/test_store_bucketed.py``; THIS query verifies bucketing is
     invisible in the answer (join result == the plain relational
     semantics the oracle states)."""
+    return _store_bjoin_result(*_store_bjoin_views(spark, sf_dir))
+
+
+def _store_bjoin_views(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """Build both bucketed stores and register their snapshot views —
+    the ingest-time cost the bench keeps untimed."""
     path_a = scratch_dir("store_bjoin_a", sf_dir)
     path_b = scratch_dir("store_bjoin_b", sf_dir)
     for p in (path_a, path_b):
@@ -292,15 +300,24 @@ def q_store_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("volume", F.col("volume") * 0.5)
     )
     b.write(marks)
+    return a.bucketed_view("sbj_trades"), b.bucketed_view("sbj_marks")
 
+
+def _store_bjoin_result(va: DataFrame, vb: DataFrame) -> DataFrame:
     key = ["market", "code", "candle_length", "ts"]
-    va = a.bucketed_view("sbj_trades")
-    vb = b.bucketed_view("sbj_marks")
     return va.join(vb, key).select(
         *key,
         va["close"].alias("trade_close"),
         vb["close"].alias("mark_close"),
         (vb["close"] - va["close"]).alias("basis"),
+    )
+
+
+def store_bucketed_join_hot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bench-only: the zero-exchange join over views staged by
+    :func:`_store_bjoin_views` (untimed) — the repeated path at scale."""
+    return _store_bjoin_result(
+        spark.table("sbj_trades"), spark.table("sbj_marks")
     )
 
 

@@ -48,10 +48,17 @@ def stream_curate_jsonl(
     template: DataFrame,
     threshold: float = 0.8,
     gate: Callable[[DataFrame], DataFrame] | None = None,
+    batch_stats: list | None = None,
 ) -> tuple[DataFrame, int]:
     """Run the JSONL curation pipeline over ``src`` shards; returns
     ``(curated_docs, n_quarantined)`` — the kept (doc_id, text) corpus
-    and the count of malformed lines diverted mid-stream."""
+    and the count of malformed lines diverted mid-stream.
+
+    ``batch_stats`` (optional, probe-only): appends one
+    ``{"batch_id", "rows", "wall_s"}`` dict per micro-batch so the
+    scale probe can assert per-batch cost tracks BATCH size, not the
+    accumulated corpus (adds one count job per batch; leave None in
+    production)."""
     from mora_spark.llm.dedup import (
         build_minhash_index,
         dedup_increment,
@@ -67,6 +74,9 @@ def stream_curate_jsonl(
     ckpt = os.path.join(work_dir, "ckpt_pipeline")
 
     def sink(batch: DataFrame, batch_id: int) -> None:
+        import time as _time
+
+        t0 = _time.time()
         batch.where(F.col(CORRUPT_COL).isNotNull()).select(
             CORRUPT_COL
         ).coalesce(1).write.mode("overwrite").parquet(
@@ -112,6 +122,14 @@ def stream_curate_jsonl(
         g.coalesce(1).write.mode("overwrite").parquet(
             os.path.join(index_path, "groups", f"batch_id={batch_id}")
         )
+        if batch_stats is not None:
+            batch_stats.append(
+                {
+                    "batch_id": batch_id,
+                    "rows": good.count(),
+                    "wall_s": round(_time.time() - t0, 3),
+                }
+            )
 
     stream = read_jsonl_stream(spark, src, template, max_files_per_trigger=1)
     with _state_partitions(spark, 8):

@@ -361,3 +361,75 @@ def test_sq8_rerank_recall_and_exact_scores(spark, sf_dir):
         key = (r["query_id"], r["neighbor_id"])
         if key in exact_scores:
             assert abs(r["score"] - exact_scores[key]) < 1e-9
+
+
+def test_ivf_recall_holds_across_drift_retrain_compact(
+    spark, sf_dir, tmp_path
+):
+    """The full index-maintenance lifecycle, judged on QUALITY, not
+    just layout: plant known duplicates (scaled copies — cos = 1.0),
+    drive ivf_index_add with a drifted distribution until health
+    reports heavy imbalance, compact (the retrain branch fires), and
+    require planted-pair recall to hold through the retrain. Layout
+    assertions ride along (one file per cell, imbalance reduced)."""
+    from mora_spark.llm.simsearch import (
+        build_ivf_index,
+        ivf_index_add,
+        ivf_index_compact,
+        ivf_index_health,
+        ivf_index_topk,
+        save_ivf_index,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    plant_src = list(range(1, 9))
+    plants = (
+        e.where(F.col("vec_id").isin(plant_src))
+        .select(
+            (F.col("vec_id") + 100_000).alias("vec_id"),
+            F.transform("embedding", lambda x: x * 0.5).alias("embedding"),
+        )
+    )
+    corpus = e.unionByName(plants)
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    save_ivf_index(*build_ivf_index(corpus, n_cells=8, train_iters=2), src)
+
+    def planted_recall(path):
+        got = ivf_index_topk(
+            spark, path, plant_src, k=5, n_probe=2
+        ).collect()
+        found = {
+            r["query_id"]
+            for r in got
+            if r["neighbor_id"] == r["query_id"] + 100_000
+        }
+        return len(found) / len(plant_src)
+
+    base_recall = planted_recall(src)
+    assert base_recall == 1.0  # cos=1.0 partner, same cell as source
+
+    # Drift: three increments shoved into one orthant — the trained
+    # centroids no longer match the ingested distribution.
+    for i in range(3):
+        drift = e.select(
+            (F.col("vec_id") + 200_000 + i * 10_000).alias("vec_id"),
+            F.transform("embedding", lambda x: F.abs(x) + 1.0).alias(
+                "embedding"
+            ),
+        )
+        ivf_index_add(spark, src, drift)
+    before = ivf_index_health(spark, src)
+    assert before["imbalance"] > 2.0  # drift detected
+    assert before["max_files_per_cell"] > 1  # fragmentation detected
+    recall_before_compact = planted_recall(src)
+
+    stats = ivf_index_compact(spark, src, dst, retrain_imbalance=2.0)
+    assert stats["retrained"] is True
+    after = ivf_index_health(spark, dst)
+    assert after["imbalance"] < before["imbalance"]
+    assert after["max_files_per_cell"] == 1
+    assert after["rows"] == before["rows"]
+    # The quality bar: recall through the retrain must not degrade.
+    recall_after = planted_recall(dst)
+    assert recall_after >= recall_before_compact
+    assert recall_after == 1.0
