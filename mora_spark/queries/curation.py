@@ -86,6 +86,67 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decontaminate(train, bench, n=DECON_N)
 
 
+# --- q_decontaminate_fuzzy: near-duplicate benchmark decontamination ---
+# Exact shingle overlap (q_decontaminate) misses lightly-paraphrased
+# eval leakage; the fuzzy pass flags any train doc whose Jaccard
+# similarity to SOME benchmark doc clears a threshold, via the same
+# MinHash-LSH machinery as the dedup family: index the (small) bench
+# side once, dedup_increment the train side against it — band-key
+# equi-join candidates, exact-Jaccard verification, never all-pairs.
+# At 100 TB of train data the bench index is tiny and broadcastable;
+# cost is one LSH pass over train. Per train doc: contaminated flag,
+# distinct bench partners, max Jaccard.
+
+DECON_FUZZY_T = 0.7
+
+
+def q_decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mora_spark.llm.dedup import build_minhash_index, dedup_increment
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    bench = d.where(F.col("doc_id") % 20 == 0)
+    train = d.where(F.col("doc_id") % 20 != 0)
+    b_bands, b_groups = build_minhash_index(bench)
+    pairs = dedup_increment(
+        train, b_bands, b_groups,
+        threshold=DECON_FUZZY_T, include_intra=False,
+    )
+    agg = pairs.groupBy("doc_id").agg(
+        F.count_distinct("dup_id").alias("n_bench_matches"),
+        F.round(F.max("jaccard"), 6).alias("max_jaccard"),
+    )
+    return train.select("doc_id").join(agg, "doc_id", "left").select(
+        "doc_id",
+        F.col("n_bench_matches").isNotNull().alias("contaminated"),
+        F.coalesce("n_bench_matches", F.lit(0)).alias("n_bench_matches"),
+        F.coalesce("max_jaccard", F.lit(0.0)).alias("max_jaccard"),
+    )
+
+
+def _o_decontaminate_fuzzy(t: float = DECON_FUZZY_T) -> str:
+    from mora_spark.queries.streaming import _pairs_prefix_sql
+
+    return f"""
+WITH {_pairs_prefix_sql(t)},
+cross_m AS (
+  SELECT CASE WHEN da % 20 = 0 THEN db ELSE da END AS doc_id, jaccard
+  FROM pairs
+  WHERE (da % 20 = 0) <> (db % 20 = 0)
+),
+agg AS (
+  SELECT doc_id, count(*) AS n_bench_matches,
+         round(max(jaccard), 6) AS max_jaccard
+  FROM cross_m GROUP BY doc_id
+)
+SELECT d.doc_id,
+       a.doc_id IS NOT NULL AS contaminated,
+       COALESCE(a.n_bench_matches, 0) AS n_bench_matches,
+       COALESCE(a.max_jaccard, 0.0) AS max_jaccard
+FROM documents d LEFT JOIN agg a USING (doc_id)
+WHERE d.doc_id % 20 <> 0
+"""
+
+
 _SHINGLES_SQL = (
     "list_transform("
     f"range(1, greatest(len(toks) - {DECON_N - 1}, 0) + 1), "
@@ -433,6 +494,7 @@ QUERIES = {
     "q_quality_rules": q_quality_rules,
     "q_boilerplate": q_boilerplate,
     "q_decontaminate": q_decontaminate,
+    "q_decontaminate_fuzzy": q_decontaminate_fuzzy,
     "q_vocab_topk": q_vocab_topk,
     "q_pack_sequences": q_pack_sequences,
     "q_domain_mix": q_domain_mix,
@@ -446,6 +508,7 @@ ORACLES = {
     "q_quality_rules": O_QUALITY_RULES,
     "q_boilerplate": O_BOILERPLATE,
     "q_decontaminate": O_DECONTAMINATE,
+    "q_decontaminate_fuzzy": _o_decontaminate_fuzzy(),
     "q_vocab_topk": O_VOCAB_TOPK,
     "q_pack_sequences": O_PACK_SEQUENCES,
     "q_domain_mix": O_DOMAIN_MIX,

@@ -313,6 +313,310 @@ def main() -> None:
     finally:
         _sh.rmtree(store_dir, ignore_errors=True)
 
+    probe_round6(spark, events, docs, n)
 
-if __name__ == "__main__":
+
+def probe_round6(spark, events, docs, n) -> None:
+    """Round-6 surfaces: JSONL interchange, PSI drift, bucketed
+    co-located joins, the IVF maintenance lifecycle (recall through a
+    retrain), and the end-to-end curation pipeline's per-batch
+    flatness. Runnable standalone: ``python tools/scale_probe.py 10 r6``."""
+    import shutil as _sh
+
+    def run(name, df):
+        t0 = time.time()
+        df.write.format("noop").mode("overwrite").save()
+        print(f"{name}: {time.time() - t0:.2f}s")
+
+    # JSONL interchange: batch write -> explicit-schema batch read, and
+    # the streaming ingest with a planted-bad shard mid-stream. JSONL
+    # is splittable text, the scan parallelizes per shard, quarantine
+    # is a scan-stage column — both paths must scale with corpus bytes.
+    import tempfile as _tf2
+
+    from mora_spark.sources.jsonl import (
+        CORRUPT_COL,
+        read_jsonl,
+        read_jsonl_stream,
+        write_jsonl,
+    )
+
+    jl_work = _tf2.mkdtemp(prefix="scale_jsonl_")
+    try:
+        jsrc = os.path.join(jl_work, "shards")
+        t0 = time.time()
+        write_jsonl(docs, jsrc, n_files=2 * n)
+        print(f"jsonl_write: {time.time() - t0:.2f}s ({2 * n} shards)")
+        t0 = time.time()
+        # (Counting only the corrupt column off a raw JSON scan is
+        # disallowed by Spark; no bad shard exists yet, so the plain
+        # count is the good-row count.)
+        n_rows = read_jsonl(spark, jsrc, docs).count()
+        print(f"jsonl_read: {time.time() - t0:.2f}s ({n_rows:,} rows)")
+        with open(os.path.join(jsrc, "planted-bad.json"), "w") as f:
+            f.write('{"doc_id": 1, "text": "truncated mid-wri\n')
+            f.write("not json at all\n")
+        out = os.path.join(jl_work, "ingested")
+        t0 = time.time()
+        q = (
+            read_jsonl_stream(
+                spark, jsrc, docs, max_files_per_trigger=max(2, n // 2)
+            )
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", os.path.join(jl_work, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        n_q = (
+            spark.read.parquet(out)
+            .where(F.col(CORRUPT_COL).isNotNull())
+            .count()
+        )
+        print(
+            f"jsonl_stream_ingest: {time.time() - t0:.2f}s "
+            f"(quarantined {n_q})"
+        )
+        assert n_q == 2, "planted-bad lines must quarantine, not kill"
+    finally:
+        _sh.rmtree(jl_work, ignore_errors=True)
+
+    # PSI drift monitor: bounded-key count agg + broadcast totals +
+    # bin-level full outer — nothing after the scan grows with rows.
+    from mora_spark.queries.relational import psi_drift
+
+    run("drift_psi", psi_drift(events, split="2024-06-01 00:00:00"))
+
+    # Bucketed co-located tables: the build is a one-time ingest cost
+    # (one hash shuffle of each side); every later join is exchange-
+    # free. n_buckets sizing: one bucket = one join task reading
+    # co-located files — target a comfortable task (~100-500 MB) at
+    # production scale; the probe prints rows+MB per bucket so the
+    # sizing rationale is recorded at this scale.
+    from mora_spark.operators.bucketed import (
+        exchanges_in_plan,
+        save_bucketed,
+    )
+
+    bk_work = _tf2.mkdtemp(prefix="scale_bucketed_")
+    try:
+        n_buckets = 8
+        ev = events.select("event_id", "user_id", "event_type", "value")
+        twin = ev.select(
+            "event_id", (F.col("value") * 1.01).alias("value2")
+        )
+        t0 = time.time()
+        ba = save_bucketed(
+            ev, "sp_probe_a", os.path.join(bk_work, "a"),
+            ["event_id"], n_buckets=n_buckets, sort_cols=["event_id"],
+        )
+        bb = save_bucketed(
+            twin, "sp_probe_b", os.path.join(bk_work, "b"),
+            ["event_id"], n_buckets=n_buckets, sort_cols=["event_id"],
+        )
+        build_s = time.time() - t0
+        n_ev = ev.count()
+        mb = sum(
+            os.path.getsize(os.path.join(dp, fname))
+            for d in ("a", "b")
+            for dp, _, fs in os.walk(os.path.join(bk_work, d))
+            for fname in fs
+        ) / 1e6
+        print(
+            f"bucketed_build: {build_s:.2f}s ({n_buckets} buckets, "
+            f"{n_ev // n_buckets:,} rows / {mb / 2 / n_buckets:.1f} MB "
+            f"per bucket per side)"
+        )
+        bc_keys = [
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold",
+        ]
+        for key in bc_keys:
+            spark.conf.set(key, "-1")
+        try:
+            j = ba.join(bb, "event_id")
+            t0 = time.time()
+            j.write.format("noop").mode("overwrite").save()
+            nx = exchanges_in_plan(j)
+            print(f"bucketed_join: {time.time() - t0:.2f}s (exchanges={nx})")
+            assert nx == 0, "co-located join must plan shuffle-free"
+            pa = spark.read.parquet(os.path.join(bk_work, "a"))
+            pb = spark.read.parquet(os.path.join(bk_work, "b"))
+            t0 = time.time()
+            pa.join(pb, "event_id").write.format("noop").mode(
+                "overwrite"
+            ).save()
+            print(f"plain_join:    {time.time() - t0:.2f}s (both sides shuffle)")
+        finally:
+            for key in bc_keys:
+                spark.conf.unset(key)
+    finally:
+        _sh.rmtree(bk_work, ignore_errors=True)
+        spark.sql("DROP TABLE IF EXISTS sp_probe_a")
+        spark.sql("DROP TABLE IF EXISTS sp_probe_b")
+
+    # IVF maintenance lifecycle, judged on QUALITY at scale: plant
+    # known duplicates (cos = 1.0 scaled copies), drift the index with
+    # shifted increments until health alarms, compact (retrain fires),
+    # and verify planted-pair recall held through the retrain — the
+    # "done" signal for index maintenance is recall, not file layout.
+    from mora_spark.llm.simsearch import (
+        build_ivf_index,
+        ivf_index_add,
+        ivf_index_compact,
+        ivf_index_health,
+        ivf_index_topk,
+        save_ivf_index,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    emb_scaled = emb
+    for i in range(1, n):
+        emb_scaled = emb_scaled.unionByName(
+            emb.withColumn("vec_id", F.col("vec_id") + F.lit(i * 10_000_000))
+        )
+    plant_src = list(range(1, 33))
+    plants = emb.where(F.col("vec_id").isin(plant_src)).select(
+        (F.col("vec_id") + 5_000_000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * 0.5).alias("embedding"),
+    )
+    ivf_work = _tf2.mkdtemp(prefix="scale_ivf_")
+    try:
+        isrc = os.path.join(ivf_work, "src")
+        idst = os.path.join(ivf_work, "dst")
+        t0 = time.time()
+        save_ivf_index(
+            *build_ivf_index(
+                emb_scaled.unionByName(plants), n_cells=16, train_iters=2
+            ),
+            isrc,
+        )
+        print(f"ivf_build({emb_scaled.count() + 32:,} vecs): "
+              f"{time.time() - t0:.2f}s")
+
+        def planted_recall(path):
+            got = ivf_index_topk(
+                spark, path, plant_src, k=5, n_probe=2
+            ).collect()
+            found = {
+                r["query_id"]
+                for r in got
+                if r["neighbor_id"] == r["query_id"] + 5_000_000
+            }
+            return len(found) / len(plant_src)
+
+        t0 = time.time()
+        for i in range(3):
+            drift = emb.select(
+                (F.col("vec_id") + 50_000_000 + i * 1_000_000).alias(
+                    "vec_id"
+                ),
+                F.transform("embedding", lambda x: F.abs(x) + 1.0).alias(
+                    "embedding"
+                ),
+            )
+            ivf_index_add(spark, isrc, drift)
+        print(f"ivf_3_drift_adds: {time.time() - t0:.2f}s")
+        before = ivf_index_health(spark, isrc)
+        r_before = planted_recall(isrc)
+        t0 = time.time()
+        stats = ivf_index_compact(spark, isrc, idst, retrain_imbalance=2.0)
+        compact_s = time.time() - t0
+        after = ivf_index_health(spark, idst)
+        r_after = planted_recall(idst)
+        print(
+            f"ivf_compact_retrain: {compact_s:.2f}s (retrained="
+            f"{stats['retrained']}, imbalance {before['imbalance']:.1f}"
+            f"->{after['imbalance']:.1f}, max files/cell "
+            f"{before['max_files_per_cell']}->{after['max_files_per_cell']}, "
+            f"planted recall {r_before:.2f}->{r_after:.2f})"
+        )
+        assert stats["retrained"], "drifted index must trigger retrain"
+        assert r_after >= r_before and r_after == 1.0, (
+            "recall must hold through the retrain"
+        )
+    finally:
+        _sh.rmtree(ivf_work, ignore_errors=True)
+
+    # End-to-end JSONL curation pipeline: per-batch wall must track
+    # BATCH size as the curated corpus + LSH index grow (the same
+    # flatness contract as the continuous aggregate) — the index joins
+    # are directory-pruned, the gates scan-stage.
+    from mora_spark.functions.text import lang_guess, quality_score, tokens
+    from mora_spark.streaming.pipeline import stream_curate_jsonl
+
+    pipe_work = _tf2.mkdtemp(prefix="scale_pipe_")
+    try:
+        psrc = os.path.join(pipe_work, "shards")
+        os.makedirs(psrc)
+        n_shards = 2 * n
+        tmp = os.path.join(pipe_work, "build")
+        write_jsonl(
+            docs.withColumn(
+                "shard", F.pmod(F.xxhash64("doc_id"), F.lit(n_shards))
+            ).repartition(n_shards, "shard").drop("shard"),
+            tmp,
+        )
+        parts = sorted(
+            p for p in os.listdir(tmp) if p.endswith(".json")
+        )
+        for i, p in enumerate(parts):
+            dst = os.path.join(psrc, f"shard-{i:04d}.json")
+            os.rename(os.path.join(tmp, p), dst)
+            os.utime(dst, (1_600_000_000 + i,) * 2)
+        _sh.rmtree(tmp, ignore_errors=True)
+
+        def gate(df):
+            toks = tokens("text")
+            return df.where(
+                (lang_guess(toks) == "en")
+                & (quality_score(toks) >= 0.5)
+                & (F.size(toks) >= 20)
+            )
+
+        stats = []
+        t0 = time.time()
+        curated, n_q = stream_curate_jsonl(
+            spark, psrc, pipe_work, docs, threshold=0.8, gate=gate,
+            batch_stats=stats,
+        )
+        print(
+            f"pipeline_total: {time.time() - t0:.2f}s "
+            f"({len(stats)} batches, kept {curated.count():,}, "
+            f"quarantined {n_q})"
+        )
+        walls = [s["wall_s"] for s in stats if s["rows"]]
+        for s in stats:
+            print(
+                f"  batch {s['batch_id']:>2}: rows={s['rows']:>7,} "
+                f"wall={s['wall_s']:.2f}s"
+            )
+        if len(walls) >= 6:
+            k = len(walls) // 3
+            first, last = sum(walls[:k]) / k, sum(walls[-k:]) / k
+            print(
+                f"  per-batch curation: first-third {first:.2f}s "
+                f"-> last-third {last:.2f}s"
+            )
+            assert last <= 2.0 * first + 0.5, (
+                "per-batch pipeline cost ramps with corpus size"
+            )
+    finally:
+        _sh.rmtree(pipe_work, ignore_errors=True)
+
+
+if __name__ == "__main__" and "r6" in sys.argv[1:]:
+    _n = next((int(a) for a in sys.argv[1:] if a.isdigit()), 10)
+    _spark = get_spark(app_name="mora_scale_probe")
+    _spark.sparkContext.setLogLevel("ERROR")
+    _events, _docs = scaled_events(_spark, _n), scaled_docs(_spark, _n)
+    print(
+        f"events={_events.count():,} docs={_docs.count():,} "
+        f"(x{_n}) [r6 sections only]"
+    )
+    probe_round6(_spark, _events, _docs, _n)
+elif __name__ == "__main__":
     main()
