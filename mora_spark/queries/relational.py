@@ -687,28 +687,37 @@ def q_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return psi_drift(_t(spark, sf_dir, "events"))
 
 
-def psi_drift(e: DataFrame, split: str = DRIFT_SPLIT) -> DataFrame:
-    p = F.when(
-        F.col("ts") < F.lit(split).cast("timestamp"), "a"
-    ).otherwise("b")
-    bin_c = (F.floor(F.col("value") / 50.0) * 50.0).cast("double")
-    c = e.groupBy(
-        "event_type", p.alias("p"), bin_c.alias("bin")
-    ).agg(F.count(F.lit(1)).alias("n"))
-    t = c.groupBy("event_type", "p").agg(F.sum("n").alias("tot"))
-    s = c.join(F.broadcast(t), ["event_type", "p"]).withColumn(
-        "share", F.col("n").cast("double") / F.col("tot")
+def value_shares(e: DataFrame, bin_w: float = 50.0) -> DataFrame:
+    """Per-(event_type, bin) probability mass of the value column over
+    fixed-width bins — the distribution summary both PSI surfaces
+    compare. One map-side-combined count agg on bounded keys plus a
+    broadcast totals join; nothing grows past the scan."""
+    bin_c = (F.floor(F.col("value") / bin_w) * bin_w).cast("double")
+    c = e.groupBy("event_type", bin_c.alias("bin")).agg(
+        F.count(F.lit(1)).alias("n")
     )
-    a = s.where(F.col("p") == "a").select(
-        "event_type", "bin", F.col("share").alias("sa")
+    t = c.groupBy("event_type").agg(F.sum("n").alias("tot"))
+    return c.join(F.broadcast(t), "event_type").select(
+        "event_type",
+        "bin",
+        (F.col("n").cast("double") / F.col("tot")).alias("share"),
     )
-    b = s.where(F.col("p") == "b").select(
+
+
+def psi_between(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Per-type PSI between two :func:`value_shares` tables. Common
+    bins contribute (sa - sb) * ln(sa / sb), rounded through
+    decimal(38,10) before summation so the statistic is independent of
+    partition/summation order; one-sided bins are reported as counts,
+    not epsilon-clamped into the sum."""
+    aa = a.select("event_type", "bin", F.col("share").alias("sa"))
+    bb = b.select(
         F.col("event_type").alias("event_type_b"),
         F.col("bin").alias("bin_b"),
         F.col("share").alias("sb"),
     )
-    j = a.join(
-        b,
+    j = aa.join(
+        bb,
         (F.col("event_type") == F.col("event_type_b"))
         & (F.col("bin") == F.col("bin_b")),
         "full_outer",
@@ -730,6 +739,32 @@ def psi_drift(e: DataFrame, split: str = DRIFT_SPLIT) -> DataFrame:
         F.sum(F.when(F.col("sa").isNull(), 1).otherwise(0)).alias(
             "n_bins_b_only"
         ),
+    )
+
+
+def psi_drift(e: DataFrame, split: str = DRIFT_SPLIT) -> DataFrame:
+    """PSI between two ts periods of ONE table. Counts are aggregated
+    in a single pass keyed (type, period, bin) and then split — both
+    sides of :func:`psi_between`'s full outer share the identical
+    aggregation subtree, so the scan+exchange is reused rather than
+    run once per period (the shape a 100 TB scan cares about)."""
+    p = F.when(
+        F.col("ts") < F.lit(split).cast("timestamp"), "a"
+    ).otherwise("b")
+    bin_c = (F.floor(F.col("value") / 50.0) * 50.0).cast("double")
+    c = e.groupBy(
+        "event_type", p.alias("p"), bin_c.alias("bin")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    t = c.groupBy("event_type", "p").agg(F.sum("n").alias("tot"))
+    s = c.join(F.broadcast(t), ["event_type", "p"]).select(
+        "event_type",
+        "p",
+        "bin",
+        (F.col("n").cast("double") / F.col("tot")).alias("share"),
+    )
+    return psi_between(
+        s.where(F.col("p") == "a").drop("p"),
+        s.where(F.col("p") == "b").drop("p"),
     )
 
 

@@ -590,6 +590,123 @@ def _o_stream_dedup_seeded(
     )
 
 
+# --- q_stream_drift: continuous PSI gate over ingest micro-batches ---
+# The data-quality loop a continuously-training pipeline runs: every
+# micro-batch's value distribution is PSI-scored against the standing
+# reference corpus BEFORE the batch is trusted (batch-only bins — mass
+# in ranges the reference never saw — are the loudest drift signal and
+# are reported as counts, never epsilon-clamped). Per batch: one
+# bounded-key count agg over the BATCH + a broadcast join against the
+# cached reference shares; the reference is computed once per stream.
+# The oracle unrolls reference-vs-batch-k per micro-batch.
+
+_DRIFT_STREAM_BATCHES = 4
+
+
+def q_stream_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mora_spark.queries.relational import psi_between, value_shares
+    from mora_spark.streaming.ingest import _state_partitions
+
+    work = _work("stream_drift", sf_dir)
+    e = load_table(spark, sf_dir, "events")
+    src = os.path.join(work, "src")
+    os.makedirs(src)
+    n = _DRIFT_STREAM_BATCHES
+    # Batch k = events with event_id % n == k; mtimes define replay
+    # order (maxFilesPerTrigger=1 -> deterministic batch membership).
+    for k in range(n):
+        tmp = os.path.join(work, f"_chunk_{k}")
+        e.where(F.col("event_id") % n == k).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        part = next(p for p in os.listdir(tmp) if p.endswith(".parquet"))
+        dst = os.path.join(src, f"chunk-{k}.parquet")
+        os.replace(os.path.join(tmp, part), dst)
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.utime(dst, (1_600_000_000 + k,) * 2)
+    ref = value_shares(e).persist()
+    ref.count()
+    out = os.path.join(work, "psi")
+    try:
+
+        def sink(batch: DataFrame, batch_id: int) -> None:
+            # Deterministic per-batch dir + overwrite: replay-idempotent
+            # (same discipline as every foreachBatch sink here).
+            psi_between(ref, value_shares(batch)).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(os.path.join(out, f"batch_id={batch_id}"))
+
+        with _state_partitions(spark, 8):
+            q = (
+                spark.readStream.schema(e.schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src)
+                .writeStream.foreachBatch(sink)
+                .option("checkpointLocation", os.path.join(work, "ckpt"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+    finally:
+        ref.unpersist()
+    return spark.read.parquet(out).select(
+        F.col("batch_id").cast("long").alias("batch"),
+        "event_type",
+        "psi",
+        "n_bins_common",
+        F.col("n_bins_a_only").alias("n_bins_ref_only"),
+        F.col("n_bins_b_only").alias("n_bins_batch_only"),
+    )
+
+
+def _o_stream_drift(n: int = _DRIFT_STREAM_BATCHES) -> str:
+    blocks = []
+    for k in range(n):
+        blocks.append(f"""
+c_{k} AS (
+  SELECT event_type, CAST(floor(value / 50.0) * 50.0 AS DOUBLE) AS bin,
+         count(*) AS n
+  FROM events WHERE event_id % {n} = {k} GROUP BY 1, 2
+), t_{k} AS (
+  SELECT event_type, sum(n) AS tot FROM c_{k} GROUP BY 1
+), s_{k} AS (
+  SELECT c_{k}.event_type, c_{k}.bin,
+         CAST(c_{k}.n AS DOUBLE) / t_{k}.tot AS sb
+  FROM c_{k} JOIN t_{k} USING (event_type)
+), j_{k} AS (
+  SELECT coalesce(ref.event_type, s_{k}.event_type) AS event_type,
+         ref.share AS sa, s_{k}.sb AS sb
+  FROM ref FULL OUTER JOIN s_{k}
+    ON ref.event_type = s_{k}.event_type AND ref.bin = s_{k}.bin
+), p_{k} AS (
+  SELECT CAST({k} AS BIGINT) AS batch, event_type,
+    CAST(sum(CASE WHEN sa IS NOT NULL AND sb IS NOT NULL
+         THEN CAST((sa - sb) * ln(sa / sb) AS DECIMAL(38,10)) END)
+         AS DOUBLE) AS psi,
+    CAST(sum(CASE WHEN sa IS NOT NULL AND sb IS NOT NULL THEN 1 ELSE 0
+         END) AS BIGINT) AS n_bins_common,
+    CAST(sum(CASE WHEN sb IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_bins_ref_only,
+    CAST(sum(CASE WHEN sa IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_bins_batch_only
+  FROM j_{k} GROUP BY event_type
+)""")
+    union = " UNION ALL ".join(f"SELECT * FROM p_{k}" for k in range(n))
+    return f"""
+WITH rc AS (
+  SELECT event_type, CAST(floor(value / 50.0) * 50.0 AS DOUBLE) AS bin,
+         count(*) AS n
+  FROM events GROUP BY 1, 2
+), rt AS (
+  SELECT event_type, sum(n) AS tot FROM rc GROUP BY 1
+), ref AS (
+  SELECT rc.event_type, rc.bin, CAST(rc.n AS DOUBLE) / rt.tot AS share
+  FROM rc JOIN rt USING (event_type)
+),{",".join(blocks)}
+{union}
+"""
+
+
 # --- q_corpus_pipeline_jsonl: the crawl-shaped pipeline, end-to-end ---
 # The flagship composition: JSONL shards (one planted-bad shard
 # mid-stream) -> PERMISSIVE quarantine -> language/quality/token gates
@@ -699,6 +816,7 @@ FROM pc
 
 QUERIES = {
     "q_corpus_pipeline_jsonl": q_corpus_pipeline_jsonl,
+    "q_stream_drift": q_stream_drift,
     "q_stream_ingest": q_stream_ingest,
     "q_stream_dedup_increment": q_stream_dedup_increment,
     "q_stream_dedup_seeded": q_stream_dedup_seeded,
@@ -716,6 +834,7 @@ QUERIES = {
 
 ORACLES = {
     "q_corpus_pipeline_jsonl": _o_corpus_pipeline(),
+    "q_stream_drift": _o_stream_drift(),
     "q_stream_ingest": O_STREAM_INGEST,
     "q_stream_dedup_increment": _o_stream_dedup_increment(),
     "q_stream_dedup_seeded": _o_stream_dedup_seeded(),
