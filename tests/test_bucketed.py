@@ -95,3 +95,24 @@ def test_bucketed_table_survives_reread_via_catalog(spark, sf_dir, tmp_path):
         raw = spark.read.parquet(str(tmp_path / "o2"))
         raw_join = raw.alias("a").join(raw.alias("b"), "o_orderkey")
         assert exchanges_in_plan(raw_join) > 0
+
+
+def test_exchange_counter_ignores_reused_exchange(spark, sf_dir):
+    """A self-join of one aggregated subtree plans a single shuffle
+    plus a ReusedExchange of it — the node-walking counter must report
+    the LIVE shuffle only (the substring-matching version this
+    replaced counted 2 here)."""
+    agg = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("q"))
+    )
+    with _no_broadcast(spark):
+        j = agg.alias("a").join(agg.alias("b"), "l_orderkey")
+        j.write.format("noop").mode("overwrite").save()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        n = exchanges_in_plan(j)
+        if "ReusedExchange" in plan:
+            assert n == 1
+        else:  # planner didn't reuse on this version: both are live
+            assert n == 2
