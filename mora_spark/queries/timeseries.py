@@ -252,6 +252,63 @@ FROM j
 )
 
 
+# --- q_gapfill_interp: densify + LINEAR interpolation ---
+# fill_gaps carries the last observation forward; interpolate_gaps is
+# the Timescale-interpolate / Influx-fill(linear) analogue — missing
+# bars get the straight line between the neighboring known closes, and
+# edge rows (before the first / after the last known value) stay NULL
+# rather than extrapolate. Two ignore-nulls windows (carried prev,
+# pending next) over ONE (key, ts) sort — same single shuffle as the
+# forward fill.
+
+def q_gapfill_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mora_spark.operators.gapfill import interpolate_gaps
+
+    return interpolate_gaps(_candles(spark, sf_dir))
+
+
+O_GAPFILL_INTERP = candles_sql(
+    """
+, bounds AS (
+  SELECT market, code, candle_length, min(ts) AS min_ts, max(ts) AS max_ts
+  FROM candles GROUP BY market, code, candle_length
+), grid AS (
+  SELECT market, code, candle_length,
+         unnest(generate_series(min_ts, max_ts, INTERVAL 60 SECOND)) AS ts
+  FROM bounds
+), j AS (
+  SELECT g.market, g.code, g.candle_length, g.ts, c.close
+  FROM grid g
+  LEFT JOIN candles c
+    ON c.market = g.market AND c.code = g.code
+   AND c.candle_length = g.candle_length AND c.ts = g.ts
+), w AS (
+  SELECT market, code, candle_length, ts, close,
+    last_value(close IGNORE NULLS) OVER pw AS prev_v,
+    last_value(CASE WHEN close IS NOT NULL THEN epoch(ts)::BIGINT END
+               IGNORE NULLS) OVER pw AS prev_t,
+    first_value(close IGNORE NULLS) OVER fw AS next_v,
+    first_value(CASE WHEN close IS NOT NULL THEN epoch(ts)::BIGINT END
+                IGNORE NULLS) OVER fw AS next_t
+  FROM j
+  WINDOW pw AS (PARTITION BY market, code, candle_length ORDER BY ts
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         fw AS (PARTITION BY market, code, candle_length ORDER BY ts
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT market, code, candle_length, ts,
+  CASE WHEN close IS NOT NULL THEN close
+       WHEN prev_v IS NOT NULL AND next_v IS NOT NULL
+       THEN prev_v + (next_v - prev_v) *
+            (CAST(epoch(ts)::BIGINT - prev_t AS DOUBLE)
+             / CAST(next_t - prev_t AS DOUBLE))
+  END AS close_interp,
+  (close IS NULL) AS was_gap
+FROM w
+"""
+)
+
+
 # --- q_sma_roll: SMA(20) + rolling min/max(10) ---
 
 def q_sma_roll(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -907,6 +964,7 @@ QUERIES = {
     "q_resample_anchored": q_resample_anchored,
     "q_mtf_join": q_mtf_join,
     "q_gapfill": q_gapfill,
+    "q_gapfill_interp": q_gapfill_interp,
     "q_sma_roll": q_sma_roll,
     "q_lag_lead": q_lag_lead,
     "q_vwap": q_vwap,
@@ -937,6 +995,7 @@ ORACLES = {
     "q_resample_anchored": O_RESAMPLE_ANCHORED,
     "q_mtf_join": O_MTF_JOIN,
     "q_gapfill": O_GAPFILL,
+    "q_gapfill_interp": O_GAPFILL_INTERP,
     "q_sma_roll": O_SMA_ROLL,
     "q_lag_lead": O_LAG_LEAD,
     "q_vwap": O_VWAP,
