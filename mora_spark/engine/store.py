@@ -1031,6 +1031,41 @@ class CandleStore:
 
     # -- read path ---------------------------------------------------
 
+    def diff(
+        self, v_from: int, v_to: int | None = None
+    ) -> DataFrame:
+        """Row-level change set between two snapshots — the CDC/audit
+        view the reference's snapshot-isolated accessor model implies
+        (what did the restatement batch actually change?). Returns one
+        row per candle key that differs between ``v_from`` and
+        ``v_to`` (default: current), with ``change`` in
+        {'insert', 'update', 'delete'} and the full before/after
+        payload structs. Unchanged rows are dropped.
+
+        Both sides are manifest-pruned snapshot reads; the full outer
+        join shuffles on the candle key — on a bucketed store
+        (``n_buckets``), pairing two :meth:`bucketed_view` snapshots
+        instead makes even the diff exchange-free."""
+        key = ["market", "code", "candle_length", "ts"]
+        payload = [c for c in CANDLE_COLUMNS if c not in key]
+        a = self.read(version=v_from).select(
+            *key, F.struct(*payload).alias("before")
+        )
+        b = self.read(version=v_to).select(
+            *key, F.struct(*payload).alias("after")
+        )
+        change = (
+            F.when(F.col("before").isNull(), "insert")
+            .when(F.col("after").isNull(), "delete")
+            .when(F.col("before") != F.col("after"), "update")
+        )
+        return (
+            a.join(b, key, "full_outer")
+            .withColumn("change", change)
+            .where(F.col("change").isNotNull())
+            .select(*key, "change", "before", "after")
+        )
+
     def bucketed_view(self, name: str) -> DataFrame:
         """Expose the CURRENT snapshot as a catalog-registered bucketed
         table so store-store joins plan with ZERO shuffle exchange.

@@ -333,9 +333,61 @@ WHERE minute(ts) % 2 = 0
 )
 
 
+def q_store_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff (CDC/audit view) across a restatement commit:
+    v1 = full candle load; v2 = one merge batch that restates every
+    'click' bar (close +1000, volume zeroed — updates) AND backfills
+    the same bars 400 days later under new keys (inserts).
+    ``store.diff(1, 2)`` must report exactly those changes and nothing
+    else — unchanged rows never appear, which is what makes the diff
+    usable as an audit at 100 TB (output is proportional to the
+    CHANGE set, not the table)."""
+    path = scratch_dir("store_diff", sf_dir)
+    shutil.rmtree(path, ignore_errors=True)
+    store = CandleStore(spark, path)
+    candles = candles_from_events(load_table(spark, sf_dir, "events"))
+    store.write(candles)  # v1
+    clicks = candles.where(F.col("code") == "click")
+    batch = (
+        clicks.withColumn("close", F.col("close") + 1000.0)
+        .withColumn("volume", F.lit(0.0))
+        .unionByName(
+            clicks.withColumn(
+                "ts", F.col("ts") + F.expr("INTERVAL 400 DAYS")
+            )
+        )
+    )
+    store.write(batch)  # v2
+    d = store.diff(1, 2)
+    return d.select(
+        "market", "code", "candle_length", "ts", "change",
+        F.col("before.close").alias("close_before"),
+        F.col("after.close").alias("close_after"),
+        F.col("before.volume").alias("volume_before"),
+        F.col("after.volume").alias("volume_after"),
+    )
+
+
+O_STORE_DIFF = candles_sql(
+    """
+SELECT market, code, candle_length, ts, 'update' AS change,
+       close AS close_before, close + 1000.0 AS close_after,
+       volume AS volume_before, 0.0 AS volume_after
+FROM candles WHERE code = 'click'
+UNION ALL
+SELECT market, code, candle_length, ts + INTERVAL 400 DAY AS ts,
+       'insert' AS change,
+       CAST(NULL AS DOUBLE) AS close_before, close AS close_after,
+       CAST(NULL AS DOUBLE) AS volume_before, volume AS volume_after
+FROM candles WHERE code = 'click'
+"""
+)
+
+
 QUERIES = {
     "q_store_roundtrip": q_store_roundtrip,
     "q_store_bucketed_join": q_store_bucketed_join,
+    "q_store_diff": q_store_diff,
     "q_store_rollup": q_store_rollup,
     "q_store_append": q_store_append,
     "q_store_maintenance": q_store_maintenance,
@@ -344,6 +396,7 @@ QUERIES = {
 ORACLES = {
     "q_store_roundtrip": O_STORE_ROUNDTRIP,
     "q_store_bucketed_join": O_STORE_BUCKETED_JOIN,
+    "q_store_diff": O_STORE_DIFF,
     "q_store_rollup": O_STORE_ROLLUP,
     "q_store_append": O_STORE_APPEND,
     "q_store_maintenance": O_STORE_MAINTENANCE,
