@@ -801,9 +801,75 @@ FROM documents
 """
 
 
+# --- q_csv_roundtrip / q_csv_quarantine: the CSV interchange twin ---
+# Same contract as JSONL under CSV's own rules: RFC-4180 quoting,
+# \\N null sentinel (empty string and NULL survive distinctly),
+# multiLine read for embedded newlines. Quarantine semantics DIFFER
+# from JSON and are pinned by the oracle arithmetic: a wrong-typed
+# field nulls the schema fields of its record, but an ARITY mismatch
+# (too few / too many columns) keeps every parseable field and still
+# captures the raw line — so of the 3 planted rows, all 3 quarantine
+# while only the wrong-typed one loses its doc_id.
+
+def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from mora_spark.queries.store import scratch_dir
+    from mora_spark.sources.csvio import read_csv, write_csv
+
+    docs = load_table(spark, sf_dir, "documents")
+    path = scratch_dir("csv_roundtrip", sf_dir)
+    shutil.rmtree(path, ignore_errors=True)
+    write_csv(docs, path)
+    return read_csv(spark, path, docs, mode="FAILFAST").select(
+        *docs.columns
+    )
+
+
+O_CSV_ROUNDTRIP = "SELECT * FROM documents"
+
+
+def q_csv_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+
+    from mora_spark.queries.store import scratch_dir
+    from mora_spark.sources.csvio import CORRUPT_COL, read_csv, write_csv
+
+    docs = load_table(spark, sf_dir, "documents")
+    path = scratch_dir("csv_quarantine", sf_dir)
+    shutil.rmtree(path, ignore_errors=True)
+    write_csv(docs, path)
+    with open(os.path.join(path, "part-99999-planted.csv"), "w") as f:
+        f.write("doc_id,text,lang,source,n_chars\n")
+        f.write('notanumber,"typed wrong",en,web,5\n')  # type error
+        f.write('12,"arity short"\n')  # too few columns
+        f.write('13,"arity long",en,web,5,EXTRA\n')  # too many columns
+    back = read_csv(spark, path, docs)
+    return back.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(F.col(CORRUPT_COL)).alias("n_quarantined"),
+        F.sum(
+            F.when(
+                F.col(CORRUPT_COL).isNotNull() & F.col("doc_id").isNull(), 1
+            ).otherwise(0)
+        ).alias("n_null_doc"),
+    )
+
+
+O_CSV_QUARANTINE = """
+SELECT count(*) + 3 AS n_rows,
+       CAST(3 AS BIGINT) AS n_quarantined,
+       CAST(1 AS BIGINT) AS n_null_doc
+FROM documents
+"""
+
+
 QUERIES = {
     "q_jsonl_roundtrip": q_jsonl_roundtrip,
     "q_jsonl_quarantine": q_jsonl_quarantine,
+    "q_csv_roundtrip": q_csv_roundtrip,
+    "q_csv_quarantine": q_csv_quarantine,
     "q_dedup_exact": q_dedup_exact,
     "q_dup_spans": q_dup_spans,
     "q_text_stats": q_text_stats,
@@ -824,6 +890,8 @@ QUERIES = {
 ORACLES = {
     "q_jsonl_roundtrip": O_JSONL_ROUNDTRIP,
     "q_jsonl_quarantine": O_JSONL_QUARANTINE,
+    "q_csv_roundtrip": O_CSV_ROUNDTRIP,
+    "q_csv_quarantine": O_CSV_QUARANTINE,
     "q_dedup_exact": O_DEDUP_EXACT,
     "q_dup_spans": _o_dup_spans(),
     "q_text_stats": O_TEXT_STATS,
