@@ -38,6 +38,11 @@ HEADLINE = [
     "q_funnel",
     "q_interval_join",
     "q_drift_psi",
+    "q_gapfill_interp",
+    "q_store_diff",
+    "q_csv_roundtrip",
+    "q_decontaminate_fuzzy",
+    "q_stream_drift",
     "q_dedup_exact",
     "q_decontaminate",
     "q_pack_sequences",

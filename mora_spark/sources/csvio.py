@@ -11,7 +11,10 @@ down:
   shards back.
 - **Null vs empty**: nulls serialize as the ``\\N`` sentinel (the
   classic dump convention) so an empty string and a NULL survive the
-  round trip as distinct values.
+  round trip as distinct values. The inherent sentinel ambiguity is
+  accepted and pinned by test: a field whose CONTENT is exactly
+  ``\\N`` reads back as NULL — corpora that may contain the literal
+  sentinel belong in JSONL, which types null natively.
 - **Embedded newlines** force ``multiLine`` on read, which makes one
   FILE (not one line) the split unit — the shard-count knob on write
   is therefore the read-parallelism knob at scale. Corpora without
@@ -30,12 +33,16 @@ from pyspark.sql import types as T
 
 CORRUPT_COL = "_corrupt_record"
 
+# No emptyValue override: the writer's DEFAULT emits empty string as
+# quoted `""` (distinct from the bare-nothing a `\N`-sentinel null
+# would collapse to), and the reader maps quoted-empty back to ''.
+# Setting emptyValue="" on write flattens `""` to nothing and loses
+# the null/empty distinction (pinned by tests/test_csv.py).
 _OPTS = {
     "header": "true",
     "quote": '"',
     "escape": '"',
     "nullValue": "\\N",
-    "emptyValue": "",
 }
 
 
