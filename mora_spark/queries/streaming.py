@@ -590,6 +590,67 @@ def _o_stream_dedup_seeded(
     )
 
 
+# --- q_stream_csv: streaming CSV corpus ingest with quarantine ---
+# The CSV twin of q_stream_jsonl: documents replayed as headered CSV
+# shard micro-batches, one shard carrying PLANTED malformed rows (a
+# wrong-typed doc_id and a bare unparsable line). The stream must
+# survive — bad rows land in _corrupt_record with nulled schema
+# fields — and the parquet-sunk result must reconcile exactly with
+# the batch table + the planting arithmetic.
+
+def q_stream_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mora_spark.sources.csvio import (
+        CORRUPT_COL,
+        read_csv_stream,
+        write_csv,
+    )
+
+    work = _work("stream_csv", sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    src = os.path.join(work, "src")
+    write_csv(docs.repartition(4, "doc_id"), src)
+    parts = sorted(n for n in os.listdir(src) if n.endswith(".csv"))
+    for i, n in enumerate(parts):
+        os.utime(os.path.join(src, n), (1_600_000_000 + i,) * 2)
+    bad = os.path.join(src, "part-mid-planted.csv")
+    with open(bad, "w") as f:
+        f.write("doc_id,text,lang,source,n_chars\n")
+        f.write('notanumber,"typed wrong",en,web,5\n')
+        f.write("bare unparsable line\n")
+    os.utime(bad, (1_600_000_000 + len(parts) // 2,) * 2)
+    out = os.path.join(work, "ingested")
+    q = (
+        read_csv_stream(spark, src, docs)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", os.path.join(work, "ckpt_csv"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    back = spark.read.parquet(out)
+    return back.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(F.col(CORRUPT_COL)).alias("n_quarantined"),
+        F.count_distinct(
+            F.when(F.col(CORRUPT_COL).isNull(), F.col("doc_id"))
+        ).alias("n_docs"),
+        F.sum(
+            F.when(F.col(CORRUPT_COL).isNull(), F.col("n_chars"))
+        ).alias("sum_chars"),
+    )
+
+
+O_STREAM_CSV = """
+SELECT count(*) + 2 AS n_rows,
+       CAST(2 AS BIGINT) AS n_quarantined,
+       count(DISTINCT doc_id) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM documents
+"""
+
+
 # --- q_stream_drift: continuous PSI gate over ingest micro-batches ---
 # The data-quality loop a continuously-training pipeline runs: every
 # micro-batch's value distribution is PSI-scored against the standing
@@ -817,6 +878,7 @@ FROM pc
 QUERIES = {
     "q_corpus_pipeline_jsonl": q_corpus_pipeline_jsonl,
     "q_stream_drift": q_stream_drift,
+    "q_stream_csv": q_stream_csv,
     "q_stream_ingest": q_stream_ingest,
     "q_stream_dedup_increment": q_stream_dedup_increment,
     "q_stream_dedup_seeded": q_stream_dedup_seeded,
@@ -835,6 +897,7 @@ QUERIES = {
 ORACLES = {
     "q_corpus_pipeline_jsonl": _o_corpus_pipeline(),
     "q_stream_drift": _o_stream_drift(),
+    "q_stream_csv": O_STREAM_CSV,
     "q_stream_ingest": O_STREAM_INGEST,
     "q_stream_dedup_increment": _o_stream_dedup_increment(),
     "q_stream_dedup_seeded": _o_stream_dedup_seeded(),

@@ -55,6 +55,36 @@ def write_csv(df: DataFrame, path: str, n_files: int | None = None) -> None:
     df.write.mode("overwrite").options(**_OPTS).csv(path)
 
 
+def read_csv_stream(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | DataFrame,
+    max_files_per_trigger: int = 2,
+    multi_line: bool = True,
+) -> DataFrame:
+    """Streaming twin of :func:`read_csv`: a file-stream over CSV
+    shards under the same explicit schema + PERMISSIVE quarantine
+    contract (a malformed shard mid-crawl diverts rows, it does not
+    kill the job). Same record schema as the batch reader, so backfill
+    and live ingest share downstream logic verbatim."""
+    if isinstance(schema, DataFrame):
+        schema = schema.schema
+    if CORRUPT_COL not in schema.fieldNames():
+        schema = T.StructType(
+            list(schema.fields)
+            + [T.StructField(CORRUPT_COL, T.StringType(), True)]
+        )
+    return (
+        spark.readStream.schema(schema)
+        .options(**_OPTS)
+        .option("multiLine", str(multi_line).lower())
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", CORRUPT_COL)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .csv(path)
+    )
+
+
 def read_csv(
     spark: SparkSession,
     path: str,
