@@ -86,6 +86,25 @@ def test_view_tracks_current_snapshot(spark, tmp_path, no_broadcast):
     assert s.bucketed_view("v_snap").count() == 7
 
 
+def test_bucketed_store_rollup_keeps_layout(spark, tmp_path, no_broadcast):
+    """derive_rollup stages through the same bucketed write path, so
+    continuous-aggregate maintenance on a bucketed store keeps every
+    data file bucket-tagged and the snapshot view keeps planning
+    exchange-free joins afterwards."""
+    s = CandleStore(spark, str(tmp_path / "s"), n_buckets=4)
+    batch = mk(spark, _rows(30, 100.0))
+    s.write(batch)
+    s.derive_rollup(batch, target_length_s=300)
+    coarse = s.read(candle_length=300)
+    assert coarse.count() == 12  # 30 minutes -> 6 buckets x 2 codes
+    v = s.bucketed_view("v_rollup_mix")
+    assert v.count() == 60 + 12  # 2 codes x 30 fine bars + 12 coarse
+    j = v.alias("a").join(
+        spark.table("v_rollup_mix").alias("b"), KEY
+    )
+    assert exchanges_in_plan(j) == 0
+
+
 def test_bucket_spec_is_persisted_and_enforced(spark, tmp_path):
     path = str(tmp_path / "s")
     s = CandleStore(spark, path, n_buckets=4)
