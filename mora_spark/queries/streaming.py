@@ -275,6 +275,27 @@ GROUP BY user_id, sid
 """
 
 
+def q_stream_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-batch stateful running peak + drawdown
+    (applyInPandasWithState, the second custom stateful operator) over
+    an in-order replay — must equal the one-pass batch window."""
+    from mora_spark.streaming import stream_drawdown
+
+    work = _work("stream_drawdown", sf_dir)
+    src = ordered_chunked_source(spark, sf_dir, _src_cache(sf_dir))
+    return stream_drawdown(spark, src, work)
+
+
+O_STREAM_DRAWDOWN = """
+SELECT event_type, event_id, ts, value,
+       max(value) OVER w AS peak,
+       max(value) OVER w - value AS drawdown
+FROM events
+WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+             ROWS UNBOUNDED PRECEDING)
+"""
+
+
 def q_stream_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-batch stateful EMA (applyInPandasWithState) over an
     in-order replay — must equal the one-pass batch recursion."""
@@ -879,6 +900,7 @@ QUERIES = {
     "q_corpus_pipeline_jsonl": q_corpus_pipeline_jsonl,
     "q_stream_drift": q_stream_drift,
     "q_stream_csv": q_stream_csv,
+    "q_stream_drawdown": q_stream_drawdown,
     "q_stream_ingest": q_stream_ingest,
     "q_stream_dedup_increment": q_stream_dedup_increment,
     "q_stream_dedup_seeded": q_stream_dedup_seeded,
@@ -898,6 +920,7 @@ ORACLES = {
     "q_corpus_pipeline_jsonl": _o_corpus_pipeline(),
     "q_stream_drift": _o_stream_drift(),
     "q_stream_csv": O_STREAM_CSV,
+    "q_stream_drawdown": O_STREAM_DRAWDOWN,
     "q_stream_ingest": O_STREAM_INGEST,
     "q_stream_dedup_increment": _o_stream_dedup_increment(),
     "q_stream_dedup_seeded": _o_stream_dedup_seeded(),

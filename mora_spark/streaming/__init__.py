@@ -11,6 +11,7 @@ from mora_spark.streaming.ingest import (
     ordered_chunked_source,
     stream_candles,
     stream_dedup_ingest,
+    stream_drawdown,
     stream_ema,
     stream_enrich,
     stream_sliding,
@@ -27,6 +28,7 @@ __all__ = [
     "ordered_chunked_source",
     "stream_candles",
     "stream_dedup_ingest",
+    "stream_drawdown",
     "stream_ema",
     "stream_enrich",
     "stream_sliding",

@@ -624,3 +624,69 @@ def stream_ema(
         )
         q.awaitTermination()
     return spark.read.parquet(out)
+
+
+def stream_drawdown(
+    spark: SparkSession, src: str, work_dir: str
+) -> DataFrame:
+    """Second custom stateful operator via ``applyInPandasWithState``
+    (the pattern generalizes past EMA): per-key RUNNING PEAK of the
+    value stream, carried across micro-batches as one double of state,
+    with the per-row drawdown below that peak. A running max is
+    order-dependent like the EMA recursion but its state composition
+    is pure max — the minimal stateful-operator shape. Requires an
+    in-order source (:func:`ordered_chunked_source`); drawdown is the
+    absolute gap (not a ratio — stream values may be <= 0 and the
+    parity contract must stay NaN-free)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out = os.path.join(work_dir, "drawdown_out")
+    ckpt = os.path.join(work_dir, "ckpt_drawdown")
+
+    out_schema = T.StructType(
+        [
+            T.StructField("event_type", T.StringType()),
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("peak", T.DoubleType()),
+            T.StructField("drawdown", T.DoubleType()),
+        ]
+    )
+    state_schema = T.StructType([T.StructField("peak", T.DoubleType())])
+
+    def fn(key, pdfs, state):
+        import numpy as np
+        import pandas as pd
+
+        rows = pd.concat(list(pdfs))
+        if rows.empty:
+            return
+        rows = rows.sort_values(["ts", "event_id"])
+        vals = rows["value"].astype("float64").to_numpy()
+        prev = state.get[0] if state.exists else float("-inf")
+        peaks = np.maximum.accumulate(np.maximum(vals, prev))
+        state.update((float(peaks[-1]),))
+        out_pdf = rows[["event_type", "event_id", "ts", "value"]].copy()
+        out_pdf["peak"] = peaks
+        out_pdf["drawdown"] = peaks - vals
+        yield out_pdf
+
+    stream = (
+        _read_stream(spark, src)
+        .groupBy("event_type")
+        .applyInPandasWithState(
+            fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+        )
+    )
+    with _state_partitions(spark, 8):
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.read.parquet(out)
