@@ -106,6 +106,44 @@ def test_stateful_ema_kill_restart_carries_state(spark, sf_dir, tmp_path):
     assert all(abs(got[k] - want[k]) < 1e-12 for k in want)
 
 
+def test_stateful_drawdown_kill_restart_carries_peak(
+    spark, sf_dir, tmp_path
+):
+    """Same recovery contract for the second stateful operator: the
+    running peak must carry across a crash-restart, so the resumed
+    stream's drawdowns equal one uninterrupted run exactly (max
+    composition is exact — no float tolerance needed)."""
+    from mora_spark.streaming import ordered_chunked_source, stream_drawdown
+
+    srcdir = tmp_path / "srcstage"
+    src = ordered_chunked_source(spark, sf_dir, str(srcdir), n_chunks=4)
+    files = sorted(glob.glob(os.path.join(src, "*.parquet")))
+
+    live = tmp_path / "live"
+    live.mkdir()
+    for f in files[:2]:
+        shutil.copy2(f, live / os.path.basename(f))
+    stream_drawdown(spark, str(live), str(tmp_path))  # run 1 (partial)
+    for f in files[2:]:
+        shutil.copy2(f, live / os.path.basename(f))
+    got = {
+        r["event_id"]: (r["peak"], r["drawdown"])
+        for r in stream_drawdown(spark, str(live), str(tmp_path)).collect()
+    }
+
+    solid = tmp_path / "solid"
+    solid.mkdir()
+    for f in files:
+        shutil.copy2(f, solid / os.path.basename(f))
+    want = {
+        r["event_id"]: (r["peak"], r["drawdown"])
+        for r in stream_drawdown(
+            spark, str(solid), str(tmp_path / "w2")
+        ).collect()
+    }
+    assert got == want
+
+
 def test_late_data_backfills_old_windows(spark, sf_dir, tmp_path):
     """mora accepts arbitrarily late backfill into old pages
     (page/page.go:95-142); the streaming twin: a final chunk whose
