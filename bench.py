@@ -69,6 +69,7 @@ HEADLINE = [
     "q_stream_store_merge",
     "q_stream_store_rollup",
     "q_stream_ema",
+    "q_stream_drawdown",
     "q_corpus_pipeline_jsonl",
 ]
 
