@@ -19,7 +19,7 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # only (round-1 evidence: CORRECTNESS_r01.json stops at entry 50 in
 # registry order). PRIORITY pins the round-6 window (VERDICT r5
 # "Next round" #1/#8):
-# - ALL 15 queries with no driver row ever: the 5 added after the r5
+# - ALL 16 queries with no driver row ever: the 5 added after the r5
 #   window froze (q_jsonl_roundtrip, q_jsonl_quarantine,
 #   q_stream_jsonl, q_bucketed_join, q_drift_psi) + the 6 new this
 #   round (q_corpus_pipeline_jsonl — the end-to-end JSONL curation
@@ -31,9 +31,10 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #   q_csv_quarantine / q_stream_csv — the CSV interchange twin of
 #   the JSONL surface, batch and streaming; q_stream_drawdown — a
 #   second applyInPandasWithState stateful operator, running peak +
-#   drawdown carried across micro-batches).
+#   drawdown carried across micro-batches; q_stream_store_asof —
+#   per-micro-batch as-of feature lookup against the candle store).
 #   After this window runs green, the driver-green union covers the
-#   full registry for the first time: 144/144;
+#   full registry for the first time: 145/145;
 # - 16 changed-code guards (standing rule: machinery changed in-round
 #   re-enters the window): engine/store.py grew the per-version
 #   corrupt-manifest fence + the bucketed write path (q_store_roundtrip
@@ -46,16 +47,16 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #   q_stream_dedup_seeded). session.py's
 #   requireAllClusterKeysForCoPartition=false is plan-global; the
 #   window's cross-family spread is its guard;
-# - 19 oldest-evidence re-greens: every r2-era row (q_centroid_dist,
+# - 18 oldest-evidence re-greens: every r2-era row (q_centroid_dist,
 #   q_dedup_exact, q_embed_neardup_exact, q_embedding_norms,
-#   q_multimodal_meta, q_stream_enrich, q_stream_join) and 12 r3-era
+#   q_multimodal_meta, q_stream_enrich, q_stream_join) and 11 r3-era
 #   rows spanning streaming, text, simhash/jaccard, resample, ysf and
 #   scalar surfaces (q_stream_wire and q_resample_1h keep their r3
 #   rows — wire parity is additionally pytest-pinned byte-exactly;
 #   q_stream_sliding, q_stream_sessions, q_stream_ingest,
 #   q_stream_ema — whose applyInPandasWithState machinery the new
-#   q_stream_drawdown re-covers — q_simhash_pairs and q_json_props
-#   likewise keep theirs).
+#   q_stream_drawdown re-covers — q_simhash_pairs, q_jaccard_pairs
+#   and q_json_props likewise keep theirs).
 # Displaced to make room: the r4-green TPC-H family and the r5-green
 # indicator/event/vector families — machinery unchanged, each keeps
 # its CORRECTNESS_r04/r05.json green row.
@@ -76,6 +77,7 @@ PRIORITY: tuple[str, ...] = (
     "q_csv_quarantine",
     "q_stream_csv",
     "q_stream_drawdown",
+    "q_stream_store_asof",
     # changed-code guards (r6): engine/store.py
     "q_store_roundtrip",
     "q_store_append",
@@ -109,7 +111,6 @@ PRIORITY: tuple[str, ...] = (
     "q_topk_volume",
     "q_scalar_funcs",
     "q_simhash",
-    "q_jaccard_pairs",
     "q_text_stats",
     "q_lang_id",
     "q_fingerprint",
@@ -121,9 +122,9 @@ PRIORITY: tuple[str, ...] = (
 # Demoted below the window: every demoted query keeps its green
 # CORRECTNESS_r03/r04/r05.json row as evidence (none older — the last
 # r2-era rows are all IN this window — q_resample_1h keeps its r3 row,
-# with q_resample_5m as the family's in-window representative). 144
+# with q_resample_5m as the family's in-window representative). 145
 # queries are declared; once this window runs green the driver-green
-# union reaches 144/144 with zero rotation debt.
+# union reaches 145/145 with zero rotation debt.
 
 
 def collect_registry() -> tuple[dict[str, QueryFn], dict[str, str]]:

@@ -275,6 +275,36 @@ GROUP BY user_id, sid
 """
 
 
+def q_stream_store_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming feature lookup against the persistent store: candles
+    are loaded into a CandleStore once, then the raw event stream is
+    as-of enriched per micro-batch (latest stored bar at-or-before
+    each event, store read-back pruned to the batch's code set + ts
+    span + lookback horizon). Against a static store the union of
+    enriched batches must equal the one-shot batch as-of join — the
+    same oracle as q_asof_trades."""
+    from mora_spark.datasets import candles_from_events
+    from mora_spark.engine import CandleStore
+    from mora_spark.streaming import stream_store_asof
+
+    work = _work("stream_store_asof", sf_dir)
+    store = CandleStore(spark, os.path.join(work, "store"))
+    store.write(candles_from_events(load_table(spark, sf_dir, "events")))
+    src = chunked_source(spark, sf_dir, _src_cache(sf_dir))
+    return stream_store_asof(spark, src, work, store)
+
+
+O_STREAM_STORE_ASOF = candles_sql(
+    """
+SELECT e.event_id, e.event_type AS code, e.ts, e.value,
+       c.close AS close_asof, c.volume AS volume_asof
+FROM events e
+ASOF LEFT JOIN candles c
+  ON e.event_type = c.code AND e.ts >= c.ts
+"""
+)
+
+
 def q_stream_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-batch stateful running peak + drawdown
     (applyInPandasWithState, the second custom stateful operator) over
@@ -901,6 +931,7 @@ QUERIES = {
     "q_stream_drift": q_stream_drift,
     "q_stream_csv": q_stream_csv,
     "q_stream_drawdown": q_stream_drawdown,
+    "q_stream_store_asof": q_stream_store_asof,
     "q_stream_ingest": q_stream_ingest,
     "q_stream_dedup_increment": q_stream_dedup_increment,
     "q_stream_dedup_seeded": q_stream_dedup_seeded,
@@ -921,6 +952,7 @@ ORACLES = {
     "q_stream_drift": _o_stream_drift(),
     "q_stream_csv": O_STREAM_CSV,
     "q_stream_drawdown": O_STREAM_DRAWDOWN,
+    "q_stream_store_asof": O_STREAM_STORE_ASOF,
     "q_stream_ingest": O_STREAM_INGEST,
     "q_stream_dedup_increment": _o_stream_dedup_increment(),
     "q_stream_dedup_seeded": _o_stream_dedup_seeded(),

@@ -16,6 +16,7 @@ from mora_spark.streaming.ingest import (
     stream_enrich,
     stream_sliding,
     stream_sessions,
+    stream_store_asof,
     stream_store_merge,
     stream_stream_join,
 )
@@ -33,6 +34,7 @@ __all__ = [
     "stream_enrich",
     "stream_sliding",
     "stream_sessions",
+    "stream_store_asof",
     "stream_store_merge",
     "stream_stream_join",
 ]

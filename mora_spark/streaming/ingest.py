@@ -690,3 +690,76 @@ def stream_drawdown(
         )
         q.awaitTermination()
     return spark.read.parquet(out)
+
+
+def stream_store_asof(
+    spark: SparkSession,
+    src: str,
+    work_dir: str,
+    store,
+    lookback_s: int = 86_400,
+) -> DataFrame:
+    """Streaming feature lookup: each event micro-batch is AS-OF
+    enriched against the persistent :class:`CandleStore` — the
+    real-time feature-store pattern (attach the latest stored bar
+    at-or-before each event).
+
+    Per batch the store read-back is pruned THREE ways before any file
+    opens: the batch's code set (bounded by key cardinality), the
+    batch's ts span widened by ``lookback_s`` (the staleness horizon —
+    a production knob bounding how far back a feature may be fetched;
+    manifest + row-group pruning make the read span-proportional), and
+    the market key. Enrichment is the shared :func:`asof_join` plan, so
+    batch backfill and live lookup agree by construction. The per-batch
+    sink dir + overwrite keeps replays idempotent. Against a STATIC
+    store, the union of enriched batches equals one batch-mode as-of
+    join — the oracle's statement."""
+    import datetime as _dt
+
+    from mora_spark.operators.asof import asof_join
+
+    out = os.path.join(work_dir, "asof_out")
+    ckpt = os.path.join(work_dir, "ckpt_store_asof")
+
+    def sink(batch: DataFrame, batch_id: int) -> None:
+        trades = batch.select(
+            "event_id",
+            F.lit("SYN").alias("market"),
+            F.col("event_type").alias("code"),
+            "ts",
+            "value",
+        )
+        span = trades.agg(
+            F.min("ts").alias("lo"), F.max("ts").alias("hi")
+        ).collect()[0]
+        if span["lo"] is None:
+            return
+        codes = [
+            r["code"] for r in trades.select("code").distinct().collect()
+        ]
+        series = store.read(
+            market="SYN",
+            start=span["lo"] - _dt.timedelta(seconds=lookback_s),
+            end=span["hi"] + _dt.timedelta(seconds=1),
+        ).where(F.col("code").isin(codes))
+        enriched = asof_join(
+            trades, series, on=["market", "code"],
+            right_cols=["close", "volume"],
+        ).select("event_id", "code", "ts", "value", "close_asof",
+                 "volume_asof")
+        enriched.write.mode("overwrite").parquet(
+            os.path.join(out, f"batch_id={batch_id}")
+        )
+
+    with _state_partitions(spark, 8):
+        q = (
+            _read_stream(spark, src)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.read.parquet(out).select(
+        "event_id", "code", "ts", "value", "close_asof", "volume_asof"
+    )
