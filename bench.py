@@ -70,6 +70,7 @@ HEADLINE = [
     "q_stream_store_rollup",
     "q_stream_ema",
     "q_stream_drawdown",
+    "q_stream_store_asof",
     "q_corpus_pipeline_jsonl",
 ]
 
