@@ -19,20 +19,22 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 # Headline set: one per operator family (ingest/agg, resample, windows,
 # pandas-UDF, as-of, gapfill, top-k) plus relational/text/vector heads
-# when present in the registry.
+# when present in the registry. Trimmed per VERDICT r6 #1: of the three
+# timed TPC-H kin q1/q9/q21 only q9 (the widest join tree) stays;
+# q_ema_12 is covered by q_sma_roll/q_stochastic (same window family)
+# plus q_stream_ema; q_dedup_lines by q_dedup_exact (same map-side
+# min(struct) shape). Every retired line keeps its registry entry and
+# correctness row — only the per-round wall-clock line is dropped.
 HEADLINE = [
     "q_candles_1m",
     "q_resample_5m",
     "q_gapfill",
     "q_sma_roll",
     "q_stochastic",
-    "q_ema_12",
     "q_heikin_ashi",
     "q_asof_trades",
     "q_topk_volume",
-    "q_tpch_q1",
     "q_tpch_q9",
-    "q_tpch_q21",
     "q_skew_join",
     "q_sessionize",
     "q_funnel",
@@ -50,7 +52,6 @@ HEADLINE = [
     "q_boilerplate",
     "q_minhash_lsh",
     "q_dedup_increment",
-    "q_dedup_lines",
     "q_dup_spans",
     "q_lm_score",
     "q_dedup_clusters",
@@ -238,7 +239,6 @@ def main() -> None:
     # repeats measure caches, not the plan. The headline "queries"/
     # "value" stay single-pass, comparable with earlier rounds.
     canaries = [
-        "q_tpch_q1",
         "q_tpch_q9",
         "q_topk_volume",
         "q_asof_trades",
@@ -264,22 +264,55 @@ def main() -> None:
         canary_runs[name] = runs
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
+    full = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "heavy_policy": "lower_median_of_3_above_5s",
+        "prestaged": {
+            name: "staging untimed (ingest-time cost); timed "
+            "line is the zero-exchange join"
+            for name, *_ in PRESTAGED
+        },
+        "heavy_runs": heavy_runs,
+        "canary_runs": canary_runs,
+        "env_probe": {"before": env_before, "after": _env_probe()},
+        "sf": sf,
+    }
+    # The driver's artifact keeps only a byte-bounded TAIL of stdout,
+    # and the full metrics line outgrew it in round 6 (the headline
+    # total and the first ~22 per-query lines were unrecoverable from
+    # BENCH_r06.json). Three-way emit so every number survives:
+    # 1. the full line, for anyone reading stdout live;
+    # 2. bench_full.json next to this script, the committed
+    #    audit-recoverable record of every per-query line;
+    # 3. a compact FINAL line that always fits the tail — the
+    #    verdict-bearing total plus the slowest lines.
+    print(json.dumps(full))
+    with open(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "bench_full.json"),
+        "w",
+    ) as f:
+        json.dump(full, f, indent=1)
+    slowest = dict(
+        sorted(timings.items(), key=lambda kv: -kv[1])[:8]
+    )
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total_wall",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
-                "heavy_policy": "lower_median_of_3_above_5s",
-                "prestaged": {
-                    name: "staging untimed (ingest-time cost); timed "
-                    "line is the zero-exchange join"
-                    for name, *_ in PRESTAGED
-                },
-                "heavy_runs": heavy_runs,
-                "canary_runs": canary_runs,
-                "env_probe": {"before": env_before, "after": _env_probe()},
+                "n_queries": len(timings),
+                "n_errors": sum(1 for t in timings.values() if t < 0),
+                "slowest": slowest,
+                "env_probe_multi_s": [
+                    full["env_probe"]["before"]["multi_s"],
+                    full["env_probe"]["after"]["multi_s"],
+                ],
+                "full_metrics": "bench_full.json",
                 "sf": sf,
             }
         )
