@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.functions import broadcast, pandas_udf
 
-from mora_spark.functions.vectors import cosine, dot, l2_norm
+from mora_spark.functions.vectors import as_double, cosine, dot, l2_norm
 
 
 def _hyperplanes(dim: int, n_bits: int, seed: str = "srp") -> np.ndarray:
@@ -795,3 +795,220 @@ def quantize_embeddings(
         ),
     )
     return df.withColumn("qvec", qv)
+
+
+# --- Product quantization (PQ): the sub-byte ANN storage tier ---
+# SQ8 above stores 1 byte per DIMENSION; PQ stores a few bytes per
+# VECTOR. The 64-dim corpus is split into PQ_M=8 subspaces of 8 dims,
+# each quantized against its own K=16-entry trained codebook — 4 bits
+# per subspace, 4 bytes per vector (0.5 byte/dim, 16x smaller than
+# float32, 128x smaller than float64). Search is the classic
+# asymmetric-distance (ADC) two-stage pipeline (Jégou et al., "Product
+# Quantization for Nearest Neighbor Search", TPAMI 2011; faiss's
+# IndexPQ): per query, an M x K table of exact
+# ||q_m - codeword||^2 distances is computed once driver-side, the
+# corpus is ranked by M table lookups per row (pure JVM: zip_with +
+# element_at over the stored code array — no Python, no floats read),
+# and only the shortlist is re-scored against full-precision vectors.
+#
+# Training follows the train_ivf_centroids discipline: seeded
+# deterministic Lloyd's per subspace, means rounded to 8 dp so the
+# model is stable to float summation order, empty codes keep their
+# previous centroid. Correctness is STRUCTURAL under ANY codebook:
+# an exact copy of the query achieves ADC distance
+# sum_m min_j ||q_m - c_mj||^2 — the global minimum over all possible
+# code assignments — so planted copies provably survive stage 1
+# whatever training produced (see queries/vectors.py::q_ann_pq).
+
+PQ_M = 8  # subspaces
+PQ_K = 16  # codes per subspace (4 bits)
+
+
+def train_pq_codebooks(
+    embeddings: DataFrame,
+    m_subspaces: int = PQ_M,
+    n_codes: int = PQ_K,
+    n_iter: int = 3,
+    dim: int = 64,
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Per-subspace Lloyd's k-means -> codebooks (M, K, dim//M).
+
+    Seeds are the first ``n_codes`` corpus vectors in xxhash64 order —
+    data-dependent but deterministic across runs, partitionings and
+    engines (the q_stratified_sample hash-sampler discipline). Each
+    iteration is ONE Spark job: an Arrow-batched encode pass, then a
+    map-side-combined (subspace, code, pos) sum whose output is at
+    most ``n_codes * dim`` rows collected to the driver — the
+    tiny-model-on-driver shape of train_ivf_centroids. At 100 TB you
+    train on a hash-deterministic sample; encoding the full corpus is
+    the same single pass either way.
+    """
+    dsub = dim // m_subspaces
+    seed_rows = (
+        embeddings.select(F.col(vec_col).alias("v"))
+        .orderBy(F.xxhash64("v"))
+        .limit(n_codes)
+        .collect()
+    )
+    seeds = np.stack(
+        [np.asarray(r["v"], dtype=np.float64) for r in seed_rows]
+    )
+    if len(seeds) < n_codes:  # degenerate tiny corpus: tile the seeds
+        reps = -(-n_codes // max(len(seeds), 1))
+        seeds = np.tile(seeds, (reps, 1))[:n_codes]
+    books = seeds.reshape(n_codes, m_subspaces, dsub).transpose(1, 0, 2)
+    books = np.ascontiguousarray(books)  # (M, K, dsub)
+
+    for _ in range(n_iter):
+        enc = _pq_encoder(books)
+        sums = (
+            embeddings.select(
+                enc(F.col(vec_col)).alias("codes"),
+                F.posexplode(
+                    F.transform(
+                        F.col(vec_col), lambda x: x.cast("double")
+                    )
+                ).alias("pos", "x"),
+            )
+            .select(
+                (F.col("pos") / dsub).cast("int").alias("m"),
+                F.element_at(
+                    "codes", (F.col("pos") / dsub).cast("int") + 1
+                ).alias("code"),
+                "pos",
+                "x",
+            )
+            .groupBy("m", "code", "pos")
+            .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        new = books.copy()
+        acc = np.zeros((m_subspaces, n_codes, dsub))
+        cnt = np.zeros((m_subspaces, n_codes), dtype="int64")
+        for r in sums:
+            acc[r["m"], r["code"], r["pos"] - r["m"] * dsub] = r["s"]
+            cnt[r["m"], r["code"]] = r["n"]
+        for m in range(m_subspaces):
+            for j in range(n_codes):
+                if cnt[m, j] > 0:  # empty codes keep their previous
+                    new[m, j] = np.round(acc[m, j] / cnt[m, j], 8)
+        books = new
+    return books
+
+
+def _pq_encoder(books: np.ndarray):
+    """Arrow-batched PQ encoding under fixed codebooks: per subspace,
+    the argmin-distance code. One (n, K) distance matrix per subspace
+    per Arrow batch — ||x||^2 - 2 x @ C^T + ||c||^2, argmin over K."""
+    m_subspaces, n_codes, dsub = books.shape
+
+    @pandas_udf(T.ArrayType(T.IntegerType()))
+    def codes_of(vs: pd.Series) -> pd.Series:
+        mat = np.stack(vs.apply(lambda v: np.asarray(v, dtype=np.float64)))
+        sub = mat.reshape(len(mat), m_subspaces, dsub)
+        out = np.empty((len(mat), m_subspaces), dtype="int32")
+        for m in range(m_subspaces):
+            x = sub[:, m, :]  # (n, dsub)
+            c = books[m]  # (K, dsub)
+            d = (
+                (x * x).sum(axis=1, keepdims=True)
+                - 2.0 * (x @ c.T)
+                + (c * c).sum(axis=1)
+            )
+            out[:, m] = np.argmin(d, axis=1)
+        return pd.Series(list(out))
+
+    return codes_of
+
+
+def pq_encode(
+    df: DataFrame, books: np.ndarray, vec_col: str = "embedding"
+) -> DataFrame:
+    """Append ``pq_code`` (array<int>, length M — the 4-bit codes a
+    columnar store would pack two-per-byte)."""
+    return df.withColumn("pq_code", _pq_encoder(books)(F.col(vec_col)))
+
+
+def pq_topk(
+    embeddings: DataFrame,
+    books: np.ndarray,
+    query_ids: list[int],
+    k: int = 5,
+    shortlist: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Two-stage PQ search: ADC shortlist, then exact re-rank.
+
+    Stage 1 reads ONLY the M-int code column (4 bytes/vector packed)
+    and scores each candidate with M JVM array lookups into the
+    query's distance table — broadcast with the (tiny, bounded by the
+    request) query set, computed driver-side exactly like
+    ivf_index_topk's probe cells. Stage 2 touches ``shortlist``
+    full-precision rows per query. ADC distances and final cosines
+    round to 6 dp with id tie-breaks, so the whole pipeline is
+    deterministic and oracle-comparable end-to-end.
+    """
+    m_subspaces, n_codes, dsub = books.shape
+    enc = pq_encode(embeddings, books, vec_col)
+    qrows = (
+        embeddings.where(F.col(id_col).isin(query_ids))
+        .select(id_col, vec_col)
+        .collect()
+    )
+    flat = []
+    for r in qrows:
+        qv = np.asarray(r[vec_col], dtype=np.float64)
+        sub = qv.reshape(m_subspaces, dsub)
+        dt = np.empty((m_subspaces, n_codes))
+        for m in range(m_subspaces):
+            diff = books[m] - sub[m]
+            dt[m] = (diff * diff).sum(axis=1)
+        flat.append(
+            (
+                int(r[id_col]),
+                [float(x) for x in qv],
+                [float(x) for x in dt.ravel()],
+            )
+        )
+    spark = embeddings.sparkSession
+    q = spark.createDataFrame(
+        flat, "query_id long, qv array<double>, dtable array<double>"
+    )
+    cand = enc.where(~F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        "pq_code",
+    )
+    lookup = F.zip_with(
+        F.col("pq_code"),
+        F.sequence(F.lit(0), F.lit(m_subspaces - 1)),
+        lambda c, m: F.element_at(
+            F.col("dtable"), (m * n_codes + c + F.lit(1)).cast("int")
+        ),
+    )
+    scored = cand.crossJoin(broadcast(q)).withColumn(
+        "adc",
+        F.round(
+            F.aggregate(lookup, F.lit(0.0), lambda a, x: a + x), 6
+        ),
+    )
+    w1 = Window.partitionBy("query_id").orderBy(
+        F.col("adc").asc(), F.col("neighbor_id")
+    )
+    short = scored.withColumn("arank", F.row_number().over(w1)).where(
+        F.col("arank") <= shortlist
+    )
+    rescored = short.withColumn(
+        "score",
+        F.round(cosine(F.col("qv"), as_double(F.col("cv"))), 6),
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id")
+    )
+    return (
+        rescored.withColumn("rank", F.row_number().over(w2))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "score", "rank")
+    )

@@ -275,6 +275,99 @@ def q_ann_ivf_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- q_ann_pq: product-quantized two-stage search ---
+# The sub-byte storage tier below SQ8: 8 subspaces x 16 trained codes
+# = 4 bits/subspace, 4 bytes/vector (0.5 byte/dim). Stage 1 ranks the
+# corpus by asymmetric distance (M JVM table lookups per row against
+# the query's exact M x K distance table), stage 2 re-ranks the
+# shortlist at full precision — see llm/simsearch.py::pq_topk.
+#
+# The codebooks are k-means-TRAINED, which no SQL oracle can replay —
+# so like the SRP/IVF family the query PLANTS structural ground truth,
+# but with EXACT copies, not scaled ones: PQ's ADC distance is L2 on
+# raw subvectors (scale-variant), and an exact copy of the query
+# achieves ADC = sum_m min_j ||q_m - c_mj||^2 — the global minimum
+# over all possible code assignments — under ANY codebook. Ties (same
+# rounded ADC) break by neighbor_id ascending, and the plants take
+# NEGATIVE ids (below every corpus id), so the TOP_K copies provably
+# head the stage-1 shortlist whatever training produced; stage 2's
+# exact re-rank then scores them round(cos,6) = 1.0, strictly above
+# the 0.66 corpus ceiling. The oracle replays the plant + exact
+# brute-force top-k, so the driver hash verifies the full pipeline's
+# answer against a codebook-independent truth. The complementary
+# non-structural property — measured shortlist recall on the RAW
+# corpus vs brute force — is pinned in tests/test_pq.py.
+
+PQ_PLANT_ID = -1  # plants occupy -(query_id*TOP_K + j + 1), all < 0
+
+
+def _planted_pq(e: DataFrame) -> DataFrame:
+    """Corpus (as double) + TOP_K exact copies of each query vector at
+    negative ids (the structural PQ ground truth; see note above)."""
+    base = e.select(
+        "vec_id", as_double(F.col("embedding")).alias("embedding")
+    )
+    plants = (
+        base.where(F.col("vec_id") < N_QUERIES)
+        .select(
+            "vec_id",
+            "embedding",
+            F.explode(F.sequence(F.lit(0), F.lit(TOP_K - 1))).alias("j"),
+        )
+        .select(
+            (
+                -(F.col("vec_id") * TOP_K + F.col("j") + 1)
+            ).cast("long").alias("vec_id"),
+            "embedding",
+        )
+    )
+    return base.unionByName(plants)
+
+
+def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mora_spark.llm.simsearch import pq_topk, train_pq_codebooks
+
+    e = _planted_pq(_emb(spark, sf_dir))
+    books = train_pq_codebooks(e.where(F.col("vec_id") >= N_QUERIES))
+    return pq_topk(
+        e,
+        books,
+        query_ids=list(range(N_QUERIES)),
+        k=TOP_K,
+        shortlist=SQ8_SHORTLIST,
+    )
+
+
+O_ANN_PQ = f"""
+WITH base AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), planted AS (
+  SELECT vec_id, v FROM base
+  UNION ALL
+  SELECT -(vec_id * {TOP_K} + j + 1) AS vec_id, v
+  FROM base CROSS JOIN (SELECT unnest(range({TOP_K})) AS j)
+  WHERE vec_id < {N_QUERIES}
+), q AS (
+  SELECT vec_id AS query_id, v AS qv FROM base WHERE vec_id < {N_QUERIES}
+), c AS (
+  SELECT vec_id AS neighbor_id, v AS cv FROM planted
+  WHERE vec_id >= {N_QUERIES} OR vec_id < 0
+), scored AS (
+  SELECT query_id, neighbor_id,
+         round(list_dot_product(qv, cv)
+               / (sqrt(list_dot_product(qv, qv))
+                  * sqrt(list_dot_product(cv, cv))), 6) AS score
+  FROM c CROSS JOIN q
+)
+SELECT query_id, neighbor_id, score, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY score DESC, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= {TOP_K}
+"""
+
+
 # --- q_quantize_embed: int8 symmetric quantization profile ---
 # The 100 TB storage knob (int8 posting lists are 4x smaller than
 # float32, 8x than float64; probes read a quarter of the bytes and
@@ -606,6 +699,7 @@ QUERIES = {
     "q_ann_ivf_add": q_ann_ivf_add,
     "q_ann_ivf_compact": q_ann_ivf_compact,
     "q_ann_sq8": q_ann_sq8,
+    "q_ann_pq": q_ann_pq,
     "q_quantize_embed": q_quantize_embed,
     "q_embed_neardup": q_embed_neardup,
     "q_embed_neardup_exact": q_embed_neardup_exact,
@@ -621,6 +715,7 @@ ORACLES = {
     "q_ann_ivf_add": _o_ann_topk(),
     "q_ann_ivf_compact": _o_ann_topk(),
     "q_ann_sq8": O_ANN_SQ8,
+    "q_ann_pq": O_ANN_PQ,
     "q_quantize_embed": O_QUANTIZE_EMBED,
     "q_embed_neardup": O_EMBED_NEARDUP,
     "q_embed_neardup_exact": O_EMBED_NEARDUP_EXACT,
