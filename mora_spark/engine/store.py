@@ -1044,16 +1044,27 @@ class CandleStore:
 
         Both sides are manifest-pruned snapshot reads; the full outer
         join shuffles on the candle key — on a bucketed store
-        (``n_buckets``), pairing two :meth:`bucketed_view` snapshots
-        instead makes even the diff exchange-free."""
+        (``n_buckets``), pair two :meth:`bucketed_view` snapshots with
+        :meth:`snapshot_diff` instead and the diff plans exchange-free
+        (pinned in tests/test_store_bucketed.py and the
+        q_store_diff_bucketed driver row)."""
+        return self.snapshot_diff(
+            self.read(version=v_from), self.read(version=v_to)
+        )
+
+    @staticmethod
+    def snapshot_diff(a: DataFrame, b: DataFrame) -> DataFrame:
+        """The diff comparator over two snapshot frames — shared by
+        :meth:`diff` (manifest-pruned reads, shuffling full-outer) and
+        the bucketed path, where the caller passes two
+        :meth:`bucketed_view` registrations of the same ``n_buckets``
+        spec: both sides arrive hash(ts)-partitioned, so the full
+        outer join needs no exchange — CDC over a 100 TB store pair
+        costs a co-located merge, not a reshuffle of both versions."""
         key = ["market", "code", "candle_length", "ts"]
         payload = [c for c in CANDLE_COLUMNS if c not in key]
-        a = self.read(version=v_from).select(
-            *key, F.struct(*payload).alias("before")
-        )
-        b = self.read(version=v_to).select(
-            *key, F.struct(*payload).alias("after")
-        )
+        a = a.select(*key, F.struct(*payload).alias("before"))
+        b = b.select(*key, F.struct(*payload).alias("after"))
         change = (
             F.when(F.col("before").isNull(), "insert")
             .when(F.col("after").isNull(), "delete")

@@ -384,10 +384,49 @@ FROM candles WHERE code = 'click'
 )
 
 
+def q_store_diff_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The exchange-free CDC twin of ``q_store_diff``: the same
+    restatement scenario on an ``n_buckets`` store, with each version
+    snapshotted through ``bucketed_view`` BEFORE the next write (the
+    hardlinked view dirs pin the version even as the store moves on).
+    ``snapshot_diff`` then full-outer joins two hash(ts)-bucketed
+    sides, so the planner needs no shuffle on either version — the
+    plan assertion lives in tests/test_store_bucketed.py; THIS query
+    verifies bucketing is invisible in the answer (same oracle as the
+    shuffling diff)."""
+    path = scratch_dir("store_diff_bkt", sf_dir)
+    shutil.rmtree(path, ignore_errors=True)
+    store = CandleStore(spark, path, n_buckets=8)
+    candles = candles_from_events(load_table(spark, sf_dir, "events"))
+    store.write(candles)  # v1
+    va = store.bucketed_view("sdb_before")
+    clicks = candles.where(F.col("code") == "click")
+    batch = (
+        clicks.withColumn("close", F.col("close") + 1000.0)
+        .withColumn("volume", F.lit(0.0))
+        .unionByName(
+            clicks.withColumn(
+                "ts", F.col("ts") + F.expr("INTERVAL 400 DAYS")
+            )
+        )
+    )
+    store.write(batch)  # v2
+    vb = store.bucketed_view("sdb_after")
+    d = CandleStore.snapshot_diff(va, vb)
+    return d.select(
+        "market", "code", "candle_length", "ts", "change",
+        F.col("before.close").alias("close_before"),
+        F.col("after.close").alias("close_after"),
+        F.col("before.volume").alias("volume_before"),
+        F.col("after.volume").alias("volume_after"),
+    )
+
+
 QUERIES = {
     "q_store_roundtrip": q_store_roundtrip,
     "q_store_bucketed_join": q_store_bucketed_join,
     "q_store_diff": q_store_diff,
+    "q_store_diff_bucketed": q_store_diff_bucketed,
     "q_store_rollup": q_store_rollup,
     "q_store_append": q_store_append,
     "q_store_maintenance": q_store_maintenance,
@@ -397,6 +436,7 @@ ORACLES = {
     "q_store_roundtrip": O_STORE_ROUNDTRIP,
     "q_store_bucketed_join": O_STORE_BUCKETED_JOIN,
     "q_store_diff": O_STORE_DIFF,
+    "q_store_diff_bucketed": O_STORE_DIFF,
     "q_store_rollup": O_STORE_ROLLUP,
     "q_store_append": O_STORE_APPEND,
     "q_store_maintenance": O_STORE_MAINTENANCE,

@@ -124,3 +124,31 @@ def test_bucket_spec_is_persisted_and_enforced(spark, tmp_path):
         CandleStore(spark, plain, n_buckets=4)
     with pytest.raises(ValueError, match="n_buckets"):
         CandleStore(spark, plain).bucketed_view("v_nope")
+
+
+def test_bucketed_snapshot_diff_has_zero_exchanges(
+    spark, tmp_path, no_broadcast
+):
+    """CDC between two versions of a bucketed store is exchange-free:
+    each version is pinned by a hardlinked bucketed_view BEFORE the
+    next write, and snapshot_diff's full outer join plans over two
+    hash(ts)-co-partitioned scans — no shuffle of either version."""
+    s = CandleStore(spark, str(tmp_path / "s"), n_buckets=4)
+    s.write(mk(spark, _rows(30, 100.0)))  # v1
+    va = s.bucketed_view("v_diff_before")
+    s.write(  # v2: restate one bar, add one new bar
+        mk(spark, [
+            ("BTC", dt.datetime(2021, 1, 1, 0, 2), 999.0),
+            ("BTC", dt.datetime(2021, 2, 1, 0, 0), 7.0),
+        ])
+    )
+    vb = s.bucketed_view("v_diff_after")
+    d = CandleStore.snapshot_diff(va, vb)
+    assert exchanges_in_plan(d) == 0
+    rows = {(r["change"], r["code"], r["ts"]) for r in d.collect()}
+    assert rows == {
+        ("update", "BTC", dt.datetime(2021, 1, 1, 0, 2)),
+        ("insert", "BTC", dt.datetime(2021, 2, 1, 0, 0)),
+    }
+    # The unbucketed diff of the same versions shuffles.
+    assert exchanges_in_plan(s.diff(1, 2)) > 0
