@@ -49,10 +49,24 @@ def stream_curate_jsonl(
     threshold: float = 0.8,
     gate: Callable[[DataFrame], DataFrame] | None = None,
     batch_stats: list | None = None,
+    n_files: int = 1,
 ) -> tuple[DataFrame, int]:
     """Run the JSONL curation pipeline over ``src`` shards; returns
     ``(curated_docs, n_quarantined)`` — the kept (doc_id, text) corpus
     and the count of malformed lines diverted mid-stream.
+
+    ``n_files`` is the per-batch shard-count knob (``write_csv``'s
+    contract): every per-batch table write — quarantine, curated,
+    index bands/groups — lands as ``n_files`` parquet parts. The
+    default 1 stays a narrow ``coalesce`` (no extra shuffle — right
+    for probe-sized micro-batches); >1 is a ``repartition``, because
+    AQE may have merged the upstream shuffle into fewer partitions
+    than requested and ``coalesce`` can only reduce. At production
+    micro-batches (millions of rows) one file per table serializes
+    the write into a single task, so size it to batch_rows /
+    target_rows_per_file. Layout only — replay idempotence and the
+    snapshot filter are unchanged (the unit of overwrite is still the
+    ``batch_id=`` directory).
 
     ``batch_stats`` (optional, probe-only): appends one
     ``{"batch_id", "rows", "wall_s"}`` dict per micro-batch so the
@@ -68,6 +82,9 @@ def stream_curate_jsonl(
     from mora_spark.sources.jsonl import CORRUPT_COL, read_jsonl_stream
     from mora_spark.streaming.ingest import _state_partitions
 
+    def shard(df: DataFrame) -> DataFrame:
+        return df.coalesce(1) if n_files == 1 else df.repartition(n_files)
+
     index_path = os.path.join(work_dir, "lsh_index")
     curated_dir = os.path.join(work_dir, "curated")
     quar_dir = os.path.join(work_dir, "quarantine")
@@ -77,9 +94,9 @@ def stream_curate_jsonl(
         import time as _time
 
         t0 = _time.time()
-        batch.where(F.col(CORRUPT_COL).isNotNull()).select(
-            CORRUPT_COL
-        ).coalesce(1).write.mode("overwrite").parquet(
+        shard(
+            batch.where(F.col(CORRUPT_COL).isNotNull()).select(CORRUPT_COL)
+        ).write.mode("overwrite").parquet(
             os.path.join(quar_dir, f"batch_id={batch_id}")
         )
         good = batch.where(F.col(CORRUPT_COL).isNull())
@@ -112,14 +129,14 @@ def stream_curate_jsonl(
         finally:
             groups_b.unpersist()
         kept = good.join(dropped, "doc_id", "left_anti")
-        kept.coalesce(1).write.mode("overwrite").parquet(
+        shard(kept).write.mode("overwrite").parquet(
             os.path.join(curated_dir, f"batch_id={batch_id}")
         )
         b, g = build_minhash_index(kept)
-        b.coalesce(1).write.mode("overwrite").parquet(
+        shard(b).write.mode("overwrite").parquet(
             os.path.join(index_path, "bands", f"batch_id={batch_id}")
         )
-        g.coalesce(1).write.mode("overwrite").parquet(
+        shard(g).write.mode("overwrite").parquet(
             os.path.join(index_path, "groups", f"batch_id={batch_id}")
         )
         if batch_stats is not None:

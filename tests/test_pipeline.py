@@ -102,3 +102,35 @@ def test_pipeline_resume_equals_single_run(spark, sf_dir, tmp_path):
     want = sorted(r["doc_id"] for r in ref.collect())
     assert got == want
     assert n_first < len(got)  # the resume actually added batches
+
+
+def test_pipeline_n_files_scales_the_write(spark, sf_dir, tmp_path):
+    """The per-batch sink shard knob: with n_files=3 every curated
+    batch directory lands as up to 3 parquet parts (3 write tasks,
+    not one serialized task), and the corpus is identical to the
+    n_files=1 run — layout only."""
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") < 200
+    )
+    src = str(tmp_path / "src")
+    _make_shards(docs, src, n=2)
+
+    one, _ = stream_curate_jsonl(
+        spark, src, str(tmp_path / "w1"), docs, threshold=THRESHOLD
+    )
+    many, _ = stream_curate_jsonl(
+        spark, src, str(tmp_path / "w3"), docs, threshold=THRESHOLD,
+        n_files=3,
+    )
+    assert sorted(r["doc_id"] for r in one.collect()) == sorted(
+        r["doc_id"] for r in many.collect()
+    )
+
+    def parts(work, batch):
+        d = os.path.join(work, "curated", f"batch_id={batch}")
+        return len([p for p in os.listdir(d) if p.endswith(".parquet")])
+
+    assert parts(str(tmp_path / "w1"), 0) == 1
+    # n_files > 1 repartitions (coalesce can't scale back up once AQE
+    # merged the tiny shuffle), so the batch writes exactly 3 tasks.
+    assert parts(str(tmp_path / "w3"), 0) == 3
