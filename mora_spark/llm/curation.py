@@ -57,6 +57,94 @@ def stratified_sample(
     return df.where(hash_uniform(F.col(id_col), salt) < rate)
 
 
+def temperature_weights(
+    docs: DataFrame,
+    strata_col: str = "source",
+    temperature: float = 0.5,
+    token_budget: int = 10_000,
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-stratum temperature-scaled mixture weights under a token
+    budget — the standard multi-domain sampling rule (the multilingual
+    "sampling temperature" of Conneau & Lample's XLM and successors):
+    ``w_s = n_s^τ / Σ_t n_t^τ`` over per-domain token counts, so τ=1
+    reproduces natural proportions, τ→0 approaches uniform, and small
+    domains are upweighted in between. The per-domain keep rate is
+    ``min(1, budget·w_s / n_s)`` — a budget-constrained allocation a
+    deterministic Bernoulli sampler can apply directly.
+
+    Returns one row per stratum: ``n_docs``, ``n_tokens``,
+    ``mix_weight`` (τ-scaled share), ``sample_rate`` (floored to the
+    1e-6 grid so the rate both engines compare hash uniforms against
+    is the identical double — pow() may differ in the last ulp).
+
+    One map-side-combined agg over the corpus plus a broadcast of the
+    one-row normalizer: scan-shaped at 100 TB like q_domain_mix.
+    """
+    per = (
+        docs.select(
+            F.col(strata_col),
+            F.size(tokens(text_col)).cast("long").alias("tl"),
+        )
+        .groupBy(strata_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("tl").alias("n_tokens"),
+        )
+    )
+    z = per.agg(
+        F.sum(F.pow(F.col("n_tokens"), F.lit(temperature))).alias("z")
+    )
+    return (
+        per.crossJoin(F.broadcast(z))
+        .withColumn(
+            "mix_weight",
+            F.pow(F.col("n_tokens"), F.lit(temperature)) / F.col("z"),
+        )
+        .withColumn(
+            "sample_rate",
+            F.floor(
+                F.least(
+                    F.lit(1.0),
+                    F.lit(float(token_budget))
+                    * F.col("mix_weight")
+                    / F.col("n_tokens"),
+                )
+                * 1e6
+            )
+            / 1e6,
+        )
+        .select(
+            strata_col, "n_docs", "n_tokens", "mix_weight", "sample_rate"
+        )
+    )
+
+
+def temperature_mix(
+    docs: DataFrame,
+    strata_col: str = "source",
+    temperature: float = 0.5,
+    token_budget: int = 10_000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    salt: str = "tempmix",
+) -> DataFrame:
+    """Temperature-weighted cross-domain sample under a token budget:
+    :func:`temperature_weights` sets each stratum's keep rate, the
+    :func:`hash_uniform` coin applies it — deterministic across
+    engines, retries and repartitions like :func:`stratified_sample`.
+    Returns the sampled docs with the stratum's ``n_tokens``,
+    ``mix_weight`` and ``sample_rate`` columns attached. The weights
+    side is a tiny broadcast (one row per domain), so the sample
+    itself stays a scan-stage filter over the corpus."""
+    w = temperature_weights(
+        docs, strata_col, temperature, token_budget, text_col
+    )
+    return docs.join(F.broadcast(w), strata_col).where(
+        hash_uniform(F.col(id_col), salt) < F.col("sample_rate")
+    )
+
+
 def shingle_hashes(toks: Column, n: int = 8) -> Column:
     """md5 fingerprints of every n-token shingle (1-based windows).
     Documents shorter than n tokens yield an empty array (guarded —

@@ -277,6 +277,87 @@ FROM per, tot
 """
 
 
+# --- q_domain_mix_temp: temperature-weighted sampling under a budget ---
+# The production form of domain mixing: q_domain_mix reports the
+# reweighting, this one APPLIES it — per-source weights w_s scaled by
+# sampling temperature τ (w_s ∝ n_tokens^τ; τ=1 natural, τ→0 uniform),
+# a token budget converted to per-source keep rates min(1, B·w_s/n_s),
+# and the deterministic hash-Bernoulli sampler executing them. Output
+# verifies the whole chain per source: the closed-form weights/rates
+# AND the sampled corpus they produce (kept doc/token counts,
+# zero-coalesced so a fully-dropped source still reports). Rates are
+# floored to the 1e-6 grid on both sides, so the double each engine
+# compares hash uniforms against is identical even if pow() differs
+# in the last ulp.
+
+TEMP_TAU = 0.5
+TEMP_BUDGET = 10_000
+
+
+def q_domain_mix_temp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mora_spark.llm.curation import temperature_mix, temperature_weights
+
+    d = _docs(spark, sf_dir)
+    w = temperature_weights(
+        d, temperature=TEMP_TAU, token_budget=TEMP_BUDGET
+    )
+    kept = temperature_mix(
+        d, temperature=TEMP_TAU, token_budget=TEMP_BUDGET
+    )
+    ka = (
+        kept.select(
+            "source", F.size(tokens("text")).cast("long").alias("tl")
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("kept_docs"),
+            F.sum("tl").alias("kept_tokens"),
+        )
+    )
+    return w.join(ka, "source", "left").select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round("mix_weight", 6).alias("mix_weight"),
+        "sample_rate",
+        F.coalesce("kept_docs", F.lit(0).cast("long")).alias("kept_docs"),
+        F.coalesce("kept_tokens", F.lit(0).cast("long")).alias(
+            "kept_tokens"
+        ),
+    )
+
+
+O_DOMAIN_MIX_TEMP = f"""
+WITH per AS (
+  SELECT source, count(*) AS n_docs,
+         CAST(sum(len({TOKS_SQL})) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+), z AS (
+  SELECT sum(pow(n_tokens, {TEMP_TAU})) AS z FROM per
+), w AS (
+  SELECT source, n_docs, n_tokens,
+         pow(n_tokens, {TEMP_TAU}) / z AS mix_weight,
+         floor(least(1.0, {TEMP_BUDGET}
+                          * (pow(n_tokens, {TEMP_TAU}) / z)
+                          / n_tokens) * 1e6) / 1e6 AS sample_rate
+  FROM per, z
+), kept AS (
+  SELECT d.source, count(*) AS kept_docs,
+         CAST(sum(len({TOKS_SQL})) AS BIGINT) AS kept_tokens
+  FROM documents d JOIN w ON d.source = w.source
+  WHERE ('0x' || substr(md5('tempmix:' || d.doc_id), 1, 8))::BIGINT
+          / 4294967296.0
+        < w.sample_rate
+  GROUP BY d.source
+)
+SELECT w.source, n_docs, n_tokens,
+       round(mix_weight, 6) AS mix_weight, sample_rate,
+       COALESCE(kept_docs, 0) AS kept_docs,
+       COALESCE(kept_tokens, 0) AS kept_tokens
+FROM w LEFT JOIN kept ON w.source = kept.source
+"""
+
+
 # --- q_quality_rules: Gopher-style heuristic quality filters ---
 # Length, mean word length, top-token repetition, duplicate-2-gram
 # fraction, and the combined keep verdict per document.
@@ -498,6 +579,7 @@ QUERIES = {
     "q_vocab_topk": q_vocab_topk,
     "q_pack_sequences": q_pack_sequences,
     "q_domain_mix": q_domain_mix,
+    "q_domain_mix_temp": q_domain_mix_temp,
 }
 
 ORACLES = {
@@ -512,4 +594,5 @@ ORACLES = {
     "q_vocab_topk": O_VOCAB_TOPK,
     "q_pack_sequences": O_PACK_SEQUENCES,
     "q_domain_mix": O_DOMAIN_MIX,
+    "q_domain_mix_temp": O_DOMAIN_MIX_TEMP,
 }

@@ -203,3 +203,34 @@ def test_chunk_documents_covers_every_token(spark):
 
     with _pytest.raises(ValueError):
         chunk_documents(df, size=8, overlap=8)
+
+
+def test_temperature_weights_limits(spark):
+    """τ=1 reproduces natural token shares; τ=0 is uniform; a budget
+    above the corpus size caps every rate at exactly 1.0."""
+    from mora_spark.llm.curation import temperature_mix, temperature_weights
+
+    rows = [(i, "A" if i < 8 else "B", "w " * 100 if i < 8 else "w " * 20)
+            for i in range(10)]
+    d = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    nat = {r["source"]: r["mix_weight"]
+           for r in temperature_weights(d, temperature=1.0).collect()}
+    assert abs(nat["A"] - 800 / 840) < 1e-9
+    uni = {r["source"]: r["mix_weight"]
+           for r in temperature_weights(d, temperature=0.0).collect()}
+    assert abs(uni["A"] - 0.5) < 1e-9 and abs(uni["B"] - 0.5) < 1e-9
+    capped = temperature_weights(d, temperature=0.5, token_budget=10**9)
+    assert {r["sample_rate"] for r in capped.collect()} == {1.0}
+    assert temperature_mix(
+        d, temperature=0.5, token_budget=10**9
+    ).count() == 10
+
+
+def test_temperature_mix_stable_under_repartition(spark, sf_dir):
+    from mora_spark.llm.curation import temperature_mix
+
+    docs = load_table(spark, sf_dir, "documents")
+    a = {r["doc_id"] for r in temperature_mix(docs).collect()}
+    b = {r["doc_id"]
+         for r in temperature_mix(docs.repartition(13)).collect()}
+    assert a == b and a
