@@ -17,114 +17,96 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 # The driver's correctness gate verifies the FIRST 50 registry entries
 # only (round-1 evidence: CORRECTNESS_r01.json stops at entry 50 in
-# registry order). PRIORITY pins the round-6 window (VERDICT r5
-# "Next round" #1/#8):
-# - ALL 16 queries with no driver row ever: the 5 added after the r5
-#   window froze (q_jsonl_roundtrip, q_jsonl_quarantine,
-#   q_stream_jsonl, q_bucketed_join, q_drift_psi) + the 6 new this
-#   round (q_corpus_pipeline_jsonl — the end-to-end JSONL curation
-#   pipeline; q_store_bucketed_join — zero-shuffle store-store join;
-#   q_decontaminate_fuzzy — MinHash benchmark decontamination;
-#   q_stream_drift — continuous PSI gate over ingest micro-batches;
-#   q_gapfill_interp — linear-interpolation gap fill; q_store_diff —
-#   snapshot-diff CDC audit between store versions; q_csv_roundtrip /
-#   q_csv_quarantine / q_stream_csv — the CSV interchange twin of
-#   the JSONL surface, batch and streaming; q_stream_drawdown — a
-#   second applyInPandasWithState stateful operator, running peak +
-#   drawdown carried across micro-batches; q_stream_store_asof —
-#   per-micro-batch as-of feature lookup against the candle store).
-#   After this window runs green, the driver-green union covers the
-#   full registry for the first time: 145/145;
-# - 16 changed-code guards (standing rule: machinery changed in-round
-#   re-enters the window): engine/store.py grew the per-version
-#   corrupt-manifest fence + the bucketed write path (q_store_roundtrip
-#   /_append/_maintenance/_rollup, q_upsert_lww, q_range_scan,
-#   q_stream_store_merge, q_stream_store_rollup); q_approx_profile's
-#   verdict became a tie-robust rank interval; llm/simsearch.py's
-#   k-means reseed got the all-empty guard (q_ann_ivf/_index/_add/
-#   _compact, q_ann_sq8); the streaming dedup oracles were refactored
-#   around the shared kept-set builder (q_stream_dedup_increment,
-#   q_stream_dedup_seeded). session.py's
-#   requireAllClusterKeysForCoPartition=false is plan-global; the
-#   window's cross-family spread is its guard;
-# - 18 oldest-evidence re-greens: every r2-era row (q_centroid_dist,
-#   q_dedup_exact, q_embed_neardup_exact, q_embedding_norms,
-#   q_multimodal_meta, q_stream_enrich, q_stream_join) and 11 r3-era
-#   rows spanning streaming, text, simhash/jaccard, resample, ysf and
-#   scalar surfaces (q_stream_wire and q_resample_1h keep their r3
-#   rows — wire parity is additionally pytest-pinned byte-exactly;
-#   q_stream_sliding, q_stream_sessions, q_stream_ingest,
-#   q_stream_ema — whose applyInPandasWithState machinery the new
-#   q_stream_drawdown re-covers — q_simhash_pairs, q_jaccard_pairs
-#   and q_json_props likewise keep theirs).
-# Displaced to make room: the r4-green TPC-H family and the r5-green
-# indicator/event/vector families — machinery unchanged, each keeps
-# its CORRECTNESS_r04/r05.json green row.
+# registry order). PRIORITY pins the round-8 window (VERDICT r6
+# "Next round" #6; round 7 recorded no work, so its window re-ran the
+# round-6 list verbatim — CORRECTNESS_r07.json, 50/50 green):
+# - the 3 queries NEW this round: q_ann_pq (product quantization —
+#   ADC shortlist + exact rerank under seeded trained codebooks,
+#   structural negative-id plant oracle), q_store_diff_bucketed
+#   (exchange-free CDC between two bucketed_view snapshots),
+#   q_domain_mix_temp (temperature-weighted domain sampling under a
+#   token budget);
+# - 3 changed-code guards: engine/store.py's diff was refactored
+#   through the shared snapshot_diff comparator (q_store_diff),
+#   streaming/pipeline.py grew the n_files sink knob
+#   (q_corpus_pipeline_jsonl), and llm/simsearch.py gained the PQ
+#   block — additive, but the file changed, so its cheapest
+#   non-rotating query re-enters (q_ann_sq8; the IVF family keeps its
+#   r7 rows — their machinery is untouched);
+# - ALL 28 queries whose latest green row dates to r3 (the verdict's
+#   rotation target: nothing older than r4 once this window greens) —
+#   spanning TPC-H (q1/q3/q12), resample, streaming state
+#   (ingest/sessions/sliding/ema/wire), text (simhash/jaccard/
+#   json_props/boilerplate/quality), curation (pack/vocab/shards/
+#   decontaminate/domain_mix/stratified/corpus), dedup clusters,
+#   vectors (srp/simsearch/embed_neardup) and validation surfaces;
+# - 16 oldest r4-era re-greens filling the remaining slots, favoring
+#   family diversity (rollup/cube/pivot/setops/windows/histogram/
+#   profile/vwap + tpch_q2 as the family's oldest representative).
+# Displaced to make room: everything r5-green or later — machinery
+# unchanged, each keeps its CORRECTNESS_r05/r07.json green row.
 PRIORITY: tuple[str, ...] = (
-    # never driver-checked (post-r5-freeze + new this round)
-    "q_jsonl_roundtrip",
-    "q_jsonl_quarantine",
-    "q_stream_jsonl",
-    "q_bucketed_join",
-    "q_drift_psi",
-    "q_corpus_pipeline_jsonl",
-    "q_store_bucketed_join",
-    "q_decontaminate_fuzzy",
-    "q_stream_drift",
-    "q_gapfill_interp",
+    # new this round
+    "q_ann_pq",
+    "q_store_diff_bucketed",
+    "q_domain_mix_temp",
+    # changed-code guards (r8)
     "q_store_diff",
-    "q_csv_roundtrip",
-    "q_csv_quarantine",
-    "q_stream_csv",
-    "q_stream_drawdown",
-    "q_stream_store_asof",
-    # changed-code guards (r6): engine/store.py
-    "q_store_roundtrip",
-    "q_store_append",
-    "q_store_maintenance",
-    "q_store_rollup",
-    "q_upsert_lww",
-    "q_range_scan",
-    "q_stream_store_merge",
-    "q_stream_store_rollup",
-    # changed-code guards (r6): relational sketch verdict
-    "q_approx_profile",
-    # changed-code guards (r6): simsearch reseed guard
-    "q_ann_ivf",
-    "q_ann_ivf_index",
-    "q_ann_ivf_add",
-    "q_ann_ivf_compact",
+    "q_corpus_pipeline_jsonl",
     "q_ann_sq8",
-    # changed-code guards (r6): streaming dedup oracle refactor
-    "q_stream_dedup_increment",
-    "q_stream_dedup_seeded",
-    # oldest evidence: every remaining r2-era row
-    "q_centroid_dist",
-    "q_dedup_exact",
-    "q_embed_neardup_exact",
-    "q_embedding_norms",
-    "q_multimodal_meta",
-    "q_stream_enrich",
-    "q_stream_join",
-    # oldest evidence: r3-era re-greens
-    "q_ysf_roundtrip",
-    "q_topk_volume",
-    "q_scalar_funcs",
-    "q_simhash",
-    "q_text_stats",
-    "q_lang_id",
-    "q_fingerprint",
-    "q_redact_pii",
-    "q_resample_5m",
-    "q_sessionize",
-    "q_stream_candles",
+    # oldest evidence: every r3-era-latest row (28)
+    "q_ann_srp",
+    "q_boilerplate",
+    "q_corpus_curation",
+    "q_decontaminate",
+    "q_dedup_clusters",
+    "q_domain_mix",
+    "q_embed_neardup",
+    "q_grouping_sets",
+    "q_jaccard_pairs",
+    "q_json_props",
+    "q_pack_sequences",
+    "q_quality_rules",
+    "q_resample_1h",
+    "q_simhash_pairs",
+    "q_simsearch_topk",
+    "q_stratified_sample",
+    "q_stream_ema",
+    "q_stream_ingest",
+    "q_stream_sessions",
+    "q_stream_sliding",
+    "q_stream_wire",
+    "q_tpch_q1",
+    "q_tpch_q12",
+    "q_tpch_q3",
+    "q_train_shards",
+    "q_user_stats",
+    "q_validate_candles",
+    "q_vocab_topk",
+    # oldest r4-era re-greens (16)
+    "q_cube_orders",
+    "q_data_profile",
+    "q_gapfill",
+    "q_lag_lead",
+    "q_order_rank",
+    "q_pivot_daily",
+    "q_revenue_by_nation",
+    "q_rolling_corr",
+    "q_rollup_acctbal",
+    "q_semi_anti",
+    "q_setops",
+    "q_sma_roll",
+    "q_time_window",
+    "q_value_histogram",
+    "q_vwap",
+    "q_tpch_q2",
 )
-# Demoted below the window: every demoted query keeps its green
-# CORRECTNESS_r03/r04/r05.json row as evidence (none older — the last
-# r2-era rows are all IN this window — q_resample_1h keeps its r3 row,
-# with q_resample_5m as the family's in-window representative). 145
-# queries are declared; once this window runs green the driver-green
-# union reaches 145/145 with zero rotation debt.
+# Demoted below the window: every demoted query keeps a green
+# CORRECTNESS row no older than r4 (the r4 TPC-H tail q4-q22 is the
+# oldest remaining evidence; next round's rotation picks it up). 148
+# queries are declared; the driver-green union stands at 145/145 of
+# the previously declared set, so once this window greens the union is
+# 148/148 and no latest row predates r4.
 
 
 def collect_registry() -> tuple[dict[str, QueryFn], dict[str, str]]:

@@ -314,6 +314,7 @@ def main() -> None:
         _sh.rmtree(store_dir, ignore_errors=True)
 
     probe_round6(spark, events, docs, n)
+    probe_round8(spark, docs, n)
 
 
 def probe_round6(spark, events, docs, n) -> None:
@@ -608,7 +609,162 @@ def probe_round6(spark, events, docs, n) -> None:
         _sh.rmtree(pipe_work, ignore_errors=True)
 
 
-if __name__ == "__main__" and "r6" in sys.argv[1:]:
+def scaled_embeddings(spark, n):
+    """n shifted copies of the embeddings table. Copies keep the raw
+    vector values (cosine geometry unchanged); ids shift by 10M per
+    copy so every row stays unique."""
+    e = load_table(spark, SF_DIR, "embeddings")
+    copies = [
+        e.withColumn("vec_id", F.col("vec_id") + F.lit(i * 10_000_000))
+        for i in range(n)
+    ]
+    out = copies[0]
+    for c in copies[1:]:
+        out = out.unionByName(c)
+    return out
+
+
+def probe_round8(spark, docs, n) -> None:
+    """Round-8 surfaces: PQ planted recall at scale, the pipeline
+    sink's n_files write scaling, and the CSV multiLine split-unit
+    trade-off. Standalone: ``python tools/scale_probe.py 10 r8``."""
+    import shutil as _sh
+    import tempfile as _tf
+
+    # --- PQ: planted recall through trained codebooks at n x ---
+    # Exact copies of each query are planted at negative ids; the
+    # min-ADC property makes their top-k structural under ANY trained
+    # codebook (queries/vectors.py::q_ann_pq), and the tie-break keeps
+    # it so even though the scaled corpus contains positive-id exact
+    # duplicates of the query rows themselves. Recall must be 1.0 —
+    # the same quality-judged "done" signal the IVF lifecycle uses.
+    from mora_spark.llm.simsearch import pq_topk, train_pq_codebooks
+    from mora_spark.queries.vectors import N_QUERIES, TOP_K
+
+    emb = scaled_embeddings(spark, n).select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias(
+            "embedding"
+        ),
+    )
+    plants = (
+        emb.where(F.col("vec_id") < N_QUERIES)
+        .select(
+            "vec_id",
+            "embedding",
+            F.explode(F.sequence(F.lit(0), F.lit(TOP_K - 1))).alias("j"),
+        )
+        .select(
+            (-(F.col("vec_id") * TOP_K + F.col("j") + 1))
+            .cast("long")
+            .alias("vec_id"),
+            "embedding",
+        )
+    )
+    corpus = emb.unionByName(plants)
+    t0 = time.time()
+    books = train_pq_codebooks(corpus.where(F.col("vec_id") >= N_QUERIES))
+    train_s = time.time() - t0
+    t0 = time.time()
+    got = pq_topk(
+        corpus, books, query_ids=list(range(N_QUERIES)), k=TOP_K,
+        shortlist=50,
+    ).collect()
+    want = {
+        (q, -(q * TOP_K + j + 1))
+        for q in range(N_QUERIES)
+        for j in range(TOP_K)
+    }
+    recall = len({(r["query_id"], r["neighbor_id"]) for r in got} & want) / len(want)
+    print(
+        f"pq_planted_recall: {recall:.2f} (train {train_s:.2f}s, "
+        f"search {time.time() - t0:.2f}s, corpus {corpus.count():,})"
+    )
+    assert recall == 1.0, f"PQ planted recall {recall} != 1.0"
+
+    # --- pipeline sink: n_files write scaling on one large batch ---
+    # One big JSONL shard = one micro-batch. n_files=1 serializes each
+    # per-batch table write into a single task; n_files=8 repartitions
+    # so the curated write runs 8 tasks and lands 8 parts.
+    from mora_spark.sources.jsonl import write_jsonl
+    from mora_spark.streaming.pipeline import stream_curate_jsonl
+
+    pipe_root = _tf.mkdtemp(prefix="r8_pipe_")
+    try:
+        src = os.path.join(pipe_root, "src")
+        tmp = os.path.join(pipe_root, "tmp")
+        write_jsonl(docs.select("doc_id", "text"), tmp, n_files=1)
+        os.makedirs(src, exist_ok=True)
+        part = next(p for p in os.listdir(tmp) if p.endswith(".json"))
+        os.replace(os.path.join(tmp, part), os.path.join(src, "big.json"))
+        for nf in (1, 8):
+            work = os.path.join(pipe_root, f"work_{nf}")
+            t0 = time.time()
+            stream_curate_jsonl(
+                spark, src, work, docs.select("doc_id", "text"),
+                n_files=nf,
+            )
+            cur = os.path.join(work, "curated", "batch_id=0")
+            parts = len(
+                [p for p in os.listdir(cur) if p.endswith(".parquet")]
+            )
+            print(
+                f"pipeline_large_batch n_files={nf}: "
+                f"{time.time() - t0:.2f}s ({parts} curated parts)"
+            )
+            if nf > 1:
+                assert parts == nf, f"expected {nf} parts, got {parts}"
+    finally:
+        _sh.rmtree(pipe_root, ignore_errors=True)
+
+    # --- CSV: multiLine split-unit trade-off ---
+    # multiLine=True makes one FILE the split unit (required when
+    # fields may embed newlines); for newline-free corpora
+    # multi_line=False regains line-level splitting, so the same two
+    # shards scan with many partitions instead of two. Partition
+    # counts are read under a 4 MB maxPartitionBytes so the split is
+    # visible at probe scale.
+    from mora_spark.sources.csvio import read_csv, write_csv
+
+    csv_dir = _tf.mkdtemp(prefix="r8_csv_")
+    try:
+        flat = docs.select(
+            "doc_id",
+            F.regexp_replace("text", "[\n\r]", " ").alias("text"),
+        )
+        write_csv(flat, csv_dir, n_files=2)
+        old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+        spark.conf.set("spark.sql.files.maxPartitionBytes", str(4 << 20))
+        try:
+            for ml in (True, False):
+                t0 = time.time()
+                df = read_csv(spark, csv_dir, flat, multi_line=ml)
+                nparts = df.rdd.getNumPartitions()
+                cnt = df.count()
+                print(
+                    f"csv_read multiLine={ml}: {time.time() - t0:.2f}s "
+                    f"({nparts} scan partitions, {cnt:,} rows)"
+                )
+                if ml:
+                    parts_ml = nparts
+                else:
+                    assert nparts >= parts_ml, (
+                        "line-splittable read lost parallelism"
+                    )
+        finally:
+            spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+    finally:
+        _sh.rmtree(csv_dir, ignore_errors=True)
+
+
+if __name__ == "__main__" and "r8" in sys.argv[1:]:
+    _n = next((int(a) for a in sys.argv[1:] if a.isdigit()), 10)
+    _spark = get_spark(app_name="mora_scale_probe")
+    _spark.sparkContext.setLogLevel("ERROR")
+    _docs = scaled_docs(_spark, _n)
+    print(f"docs={_docs.count():,} (x{_n}) [r8 sections only]")
+    probe_round8(_spark, _docs, _n)
+elif __name__ == "__main__" and "r6" in sys.argv[1:]:
     _n = next((int(a) for a in sys.argv[1:] if a.isdigit()), 10)
     _spark = get_spark(app_name="mora_scale_probe")
     _spark.sparkContext.setLogLevel("ERROR")
