@@ -73,6 +73,10 @@ HEADLINE = [
     "q_stream_drawdown",
     "q_stream_store_asof",
     "q_corpus_pipeline_jsonl",
+    "q_ann_pq",
+    "q_ann_ivfpq",
+    "q_store_diff_bucketed",
+    "q_domain_mix_temp",
 ]
 
 # Pre-staged lines: the SETUP (building bucketed tables / stores) is

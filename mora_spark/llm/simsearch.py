@@ -1012,3 +1012,180 @@ def pq_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "score", "rank")
     )
+
+
+# --- IVFPQ: the persisted 100 TB ANN layout (IVF pruning + PQ codes) ---
+# build_ivf_index prunes WHICH partitions a probe reads;
+# train_pq_codebooks shrinks WHAT stage 1 reads inside them. The
+# composed index is the standard IVFPQ posting-list design (faiss's
+# IndexIVFPQ): the corpus is cell-partitioned parquet whose postings
+# carry 4-byte PQ codes next to the full-precision vector column, a
+# probe prunes to n_probe cell directories (Hive partition pruning),
+# stage 1 ranks ONLY the (id, pq_code) columns by ADC table lookups
+# (columnar projection: the float vectors aren't read), and stage 2
+# re-ranks the shortlist at full precision. Per probed query at scale:
+# read bytes ~ (corpus/n_cells) * n_probe * 4 bytes/vector for the
+# candidate scan + shortlist full-precision rows for the re-rank.
+
+
+def build_ivfpq_index(
+    embeddings: DataFrame,
+    n_cells: int = 16,
+    train_iters: int = 2,
+    m_subspaces: int = PQ_M,
+    n_codes: int = PQ_K,
+    dim: int = 64,
+    vec_col: str = "embedding",
+) -> tuple[np.ndarray, np.ndarray, DataFrame]:
+    """(cell centroids, PQ codebooks, assigned+encoded corpus). Both
+    models train with the deterministic seeded discipline of their
+    standalone builders; the corpus pass appends ``cell`` and
+    ``pq_code`` in one Arrow-batched projection each."""
+    cents, assigned = build_ivf_index(
+        embeddings, n_cells=n_cells, train_iters=train_iters,
+        dim=dim, vec_col=vec_col,
+    )
+    books = train_pq_codebooks(
+        embeddings, m_subspaces=m_subspaces, n_codes=n_codes,
+        dim=dim, vec_col=vec_col,
+    )
+    return cents, books, pq_encode(assigned, books, vec_col)
+
+
+def save_ivfpq_index(
+    cents: np.ndarray,
+    books: np.ndarray,
+    assigned: DataFrame,
+    path: str,
+) -> None:
+    """Persist the composed index: tiny centroid + codebook tables,
+    and the corpus partitioned by cell with the PQ code column stored
+    alongside the full-precision vectors — the probe prunes to cell
+    directories, stage 1 projects only (id, pq_code)."""
+    spark = assigned.sparkSession
+    spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
+        "cell int, centroid array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    m, k, dsub = books.shape
+    spark.createDataFrame(
+        [
+            (mi, ji, [float(x) for x in books[mi, ji]])
+            for mi in range(m)
+            for ji in range(k)
+        ],
+        "m int, code int, centroid array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/codebooks")
+    assigned.write.partitionBy("cell").mode("overwrite").parquet(
+        f"{path}/cells"
+    )
+
+
+def load_ivfpq_index(
+    spark, path: str
+) -> tuple[np.ndarray, np.ndarray, DataFrame]:
+    crows = spark.read.parquet(f"{path}/centroids").collect()
+    cents = np.zeros((len(crows), len(crows[0]["centroid"])))
+    for r in crows:
+        cents[r["cell"]] = r["centroid"]
+    brows = spark.read.parquet(f"{path}/codebooks").collect()
+    m = 1 + max(r["m"] for r in brows)
+    k = 1 + max(r["code"] for r in brows)
+    books = np.zeros((m, k, len(brows[0]["centroid"])))
+    for r in brows:
+        books[r["m"], r["code"]] = r["centroid"]
+    return cents, books, spark.read.parquet(f"{path}/cells")
+
+
+def ivfpq_index_topk(
+    spark,
+    path: str,
+    query_ids: list[int],
+    k: int = 5,
+    n_probe: int = 4,
+    shortlist: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Three-stage search against a persisted IVFPQ index: partition
+    pruning (n_probe cells), ADC shortlist over the code column, exact
+    re-rank of the shortlist. Query vectors are fetched by id, probe
+    cells and distance tables computed driver-side — bounded by the
+    request size, the ivf_index_topk shape. Plant containment is
+    structural end-to-end: an exact copy normalizes to the query's own
+    nearest cell (always probed), achieves the global-minimum ADC
+    among probed candidates, wins rounded ties by its smaller id, and
+    re-ranks to round(cos,6)=1.0."""
+    cents, books, cells = load_ivfpq_index(spark, path)
+    m_subspaces, n_codes, dsub = books.shape
+    qrows = (
+        cells.where(F.col(id_col).isin(query_ids))
+        .select(id_col, vec_col)
+        .collect()
+    )
+    flat = []
+    probe_cells: set[int] = set()
+    for r in qrows:
+        qv = np.asarray(r[vec_col], dtype=np.float64)
+        nv = qv / (np.linalg.norm(qv) or 1.0)
+        for c in np.argsort(-(nv @ cents.T))[:n_probe]:
+            probe_cells.add(int(c))
+        sub = qv.reshape(m_subspaces, dsub)
+        dt = np.empty((m_subspaces, n_codes))
+        for mi in range(m_subspaces):
+            diff = books[mi] - sub[mi]
+            dt[mi] = (diff * diff).sum(axis=1)
+        flat.append(
+            (
+                int(r[id_col]),
+                [float(x) for x in qv],
+                [float(x) for x in dt.ravel()],
+            )
+        )
+    q = spark.createDataFrame(
+        flat, "query_id long, qv array<double>, dtable array<double>"
+    )
+    pruned = cells.where(
+        F.col("cell").isin(sorted(probe_cells))
+        & ~F.col(id_col).isin(query_ids)
+    )
+    # Stage 1 projects only (id, code): the scan that touches every
+    # probed posting reads 4 bytes/vector, not the float column.
+    cand = pruned.select(
+        F.col(id_col).alias("neighbor_id"), "pq_code"
+    )
+    lookup = F.zip_with(
+        F.col("pq_code"),
+        F.sequence(F.lit(0), F.lit(m_subspaces - 1)),
+        lambda c, mi: F.element_at(
+            F.col("dtable"), (mi * n_codes + c + F.lit(1)).cast("int")
+        ),
+    )
+    scored = cand.crossJoin(broadcast(q)).withColumn(
+        "adc",
+        F.round(F.aggregate(lookup, F.lit(0.0), lambda a, x: a + x), 6),
+    )
+    w1 = Window.partitionBy("query_id").orderBy(
+        F.col("adc").asc(), F.col("neighbor_id")
+    )
+    short = scored.withColumn("arank", F.row_number().over(w1)).where(
+        F.col("arank") <= shortlist
+    )
+    # Stage 2: fetch full-precision vectors for the shortlist only —
+    # a broadcast semi-of the (bounded) shortlist against the pruned
+    # cells, then exact cosine re-rank.
+    full = pruned.select(
+        F.col(id_col).alias("neighbor_id"),
+        as_double(F.col(vec_col)).alias("cv"),
+    )
+    rescored = short.select("query_id", "neighbor_id", "qv").join(
+        full, "neighbor_id"
+    ).withColumn("score", F.round(cosine(F.col("qv"), F.col("cv")), 6))
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id")
+    )
+    return (
+        rescored.withColumn("rank", F.row_number().over(w2))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "score", "rank")
+    )

@@ -368,6 +368,43 @@ SELECT query_id, neighbor_id, score, rank FROM (
 """
 
 
+# --- q_ann_ivfpq: the persisted IVF+PQ index, searched end-to-end ---
+# The composed 100 TB layout: cell-partitioned parquet postings
+# carrying 4-byte PQ codes. A probe prunes to n_probe cell DIRECTORIES
+# (partition pruning), stage 1 ranks only the (id, pq_code) projection
+# by ADC lookups, stage 2 re-ranks the shortlist at full precision.
+# Plant containment is structural at every stage: an exact copy
+# normalizes to the query's own nearest cell (always the first probe),
+# achieves the global-minimum ADC among probed candidates under ANY
+# codebook, wins rounded ties by its negative id, and re-ranks to
+# round(cos,6) = 1.0 — so the q_ann_pq oracle verifies this pipeline
+# too (identical rows by construction; equality with pq_topk's answer
+# on the same corpus is additionally pinned in tests/test_pq.py).
+
+def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from mora_spark.llm.simsearch import (
+        build_ivfpq_index,
+        ivfpq_index_topk,
+        save_ivfpq_index,
+    )
+    from mora_spark.queries.store import scratch_dir
+
+    path = scratch_dir("ivfpq_index", sf_dir)
+    shutil.rmtree(path, ignore_errors=True)
+    e = _planted_pq(_emb(spark, sf_dir))
+    save_ivfpq_index(*build_ivfpq_index(e, train_iters=2), path)
+    return ivfpq_index_topk(
+        spark,
+        path,
+        query_ids=list(range(N_QUERIES)),
+        k=TOP_K,
+        n_probe=4,
+        shortlist=SQ8_SHORTLIST,
+    )
+
+
 # --- q_quantize_embed: int8 symmetric quantization profile ---
 # The 100 TB storage knob (int8 posting lists are 4x smaller than
 # float32, 8x than float64; probes read a quarter of the bytes and
@@ -700,6 +737,7 @@ QUERIES = {
     "q_ann_ivf_compact": q_ann_ivf_compact,
     "q_ann_sq8": q_ann_sq8,
     "q_ann_pq": q_ann_pq,
+    "q_ann_ivfpq": q_ann_ivfpq,
     "q_quantize_embed": q_quantize_embed,
     "q_embed_neardup": q_embed_neardup,
     "q_embed_neardup_exact": q_embed_neardup_exact,
@@ -716,6 +754,7 @@ ORACLES = {
     "q_ann_ivf_compact": _o_ann_topk(),
     "q_ann_sq8": O_ANN_SQ8,
     "q_ann_pq": O_ANN_PQ,
+    "q_ann_ivfpq": O_ANN_PQ,
     "q_quantize_embed": O_QUANTIZE_EMBED,
     "q_embed_neardup": O_EMBED_NEARDUP,
     "q_embed_neardup_exact": O_EMBED_NEARDUP_EXACT,

@@ -93,3 +93,54 @@ def test_pq_recall_vs_brute_force(spark, sf_dir):
         key = (r["query_id"], r["neighbor_id"])
         if key in exact_scores:
             assert abs(r["score"] - exact_scores[key]) < 1e-9
+
+
+def test_ivfpq_index_roundtrip_and_all_probe_equality(
+    spark, sf_dir, tmp_path
+):
+    """The persisted IVF+PQ index restores both models exactly, lays
+    the corpus out one directory per cell, and — probed with ALL cells
+    — returns exactly what the flat PQ scan returns (cell pruning is
+    the only approximation IVFPQ adds on top of PQ)."""
+    import os
+
+    from mora_spark.llm.simsearch import (
+        build_ivfpq_index,
+        ivfpq_index_topk,
+        load_ivfpq_index,
+        save_ivfpq_index,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias(
+            "embedding"
+        ),
+    )
+    path = str(tmp_path / "ivfpq")
+    cents, books, assigned = build_ivfpq_index(
+        e, n_cells=8, train_iters=1
+    )
+    save_ivfpq_index(cents, books, assigned, path)
+    c2, b2, cells = load_ivfpq_index(spark, path)
+    assert np.array_equal(cents, c2) and np.array_equal(books, b2)
+    cell_dirs = [
+        d for d in os.listdir(os.path.join(path, "cells"))
+        if d.startswith("cell=")
+    ]
+    assert 0 < len(cell_dirs) <= 8
+    assert cells.count() == e.count()
+
+    flat = pq_topk(
+        e, books, query_ids=[0, 1, 2], k=5, shortlist=30
+    ).collect()
+    via_index = ivfpq_index_topk(
+        spark, path, query_ids=[0, 1, 2], k=5, n_probe=8, shortlist=30
+    ).collect()
+    assert sorted(
+        [(r["query_id"], r["neighbor_id"], r["score"], r["rank"])
+         for r in flat], key=lambda t: (t[0], t[3])
+    ) == sorted(
+        [(r["query_id"], r["neighbor_id"], r["score"], r["rank"])
+         for r in via_index], key=lambda t: (t[0], t[3])
+    )
