@@ -1189,3 +1189,30 @@ def ivfpq_index_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "score", "rank")
     )
+
+
+def ivfpq_index_add(
+    spark, path: str, new_vectors: DataFrame, vec_col: str = "embedding"
+) -> None:
+    """Incremental IVFPQ maintenance: encode + assign the new vectors
+    under the SAVED models (no retraining — the ivf_index_add
+    discipline) and append them partition-wise into the cell layout.
+    Probing and both search stages are unchanged; the appended
+    postings carry their PQ codes like the originals, so stage 1
+    still never reads a float column. Add == rebuild under fixed
+    models (pinned in tests/test_pq.py). At scale the append writes
+    only the cells the batch lands in — maintenance cost follows the
+    BATCH, not the index."""
+    cents, books, cells = load_ivfpq_index(spark, path)
+    data_cols = [c for c in cells.columns if c not in ("cell", "pq_code")]
+    elem = cells.schema[vec_col].dataType.elementType.simpleString()
+    batch = new_vectors.select(*data_cols).withColumn(
+        vec_col, F.col(vec_col).cast(f"array<{elem}>")
+    )
+    (
+        pq_encode(batch, books, vec_col)
+        .withColumn("cell", _cell_assigner(cents)(F.col(vec_col)))
+        .write.partitionBy("cell")
+        .mode("append")
+        .parquet(f"{path}/cells")
+    )

@@ -144,3 +144,54 @@ def test_ivfpq_index_roundtrip_and_all_probe_equality(
         [(r["query_id"], r["neighbor_id"], r["score"], r["rank"])
          for r in via_index], key=lambda t: (t[0], t[3])
     )
+
+
+def test_ivfpq_add_equals_rebuild(spark, sf_dir, tmp_path):
+    """Incremental maintenance contract: building the index on half
+    the corpus and adding the other half yields the same search
+    results as building on everything — under the SAME models (the
+    add path never retrains, so the base-corpus models are fixed by
+    seeding them from the same training frame)."""
+    from mora_spark.llm.simsearch import (
+        build_ivfpq_index,
+        ivfpq_index_add,
+        ivfpq_index_topk,
+        pq_encode,
+        save_ivfpq_index,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias(
+            "embedding"
+        ),
+    )
+    base = e.where(F.col("vec_id") % 2 == 0)
+    rest = e.where(F.col("vec_id") % 2 == 1)
+
+    grown = str(tmp_path / "grown")
+    cents, books, assigned = build_ivfpq_index(
+        base, n_cells=8, train_iters=1
+    )
+    save_ivfpq_index(cents, books, assigned, grown)
+    ivfpq_index_add(spark, grown, rest)
+
+    rebuilt = str(tmp_path / "rebuilt")
+    from mora_spark.llm.simsearch import _cell_assigner
+
+    full = pq_encode(e, books).withColumn(
+        "cell", _cell_assigner(cents)(F.col("embedding"))
+    )
+    save_ivfpq_index(cents, books, full, rebuilt)
+
+    qa = ivfpq_index_topk(
+        spark, grown, query_ids=[0, 2, 4], k=5, n_probe=4
+    ).collect()
+    qb = ivfpq_index_topk(
+        spark, rebuilt, query_ids=[0, 2, 4], k=5, n_probe=4
+    ).collect()
+    canon = lambda rows: sorted(
+        (r["query_id"], r["neighbor_id"], r["score"], r["rank"])
+        for r in rows
+    )
+    assert canon(qa) == canon(qb) and len(qa) == 15
