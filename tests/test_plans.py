@@ -66,6 +66,8 @@ SMELL_QUERIES = [
     "q_dup_spans",
     "q_embed_neardup",
     "q_ann_srp",
+    "q_ann_pq",
+    "q_domain_mix_temp",
 ]
 
 # Declared exact-verification twins: quadratic/cross-join by design,
