@@ -75,6 +75,7 @@ HEADLINE = [
     "q_corpus_pipeline_jsonl",
     "q_ann_pq",
     "q_ann_ivfpq",
+    "q_ann_opq",
     "q_store_diff_bucketed",
     "q_domain_mix_temp",
 ]

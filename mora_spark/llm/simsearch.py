@@ -1216,3 +1216,143 @@ def ivfpq_index_add(
         .mode("append")
         .parquet(f"{path}/cells")
     )
+
+
+# --- OPQ: optimized product quantization (learned rotation) ---
+# PQ quantizes fixed axis-aligned subspaces; OPQ (Ge et al.,
+# "Optimized Product Quantization", CVPR 2013 — faiss's OPQMatrix)
+# learns an orthogonal rotation R that redistributes variance across
+# subspaces before coding, minimizing sum ||x - R yhat||^2 over
+# (R, codebooks, codes) by alternating minimization:
+#   codes/books step: PQ-train on the rotated corpus (y = x R);
+#   rotation step:    R = U V^T from SVD(sum_i x_i yhat_i^T) — the
+#                     orthogonal Procrustes solution.
+# Each step cannot increase the objective, so the returned error
+# history is non-increasing (pinned in tests/test_pq.py). The
+# cross-covariance is a dim x dim reduce: each Arrow batch emits its
+# partial X^T Yhat flattened to dim^2 (pos, val) rows, one
+# map-side-combined groupBy(pos) sums them — model-sized driver
+# traffic however large the corpus, the train_ivf_centroids shape.
+# Search-time correctness is unchanged: an exact copy of the query
+# rotates to the query's own rotated vector, so the min-ADC plant
+# argument holds under ANY rotation, learned or not.
+
+
+def rotate_embeddings(
+    df: DataFrame, rotation: np.ndarray, vec_col: str = "embedding"
+) -> DataFrame:
+    """Replace ``vec_col`` with x @ R — one matmul per Arrow batch."""
+
+    @pandas_udf(T.ArrayType(T.DoubleType()))
+    def rot(vs: pd.Series) -> pd.Series:
+        m = np.stack(vs.apply(lambda v: np.asarray(v, dtype=np.float64)))
+        return pd.Series(list(m @ rotation))
+
+    return df.withColumn(vec_col, rot(F.col(vec_col)))
+
+
+def _opq_cross_cov(
+    df: DataFrame, rotation: np.ndarray, books: np.ndarray, vec_col: str
+) -> tuple[np.ndarray, float]:
+    """(sum_i x_i yhat_i^T, sum_i ||x_i - R yhat_i||^2) in ONE pass:
+    per Arrow batch, rotate, encode, decode, emit the flattened
+    partial cross-covariance plus the partial error as dim^2+1
+    (pos, val) rows; a single groupBy(pos) reduces them."""
+    m_subspaces, n_codes, dsub = books.shape
+    dim = m_subspaces * dsub
+
+    def part(batches):
+        for pdf in batches:
+            m = np.stack(
+                pdf[vec_col].apply(
+                    lambda v: np.asarray(v, dtype=np.float64)
+                )
+            )
+            y = m @ rotation
+            sub = y.reshape(len(m), m_subspaces, dsub)
+            recon = np.empty_like(y)
+            for mi in range(m_subspaces):
+                x = sub[:, mi, :]
+                c = books[mi]
+                d = (
+                    (x * x).sum(axis=1, keepdims=True)
+                    - 2.0 * (x @ c.T)
+                    + (c * c).sum(axis=1)
+                )
+                recon[:, mi * dsub : (mi + 1) * dsub] = c[
+                    np.argmin(d, axis=1)
+                ]
+            cov = m.T @ recon  # (dim, dim)
+            resid = m - recon @ rotation.T
+            err = float((resid * resid).sum())
+            vals = np.append(cov.ravel(), err)
+            yield pd.DataFrame(
+                {"pos": np.arange(dim * dim + 1), "val": vals}
+            )
+
+    rows = (
+        df.select(vec_col)
+        .mapInPandas(part, "pos int, val double")
+        .groupBy("pos")
+        .agg(F.sum("val").alias("s"))
+        .collect()
+    )
+    flat = np.zeros(dim * dim + 1)
+    for r in rows:
+        flat[r["pos"]] = r["s"]
+    return flat[:-1].reshape(dim, dim), float(flat[-1])
+
+
+def train_opq(
+    embeddings: DataFrame,
+    m_subspaces: int = PQ_M,
+    n_codes: int = PQ_K,
+    n_iter: int = 3,
+    pq_iter: int = 1,
+    dim: int = 64,
+    vec_col: str = "embedding",
+) -> tuple[np.ndarray, np.ndarray, list[float]]:
+    """(rotation R, codebooks, per-iteration reconstruction errors).
+    Iteration 0 trains plain PQ under R = I, so ``errors[0]`` is the
+    unrotated-PQ baseline and ``errors[-1] <= errors[0]`` is the
+    measured OPQ gain."""
+    rotation = np.eye(dim)
+    books = None
+    errors: list[float] = []
+    for _ in range(n_iter):
+        rotated = rotate_embeddings(embeddings, rotation, vec_col)
+        books = train_pq_codebooks(
+            rotated, m_subspaces=m_subspaces, n_codes=n_codes,
+            n_iter=pq_iter, dim=dim, vec_col=vec_col,
+        )
+        cov, err = _opq_cross_cov(embeddings, rotation, books, vec_col)
+        errors.append(err)
+        u, _, vt = np.linalg.svd(cov)
+        rotation = u @ vt  # orthogonal Procrustes
+    return rotation, books, errors
+
+
+def opq_topk(
+    embeddings: DataFrame,
+    rotation: np.ndarray,
+    books: np.ndarray,
+    query_ids: list[int],
+    k: int = 5,
+    shortlist: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ search in the learned-rotation space: rotate once, then the
+    exact :func:`pq_topk` pipeline. The re-rank's cosine is computed
+    on rotated vectors — R is orthogonal, so cosine is preserved
+    (plants score exactly 1.0 either way; the plant oracle needs no
+    rotation awareness)."""
+    return pq_topk(
+        rotate_embeddings(embeddings, rotation, vec_col),
+        books,
+        query_ids=query_ids,
+        k=k,
+        shortlist=shortlist,
+        id_col=id_col,
+        vec_col=vec_col,
+    )

