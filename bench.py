@@ -98,6 +98,15 @@ PRESTAGED = [
         "_store_bjoin_views",
         "store_bucketed_join_hot",
     ),
+    # The IVFPQ build (train both models + write the cell layout) is
+    # ingest-time cost; the repeated path a serving workload pays is
+    # the search — probe pruning + code-column ADC + shortlist rerank.
+    (
+        "q_ann_ivfpq_hot",
+        "mora_spark.queries.vectors",
+        "_ivfpq_stage",
+        "ivfpq_search_hot",
+    ),
 ]
 
 

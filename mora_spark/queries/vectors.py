@@ -790,3 +790,34 @@ ORACLES = {
     "q_embed_neardup": O_EMBED_NEARDUP,
     "q_embed_neardup_exact": O_EMBED_NEARDUP_EXACT,
 }
+
+
+def _ivfpq_stage(spark: SparkSession, sf_dir: str) -> None:
+    """Bench staging (untimed): build + persist the planted IVFPQ
+    index once — training and layout are ingest-time costs amortized
+    over every later search; the timed line is the repeated path."""
+    import shutil
+
+    from mora_spark.llm.simsearch import build_ivfpq_index, save_ivfpq_index
+    from mora_spark.queries.store import scratch_dir
+
+    path = scratch_dir("ivfpq_hot", sf_dir)
+    shutil.rmtree(path, ignore_errors=True)
+    e = _planted_pq(_emb(spark, sf_dir))
+    save_ivfpq_index(*build_ivfpq_index(e, train_iters=2), path)
+
+
+def ivfpq_search_hot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bench-only: the query-time path against the pre-staged index —
+    partition-pruned probe, code-column ADC, shortlist rerank."""
+    from mora_spark.llm.simsearch import ivfpq_index_topk
+    from mora_spark.queries.store import scratch_dir
+
+    return ivfpq_index_topk(
+        spark,
+        scratch_dir("ivfpq_hot", sf_dir),
+        query_ids=list(range(N_QUERIES)),
+        k=TOP_K,
+        n_probe=4,
+        shortlist=SQ8_SHORTLIST,
+    )
