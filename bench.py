@@ -223,6 +223,19 @@ def main() -> None:
     # single-pass — its absolute drift is bounded by its size, and
     # repeats there would mostly measure caches.
     HEAVY_CUTOFF_S = 5.0
+    # The dedup/curation family is BIMODAL on this host (rounds 4-7:
+    # fast runs match across rounds, slow runs land 2x high in the
+    # degraded CPU phase) and 3 samples too often catch 2 slow ones.
+    # VERDICT r6 #7's fallback: widen those lines to lower-median-of-5
+    # whenever the host won't give a fast/fast env_probe run.
+    BIMODAL = {
+        "q_minhash_lsh",
+        "q_dedup_increment",
+        "q_dedup_clusters",
+        "q_corpus_curation",
+        "q_decontaminate_fuzzy",
+        "q_embed_neardup",
+    }
     heavy_runs: dict[str, list[float]] = {}
     from mora_spark.llm.dedup import clear_lsh_cache
 
@@ -231,7 +244,7 @@ def main() -> None:
             continue
         fn = queries[name]
         runs = [first]
-        for _ in range(2):
+        for _ in range(4 if name in BIMODAL else 2):
             clear_lsh_cache()
             spark.catalog.clearCache()
             t = _run_once(name, fn)
@@ -283,7 +296,10 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
-        "heavy_policy": "lower_median_of_3_above_5s",
+        "heavy_policy": (
+            "lower_median_of_3_above_5s; known-bimodal dedup/curation "
+            "lines widened to lower_median_of_5 (VERDICT r6 #7 fallback)"
+        ),
         "prestaged": {
             name: "staging untimed (ingest-time cost); timed "
             "line is the zero-exchange join"
