@@ -1356,3 +1356,57 @@ def opq_topk(
         id_col=id_col,
         vec_col=vec_col,
     )
+
+
+def ivfpq_index_health(spark, path: str) -> dict:
+    """IVFPQ health = the IVF health probe over the same cell layout
+    (the ``cells/`` directory shape is identical; the extra ``pq_code``
+    column rides along unread). Same signals, same thresholds."""
+    return ivf_index_health(spark, path)
+
+
+def ivfpq_index_compact(
+    spark,
+    path: str,
+    dest: str,
+    retrain_imbalance: float = 4.0,
+    train_iters: int = 2,
+    vec_col: str = "embedding",
+) -> dict:
+    """Maintenance for an incrementally-grown IVFPQ index: rewrite the
+    cell layout at ``dest`` with ONE file per cell, retraining the
+    CELL centroids (and re-assigning) when the imbalance ratio crosses
+    the threshold — the ivf_index_compact loop. The PQ side needs no
+    maintenance here: codes encode the raw vectors independently of
+    cell geometry, so a cell retrain never invalidates them (codebook
+    retraining is a full re-encode and stays an explicit rebuild).
+    Writes to ``dest`` (never in place) so readers of ``path`` stay
+    consistent mid-compaction. Returns health stats + whether the
+    retrain branch ran."""
+    cents, books, cells = load_ivfpq_index(spark, path)
+    n_cells = len(cents)
+    counts = (
+        cells.groupBy("cell").agg(F.count(F.lit(1)).alias("n")).collect()
+    )
+    total = sum(r["n"] for r in counts)
+    mean = total / n_cells if n_cells else 0.0
+    imbalance = (
+        max((r["n"] for r in counts), default=0) / mean if mean else 0.0
+    )
+    retrained = imbalance > retrain_imbalance
+    if retrained:
+        data = cells.drop("cell")
+        cents = train_ivf_centroids(
+            data,
+            n_cells=n_cells,
+            n_iter=train_iters,
+            dim=cents.shape[1],
+            vec_col=vec_col,
+        )
+        cells = data.withColumn(
+            "cell", _cell_assigner(cents)(F.col(vec_col))
+        )
+    save_ivfpq_index(
+        cents, books, cells.repartition(n_cells, "cell"), dest
+    )
+    return {"retrained": retrained, "imbalance": imbalance, "rows": total}

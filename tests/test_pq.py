@@ -216,3 +216,52 @@ def test_opq_rotation_reduces_reconstruction_error(spark, sf_dir):
     for a, b in zip(errors, errors[1:]):
         assert b <= a + 1e-6, f"error increased: {errors}"
     assert errors[-1] < errors[0]  # measured OPQ gain vs plain PQ
+
+
+def test_ivfpq_compact_bounds_files_and_preserves_results(
+    spark, sf_dir, tmp_path
+):
+    """After N incremental adds a cell holds N file sets; compaction
+    rewrites one file per cell and the search answer is unchanged."""
+    from mora_spark.llm.simsearch import (
+        build_ivfpq_index,
+        ivfpq_index_add,
+        ivfpq_index_compact,
+        ivfpq_index_health,
+        ivfpq_index_topk,
+        save_ivfpq_index,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias(
+            "embedding"
+        ),
+    )
+    path = str(tmp_path / "src")
+    dest = str(tmp_path / "dst")
+    save_ivfpq_index(
+        *build_ivfpq_index(
+            e.where(F.col("vec_id") % 4 == 0), n_cells=8, train_iters=1
+        ),
+        path,
+    )
+    for k in (1, 2, 3):  # three increments -> up to 4 file sets/cell
+        ivfpq_index_add(spark, path, e.where(F.col("vec_id") % 4 == k))
+    before = ivfpq_index_health(spark, path)
+    assert before["max_files_per_cell"] > 1
+    got_before = ivfpq_index_topk(
+        spark, path, query_ids=[0, 1, 2], k=5, n_probe=8
+    ).collect()
+    stats = ivfpq_index_compact(spark, path, dest)
+    after = ivfpq_index_health(spark, dest)
+    assert after["max_files_per_cell"] == 1
+    assert after["rows"] == before["rows"] == stats["rows"]
+    got_after = ivfpq_index_topk(
+        spark, dest, query_ids=[0, 1, 2], k=5, n_probe=8
+    ).collect()
+    canon = lambda rows: sorted(
+        (r["query_id"], r["neighbor_id"], r["score"], r["rank"])
+        for r in rows
+    )
+    assert canon(got_before) == canon(got_after)
