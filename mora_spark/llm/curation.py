@@ -598,6 +598,78 @@ def pack_sequences(
     )
 
 
+def pack_by_domain(
+    df: DataFrame,
+    strata_col: str = "source",
+    budget: int = 512,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk: int = 256,
+) -> DataFrame:
+    """Per-domain concatenate-and-chunk packing: every stratum gets
+    its OWN bin stream (training shards that never mix domains — the
+    layout a temperature-mixed corpus is packed into downstream of
+    :func:`temperature_mix`). Same two-phase prefix sum as
+    :func:`pack_sequences`, keyed by (stratum, id-range chunk): phase
+    1 collects one subtotal per (stratum, chunk) — driver state stays
+    n_docs/chunk rows however many domains — phase 2 windows within
+    the chunk and adds the broadcast per-stratum offset, so no domain
+    ever drags through a single unpartitioned window task.
+
+    Emits (id, stratum, tok_len, cum_tokens, bin_first, bin_last,
+    n_bins) with cum_tokens/bins counted within the stratum."""
+    spark = df.sparkSession
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(strata_col).alias("stratum"),
+        F.size(tokens(text_col)).cast("long").alias("tok_len"),
+        (F.col(id_col) / chunk).cast("long").alias("pid"),
+    )
+    totals = (
+        base.groupBy("stratum", "pid")
+        .agg(F.sum("tok_len").alias("sub"))
+        .orderBy("stratum", "pid")
+        .collect()
+    )
+    offsets, acc, cur = [], 0, None
+    for row in totals:
+        if row["stratum"] != cur:
+            cur, acc = row["stratum"], 0
+        offsets.append((cur, row["pid"], acc))
+        acc += row["sub"]
+    off = F.broadcast(
+        spark.createDataFrame(
+            offsets, "stratum string, pid long, offset long"
+        )
+    )
+    w = (
+        Window.partitionBy("stratum", "pid")
+        .orderBy("id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        base.join(off, ["stratum", "pid"])
+        .withColumn(
+            "cum_tokens", F.col("offset") + F.sum("tok_len").over(w)
+        )
+        .withColumn(
+            "bin_first",
+            F.floor((F.col("cum_tokens") - F.col("tok_len")) / budget),
+        )
+        .withColumn(
+            "bin_last", F.floor((F.col("cum_tokens") - 1) / budget)
+        )
+        .withColumn(
+            "n_bins", F.col("bin_last") - F.col("bin_first") + F.lit(1)
+        )
+        .select(
+            F.col("id").alias(id_col),
+            F.col("stratum").alias(strata_col),
+            "tok_len", "cum_tokens", "bin_first", "bin_last", "n_bins",
+        )
+    )
+
+
 def chunk_documents(
     df: DataFrame,
     size: int = 48,

@@ -20,14 +20,16 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # registry order). PRIORITY pins the round-8 window (VERDICT r6
 # "Next round" #6; round 7 recorded no work, so its window re-ran the
 # round-6 list verbatim — CORRECTNESS_r07.json, 50/50 green):
-# - the 5 queries NEW this round: q_ann_pq (product quantization —
+# - the 6 queries NEW this round: q_ann_pq (product quantization —
 #   ADC shortlist + exact rerank under seeded trained codebooks,
 #   structural negative-id plant oracle), q_ann_ivfpq (the persisted
 #   IVF+PQ index: partition-pruned probe → code-column ADC → exact
 #   rerank, same oracle), q_ann_opq (learned-rotation OPQ — the plant
 #   argument is rotation-proof), q_store_diff_bucketed (exchange-free
 #   CDC between two bucketed_view snapshots), q_domain_mix_temp
-#   (temperature-weighted domain sampling under a token budget);
+#   (temperature-weighted domain sampling under a token budget),
+#   q_pack_by_domain (per-domain packing — the shard layout
+#   downstream of the temperature mix);
 # - 3 changed-code guards: engine/store.py's diff was refactored
 #   through the shared snapshot_diff comparator (q_store_diff),
 #   streaming/pipeline.py grew the n_files sink knob
@@ -42,9 +44,8 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #   json_props/boilerplate/quality), curation (pack/vocab/shards/
 #   decontaminate/domain_mix/stratified/corpus), dedup clusters,
 #   vectors (srp/simsearch/embed_neardup) and validation surfaces;
-# - 14 oldest r4-era re-greens filling the remaining slots, favoring
-#   family diversity (rollup/cube/pivot/setops/windows/histogram/
-#   profile).
+# - 13 oldest r4-era re-greens filling the remaining slots, favoring
+#   family diversity (rollup/cube/pivot/setops/windows/profile).
 # Displaced to make room: everything r5-green or later — machinery
 # unchanged, each keeps its CORRECTNESS_r05/r07.json green row.
 PRIORITY: tuple[str, ...] = (
@@ -54,6 +55,7 @@ PRIORITY: tuple[str, ...] = (
     "q_ann_opq",
     "q_store_diff_bucketed",
     "q_domain_mix_temp",
+    "q_pack_by_domain",
     # changed-code guards (r8)
     "q_store_diff",
     "q_corpus_pipeline_jsonl",
@@ -87,7 +89,7 @@ PRIORITY: tuple[str, ...] = (
     "q_user_stats",
     "q_validate_candles",
     "q_vocab_topk",
-    # oldest r4-era re-greens (14)
+    # oldest r4-era re-greens (13)
     "q_cube_orders",
     "q_data_profile",
     "q_gapfill",
@@ -101,14 +103,13 @@ PRIORITY: tuple[str, ...] = (
     "q_setops",
     "q_sma_roll",
     "q_time_window",
-    "q_value_histogram",
 )
 # Demoted below the window: every demoted query keeps a green
 # CORRECTNESS row no older than r4 (the r4 TPC-H tail q2-q22 is the
-# oldest remaining evidence; next round's rotation picks it up). 150
+# oldest remaining evidence; next round's rotation picks it up). 151
 # queries are declared; the driver-green union stands at 145/145 of
 # the previously declared set, so once this window greens the union is
-# 150/150 and no latest row predates r4.
+# 151/151 and no latest row predates r4.
 
 
 def collect_registry() -> tuple[dict[str, QueryFn], dict[str, str]]:

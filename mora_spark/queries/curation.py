@@ -225,6 +225,40 @@ FROM c
 """
 
 
+# --- q_pack_by_domain: per-domain concat-and-chunk packing ---
+# The domain-sharded layout a temperature-mixed corpus is packed into:
+# each source gets its own bin stream (shards never mix domains).
+# Same two-phase prefix sum as q_pack_sequences, keyed by
+# (source, id-chunk) so no domain drags through one window task.
+
+def q_pack_by_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mora_spark.llm.curation import pack_by_domain
+
+    return pack_by_domain(_docs(spark, sf_dir), budget=PACK_BUDGET)
+
+
+O_PACK_BY_DOMAIN = f"""
+WITH t AS (
+  SELECT doc_id, source, len({TOKS_SQL})::BIGINT AS tok_len
+  FROM documents
+), c AS (
+  SELECT doc_id, source, tok_len,
+         CAST(sum(tok_len) OVER (PARTITION BY source ORDER BY doc_id
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+  FROM t
+)
+SELECT doc_id, source, tok_len, cum_tokens,
+       CAST(floor((cum_tokens - tok_len) / {PACK_BUDGET}.0) AS BIGINT)
+         AS bin_first,
+       CAST(floor((cum_tokens - 1) / {PACK_BUDGET}.0) AS BIGINT)
+         AS bin_last,
+       CAST(floor((cum_tokens - 1) / {PACK_BUDGET}.0) AS BIGINT)
+         - CAST(floor((cum_tokens - tok_len) / {PACK_BUDGET}.0) AS BIGINT)
+         + 1 AS n_bins
+FROM c
+"""
+
+
 # --- q_domain_mix: mixture reweighting toward a uniform source mix ---
 # Per source: token share of the corpus and the sampling weight that
 # would equalize the mixture (target = 1/n_sources). One map-side-
@@ -580,6 +614,7 @@ QUERIES = {
     "q_pack_sequences": q_pack_sequences,
     "q_domain_mix": q_domain_mix,
     "q_domain_mix_temp": q_domain_mix_temp,
+    "q_pack_by_domain": q_pack_by_domain,
 }
 
 ORACLES = {
@@ -595,4 +630,5 @@ ORACLES = {
     "q_pack_sequences": O_PACK_SEQUENCES,
     "q_domain_mix": O_DOMAIN_MIX,
     "q_domain_mix_temp": O_DOMAIN_MIX_TEMP,
+    "q_pack_by_domain": O_PACK_BY_DOMAIN,
 }

@@ -234,3 +234,27 @@ def test_temperature_mix_stable_under_repartition(spark, sf_dir):
     b = {r["doc_id"]
          for r in temperature_mix(docs.repartition(13)).collect()}
     assert a == b and a
+
+
+def test_pack_by_domain_conservation_and_isolation(spark, sf_dir):
+    """Per-domain packing: within every stratum the running total is
+    conserved (max cum_tokens == sum of tok_len) and bins restart at 0
+    — no domain's stream leaks into another's."""
+    from mora_spark.llm.curation import pack_by_domain
+
+    docs = load_table(spark, sf_dir, "documents")
+    packed = pack_by_domain(docs, budget=128)
+    per = packed.groupBy("source").agg(
+        F.max("cum_tokens").alias("max_cum"),
+        F.sum("tok_len").alias("total"),
+        F.min("bin_first").alias("first_bin"),
+    ).collect()
+    assert per
+    for r in per:
+        assert r["max_cum"] == r["total"]
+        assert r["first_bin"] == 0
+    # Stable under repartition (the two-phase sum is order-pinned).
+    again = pack_by_domain(docs.repartition(17), budget=128)
+    a = {(r["doc_id"], r["cum_tokens"]) for r in packed.collect()}
+    b = {(r["doc_id"], r["cum_tokens"]) for r in again.collect()}
+    assert a == b
