@@ -1059,9 +1059,15 @@ def save_ivfpq_index(
     path: str,
 ) -> None:
     """Persist the composed index: tiny centroid + codebook tables,
-    and the corpus partitioned by cell with the PQ code column stored
-    alongside the full-precision vectors — the probe prunes to cell
-    directories, stage 1 projects only (id, pq_code)."""
+    and the corpus laid out ``cells/add_id=<k>/cell=<c>/`` with the PQ
+    code column stored alongside the full-precision vectors — the
+    probe prunes to cell directories, stage 1 projects only
+    (id, pq_code). ``add_id`` is the increment epoch (0 = the base
+    build; each :func:`ivfpq_index_add` gets its own value), which is
+    what makes incremental maintenance REPLAY-IDEMPOTENT: an add is a
+    deterministic overwrite of its own epoch directory, never a blind
+    append, so a crashed-and-replayed micro-batch converges instead of
+    duplicating (the pipeline-sink discipline)."""
     spark = assigned.sparkSession
     spark.createDataFrame(
         [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
@@ -1077,7 +1083,7 @@ def save_ivfpq_index(
         "m int, code int, centroid array<double>",
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/codebooks")
     assigned.write.partitionBy("cell").mode("overwrite").parquet(
-        f"{path}/cells"
+        f"{path}/cells/add_id=0"
     )
 
 
@@ -1094,7 +1100,8 @@ def load_ivfpq_index(
     books = np.zeros((m, k, len(brows[0]["centroid"])))
     for r in brows:
         books[r["m"], r["code"]] = r["centroid"]
-    return cents, books, spark.read.parquet(f"{path}/cells")
+    cells = spark.read.parquet(f"{path}/cells").drop("add_id")
+    return cents, books, cells
 
 
 def ivfpq_index_topk(
@@ -1192,18 +1199,35 @@ def ivfpq_index_topk(
 
 
 def ivfpq_index_add(
-    spark, path: str, new_vectors: DataFrame, vec_col: str = "embedding"
+    spark,
+    path: str,
+    new_vectors: DataFrame,
+    vec_col: str = "embedding",
+    add_id: int | None = None,
 ) -> None:
     """Incremental IVFPQ maintenance: encode + assign the new vectors
     under the SAVED models (no retraining — the ivf_index_add
-    discipline) and append them partition-wise into the cell layout.
-    Probing and both search stages are unchanged; the appended
-    postings carry their PQ codes like the originals, so stage 1
-    still never reads a float column. Add == rebuild under fixed
-    models (pinned in tests/test_pq.py). At scale the append writes
-    only the cells the batch lands in — maintenance cost follows the
-    BATCH, not the index."""
+    discipline) and write them into the batch's OWN epoch directory
+    ``cells/add_id=<k>/`` (mode=overwrite — deterministic, so a
+    replayed batch converges instead of duplicating; pass the
+    micro-batch id as ``add_id`` from a streaming sink, or leave None
+    to take the next free epoch). Probing and both search stages are
+    unchanged; the appended postings carry their PQ codes like the
+    originals, so stage 1 still never reads a float column. Add ==
+    rebuild under fixed models (pinned in tests/test_pq.py). At scale
+    the write covers only the batch's cells — maintenance cost
+    follows the BATCH, not the index."""
+    import os
+    import re
+
     cents, books, cells = load_ivfpq_index(spark, path)
+    if add_id is None:
+        existing = [
+            int(m.group(1))
+            for d in os.listdir(f"{path}/cells")
+            if (m := re.fullmatch(r"add_id=(\d+)", d))
+        ]
+        add_id = 1 + max(existing, default=0)
     data_cols = [c for c in cells.columns if c not in ("cell", "pq_code")]
     elem = cells.schema[vec_col].dataType.elementType.simpleString()
     batch = new_vectors.select(*data_cols).withColumn(
@@ -1213,8 +1237,8 @@ def ivfpq_index_add(
         pq_encode(batch, books, vec_col)
         .withColumn("cell", _cell_assigner(cents)(F.col(vec_col)))
         .write.partitionBy("cell")
-        .mode("append")
-        .parquet(f"{path}/cells")
+        .mode("overwrite")
+        .parquet(f"{path}/cells/add_id={add_id}")
     )
 
 

@@ -20,7 +20,7 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # registry order). PRIORITY pins the round-8 window (VERDICT r6
 # "Next round" #6; round 7 recorded no work, so its window re-ran the
 # round-6 list verbatim — CORRECTNESS_r07.json, 50/50 green):
-# - the 6 queries NEW this round: q_ann_pq (product quantization —
+# - the 7 queries NEW this round: q_ann_pq (product quantization —
 #   ADC shortlist + exact rerank under seeded trained codebooks,
 #   structural negative-id plant oracle), q_ann_ivfpq (the persisted
 #   IVF+PQ index: partition-pruned probe → code-column ADC → exact
@@ -29,7 +29,9 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #   CDC between two bucketed_view snapshots), q_domain_mix_temp
 #   (temperature-weighted domain sampling under a token budget),
 #   q_pack_by_domain (per-domain packing — the shard layout
-#   downstream of the temperature mix);
+#   downstream of the temperature mix), q_stream_ann_ingest
+#   (streaming IVFPQ maintenance — one replay-idempotent add epoch
+#   per micro-batch);
 # - 3 changed-code guards: engine/store.py's diff was refactored
 #   through the shared snapshot_diff comparator (q_store_diff),
 #   streaming/pipeline.py grew the n_files sink knob
@@ -44,7 +46,7 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #   json_props/boilerplate/quality), curation (pack/vocab/shards/
 #   decontaminate/domain_mix/stratified/corpus), dedup clusters,
 #   vectors (srp/simsearch/embed_neardup) and validation surfaces;
-# - 13 oldest r4-era re-greens filling the remaining slots, favoring
+# - 12 oldest r4-era re-greens filling the remaining slots, favoring
 #   family diversity (rollup/cube/pivot/setops/windows/profile).
 # Displaced to make room: everything r5-green or later — machinery
 # unchanged, each keeps its CORRECTNESS_r05/r07.json green row.
@@ -56,6 +58,7 @@ PRIORITY: tuple[str, ...] = (
     "q_store_diff_bucketed",
     "q_domain_mix_temp",
     "q_pack_by_domain",
+    "q_stream_ann_ingest",
     # changed-code guards (r8)
     "q_store_diff",
     "q_corpus_pipeline_jsonl",
@@ -89,7 +92,7 @@ PRIORITY: tuple[str, ...] = (
     "q_user_stats",
     "q_validate_candles",
     "q_vocab_topk",
-    # oldest r4-era re-greens (13)
+    # oldest r4-era re-greens (12)
     "q_cube_orders",
     "q_data_profile",
     "q_gapfill",
@@ -102,14 +105,13 @@ PRIORITY: tuple[str, ...] = (
     "q_semi_anti",
     "q_setops",
     "q_sma_roll",
-    "q_time_window",
 )
 # Demoted below the window: every demoted query keeps a green
 # CORRECTNESS row no older than r4 (the r4 TPC-H tail q2-q22 is the
-# oldest remaining evidence; next round's rotation picks it up). 151
+# oldest remaining evidence; next round's rotation picks it up). 152
 # queries are declared; the driver-green union stands at 145/145 of
 # the previously declared set, so once this window greens the union is
-# 151/151 and no latest row predates r4.
+# 152/152 and no latest row predates r4.
 
 
 def collect_registry() -> tuple[dict[str, QueryFn], dict[str, str]]:

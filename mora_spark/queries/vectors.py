@@ -755,6 +755,83 @@ WHERE round(list_dot_product(a.v, b.v)
 """
 
 
+
+# --- q_stream_ann_ingest: streaming IVFPQ index maintenance ---
+# The live-corpus ANN loop: the index is built and trained on the
+# base corpus; new vectors then ARRIVE as a stream and each
+# micro-batch is folded in by ivfpq_index_add under the SAVED models
+# — encode + assign + overwrite of the batch's own add_id epoch
+# directory, so a crashed-and-replayed batch converges instead of
+# duplicating (the pipeline sink's WAL-replay discipline applied to
+# index maintenance). The arriving rows are the TOP_K exact copies of
+# each query at negative ids, one copy-rank per micro-batch, so the
+# final search must return exactly the planted oracle rows: streaming
+# maintenance cannot lose recall on the ingested vectors, whatever
+# batch boundaries the stream happened to cut.
+
+def q_stream_ann_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+
+    from mora_spark.llm.simsearch import (
+        build_ivfpq_index,
+        ivfpq_index_add,
+        ivfpq_index_topk,
+        save_ivfpq_index,
+    )
+    from mora_spark.queries.store import scratch_dir
+    from mora_spark.streaming.ingest import _state_partitions
+
+    work = scratch_dir("stream_ann", sf_dir)
+    shutil.rmtree(work, ignore_errors=True)
+    path = os.path.join(work, "index")
+    base = _emb(spark, sf_dir).select(
+        "vec_id", as_double(F.col("embedding")).alias("embedding")
+    )
+    save_ivfpq_index(*build_ivfpq_index(base, train_iters=2), path)
+
+    plants = _planted_pq(base).where(F.col("vec_id") < 0)
+    src = os.path.join(work, "src")
+    os.makedirs(src)
+    # Shard j carries every query's j-th copy; mtimes pin replay order
+    # (maxFilesPerTrigger=1 -> one shard per micro-batch).
+    for j in range(TOP_K):
+        tmp = os.path.join(work, f"_chunk_{j}")
+        plants.where((-F.col("vec_id") - 1) % TOP_K == j).coalesce(
+            1
+        ).write.mode("overwrite").parquet(tmp)
+        part = next(p for p in os.listdir(tmp) if p.endswith(".parquet"))
+        dst = os.path.join(src, f"chunk-{j}.parquet")
+        os.replace(os.path.join(tmp, part), dst)
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.utime(dst, (1_600_000_000 + j,) * 2)
+
+    def sink(batch: DataFrame, batch_id: int) -> None:
+        # Epoch = batch_id + 1 (0 is the base build): deterministic,
+        # so replay overwrites its own directory.
+        ivfpq_index_add(spark, path, batch, add_id=batch_id + 1)
+
+    with _state_partitions(spark, 8):
+        q = (
+            spark.readStream.schema(plants.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return ivfpq_index_topk(
+        spark,
+        path,
+        query_ids=list(range(N_QUERIES)),
+        k=TOP_K,
+        n_probe=4,
+        shortlist=SQ8_SHORTLIST,
+    )
+
+
 QUERIES = {
     "q_embedding_norms": q_embedding_norms,
     "q_simsearch_topk": q_simsearch_topk,
@@ -768,6 +845,7 @@ QUERIES = {
     "q_ann_pq": q_ann_pq,
     "q_ann_ivfpq": q_ann_ivfpq,
     "q_ann_opq": q_ann_opq,
+    "q_stream_ann_ingest": q_stream_ann_ingest,
     "q_quantize_embed": q_quantize_embed,
     "q_embed_neardup": q_embed_neardup,
     "q_embed_neardup_exact": q_embed_neardup_exact,
@@ -786,6 +864,7 @@ ORACLES = {
     "q_ann_pq": O_ANN_PQ,
     "q_ann_ivfpq": O_ANN_PQ,
     "q_ann_opq": O_ANN_PQ,
+    "q_stream_ann_ingest": O_ANN_PQ,
     "q_quantize_embed": O_QUANTIZE_EMBED,
     "q_embed_neardup": O_EMBED_NEARDUP,
     "q_embed_neardup_exact": O_EMBED_NEARDUP_EXACT,

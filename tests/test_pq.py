@@ -125,7 +125,8 @@ def test_ivfpq_index_roundtrip_and_all_probe_equality(
     c2, b2, cells = load_ivfpq_index(spark, path)
     assert np.array_equal(cents, c2) and np.array_equal(books, b2)
     cell_dirs = [
-        d for d in os.listdir(os.path.join(path, "cells"))
+        d
+        for d in os.listdir(os.path.join(path, "cells", "add_id=0"))
         if d.startswith("cell=")
     ]
     assert 0 < len(cell_dirs) <= 8
