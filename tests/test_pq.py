@@ -266,3 +266,45 @@ def test_ivfpq_compact_bounds_files_and_preserves_results(
         for r in rows
     )
     assert canon(got_before) == canon(got_after)
+
+
+def test_ivfpq_add_epoch_replay_is_idempotent(spark, sf_dir, tmp_path):
+    """The WAL-replay contract of the epoch layout: re-running an add
+    with the same add_id overwrites its own epoch directory, so a
+    crashed-and-replayed micro-batch converges — row count and search
+    results identical to the single-run index, no duplicates."""
+    from mora_spark.llm.simsearch import (
+        build_ivfpq_index,
+        ivfpq_index_add,
+        ivfpq_index_health,
+        ivfpq_index_topk,
+        save_ivfpq_index,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias(
+            "embedding"
+        ),
+    )
+    base = e.where(F.col("vec_id") % 2 == 0)
+    rest = e.where(F.col("vec_id") % 2 == 1)
+    path = str(tmp_path / "idx")
+    save_ivfpq_index(
+        *build_ivfpq_index(base, n_cells=8, train_iters=1), path
+    )
+    ivfpq_index_add(spark, path, rest, add_id=1)
+    once = ivfpq_index_topk(
+        spark, path, query_ids=[0, 1], k=5, n_probe=8
+    ).collect()
+    n_once = ivfpq_index_health(spark, path)["rows"]
+    ivfpq_index_add(spark, path, rest, add_id=1)  # the replay
+    again = ivfpq_index_topk(
+        spark, path, query_ids=[0, 1], k=5, n_probe=8
+    ).collect()
+    assert ivfpq_index_health(spark, path)["rows"] == n_once == e.count()
+    canon = lambda rows: sorted(
+        (r["query_id"], r["neighbor_id"], r["score"], r["rank"])
+        for r in rows
+    )
+    assert canon(once) == canon(again)
