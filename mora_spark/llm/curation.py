@@ -128,6 +128,7 @@ def temperature_mix(
     id_col: str = "doc_id",
     text_col: str = "text",
     salt: str = "tempmix",
+    weights: DataFrame | None = None,
 ) -> DataFrame:
     """Temperature-weighted cross-domain sample under a token budget:
     :func:`temperature_weights` sets each stratum's keep rate, the
@@ -136,9 +137,16 @@ def temperature_mix(
     Returns the sampled docs with the stratum's ``n_tokens``,
     ``mix_weight`` and ``sample_rate`` columns attached. The weights
     side is a tiny broadcast (one row per domain), so the sample
-    itself stays a scan-stage filter over the corpus."""
-    w = temperature_weights(
-        docs, strata_col, temperature, token_budget, text_col
+    itself stays a scan-stage filter over the corpus. Pass a
+    precomputed ``weights`` frame (from :func:`temperature_weights`)
+    when the caller also reports it — otherwise the corpus-wide token
+    aggregation underneath would run twice."""
+    w = (
+        weights
+        if weights is not None
+        else temperature_weights(
+            docs, strata_col, temperature, token_budget, text_col
+        )
     )
     return docs.join(F.broadcast(w), strata_col).where(
         hash_uniform(F.col(id_col), salt) < F.col("sample_rate")
@@ -631,7 +639,7 @@ def pack_by_domain(
         .orderBy("stratum", "pid")
         .collect()
     )
-    offsets, acc, cur = [], 0, None
+    offsets, acc, cur = [], 0, object()  # sentinel: NULL is a stratum
     for row in totals:
         if row["stratum"] != cur:
             cur, acc = row["stratum"], 0
@@ -647,8 +655,16 @@ def pack_by_domain(
         .orderBy("id")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
+    # eqNullSafe on the stratum: a NULL source is a real domain (the
+    # window PARTITION BY treats it as one); a null-unsafe equi-join
+    # would silently drop those rows and break token conservation.
+    joined = base.alias("b").join(
+        off.alias("o"),
+        F.col("b.stratum").eqNullSafe(F.col("o.stratum"))
+        & (F.col("b.pid") == F.col("o.pid")),
+    ).select("b.id", "b.stratum", "b.tok_len", "b.pid", "o.offset")
     return (
-        base.join(off, ["stratum", "pid"])
+        joined
         .withColumn(
             "cum_tokens", F.col("offset") + F.sum("tok_len").over(w)
         )

@@ -610,6 +610,28 @@ def ivf_index_compact(
     tests/test_simsearch.py pins). Returns the health stats observed
     plus whether the retrain branch ran."""
     cents, assigned = load_ivf_index(spark, path)
+    cents, assigned, stats = _compact_core(
+        assigned, cents, retrain_imbalance, train_iters, vec_col
+    )
+    # One shuffle keyed by cell -> each cell's rows land in exactly one
+    # task -> exactly one file per cell directory, whatever the number
+    # of increments being folded in.
+    save_ivf_index(cents, assigned.repartition(len(cents), "cell"), dest)
+    return stats
+
+
+def _compact_core(
+    assigned: DataFrame,
+    cents: np.ndarray,
+    retrain_imbalance: float,
+    train_iters: int,
+    vec_col: str,
+) -> tuple[np.ndarray, DataFrame, dict]:
+    """The shared imbalance-check / conditional-retrain step of index
+    compaction (IVF and IVFPQ differ only in what else they persist).
+    Retraining is the deterministic spherical k-means of the original
+    build; any extra columns on ``assigned`` (e.g. IVFPQ's pq_code)
+    ride through untouched."""
     n_cells = len(cents)
     counts = (
         assigned.groupBy("cell").agg(F.count(F.lit(1)).alias("n")).collect()
@@ -629,12 +651,14 @@ def ivf_index_compact(
             dim=cents.shape[1],
             vec_col=vec_col,
         )
-        assigned = data.withColumn("cell", _cell_assigner(cents)(F.col(vec_col)))
-    # One shuffle keyed by cell -> each cell's rows land in exactly one
-    # task -> exactly one file per cell directory, whatever the number
-    # of increments being folded in.
-    save_ivf_index(cents, assigned.repartition(n_cells, "cell"), dest)
-    return {"retrained": retrained, "imbalance": imbalance, "rows": total}
+        assigned = data.withColumn(
+            "cell", _cell_assigner(cents)(F.col(vec_col))
+        )
+    return (
+        cents,
+        assigned,
+        {"retrained": retrained, "imbalance": imbalance, "rows": total},
+    )
 
 
 def ivf_index_topk(
@@ -950,13 +974,61 @@ def pq_topk(
     round to 6 dp with id tie-breaks, so the whole pipeline is
     deterministic and oracle-comparable end-to-end.
     """
-    m_subspaces, n_codes, dsub = books.shape
-    enc = pq_encode(embeddings, books, vec_col)
+    m_subspaces, n_codes, _ = books.shape
+    enc = pq_encode(
+        embeddings.select(id_col, vec_col), books, vec_col
+    )
     qrows = (
         embeddings.where(F.col(id_col).isin(query_ids))
         .select(id_col, vec_col)
         .collect()
     )
+    spark = embeddings.sparkSession
+    q = spark.createDataFrame(
+        _pq_query_rows(qrows, books, id_col, vec_col),
+        "query_id long, qv array<double>, dtable array<double>",
+    )
+    # Stage 1 projects (id, pq_code) ONLY — the float column must not
+    # ride through the ranking scan, or the 4-bytes/vector read
+    # contract is silently lost (the rerank joins it back for the
+    # shortlist below).
+    cand = enc.where(~F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("neighbor_id"), "pq_code"
+    )
+    scored = cand.crossJoin(broadcast(q)).withColumn(
+        "adc", _adc_expr(m_subspaces, n_codes)
+    )
+    w1 = Window.partitionBy("query_id").orderBy(
+        F.col("adc").asc(), F.col("neighbor_id")
+    )
+    short = scored.withColumn("arank", F.row_number().over(w1)).where(
+        F.col("arank") <= shortlist
+    )
+    full = embeddings.select(
+        F.col(id_col).alias("neighbor_id"),
+        as_double(F.col(vec_col)).alias("cv"),
+    )
+    rescored = full.join(
+        broadcast(short.select("query_id", "neighbor_id", "qv")),
+        "neighbor_id",
+    ).withColumn("score", F.round(cosine(F.col("qv"), F.col("cv")), 6))
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id")
+    )
+    return (
+        rescored.withColumn("rank", F.row_number().over(w2))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "score", "rank")
+    )
+
+
+def _pq_query_rows(
+    qrows, books: np.ndarray, id_col: str, vec_col: str
+) -> list[tuple]:
+    """Driver-side (query_id, qv, flattened M x K ADC distance table)
+    rows — bounded by the request size, like ivf_index_topk's probe
+    computation."""
+    m_subspaces, n_codes, dsub = books.shape
     flat = []
     for r in qrows:
         qv = np.asarray(r[vec_col], dtype=np.float64)
@@ -972,15 +1044,13 @@ def pq_topk(
                 [float(x) for x in dt.ravel()],
             )
         )
-    spark = embeddings.sparkSession
-    q = spark.createDataFrame(
-        flat, "query_id long, qv array<double>, dtable array<double>"
-    )
-    cand = enc.where(~F.col(id_col).isin(query_ids)).select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("cv"),
-        "pq_code",
-    )
+    return flat
+
+
+def _adc_expr(m_subspaces: int, n_codes: int):
+    """The asymmetric-distance column: M JVM array lookups into the
+    query's broadcast ``dtable``, summed and rounded to 6 dp (the
+    determinism grid every rank in this module uses)."""
     lookup = F.zip_with(
         F.col("pq_code"),
         F.sequence(F.lit(0), F.lit(m_subspaces - 1)),
@@ -988,29 +1058,8 @@ def pq_topk(
             F.col("dtable"), (m * n_codes + c + F.lit(1)).cast("int")
         ),
     )
-    scored = cand.crossJoin(broadcast(q)).withColumn(
-        "adc",
-        F.round(
-            F.aggregate(lookup, F.lit(0.0), lambda a, x: a + x), 6
-        ),
-    )
-    w1 = Window.partitionBy("query_id").orderBy(
-        F.col("adc").asc(), F.col("neighbor_id")
-    )
-    short = scored.withColumn("arank", F.row_number().over(w1)).where(
-        F.col("arank") <= shortlist
-    )
-    rescored = short.withColumn(
-        "score",
-        F.round(cosine(F.col("qv"), as_double(F.col("cv"))), 6),
-    )
-    w2 = Window.partitionBy("query_id").orderBy(
-        F.col("score").desc(), F.col("neighbor_id")
-    )
-    return (
-        rescored.withColumn("rank", F.row_number().over(w2))
-        .where(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "score", "rank")
+    return F.round(
+        F.aggregate(lookup, F.lit(0.0), lambda a, x: a + x), 6
     )
 
 
@@ -1130,64 +1179,68 @@ def ivfpq_index_topk(
         .select(id_col, vec_col)
         .collect()
     )
-    flat = []
-    probe_cells: set[int] = set()
+    flat = _pq_query_rows(qrows, books, id_col, vec_col)
+    # Per-query probe cells: each query's candidate set is ITS OWN
+    # n_probe cells — joined on cell below, never pooled across the
+    # batched queries (a pooled union would make one query's answer
+    # depend on which other query_ids it was batched with, and grow
+    # stage-1 cost with the union instead of n_probe per query).
+    probes = []
     for r in qrows:
         qv = np.asarray(r[vec_col], dtype=np.float64)
         nv = qv / (np.linalg.norm(qv) or 1.0)
-        for c in np.argsort(-(nv @ cents.T))[:n_probe]:
-            probe_cells.add(int(c))
-        sub = qv.reshape(m_subspaces, dsub)
-        dt = np.empty((m_subspaces, n_codes))
-        for mi in range(m_subspaces):
-            diff = books[mi] - sub[mi]
-            dt[mi] = (diff * diff).sum(axis=1)
-        flat.append(
-            (
-                int(r[id_col]),
-                [float(x) for x in qv],
-                [float(x) for x in dt.ravel()],
-            )
+        probes.extend(
+            (int(r[id_col]), int(c))
+            for c in np.argsort(-(nv @ cents.T))[:n_probe]
         )
     q = spark.createDataFrame(
         flat, "query_id long, qv array<double>, dtable array<double>"
     )
+    qcells = spark.createDataFrame(probes, "query_id long, cell int")
+    all_cells = sorted({c for _, c in probes})
     pruned = cells.where(
-        F.col("cell").isin(sorted(probe_cells))
-        & ~F.col(id_col).isin(query_ids)
+        F.col("cell").isin(all_cells) & ~F.col(id_col).isin(query_ids)
     )
-    # Stage 1 projects only (id, code): the scan that touches every
-    # probed posting reads 4 bytes/vector, not the float column.
+    # Stage 1 projects only (id, code, cell): the scan that touches
+    # every probed posting reads 4 bytes/vector, not the float column;
+    # the (query, cell) join restricts each query to its own cells.
     cand = pruned.select(
-        F.col(id_col).alias("neighbor_id"), "pq_code"
+        F.col(id_col).alias("neighbor_id"), "pq_code", "cell"
     )
-    lookup = F.zip_with(
-        F.col("pq_code"),
-        F.sequence(F.lit(0), F.lit(m_subspaces - 1)),
-        lambda c, mi: F.element_at(
-            F.col("dtable"), (mi * n_codes + c + F.lit(1)).cast("int")
-        ),
-    )
-    scored = cand.crossJoin(broadcast(q)).withColumn(
-        "adc",
-        F.round(F.aggregate(lookup, F.lit(0.0), lambda a, x: a + x), 6),
+    scored = (
+        cand.join(broadcast(qcells), "cell")
+        .join(broadcast(q), "query_id")
+        .withColumn("adc", _adc_expr(m_subspaces, n_codes))
     )
     w1 = Window.partitionBy("query_id").orderBy(
         F.col("adc").asc(), F.col("neighbor_id")
     )
-    short = scored.withColumn("arank", F.row_number().over(w1)).where(
-        F.col("arank") <= shortlist
+    short = (
+        scored.withColumn("arank", F.row_number().over(w1))
+        .where(F.col("arank") <= shortlist)
+        .select("query_id", "neighbor_id")
+        .collect()
     )
-    # Stage 2: fetch full-precision vectors for the shortlist only —
-    # a broadcast semi-of the (bounded) shortlist against the pruned
-    # cells, then exact cosine re-rank.
-    full = pruned.select(
+    # Stage 2: the shortlist is bounded (n_queries x shortlist), so
+    # its ids go back DOWN to the scan as an isin() filter — parquet
+    # reads shortlist-many full-precision rows (plus footers of the
+    # probed cells), not every probed posting.
+    short_ids = sorted({r["neighbor_id"] for r in short})
+    pairs = spark.createDataFrame(
+        [(r["query_id"], r["neighbor_id"]) for r in short],
+        "query_id long, neighbor_id long",
+    )
+    full = cells.where(
+        F.col("cell").isin(all_cells) & F.col(id_col).isin(short_ids)
+    ).select(
         F.col(id_col).alias("neighbor_id"),
         as_double(F.col(vec_col)).alias("cv"),
     )
-    rescored = short.select("query_id", "neighbor_id", "qv").join(
-        full, "neighbor_id"
-    ).withColumn("score", F.round(cosine(F.col("qv"), F.col("cv")), 6))
+    rescored = (
+        full.join(broadcast(pairs), "neighbor_id")
+        .join(broadcast(q.select("query_id", "qv")), "query_id")
+        .withColumn("score", F.round(cosine(F.col("qv"), F.col("cv")), 6))
+    )
     w2 = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("neighbor_id")
     )
@@ -1211,23 +1264,24 @@ def ivfpq_index_add(
     ``cells/add_id=<k>/`` (mode=overwrite — deterministic, so a
     replayed batch converges instead of duplicating; pass the
     micro-batch id as ``add_id`` from a streaming sink, or leave None
-    to take the next free epoch). Probing and both search stages are
-    unchanged; the appended postings carry their PQ codes like the
-    originals, so stage 1 still never reads a float column. Add ==
-    rebuild under fixed models (pinned in tests/test_pq.py). At scale
-    the write covers only the batch's cells — maintenance cost
-    follows the BATCH, not the index."""
-    import os
-    import re
-
+    to take the next free epoch — discovered from the partition
+    column through the Spark reader, so it works on any Hadoop
+    filesystem the index lives on, not just the driver's local disk;
+    epoch assignment assumes a single maintainer, the same
+    one-writer-per-index posture as ivf_index_add). Probing and both
+    search stages are unchanged; the appended postings carry their PQ
+    codes like the originals, so stage 1 still never reads a float
+    column. Add == rebuild under fixed models (pinned in
+    tests/test_pq.py). At scale the write covers only the batch's
+    cells — maintenance cost follows the BATCH, not the index."""
     cents, books, cells = load_ivfpq_index(spark, path)
     if add_id is None:
-        existing = [
-            int(m.group(1))
-            for d in os.listdir(f"{path}/cells")
-            if (m := re.fullmatch(r"add_id=(\d+)", d))
-        ]
-        add_id = 1 + max(existing, default=0)
+        latest = (
+            spark.read.parquet(f"{path}/cells")
+            .agg(F.max("add_id"))
+            .collect()[0][0]
+        )
+        add_id = 1 + int(latest or 0)
     data_cols = [c for c in cells.columns if c not in ("cell", "pq_code")]
     elem = cells.schema[vec_col].dataType.elementType.simpleString()
     batch = new_vectors.select(*data_cols).withColumn(
@@ -1408,29 +1462,10 @@ def ivfpq_index_compact(
     consistent mid-compaction. Returns health stats + whether the
     retrain branch ran."""
     cents, books, cells = load_ivfpq_index(spark, path)
-    n_cells = len(cents)
-    counts = (
-        cells.groupBy("cell").agg(F.count(F.lit(1)).alias("n")).collect()
+    cents, cells, stats = _compact_core(
+        cells, cents, retrain_imbalance, train_iters, vec_col
     )
-    total = sum(r["n"] for r in counts)
-    mean = total / n_cells if n_cells else 0.0
-    imbalance = (
-        max((r["n"] for r in counts), default=0) / mean if mean else 0.0
-    )
-    retrained = imbalance > retrain_imbalance
-    if retrained:
-        data = cells.drop("cell")
-        cents = train_ivf_centroids(
-            data,
-            n_cells=n_cells,
-            n_iter=train_iters,
-            dim=cents.shape[1],
-            vec_col=vec_col,
-        )
-        cells = data.withColumn(
-            "cell", _cell_assigner(cents)(F.col(vec_col))
-        )
     save_ivfpq_index(
-        cents, books, cells.repartition(n_cells, "cell"), dest
+        cents, books, cells.repartition(len(cents), "cell"), dest
     )
-    return {"retrained": retrained, "imbalance": imbalance, "rows": total}
+    return stats

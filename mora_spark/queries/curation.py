@@ -336,7 +336,7 @@ def q_domain_mix_temp(spark: SparkSession, sf_dir: str) -> DataFrame:
         d, temperature=TEMP_TAU, token_budget=TEMP_BUDGET
     )
     kept = temperature_mix(
-        d, temperature=TEMP_TAU, token_budget=TEMP_BUDGET
+        d, temperature=TEMP_TAU, token_budget=TEMP_BUDGET, weights=w
     )
     ka = (
         kept.select(

@@ -258,3 +258,23 @@ def test_pack_by_domain_conservation_and_isolation(spark, sf_dir):
     a = {(r["doc_id"], r["cum_tokens"]) for r in packed.collect()}
     b = {(r["doc_id"], r["cum_tokens"]) for r in again.collect()}
     assert a == b
+
+
+def test_pack_by_domain_keeps_null_stratum(spark):
+    """A NULL source is a real domain: its docs pack into their own
+    bin stream instead of silently dropping out of the join."""
+    from mora_spark.llm.curation import pack_by_domain
+
+    rows = [
+        (1, "a", "w " * 10),
+        (2, None, "w " * 10),
+        (3, None, "w " * 30),
+    ]
+    d = spark.createDataFrame(
+        rows, "doc_id long, source string, text string"
+    )
+    out = pack_by_domain(d, budget=16).collect()
+    assert len(out) == 3
+    nulls = {r["doc_id"]: r for r in out if r["source"] is None}
+    assert set(nulls) == {2, 3}
+    assert nulls[3]["cum_tokens"] == 40

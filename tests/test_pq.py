@@ -308,3 +308,44 @@ def test_ivfpq_add_epoch_replay_is_idempotent(spark, sf_dir, tmp_path):
         for r in rows
     )
     assert canon(once) == canon(again)
+
+
+def test_ivfpq_results_independent_of_query_batching(
+    spark, sf_dir, tmp_path
+):
+    """A query's answer must not depend on which other query_ids it
+    was batched with: each query is restricted to ITS OWN n_probe
+    cells (the candidate join is per (query, cell), never a pooled
+    union of every query's cells — the review-caught failure mode)."""
+    from mora_spark.llm.simsearch import (
+        build_ivfpq_index,
+        ivfpq_index_topk,
+        save_ivfpq_index,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias(
+            "embedding"
+        ),
+    )
+    path = str(tmp_path / "idx")
+    save_ivfpq_index(
+        *build_ivfpq_index(e, n_cells=8, train_iters=1), path
+    )
+    canon = lambda rows: sorted(
+        (r["query_id"], r["neighbor_id"], r["score"], r["rank"])
+        for r in rows
+    )
+    alone = canon(
+        ivfpq_index_topk(spark, path, query_ids=[0], k=5, n_probe=2)
+        .collect()
+    )
+    batched = canon(
+        r
+        for r in ivfpq_index_topk(
+            spark, path, query_ids=[0, 1, 2, 3, 4], k=5, n_probe=2
+        ).collect()
+        if r["query_id"] == 0
+    )
+    assert alone == batched

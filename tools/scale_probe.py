@@ -639,29 +639,11 @@ def probe_round8(spark, docs, n) -> None:
     # duplicates of the query rows themselves. Recall must be 1.0 —
     # the same quality-judged "done" signal the IVF lifecycle uses.
     from mora_spark.llm.simsearch import pq_topk, train_pq_codebooks
-    from mora_spark.queries.vectors import N_QUERIES, TOP_K
+    from mora_spark.queries.vectors import N_QUERIES, TOP_K, _planted_pq
 
-    emb = scaled_embeddings(spark, n).select(
-        "vec_id",
-        F.transform("embedding", lambda x: x.cast("double")).alias(
-            "embedding"
-        ),
-    )
-    plants = (
-        emb.where(F.col("vec_id") < N_QUERIES)
-        .select(
-            "vec_id",
-            "embedding",
-            F.explode(F.sequence(F.lit(0), F.lit(TOP_K - 1))).alias("j"),
-        )
-        .select(
-            (-(F.col("vec_id") * TOP_K + F.col("j") + 1))
-            .cast("long")
-            .alias("vec_id"),
-            "embedding",
-        )
-    )
-    corpus = emb.unionByName(plants)
+    # _planted_pq is the SAME plant constructor the driver-checked
+    # query uses — one copy of the negative-id scheme to keep in sync.
+    corpus = _planted_pq(scaled_embeddings(spark, n))
     t0 = time.time()
     books = train_pq_codebooks(corpus.where(F.col("vec_id") >= N_QUERIES))
     train_s = time.time() - t0
