@@ -349,3 +349,41 @@ def test_ivfpq_results_independent_of_query_batching(
         if r["query_id"] == 0
     )
     assert alone == batched
+
+
+def test_ivfpq_stage2_pushes_shortlist_to_scan(spark, sf_dir, tmp_path):
+    """The rerank's I/O contract, pinned in the physical plan: the
+    returned DataFrame (stage 2 — stage 1 collected its bounded
+    shortlist eagerly) scans parquet with the shortlist ids pushed
+    down as In(vec_id, ...), so only shortlist-many full-precision
+    rows are read, and its ReadSchema prunes the pq_code column."""
+    from mora_spark.llm.simsearch import (
+        build_ivfpq_index,
+        ivfpq_index_topk,
+        save_ivfpq_index,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias(
+            "embedding"
+        ),
+    )
+    path = str(tmp_path / "idx")
+    save_ivfpq_index(
+        *build_ivfpq_index(e, n_cells=8, train_iters=1), path
+    )
+    df = ivfpq_index_topk(spark, path, query_ids=[0, 1], k=5, n_probe=2)
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    plan = df._jdf.queryExecution().explainString(mode)
+    pushed = [
+        ln for ln in plan.splitlines()
+        if "PushedFilters:" in ln and "In(vec_id" in ln
+    ]
+    assert pushed, f"shortlist ids not pushed to the scan:\n{plan[:1500]}"
+    schemas = [ln for ln in plan.splitlines() if "ReadSchema:" in ln]
+    assert schemas and all("pq_code" not in ln for ln in schemas), (
+        f"rerank scan did not prune pq_code:\n{schemas}"
+    )
