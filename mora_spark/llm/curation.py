@@ -74,9 +74,17 @@ def temperature_weights(
     deterministic Bernoulli sampler can apply directly.
 
     Returns one row per stratum: ``n_docs``, ``n_tokens``,
-    ``mix_weight`` (τ-scaled share), ``sample_rate`` (floored to the
-    1e-6 grid so the rate both engines compare hash uniforms against
-    is the identical double — pow() may differ in the last ulp).
+    ``mix_weight`` (τ-scaled share), ``sample_rate`` (snapped to the
+    1e-6 grid via round — NOT floor — so the rate both engines compare
+    hash uniforms against is the identical double: pow() may differ in
+    the last ulp, and floor flips at every integer grid boundary —
+    including the realistic one, a rate the least(1, ·) clamp lands
+    exactly on 1.0 while the unclamped value sits one ulp below it.
+    round's flip points are the half-grid marks, which last-ulp
+    wobble around a computed value essentially never straddles).
+    A NULL stratum is a real domain here (groupBy keeps the NULL
+    group), matching :func:`pack_by_domain` and the eqNullSafe join
+    in :func:`temperature_mix`.
 
     One map-side-combined agg over the corpus plus a broadcast of the
     one-row normalizer: scan-shaped at 100 TB like q_domain_mix.
@@ -103,7 +111,7 @@ def temperature_weights(
         )
         .withColumn(
             "sample_rate",
-            F.floor(
+            F.round(
                 F.least(
                     F.lit(1.0),
                     F.lit(float(token_budget))
@@ -140,7 +148,14 @@ def temperature_mix(
     itself stays a scan-stage filter over the corpus. Pass a
     precomputed ``weights`` frame (from :func:`temperature_weights`)
     when the caller also reports it — otherwise the corpus-wide token
-    aggregation underneath would run twice."""
+    aggregation underneath would run twice.
+
+    The join is NULL-safe on the stratum: :func:`temperature_weights`
+    keeps NULL as a real group (its tokens count toward the normalizer
+    z), so a null-unsafe equi-join here would silently drop NULL-source
+    docs while still charging their mix weight — inconsistent with
+    :func:`pack_by_domain`, which packs the NULL domain like any other.
+    """
     w = (
         weights
         if weights is not None
@@ -148,8 +163,18 @@ def temperature_mix(
             docs, strata_col, temperature, token_budget, text_col
         )
     )
-    return docs.join(F.broadcast(w), strata_col).where(
-        hash_uniform(F.col(id_col), salt) < F.col("sample_rate")
+    wr = F.broadcast(
+        w.select(
+            F.col(strata_col).alias("__tm_stratum"),
+            "n_docs", "n_tokens", "mix_weight", "sample_rate",
+        )
+    )
+    return (
+        docs.join(
+            wr, F.col(strata_col).eqNullSafe(F.col("__tm_stratum"))
+        )
+        .where(hash_uniform(F.col(id_col), salt) < F.col("sample_rate"))
+        .drop("__tm_stratum")
     )
 
 

@@ -875,6 +875,11 @@ def train_pq_codebooks(
         .limit(n_codes)
         .collect()
     )
+    if not seed_rows:
+        raise ValueError(
+            "train_pq_codebooks: the training corpus is empty "
+            f"(no rows in column {vec_col!r})"
+        )
     seeds = np.stack(
         [np.asarray(r["v"], dtype=np.float64) for r in seed_rows]
     )
@@ -1305,8 +1310,14 @@ def ivfpq_index_add(
 #   codes/books step: PQ-train on the rotated corpus (y = x R);
 #   rotation step:    R = U V^T from SVD(sum_i x_i yhat_i^T) — the
 #                     orthogonal Procrustes solution.
-# Each step cannot increase the objective, so the returned error
-# history is non-increasing (pinned in tests/test_pq.py). The
+# With fixed codebooks each rotation step is the exact Procrustes
+# minimizer, but the codes/books step RE-TRAINS from scratch with
+# seeds taken in xxhash64 order of the ROTATED vectors (which changes
+# with R), so strict per-step monotonicity is NOT guaranteed by
+# construction — only the measured end-to-end gain is (errors[-1] <
+# errors[0], pinned in tests/test_pq.py; a warm-started coordinate
+# descent would restore the structural guarantee at the cost of
+# shipping codebook state between iterations). The
 # cross-covariance is a dim x dim reduce: each Arrow batch emits its
 # partial X^T Yhat flattened to dim^2 (pos, val) rows, one
 # map-side-combined groupBy(pos) sums them — model-sized driver
@@ -1392,8 +1403,9 @@ def train_opq(
 ) -> tuple[np.ndarray, np.ndarray, list[float]]:
     """(rotation R, codebooks, per-iteration reconstruction errors).
     Iteration 0 trains plain PQ under R = I, so ``errors[0]`` is the
-    unrotated-PQ baseline and ``errors[-1] <= errors[0]`` is the
-    measured OPQ gain."""
+    unrotated-PQ baseline and ``errors[-1] < errors[0]`` is the
+    measured OPQ gain (the end-to-end property the tests pin; per-step
+    monotonicity is empirical, not structural — see the note above)."""
     rotation = np.eye(dim)
     books = None
     errors: list[float] = []

@@ -320,9 +320,13 @@ FROM per, tot
 # verifies the whole chain per source: the closed-form weights/rates
 # AND the sampled corpus they produce (kept doc/token counts,
 # zero-coalesced so a fully-dropped source still reports). Rates are
-# floored to the 1e-6 grid on both sides, so the double each engine
+# ROUNDED to the 1e-6 grid on both sides, so the double each engine
 # compares hash uniforms against is identical even if pow() differs
-# in the last ulp.
+# in the last ulp (round, not floor: floor flips at integer grid
+# boundaries — exactly where the least(1,·) clamp parks rates at 1.0
+# — while round's flip points are the half-grid marks last-ulp noise
+# essentially never straddles). Joins are NULL-safe on the stratum:
+# a NULL source is a real domain on both engines.
 
 TEMP_TAU = 0.5
 TEMP_BUDGET = 10_000
@@ -348,7 +352,12 @@ def q_domain_mix_temp(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("tl").alias("kept_tokens"),
         )
     )
-    return w.join(ka, "source", "left").select(
+    ka = ka.select(
+        F.col("source").alias("__ka_source"), "kept_docs", "kept_tokens"
+    )
+    return w.join(
+        ka, F.col("source").eqNullSafe(F.col("__ka_source")), "left"
+    ).select(
         "source",
         "n_docs",
         "n_tokens",
@@ -371,14 +380,14 @@ WITH per AS (
 ), w AS (
   SELECT source, n_docs, n_tokens,
          pow(n_tokens, {TEMP_TAU}) / z AS mix_weight,
-         floor(least(1.0, {TEMP_BUDGET}
+         round(least(1.0, {TEMP_BUDGET}
                           * (pow(n_tokens, {TEMP_TAU}) / z)
                           / n_tokens) * 1e6) / 1e6 AS sample_rate
   FROM per, z
 ), kept AS (
   SELECT d.source, count(*) AS kept_docs,
          CAST(sum(len({TOKS_SQL})) AS BIGINT) AS kept_tokens
-  FROM documents d JOIN w ON d.source = w.source
+  FROM documents d JOIN w ON d.source IS NOT DISTINCT FROM w.source
   WHERE ('0x' || substr(md5('tempmix:' || d.doc_id), 1, 8))::BIGINT
           / 4294967296.0
         < w.sample_rate
@@ -388,7 +397,7 @@ SELECT w.source, n_docs, n_tokens,
        round(mix_weight, 6) AS mix_weight, sample_rate,
        COALESCE(kept_docs, 0) AS kept_docs,
        COALESCE(kept_tokens, 0) AS kept_tokens
-FROM w LEFT JOIN kept ON w.source = kept.source
+FROM w LEFT JOIN kept ON w.source IS NOT DISTINCT FROM kept.source
 """
 
 

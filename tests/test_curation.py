@@ -278,3 +278,27 @@ def test_pack_by_domain_keeps_null_stratum(spark):
     nulls = {r["doc_id"]: r for r in out if r["source"] is None}
     assert set(nulls) == {2, 3}
     assert nulls[3]["cum_tokens"] == 40
+
+
+def test_temperature_mix_keeps_null_stratum(spark):
+    """A NULL source is a real domain for temperature mixing too: its
+    tokens count toward the normalizer z AND its docs stay sampleable
+    (the eqNullSafe join), matching pack_by_domain's NULL semantics —
+    a null-unsafe join would charge the budget for a domain it then
+    silently drops."""
+    from mora_spark.llm.curation import temperature_mix, temperature_weights
+
+    rows = [
+        (i, None if i < 5 else "B", "w " * 50) for i in range(10)
+    ]
+    d = spark.createDataFrame(
+        rows, "doc_id long, source string, text string"
+    )
+    w = {r["source"]: r for r in
+         temperature_weights(d, temperature=0.5, token_budget=10**9)
+         .collect()}
+    assert set(w) == {None, "B"}          # NULL is a weighted domain
+    assert w[None]["sample_rate"] == 1.0  # budget >> corpus: keep all
+    kept = temperature_mix(d, temperature=0.5, token_budget=10**9)
+    assert kept.count() == 10             # NULL-source docs not dropped
+    assert kept.where(F.col("source").isNull()).count() == 5

@@ -199,9 +199,12 @@ def test_ivfpq_add_equals_rebuild(spark, sf_dir, tmp_path):
 
 
 def test_opq_rotation_reduces_reconstruction_error(spark, sf_dir):
-    """The OPQ alternating minimization: R stays orthogonal, the
-    reconstruction-error history is non-increasing, and the final
-    rotated-space error beats the iteration-0 plain-PQ baseline."""
+    """The OPQ alternating minimization: R stays orthogonal and the
+    final rotated-space error beats the iteration-0 plain-PQ baseline.
+    Per-step monotonicity is deliberately NOT asserted: each iteration
+    re-trains codebooks from scratch with seeds in xxhash64 order of
+    the ROTATED vectors, so the alternating-minimization guarantee
+    does not hold by construction — only the end-to-end gain does."""
     from mora_spark.llm.simsearch import train_opq
 
     e = load_table(spark, sf_dir, "embeddings").select(
@@ -214,8 +217,6 @@ def test_opq_rotation_reduces_reconstruction_error(spark, sf_dir):
     assert np.abs(rotation @ rotation.T - np.eye(64)).max() < 1e-9
     assert books.shape == (PQ_M, PQ_K, 64 // PQ_M)
     assert len(errors) == 3
-    for a, b in zip(errors, errors[1:]):
-        assert b <= a + 1e-6, f"error increased: {errors}"
     assert errors[-1] < errors[0]  # measured OPQ gain vs plain PQ
 
 
