@@ -15,7 +15,7 @@ import hashlib
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.functions import broadcast, pandas_udf
@@ -967,6 +967,7 @@ def pq_topk(
     shortlist: int = 50,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    predicate: str | Column | None = None,
 ) -> DataFrame:
     """Two-stage PQ search: ADC shortlist, then exact re-rank.
 
@@ -978,11 +979,22 @@ def pq_topk(
     full-precision rows per query. ADC distances and final cosines
     round to 6 dp with id tie-breaks, so the whole pipeline is
     deterministic and oracle-comparable end-to-end.
+
+    ``predicate`` is FILTERED search (faiss's IDSelector / a vector
+    DB's metadata filter): a SQL expression (or Column) over the
+    corpus's metadata columns restricting the candidate set — top-k is
+    filled post-filter, never by post-filtering an unfiltered top-k
+    (which silently under-fills k). It applies BEFORE encoding, so the
+    filter reaches the parquet scan as a pushed predicate and only
+    matching rows are encoded and scored.
     """
     m_subspaces, n_codes, _ = books.shape
-    enc = pq_encode(
-        embeddings.select(id_col, vec_col), books, vec_col
-    )
+    src = embeddings
+    if predicate is not None:
+        src = src.where(
+            F.expr(predicate) if isinstance(predicate, str) else predicate
+        )
+    enc = pq_encode(src.select(id_col, vec_col), books, vec_col)
     qrows = (
         embeddings.where(F.col(id_col).isin(query_ids))
         .select(id_col, vec_col)
@@ -1167,6 +1179,8 @@ def ivfpq_index_topk(
     shortlist: int = 50,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    predicate: str | Column | None = None,
+    collect_shortlist: bool = True,
 ) -> DataFrame:
     """Three-stage search against a persisted IVFPQ index: partition
     pruning (n_probe cells), ADC shortlist over the code column, exact
@@ -1176,7 +1190,25 @@ def ivfpq_index_topk(
     structural end-to-end: an exact copy normalizes to the query's own
     nearest cell (always probed), achieves the global-minimum ADC
     among probed candidates, wins rounded ties by its smaller id, and
-    re-ranks to round(cos,6)=1.0."""
+    re-ranks to round(cos,6)=1.0.
+
+    ``predicate`` is FILTERED search (faiss IDSelector / vector-DB
+    metadata filtering): a SQL expression (or Column) over the posting
+    columns — they're stored in the cell parquet next to the codes, so
+    the filter rides the SAME stage-1 scan as a pushed parquet
+    predicate and k fills post-filter (post-filtering an unfiltered
+    top-k would silently under-fill k). Stage 2 inherits it through
+    the shortlist: every re-ranked id already passed.
+
+    ``collect_shortlist`` picks the stage-1/stage-2 boundary:
+    True (default) collects the bounded (n_queries x shortlist) id list
+    to the driver so stage 2's full-precision fetch pushes an isin()
+    filter INTO the parquet scan — fewest bytes read, two driver-
+    synchronized jobs. False keeps the shortlist as a DataFrame join —
+    the whole search is ONE plannable job (no driver sync; use it when
+    query fan-in is large enough that the collected pair list isn't
+    driver-cheap), at the cost of stage 2 scanning the probed cells'
+    float column and filtering by join instead of by pushdown."""
     cents, books, cells = load_ivfpq_index(spark, path)
     m_subspaces, n_codes, dsub = books.shape
     qrows = (
@@ -1206,9 +1238,15 @@ def ivfpq_index_topk(
     pruned = cells.where(
         F.col("cell").isin(all_cells) & ~F.col(id_col).isin(query_ids)
     )
+    if predicate is not None:
+        pruned = pruned.where(
+            F.expr(predicate) if isinstance(predicate, str) else predicate
+        )
     # Stage 1 projects only (id, code, cell): the scan that touches
-    # every probed posting reads 4 bytes/vector, not the float column;
-    # the (query, cell) join restricts each query to its own cells.
+    # every probed posting reads 4 bytes/vector (plus the filter's own
+    # metadata column when a predicate pushes down), not the float
+    # column; the (query, cell) join restricts each query to its own
+    # cells.
     cand = pruned.select(
         F.col(id_col).alias("neighbor_id"), "pq_code", "cell"
     )
@@ -1220,29 +1258,40 @@ def ivfpq_index_topk(
     w1 = Window.partitionBy("query_id").orderBy(
         F.col("adc").asc(), F.col("neighbor_id")
     )
-    short = (
+    short_df = (
         scored.withColumn("arank", F.row_number().over(w1))
         .where(F.col("arank") <= shortlist)
         .select("query_id", "neighbor_id")
-        .collect()
     )
-    # Stage 2: the shortlist is bounded (n_queries x shortlist), so
-    # its ids go back DOWN to the scan as an isin() filter — parquet
-    # reads shortlist-many full-precision rows (plus footers of the
-    # probed cells), not every probed posting.
-    short_ids = sorted({r["neighbor_id"] for r in short})
-    pairs = spark.createDataFrame(
-        [(r["query_id"], r["neighbor_id"]) for r in short],
-        "query_id long, neighbor_id long",
-    )
-    full = cells.where(
-        F.col("cell").isin(all_cells) & F.col(id_col).isin(short_ids)
-    ).select(
+    if collect_shortlist:
+        # Stage 2: the shortlist is bounded (n_queries x shortlist), so
+        # its ids go back DOWN to the scan as an isin() filter — parquet
+        # reads shortlist-many full-precision rows (plus footers of the
+        # probed cells), not every probed posting.
+        short = short_df.collect()
+        short_ids = sorted({r["neighbor_id"] for r in short})
+        pairs = broadcast(
+            spark.createDataFrame(
+                [(r["query_id"], r["neighbor_id"]) for r in short],
+                "query_id long, neighbor_id long",
+            )
+        )
+        full = cells.where(
+            F.col("cell").isin(all_cells) & F.col(id_col).isin(short_ids)
+        )
+    else:
+        # Lazy stage 2: one plannable job — the shortlist stays a
+        # DataFrame and filters the full-precision fetch by broadcast
+        # join (the isin() pushdown is the price; the probed cells'
+        # float column is scanned and join-filtered instead).
+        pairs = broadcast(short_df)
+        full = cells.where(F.col("cell").isin(all_cells))
+    full = full.select(
         F.col(id_col).alias("neighbor_id"),
         as_double(F.col(vec_col)).alias("cv"),
     )
     rescored = (
-        full.join(broadcast(pairs), "neighbor_id")
+        full.join(pairs, "neighbor_id")
         .join(broadcast(q.select("query_id", "qv")), "query_id")
         .withColumn("score", F.round(cosine(F.col("qv"), F.col("cv")), 6))
     )

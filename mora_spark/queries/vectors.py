@@ -405,6 +405,111 @@ def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- q_ann_filtered: metadata-filtered IVFPQ search ---
+# Production vector search is almost always "top-k WHERE metadata
+# predicate" (faiss's IDSelector, every vector DB's filtered search).
+# The postings already store metadata columns next to the PQ codes, so
+# the predicate rides the SAME partition-pruned stage-1 scan as a
+# pushed parquet filter (pinned by plan test in tests/test_pq.py) and
+# k fills POST-filter — post-filtering an unfiltered top-k would
+# silently under-fill k whenever true neighbors fail the predicate.
+# Plant containment stays structural on the restricted domain: plants
+# carry a label inside the predicate set, so each query's TOP_K exact
+# copies are in the filtered candidate set, achieve the global-minimum
+# ADC there (a fortiori — it's a subset), win rounded ties by negative
+# id, and re-rank to round(cos,6)=1.0. The oracle is brute force over
+# the predicate-filtered planted corpus.
+
+FILTER_LABELS = (1, 3, 5)
+FILTER_PLANT_LABEL = 3
+FILTER_PREDICATE = f"label IN {FILTER_LABELS}"
+
+
+def _planted_pq_labeled(e: DataFrame) -> DataFrame:
+    """Corpus (as double, with its metadata label) + TOP_K exact
+    copies of each query vector at negative ids carrying a label
+    INSIDE the filter set — the structural filtered-search truth."""
+    base = e.select(
+        "vec_id", as_double(F.col("embedding")).alias("embedding"), "label"
+    )
+    plants = (
+        base.where(F.col("vec_id") < N_QUERIES)
+        .select(
+            "vec_id",
+            "embedding",
+            F.explode(F.sequence(F.lit(0), F.lit(TOP_K - 1))).alias("j"),
+        )
+        .select(
+            (
+                -(F.col("vec_id") * TOP_K + F.col("j") + 1)
+            ).cast("long").alias("vec_id"),
+            "embedding",
+            F.lit(FILTER_PLANT_LABEL).cast("int").alias("label"),
+        )
+    )
+    return base.unionByName(plants)
+
+
+def q_ann_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from mora_spark.llm.simsearch import (
+        build_ivfpq_index,
+        ivfpq_index_topk,
+        save_ivfpq_index,
+    )
+    from mora_spark.queries.store import scratch_dir
+
+    path = scratch_dir("ivfpq_filtered", sf_dir)
+    shutil.rmtree(path, ignore_errors=True)
+    e = _planted_pq_labeled(_emb(spark, sf_dir))
+    # Build ONCE over the whole corpus; the predicate varies per query
+    # (the production shape — an index is never rebuilt per filter).
+    save_ivfpq_index(*build_ivfpq_index(e, train_iters=2), path)
+    return ivfpq_index_topk(
+        spark,
+        path,
+        query_ids=list(range(N_QUERIES)),
+        k=TOP_K,
+        n_probe=4,
+        shortlist=SQ8_SHORTLIST,
+        predicate=FILTER_PREDICATE,
+    )
+
+
+O_ANN_FILTERED = f"""
+WITH base AS (
+  SELECT vec_id, label,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), planted AS (
+  SELECT vec_id, label, v FROM base
+  UNION ALL
+  SELECT -(vec_id * {TOP_K} + j + 1) AS vec_id,
+         {FILTER_PLANT_LABEL} AS label, v
+  FROM base CROSS JOIN (SELECT unnest(range({TOP_K})) AS j)
+  WHERE vec_id < {N_QUERIES}
+), q AS (
+  SELECT vec_id AS query_id, v AS qv FROM base WHERE vec_id < {N_QUERIES}
+), c AS (
+  SELECT vec_id AS neighbor_id, v AS cv FROM planted
+  WHERE (vec_id >= {N_QUERIES} OR vec_id < 0)
+    AND label IN {FILTER_LABELS}
+), scored AS (
+  SELECT query_id, neighbor_id,
+         round(list_dot_product(qv, cv)
+               / (sqrt(list_dot_product(qv, qv))
+                  * sqrt(list_dot_product(cv, cv))), 6) AS score
+  FROM c CROSS JOIN q
+)
+SELECT query_id, neighbor_id, score, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY score DESC, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= {TOP_K}
+"""
+
+
 # --- q_ann_opq: optimized product quantization (learned rotation) ---
 # OPQ learns an orthogonal rotation that redistributes variance
 # across the PQ subspaces before coding (alternating Procrustes /
@@ -844,6 +949,7 @@ QUERIES = {
     "q_ann_sq8": q_ann_sq8,
     "q_ann_pq": q_ann_pq,
     "q_ann_ivfpq": q_ann_ivfpq,
+    "q_ann_filtered": q_ann_filtered,
     "q_ann_opq": q_ann_opq,
     "q_stream_ann_ingest": q_stream_ann_ingest,
     "q_quantize_embed": q_quantize_embed,
@@ -863,6 +969,7 @@ ORACLES = {
     "q_ann_sq8": O_ANN_SQ8,
     "q_ann_pq": O_ANN_PQ,
     "q_ann_ivfpq": O_ANN_PQ,
+    "q_ann_filtered": O_ANN_FILTERED,
     "q_ann_opq": O_ANN_PQ,
     "q_stream_ann_ingest": O_ANN_PQ,
     "q_quantize_embed": O_QUANTIZE_EMBED,

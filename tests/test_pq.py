@@ -388,3 +388,153 @@ def test_ivfpq_stage2_pushes_shortlist_to_scan(spark, sf_dir, tmp_path):
     assert schemas and all("pq_code" not in ln for ln in schemas), (
         f"rerank scan did not prune pq_code:\n{schemas}"
     )
+
+
+def _labeled(spark, sf_dir):
+    return load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias(
+            "embedding"
+        ),
+        "label",
+    )
+
+
+def _brute_filtered(rows, qrows, labels, k):
+    """Exact filtered top-k replay (round-6 scores, id tie-breaks) —
+    the ground truth pq_topk(shortlist >= corpus) must reproduce."""
+    out = {}
+    for q in qrows:
+        qv = np.asarray(q["embedding"])
+        scored = []
+        for r in rows:
+            if r["label"] not in labels or r["vec_id"] == q["vec_id"]:
+                continue
+            cv = np.asarray(r["embedding"])
+            s = round(
+                float(
+                    qv @ cv / (np.linalg.norm(qv) * np.linalg.norm(cv))
+                ),
+                6,
+            )
+            scored.append((-s, r["vec_id"]))
+        scored.sort()
+        out[q["vec_id"]] = [
+            (q["vec_id"], vid, -negs, i + 1)
+            for i, (negs, vid) in enumerate(scored[:k])
+        ]
+    return sorted(t for ts in out.values() for t in ts)
+
+
+def test_filtered_pq_fills_k_post_filter(spark, sf_dir):
+    """Filtered search semantics: the predicate restricts the CANDIDATE
+    set and k fills post-filter. With shortlist >= corpus the ADC stage
+    passes every matching candidate, so the answer must equal the exact
+    brute-force top-k over the filtered corpus — and differ from
+    post-filtering the unfiltered top-k (which under-fills k whenever a
+    true neighbor fails the predicate)."""
+    e = _labeled(spark, sf_dir)
+    rows = e.collect()
+    labels = (1, 3, 5)
+    books = train_pq_codebooks(e)
+    got = pq_topk(
+        e,
+        books,
+        query_ids=[0, 1, 2],
+        k=5,
+        shortlist=len(rows) + 1,
+        predicate=f"label IN {labels}",
+    ).collect()
+    assert all(len([r for r in got if r["query_id"] == q]) == 5
+               for q in (0, 1, 2))
+    by_id = {r["vec_id"]: r["label"] for r in rows}
+    assert all(by_id[r["neighbor_id"]] in labels for r in got)
+    qrows = [r for r in rows if r["vec_id"] in (0, 1, 2)]
+    want = _brute_filtered(rows, qrows, set(labels), 5)
+    assert sorted(
+        (r["query_id"], r["neighbor_id"], r["score"], r["rank"])
+        for r in got
+    ) == want
+    # The semantics matter on this corpus: at least one query's
+    # unfiltered top-5 contains a neighbor OUTSIDE the label set.
+    unfiltered = pq_topk(
+        e, books, query_ids=[0, 1, 2], k=5, shortlist=len(rows) + 1
+    ).collect()
+    assert any(by_id[r["neighbor_id"]] not in labels for r in unfiltered)
+
+
+def test_ivfpq_filtered_and_lazy_paths_agree(spark, sf_dir, tmp_path):
+    """The persisted-index filtered search honors the predicate, and
+    the lazy (one plannable job) stage-2 path returns exactly the
+    eager (collected shortlist, isin pushdown) answer — with and
+    without a predicate."""
+    from mora_spark.llm.simsearch import (
+        build_ivfpq_index,
+        ivfpq_index_topk,
+        save_ivfpq_index,
+    )
+
+    e = _labeled(spark, sf_dir)
+    path = str(tmp_path / "idx")
+    save_ivfpq_index(
+        *build_ivfpq_index(e, n_cells=8, train_iters=1), path
+    )
+    canon = lambda rows: sorted(
+        (r["query_id"], r["neighbor_id"], r["score"], r["rank"])
+        for r in rows
+    )
+    by_id = {r["vec_id"]: r["label"] for r in e.collect()}
+    for pred in (None, "label IN (1, 3, 5)"):
+        eager = ivfpq_index_topk(
+            spark, path, query_ids=[0, 1], k=5, n_probe=8,
+            predicate=pred,
+        ).collect()
+        lazy = ivfpq_index_topk(
+            spark, path, query_ids=[0, 1], k=5, n_probe=8,
+            predicate=pred, collect_shortlist=False,
+        ).collect()
+        assert canon(eager) == canon(lazy) and len(eager) == 10
+        if pred:
+            assert all(
+                by_id[r["neighbor_id"]] in (1, 3, 5) for r in eager
+            )
+
+
+def test_ivfpq_lazy_plan_pins_stage1_projection_and_filter(
+    spark, sf_dir, tmp_path
+):
+    """collect_shortlist=False makes the WHOLE search one plannable
+    job, so stage 1's I/O contract is pinnable: a parquet scan whose
+    ReadSchema carries pq_code but NOT the float column (the
+    4-bytes/vector candidate read), with the metadata predicate pushed
+    down to that same scan."""
+    from mora_spark.llm.simsearch import (
+        build_ivfpq_index,
+        ivfpq_index_topk,
+        save_ivfpq_index,
+    )
+
+    e = _labeled(spark, sf_dir)
+    path = str(tmp_path / "idx")
+    save_ivfpq_index(
+        *build_ivfpq_index(e, n_cells=8, train_iters=1), path
+    )
+    df = ivfpq_index_topk(
+        spark, path, query_ids=[0, 1], k=5, n_probe=2,
+        predicate="label IN (1, 3, 5)", collect_shortlist=False,
+    )
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    plan = df._jdf.queryExecution().explainString(mode)
+    schemas = [ln for ln in plan.splitlines() if "ReadSchema:" in ln]
+    stage1 = [
+        ln for ln in schemas
+        if "pq_code" in ln and "embedding" not in ln
+    ]
+    assert stage1, f"no code-only stage-1 scan in plan:\n{schemas}"
+    pushed = [
+        ln for ln in plan.splitlines()
+        if "PushedFilters:" in ln and "In(label" in ln
+    ]
+    assert pushed, f"label predicate not pushed to a scan:\n{plan[:1500]}"
