@@ -825,6 +825,72 @@ WHERE round(list_dot_product(a.v, b.v)
 """
 
 
+# --- q_semdedup: embedding-space cluster-canonical dedup ---
+# SemDeDup-shape: components of the exact cosine pair graph at the
+# near-dup threshold, ONE quality-canonical member kept per cluster
+# (max L2 norm, ties to the smaller id). Pairs come from the banded
+# SRP path q_embed_neardup already verifies at recall 1.0 on this
+# corpus, and the cluster definition is blocking-independent, so the
+# DuckDB oracle replays it exactly: brute-force pair graph + recursive
+# min-label propagation + the same max-quality canonical pick. The
+# planted shifted copies guarantee every original belongs to a
+# cluster; natural near-dups merge in identically on both engines.
+
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mora_spark.llm.semdedup import semantic_dedup
+
+    return semantic_dedup(
+        _planted(_emb(spark, sf_dir)),
+        threshold=NEARDUP_THRESHOLD,
+        n_bits=NEARDUP_BITS,
+        n_bands=NEARDUP_BANDS,
+    )
+
+
+O_SEMDEDUP = f"""
+WITH RECURSIVE base AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), e AS (
+  SELECT vec_id, v FROM base
+  UNION ALL
+  SELECT vec_id + {PLANT_OFFSET} AS vec_id,
+         list_transform(v, x -> x + {PLANT_ALPHA}
+             * sqrt(list_dot_product(v, v)) / {_SQRT_DIM}) AS v
+  FROM base
+), pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM e a JOIN e b ON a.vec_id < b.vec_id
+  WHERE round(list_dot_product(a.v, b.v)
+              / (sqrt(list_dot_product(a.v, a.v))
+                 * sqrt(list_dot_product(b.v, b.v))), 6)
+        >= {NEARDUP_THRESHOLD}
+), bidir AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b AS a, id_a AS b FROM pairs
+), cc(node, label) AS (
+  SELECT DISTINCT a, a FROM bidir
+  UNION
+  SELECT bidir.a, cc.label FROM bidir JOIN cc ON cc.node = bidir.b
+), final AS (
+  SELECT node, min(label) AS cluster_id FROM cc GROUP BY node
+), nrm AS (
+  SELECT vec_id AS node,
+         round(sqrt(list_dot_product(v, v)), 6) AS q
+  FROM e
+)
+SELECT cluster_id, node AS keep_id, q AS best_quality, cluster_size
+FROM (
+  SELECT cluster_id, node, q,
+         row_number() OVER (PARTITION BY cluster_id
+                            ORDER BY q DESC, node) AS rn,
+         count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+  FROM final JOIN nrm USING (node)
+) WHERE rn = 1
+"""
+
+
 # --- q_embed_neardup_exact: quadratic twin, small-n verification ---
 # The n_bits=0 exact all-pairs baseline, on the RAW corpus at the
 # permissive threshold 0.35 (≈ p99.9 of its pair-score distribution) —
@@ -954,6 +1020,7 @@ QUERIES = {
     "q_stream_ann_ingest": q_stream_ann_ingest,
     "q_quantize_embed": q_quantize_embed,
     "q_embed_neardup": q_embed_neardup,
+    "q_semdedup": q_semdedup,
     "q_embed_neardup_exact": q_embed_neardup_exact,
 }
 
@@ -974,6 +1041,7 @@ ORACLES = {
     "q_stream_ann_ingest": O_ANN_PQ,
     "q_quantize_embed": O_QUANTIZE_EMBED,
     "q_embed_neardup": O_EMBED_NEARDUP,
+    "q_semdedup": O_SEMDEDUP,
     "q_embed_neardup_exact": O_EMBED_NEARDUP_EXACT,
 }
 

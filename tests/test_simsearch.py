@@ -433,3 +433,42 @@ def test_ivf_recall_holds_across_drift_retrain_compact(
     recall_after = planted_recall(dst)
     assert recall_after >= recall_before_compact
     assert recall_after == 1.0
+
+
+def test_semantic_dedup_blocking_independent_and_canonical(
+    spark, sf_dir
+):
+    """SemDeDup invariants: (a) the banded-LSH answer equals the exact
+    all-pairs (n_bits=0) answer — the cluster definition is
+    blocking-independent and the bands lose nothing at this threshold;
+    (b) every planted shifted copy clusters with its original;
+    (c) keep_id is the max-quality member (norm default), ties to the
+    smaller id; (d) a caller-supplied quality column overrides it."""
+    from mora_spark.llm.semdedup import semantic_dedup
+    from mora_spark.queries.vectors import _planted
+
+    e = _planted(
+        load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", "embedding"
+        )
+    )
+    banded = semantic_dedup(e, threshold=0.95, n_bits=8, n_bands=16)
+    exact = semantic_dedup(e, threshold=0.95, n_bits=0)
+    canon = lambda df: sorted(
+        (r["cluster_id"], r["keep_id"], r["best_quality"],
+         r["cluster_size"])
+        for r in df.collect()
+    )
+    got = canon(banded)
+    assert got == canon(exact) and got
+    for cid, keep, q, size in got:
+        assert size >= 2  # every original clusters with its copy
+        assert cid < 1_000_000  # min member is always an original
+    # quality override: forcing quality = -vec_id flips the canonical
+    # to the smallest id (the original), deterministically
+    qual = e.select("vec_id", (-F.col("vec_id")).alias("quality"))
+    forced = semantic_dedup(
+        e, threshold=0.95, n_bits=8, n_bands=16, quality=qual
+    )
+    for r in forced.collect():
+        assert r["keep_id"] == r["cluster_id"]  # min id wins everywhere
