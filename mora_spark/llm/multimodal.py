@@ -22,6 +22,7 @@ import hashlib
 import io
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -158,6 +159,143 @@ def extract_features(media: DataFrame, batch_hint: int = 1024) -> DataFrame:
             )
 
     return media.mapInPandas(decode, schema=FEATURE_SCHEMA)
+
+
+# --- perceptual near-duplicate detection (dHash) ---
+# The image analogue of MinHash: a difference hash over the decoded
+# luminance grid pairs payloads that are *perceptually* identical
+# (re-encoded, lightly edited) even when their bytes differ — exact
+# sha256 dedup misses those. With a real codec the grid is the image
+# resized to (cols x rows) grayscale; the in-container stand-in is the
+# same DETERMINISTIC shape over raw payload bytes: cell value = mean
+# byte value of the cell's byte range (exact integer arithmetic, so
+# the SQL oracle replays it bit-for-bit). 9 cols x 7 rows -> 8
+# column-adjacent comparisons x 7 rows = 56 bits: the classic dHash
+# is 8x8=64, trimmed one row here so the hash stays strictly inside a
+# signed BIGINT on both engines (bit 63 would flip the sign and
+# overflow a summed assembly).
+
+DHASH_COLS = 9
+DHASH_ROWS = 7
+DHASH_CELLS = DHASH_COLS * DHASH_ROWS  # 63
+DHASH_BITS = (DHASH_COLS - 1) * DHASH_ROWS  # 56
+
+
+def dhash_media(
+    media: DataFrame,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """(id, dhash): the 56-bit difference hash of each payload.
+
+    Byte i of an L-byte payload lands in cell ``(i * 63) // L``; cell
+    luminance is the mean byte value; bit ``r*8 + c`` is set iff
+    cell (r, c+1)'s mean exceeds cell (r, c)'s — compared by integer
+    cross-multiplication (``s2*c1 > s1*c2``), never by float division,
+    so the hash is exactly reproducible on any engine. Arrow-batched
+    mapInPandas like :func:`extract_features`; payload bytes never
+    leave the executor and the output is 8 bytes/row.
+    """
+    bit_weights = (
+        1 << np.arange(DHASH_BITS, dtype=np.int64)
+    ).reshape(DHASH_ROWS, DHASH_COLS - 1)
+
+    def part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hashes = np.zeros(len(pdf), dtype=np.int64)
+            for n, payload in enumerate(pdf[payload_col]):
+                raw = bytes(payload) if payload is not None else b""
+                b = np.frombuffer(raw, dtype=np.uint8).astype(np.int64)
+                ln = len(b)
+                if ln == 0:
+                    continue
+                cells = (np.arange(ln, dtype=np.int64) * DHASH_CELLS) // ln
+                s = np.bincount(
+                    cells, weights=b, minlength=DHASH_CELLS
+                ).astype(np.int64)
+                c = np.bincount(cells, minlength=DHASH_CELLS).astype(
+                    np.int64
+                )
+                s2 = s.reshape(DHASH_ROWS, DHASH_COLS)
+                c2 = c.reshape(DHASH_ROWS, DHASH_COLS)
+                bits = (
+                    s2[:, 1:] * c2[:, :-1] > s2[:, :-1] * c2[:, 1:]
+                )
+                hashes[n] = int((bits * bit_weights).sum())
+            yield pd.DataFrame(
+                {id_col: pdf[id_col].to_numpy(), "dhash": hashes}
+            )
+
+    return media.select(id_col, payload_col).mapInPandas(
+        part, f"{id_col} long, dhash long"
+    )
+
+
+def media_neardup_pairs(
+    media: DataFrame,
+    max_hamming: int = 2,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Perceptual near-dup pairs: all (id_a < id_b) whose dHashes
+    differ in <= ``max_hamming`` bits.
+
+    The same lossless pigeonhole banding as the text-side
+    ``simhash_neardup_pairs`` (llm/dedup.py), over the 56-bit hash:
+    split into ``max_hamming + 1`` chunks — a pair inside the budget
+    agrees exactly on at least one chunk — equi-join on (chunk index,
+    chunk value), emit once via first-shared-chunk, verify with one
+    ``bit_count(xor)``. Never all-pairs; the join input is 8 bytes of
+    signature per payload, not the payload."""
+    n_chunks = max_hamming + 1
+    base, extra = divmod(DHASH_BITS, n_chunks)
+    sizes = [base + (1 if i < extra else 0) for i in range(n_chunks)]
+    offs = [sum(sizes[:i]) for i in range(n_chunks)]
+
+    sig = dhash_media(media, id_col, payload_col).select(
+        F.col(id_col).alias("id"), "dhash"
+    )
+    chunk_arr = F.array(
+        *[
+            F.expr(
+                f"CAST(shiftright(dhash, {offs[i]}) "
+                f"& {(1 << sizes[i]) - 1} AS BIGINT)"
+            )
+            for i in range(n_chunks)
+        ]
+    )
+    chunked = sig.withColumn("cks", chunk_arr).select(
+        "id", "dhash", "cks",
+        F.posexplode("cks").alias("chunk", "ck"),
+    )
+    a, b = chunked.alias("a"), chunked.alias("b")
+    first_shared = F.array_position(
+        F.zip_with(
+            F.col("a.cks"),
+            F.col("b.cks"),
+            lambda x, y: (x == y).cast("int"),
+        ),
+        1,
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.ck") == F.col("b.ck"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .where(first_shared == F.col("a.chunk") + 1)
+        .withColumn(
+            "hamming",
+            F.expr("bit_count(a.dhash ^ b.dhash)").cast("int"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            "hamming",
+        )
+    )
 
 
 def frame_sample(media: DataFrame, every_n: int = 10) -> DataFrame:

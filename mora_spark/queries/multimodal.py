@@ -88,14 +88,98 @@ FROM f WHERE kind = 'video'
 """
 
 
+# --- q_media_neardup: perceptual near-dup over binary payloads ---
+# The image analogue of MinHash: dHash (56-bit difference hash over
+# the deterministic stub-codec luminance grid — integer-exact, see
+# llm/multimodal.py::dhash_media) + the lossless pigeonhole Hamming
+# banding of simhash_neardup_pairs. Plants: an exact payload COPY
+# (hamming 0) and a first-byte-perturbed NEAR copy per document — one
+# byte lands in one grid cell and can flip at most its two adjacent
+# comparisons, so the near copy stays inside the hamming<=2 budget
+# structurally. The oracle recomputes the identical hash in SQL from
+# the text characters (payloads are UTF-8 of ASCII text, so byte i ==
+# ord(char i+1)) and brute-forces all pairs, verifying both the hash
+# and the banding end-to-end.
+
+MEDIA_COPY_OFFSET = 100_000
+MEDIA_NEAR_OFFSET = 200_000
+MEDIA_MAX_HAMMING = 2
+
+
+def _planted_media(docs: DataFrame) -> DataFrame:
+    plain = docs.select("doc_id", "text")
+    copies = plain.select(
+        (F.col("doc_id") + MEDIA_COPY_OFFSET).alias("doc_id"), "text"
+    )
+    near = plain.select(
+        (F.col("doc_id") + MEDIA_NEAR_OFFSET).alias("doc_id"),
+        F.concat(F.lit("z"), F.expr("substring(text, 2)")).alias("text"),
+    )
+    return media_from_documents(
+        plain.unionByName(copies).unionByName(near)
+    )
+
+
+def q_media_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mora_spark.llm.multimodal import media_neardup_pairs
+
+    media = _planted_media(load_table(spark, sf_dir, "documents"))
+    return media_neardup_pairs(media, max_hamming=MEDIA_MAX_HAMMING)
+
+
+O_MEDIA_NEARDUP = f"""
+WITH docs2 AS (
+  SELECT doc_id AS media_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {MEDIA_COPY_OFFSET} AS media_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {MEDIA_NEAR_OFFSET} AS media_id,
+         'z' || substr(text, 2) AS text
+  FROM documents
+), pos AS (
+  SELECT media_id, text, unnest(range(length(text))) AS i FROM docs2
+), grid AS (
+  SELECT media_id, (i * 63) // length(text) AS cell,
+         sum(ord(substr(text, CAST(i + 1 AS INT), 1))) AS s,
+         count(*) AS c
+  FROM pos GROUP BY 1, 2
+), dense AS (
+  SELECT ids.media_id, cg.cell,
+         COALESCE(grid.s, 0) AS s, COALESCE(grid.c, 0) AS c
+  FROM (SELECT DISTINCT media_id FROM docs2) ids
+  CROSS JOIN (SELECT unnest(range(63)) AS cell) cg
+  LEFT JOIN grid ON grid.media_id = ids.media_id
+               AND grid.cell = cg.cell
+), cmp AS (
+  SELECT a.media_id,
+         (a.cell // 9) * 8 + (a.cell % 9) AS b,
+         CASE WHEN n.s * a.c > a.s * n.c THEN 1 ELSE 0 END AS bit
+  FROM dense a JOIN dense n
+    ON n.media_id = a.media_id AND n.cell = a.cell + 1
+  WHERE a.cell % 9 < 8
+), h AS (
+  SELECT media_id,
+         CAST(sum(bit * (CAST(1 AS BIGINT) << CAST(b AS INT))) AS BIGINT)
+           AS dhash
+  FROM cmp GROUP BY media_id
+)
+SELECT a.media_id AS id_a, b.media_id AS id_b,
+       CAST(bit_count(xor(a.dhash, b.dhash)) AS INT) AS hamming
+FROM h a JOIN h b ON a.media_id < b.media_id
+WHERE bit_count(xor(a.dhash, b.dhash)) <= {MEDIA_MAX_HAMMING}
+"""
+
+
 QUERIES = {
     "q_multimodal_meta": q_multimodal_meta,
     "q_media_features": q_media_features,
     "q_frame_sample": q_frame_sample,
+    "q_media_neardup": q_media_neardup,
 }
 
 ORACLES = {
     "q_multimodal_meta": O_MULTIMODAL_META,
     "q_media_features": O_MEDIA_FEATURES,
     "q_frame_sample": O_FRAME_SAMPLE,
+    "q_media_neardup": O_MEDIA_NEARDUP,
 }

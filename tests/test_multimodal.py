@@ -1,0 +1,85 @@
+"""Perceptual near-dup (dHash) over binary payloads."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mora_spark.datasets import load_table
+from mora_spark.llm.multimodal import (
+    DHASH_BITS,
+    dhash_media,
+    media_from_documents,
+    media_neardup_pairs,
+)
+
+
+def _media(spark, sf_dir):
+    return media_from_documents(load_table(spark, sf_dir, "documents"))
+
+
+def test_dhash_deterministic_and_copy_invariant(spark, sf_dir):
+    """Same payload -> same 56-bit hash regardless of partitioning;
+    an exact byte copy hashes identically (hamming 0)."""
+    m = _media(spark, sf_dir)
+    h1 = {r["media_id"]: r["dhash"] for r in dhash_media(m).collect()}
+    h2 = {
+        r["media_id"]: r["dhash"]
+        for r in dhash_media(m.repartition(13)).collect()
+    }
+    assert h1 == h2 and h1
+    assert all(0 <= h < (1 << DHASH_BITS) for h in h1.values())
+    copies = m.select(
+        (F.col("media_id") + 10_000).alias("media_id"), "payload"
+    )
+    hc = {
+        r["media_id"] - 10_000: r["dhash"]
+        for r in dhash_media(copies).collect()
+    }
+    assert hc == h1
+
+
+def test_one_byte_perturbation_stays_in_hamming_budget(spark, sf_dir):
+    """A single-byte edit lands in one grid cell and can flip at most
+    its two adjacent comparisons -> hamming <= 2 structurally."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    near = docs.select(
+        "doc_id",
+        F.concat(F.lit("z"), F.expr("substring(text, 2)")).alias("text"),
+    )
+    h0 = {
+        r["media_id"]: r["dhash"]
+        for r in dhash_media(media_from_documents(docs)).collect()
+    }
+    h1 = {
+        r["media_id"]: r["dhash"]
+        for r in dhash_media(media_from_documents(near)).collect()
+    }
+    assert set(h0) == set(h1)
+    for mid, h in h0.items():
+        assert bin(h ^ h1[mid]).count("1") <= 2
+
+
+def test_banding_is_lossless_vs_brute_force(spark, sf_dir):
+    """The pigeonhole banding emits EXACTLY the brute-force pair set
+    (every pair once), verified against an all-pairs replay over the
+    collected signatures."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    plant = docs.select(
+        (F.col("doc_id") + 10_000).alias("doc_id"), "text"
+    )
+    m = media_from_documents(docs.unionByName(plant))
+    got = sorted(
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in media_neardup_pairs(m, max_hamming=2).collect()
+    )
+    sig = sorted(
+        (r["media_id"], r["dhash"]) for r in dhash_media(m).collect()
+    )
+    want = []
+    for i, (ida, ha) in enumerate(sig):
+        for idb, hb in sig[i + 1:]:
+            d = bin(ha ^ hb).count("1")
+            if d <= 2:
+                want.append((ida, idb, d))
+    assert got == sorted(want)
+    assert len(got) >= docs.count()  # every planted copy pairs up
