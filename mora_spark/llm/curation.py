@@ -569,12 +569,30 @@ def vocab_topk(
     return counts.withColumn("rank", F.row_number().over(w))
 
 
+PACK_DRIVER_ROW_TARGET = 100_000  # phase-1 subtotal rows the driver holds
+
+
+def _derive_pack_chunk(df: DataFrame, id_col: str) -> int:
+    """Size the id-range chunk so phase 1 collects at most
+    ~PACK_DRIVER_ROW_TARGET subtotal rows: chunk = ceil(id_span /
+    target), floored at 256. One cheap min/max agg (scan-shaped,
+    column-pruned); the RESULT is chunk-invariant either way (pinned
+    by tests), only driver state and per-task window width move."""
+    row = df.agg(
+        F.min(F.col(id_col)).alias("lo"), F.max(F.col(id_col)).alias("hi")
+    ).collect()[0]
+    if row["lo"] is None:
+        return 256
+    span = int(row["hi"]) - int(row["lo"]) + 1
+    return max(256, -(-span // PACK_DRIVER_ROW_TARGET))
+
+
 def pack_sequences(
     df: DataFrame,
     budget: int = 512,
     text_col: str = "text",
     id_col: str = "doc_id",
-    chunk: int = 256,
+    chunk: int | None = None,
 ) -> DataFrame:
     """Concatenate-and-chunk sequence packing (the standard LLM
     pretraining layout): documents are laid end-to-end in ``id_col``
@@ -585,12 +603,18 @@ def pack_sequences(
     unpartitioned window (which would drag the corpus through a single
     task): docs are grouped into deterministic id-range chunks, phase 1
     aggregates one subtotal per chunk (collected to the driver —
-    n_docs/chunk rows, the same order of driver state as AQE stats),
+    id_span/chunk rows, the same order of driver state as AQE stats),
     phase 2 windows WITHIN each chunk and adds the broadcast offset.
-    ``chunk`` sizes driver state vs. per-task window width at scale.
+    ``chunk`` sizes driver state vs. per-task window width at scale;
+    the default (None) derives it from the id span so driver state is
+    bounded at ~10^5 subtotal rows however large the corpus (at 10^11
+    docs that is chunk=10^6 — a fixed test-scale default would ship
+    4x10^8 rows to the driver). The OUTPUT is chunk-invariant.
 
     Emits (id, tok_len, cum_tokens, bin_first, bin_last, n_bins)."""
     spark = df.sparkSession
+    if chunk is None:
+        chunk = _derive_pack_chunk(df, id_col)
     base = df.select(
         F.col(id_col).alias("id"),
         F.size(tokens(text_col)).cast("long").alias("tok_len"),
@@ -637,21 +661,25 @@ def pack_by_domain(
     budget: int = 512,
     text_col: str = "text",
     id_col: str = "doc_id",
-    chunk: int = 256,
+    chunk: int | None = None,
 ) -> DataFrame:
     """Per-domain concatenate-and-chunk packing: every stratum gets
     its OWN bin stream (training shards that never mix domains — the
     layout a temperature-mixed corpus is packed into downstream of
     :func:`temperature_mix`). Same two-phase prefix sum as
     :func:`pack_sequences`, keyed by (stratum, id-range chunk): phase
-    1 collects one subtotal per (stratum, chunk) — driver state stays
-    n_docs/chunk rows however many domains — phase 2 windows within
-    the chunk and adds the broadcast per-stratum offset, so no domain
-    ever drags through a single unpartitioned window task.
+    1 collects one subtotal per (stratum, chunk) — with the derived
+    default chunk (None: see :func:`_derive_pack_chunk`) driver state
+    stays ~10^5 rows per occupied chunk-stratum however large the
+    corpus — phase 2 windows within the chunk and adds the broadcast
+    per-stratum offset, so no domain ever drags through a single
+    unpartitioned window task.
 
     Emits (id, stratum, tok_len, cum_tokens, bin_first, bin_last,
     n_bins) with cum_tokens/bins counted within the stratum."""
     spark = df.sparkSession
+    if chunk is None:
+        chunk = _derive_pack_chunk(df, id_col)
     base = df.select(
         F.col(id_col).alias("id"),
         F.col(strata_col).alias("stratum"),

@@ -302,3 +302,35 @@ def test_temperature_mix_keeps_null_stratum(spark):
     kept = temperature_mix(d, temperature=0.5, token_budget=10**9)
     assert kept.count() == 10             # NULL-source docs not dropped
     assert kept.where(F.col("source").isNull()).count() == 5
+
+
+def test_pack_chunk_derivation_bounds_driver_state(spark, sf_dir):
+    """The derived chunk keeps phase-1 driver rows ~<= 10^5 for any id
+    span, floors at 256 for small corpora, and never changes the
+    packing output (chunk-invariance at the derived value)."""
+    from mora_spark.llm.curation import (
+        PACK_DRIVER_ROW_TARGET,
+        _derive_pack_chunk,
+        pack_sequences,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    assert _derive_pack_chunk(docs, "doc_id") == 256  # small-span floor
+    wide = docs.select(
+        (F.col("doc_id") * 10_000_000).alias("doc_id"), "text"
+    )
+    c = _derive_pack_chunk(wide, "doc_id")
+    row = wide.agg(
+        F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")
+    ).collect()[0]
+    span = row["hi"] - row["lo"] + 1
+    assert -(-span // c) <= PACK_DRIVER_ROW_TARGET  # rows bound holds
+    derived = {
+        (r["doc_id"], r["cum_tokens"])
+        for r in pack_sequences(wide, budget=128).collect()
+    }
+    explicit = {
+        (r["doc_id"], r["cum_tokens"])
+        for r in pack_sequences(wide, budget=128, chunk=97).collect()
+    }
+    assert derived == explicit and derived
