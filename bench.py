@@ -78,6 +78,10 @@ HEADLINE = [
     "q_ann_opq",
     "q_store_diff_bucketed",
     "q_domain_mix_temp",
+    # new in r9
+    "q_ann_filtered",
+    "q_semdedup",
+    "q_media_neardup",
 ]
 
 # Pre-staged lines: the SETUP (building bucketed tables / stores) is

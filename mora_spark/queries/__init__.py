@@ -17,101 +17,93 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 # The driver's correctness gate verifies the FIRST 50 registry entries
 # only (round-1 evidence: CORRECTNESS_r01.json stops at entry 50 in
-# registry order). PRIORITY pins the round-8 window (VERDICT r6
-# "Next round" #6; round 7 recorded no work, so its window re-ran the
-# round-6 list verbatim — CORRECTNESS_r07.json, 50/50 green):
-# - the 7 queries NEW this round: q_ann_pq (product quantization —
-#   ADC shortlist + exact rerank under seeded trained codebooks,
-#   structural negative-id plant oracle), q_ann_ivfpq (the persisted
-#   IVF+PQ index: partition-pruned probe → code-column ADC → exact
-#   rerank, same oracle), q_ann_opq (learned-rotation OPQ — the plant
-#   argument is rotation-proof), q_store_diff_bucketed (exchange-free
-#   CDC between two bucketed_view snapshots), q_domain_mix_temp
-#   (temperature-weighted domain sampling under a token budget),
-#   q_pack_by_domain (per-domain packing — the shard layout
-#   downstream of the temperature mix), q_stream_ann_ingest
-#   (streaming IVFPQ maintenance — one replay-idempotent add epoch
-#   per micro-batch);
-# - 3 changed-code guards: engine/store.py's diff was refactored
-#   through the shared snapshot_diff comparator (q_store_diff),
-#   streaming/pipeline.py grew the n_files sink knob
-#   (q_corpus_pipeline_jsonl), and llm/simsearch.py gained the PQ
-#   block — additive, but the file changed, so its cheapest
-#   non-rotating query re-enters (q_ann_sq8; the IVF family keeps its
-#   r7 rows — their machinery is untouched);
-# - ALL 28 queries whose latest green row dates to r3 (the verdict's
-#   rotation target: nothing older than r4 once this window greens) —
-#   spanning TPC-H (q1/q3/q12), resample, streaming state
-#   (ingest/sessions/sliding/ema/wire), text (simhash/jaccard/
-#   json_props/boilerplate/quality), curation (pack/vocab/shards/
-#   decontaminate/domain_mix/stratified/corpus), dedup clusters,
-#   vectors (srp/simsearch/embed_neardup) and validation surfaces;
-# - 12 oldest r4-era re-greens filling the remaining slots, favoring
-#   family diversity (rollup/cube/pivot/setops/windows/profile).
-# Displaced to make room: everything r5-green or later — machinery
-# unchanged, each keeps its CORRECTNESS_r05/r07.json green row.
+# registry order). PRIORITY pins the round-9 window (the r8 verdict's
+# "Next round" list):
+# - 3 queries NEW this round: q_ann_filtered (metadata-predicate
+#   filtered IVFPQ search — the predicate pushes into the stage-1
+#   postings scan and k fills post-filter; plants carry an in-set
+#   label so the min-ADC containment argument holds on the restricted
+#   domain), q_semdedup (embedding-space cluster-canonical dedup —
+#   components of the exact cosine pair graph via banded SRP, one
+#   max-quality member kept per cluster; oracle = brute-force pairs +
+#   recursive-CTE label propagation), q_media_neardup (perceptual
+#   dHash near-dup over binary payloads with lossless pigeonhole
+#   Hamming banding; the integer-exact luminance grid lets the oracle
+#   recompute the hash in SQL);
+# - 6 changed-code guards (see the tuple comment);
+# - ALL 20 r4-era-latest rows — the TPC-H tail + vwap/value_histogram/
+#   time_window the r8 verdict ranked as rotation obligation #1;
+# - 20 of the 35 r5-era rows, favoring family diversity.
 PRIORITY: tuple[str, ...] = (
-    # new this round
+    # new this round (r9)
+    "q_ann_filtered",
+    "q_semdedup",
+    "q_media_neardup",
+    # changed-code guards (r9): llm/simsearch.py grew the predicate /
+    # lazy-stage-2 paths (the PQ family re-enters), llm/curation.py
+    # changed behavior (eqNullSafe temperature join, round-grid rates,
+    # derived pack chunk), llm/multimodal.py gained dHash (additive;
+    # q_media_features doubles as its guard AND an r5 rotation row).
     "q_ann_pq",
     "q_ann_ivfpq",
     "q_ann_opq",
-    "q_store_diff_bucketed",
     "q_domain_mix_temp",
     "q_pack_by_domain",
-    "q_stream_ann_ingest",
-    # changed-code guards (r8)
-    "q_store_diff",
-    "q_corpus_pipeline_jsonl",
-    "q_ann_sq8",
-    # oldest evidence: every r3-era-latest row (28)
-    "q_ann_srp",
-    "q_boilerplate",
-    "q_corpus_curation",
-    "q_decontaminate",
-    "q_dedup_clusters",
-    "q_domain_mix",
-    "q_embed_neardup",
-    "q_grouping_sets",
-    "q_jaccard_pairs",
-    "q_json_props",
     "q_pack_sequences",
-    "q_quality_rules",
-    "q_resample_1h",
-    "q_simhash_pairs",
-    "q_simsearch_topk",
-    "q_stratified_sample",
-    "q_stream_ema",
-    "q_stream_ingest",
-    "q_stream_sessions",
-    "q_stream_sliding",
-    "q_stream_wire",
-    "q_tpch_q1",
-    "q_tpch_q12",
-    "q_tpch_q3",
-    "q_train_shards",
-    "q_user_stats",
-    "q_validate_candles",
-    "q_vocab_topk",
-    # oldest r4-era re-greens (12)
-    "q_cube_orders",
-    "q_data_profile",
-    "q_gapfill",
-    "q_lag_lead",
-    "q_order_rank",
-    "q_pivot_daily",
-    "q_revenue_by_nation",
-    "q_rolling_corr",
-    "q_rollup_acctbal",
-    "q_semi_anti",
-    "q_setops",
-    "q_sma_roll",
+    # oldest evidence: ALL 20 r4-era-latest rows (the TPC-H tail the
+    # r8 verdict ranked #1)
+    "q_tpch_q2",
+    "q_tpch_q4",
+    "q_tpch_q5",
+    "q_tpch_q6",
+    "q_tpch_q7",
+    "q_tpch_q8",
+    "q_tpch_q9",
+    "q_tpch_q10",
+    "q_tpch_q11",
+    "q_tpch_q15",
+    "q_tpch_q16",
+    "q_tpch_q17",
+    "q_tpch_q18",
+    "q_tpch_q19",
+    "q_tpch_q20",
+    "q_tpch_q21",
+    "q_tpch_q22",
+    "q_vwap",
+    "q_value_histogram",
+    "q_time_window",
+    # r5-era re-greens (20 of 35), favoring family diversity: joins,
+    # TPC-H stragglers, events, dedup/curation, multimodal, resample
+    "q_media_features",
+    "q_frame_sample",
+    "q_asof_trades",
+    "q_interval_join",
+    "q_skew_join",
+    "q_mtf_join",
+    "q_full_outer",
+    "q_tpch_q13",
+    "q_tpch_q14",
+    "q_percentiles",
+    "q_candles_1m",
+    "q_resample_anchored",
+    "q_sql_shared",
+    "q_funnel",
+    "q_retention_cohort",
+    "q_cluster_best",
+    "q_minhash_lsh",
+    "q_dedup_increment",
+    "q_dup_spans",
+    "q_lm_score",
+    "q_quantize_embed",  # r5 row AND lives in the changed simsearch.py
 )
-# Demoted below the window: every demoted query keeps a green
-# CORRECTNESS row no older than r4 (the r4 TPC-H tail q2-q22 is the
-# oldest remaining evidence; next round's rotation picks it up). 152
-# queries are declared; the driver-green union stands at 145/145 of
-# the previously declared set, so once this window greens the union is
-# 152/152 and no latest row predates r4.
+# Demoted below the window: everything else keeps a green CORRECTNESS
+# row from r7 or r8 except 14 remaining r5-era rows — dominated by ONE
+# machinery family (the windows.py/ema.py indicator kin: atr,
+# bollinger, donchian, macd, obv, rsi, stochastic, heikin_ashi,
+# ema_12, plus anomaly_zscore/drawdown/seasonality/dedup_lines/
+# chunk_docs), untouched since they greened; they are round 10's
+# rotation target. 155 queries are declared; once this window greens
+# the union is 155/155 and no latest row predates r5.
 
 
 def collect_registry() -> tuple[dict[str, QueryFn], dict[str, str]]:

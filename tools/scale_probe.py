@@ -739,7 +739,233 @@ def probe_round8(spark, docs, n) -> None:
         _sh.rmtree(csv_dir, ignore_errors=True)
 
 
-if __name__ == "__main__" and "r8" in sys.argv[1:]:
+def probe_round9(spark, docs, n) -> None:
+    """Round-9 surfaces: PQ recall vs quantization budget, filtered
+    ANN selectivity behavior, semantic dedup at scale, and the derived
+    packing chunk. Standalone: ``python tools/scale_probe.py 10 r9``."""
+    import shutil as _sh
+    import tempfile as _tf
+
+    import numpy as _np
+
+    from mora_spark.llm.simsearch import (
+        build_ivfpq_index,
+        ivfpq_index_topk,
+        pq_topk,
+        save_ivfpq_index,
+        train_pq_codebooks,
+    )
+    from mora_spark.queries.vectors import N_QUERIES
+
+    # --- PQ: raw-corpus recall vs (K, shortlist) budget ---
+    # The structural plant oracle pins correctness; THIS is the quality
+    # knob chart: how much recall the sub-byte budget buys on the raw
+    # corpus. K=16 is the in-window default (0.5 B/dim — cheapest
+    # oracle-checked build); K=256 + shortlist 200 is the production
+    # setting (1 B/dim, the faiss default geometry).
+    emb = scaled_embeddings(spark, n).select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias(
+            "embedding"
+        ),
+        "label",
+    )
+    emb.cache()
+    rows = emb.select("vec_id", "embedding", "label").collect()
+    mats = _np.stack([_np.asarray(r["embedding"]) for r in rows])
+    ids = _np.array([r["vec_id"] for r in rows])
+    labels = _np.array([r["label"] for r in rows])
+    norms = _np.linalg.norm(mats, axis=1)
+    qidx = {int(i): _np.where(ids == i)[0][0] for i in range(N_QUERIES)}
+
+    def exact_topk(qid, k=5, mask=None):
+        qv = mats[qidx[qid]]
+        cos = _np.round(mats @ qv / (norms * _np.linalg.norm(qv)), 6)
+        keep = _np.ones(len(ids), dtype=bool) if mask is None else mask.copy()
+        keep[ids == qid] = False
+        order = sorted(
+            _np.where(keep)[0], key=lambda i: (-cos[i], ids[i])
+        )
+        return {int(ids[i]) for i in order[:k]}
+
+    rec: dict[tuple[int, int], float] = {}
+    for n_codes in (16, 256):
+        t0 = time.time()
+        books = train_pq_codebooks(emb, n_codes=n_codes)
+        train_s = time.time() - t0
+        for shortlist in (50, 200):
+            t0 = time.time()
+            got = pq_topk(
+                emb, books, query_ids=list(range(N_QUERIES)), k=5,
+                shortlist=shortlist,
+            ).collect()
+            hits = sum(
+                len(
+                    {
+                        r["neighbor_id"]
+                        for r in got
+                        if r["query_id"] == q
+                    }
+                    & exact_topk(q)
+                )
+                for q in range(N_QUERIES)
+            )
+            recall = hits / (5 * N_QUERIES)
+            print(
+                f"pq_budget K={n_codes} shortlist={shortlist}: "
+                f"raw_recall {recall:.2f} "
+                f"(train {train_s:.2f}s, search {time.time() - t0:.2f}s)"
+            )
+            rec[(n_codes, shortlist)] = recall
+    assert rec[(256, 200)] >= rec[(16, 50)], (
+        f"bigger budget lost recall: {rec}"
+    )
+
+    # --- filtered ANN: selectivity x recall on the persisted index ---
+    # Two regimes, measured separately:
+    # (1) PLANTED (structural): labeled exact copies of each query sit
+    #     inside the predicate set; filtered search must return all of
+    #     them at ANY n_probe — the scaled twin of q_ann_filtered's
+    #     oracle. Hard-asserted at 1.0.
+    # (2) RAW (informational): on this synthetic corpus every query's
+    #     label is OUTSIDE the filter set at sf0.1, so the true
+    #     filtered matches are weak-similarity vectors (cos ~0.3 —
+    #     noise-level). Cell pruning misses those by design; the row
+    #     pair shows n_probe as the recovery knob (recall must be
+    #     monotone in n_probe), which is exactly how faiss users tune
+    #     filtered search on hard predicates.
+    from mora_spark.queries.vectors import TOP_K, _planted_pq_labeled
+
+    idx_dir = _tf.mkdtemp(prefix="r9_ivfpq_")
+    planted = _planted_pq_labeled(emb)
+    try:
+        t0 = time.time()
+        save_ivfpq_index(
+            *build_ivfpq_index(planted, train_iters=2), idx_dir
+        )
+        print(f"ivfpq_build(planted): {time.time() - t0:.2f}s")
+        t0 = time.time()
+        got = ivfpq_index_topk(
+            spark, idx_dir, query_ids=list(range(N_QUERIES)), k=TOP_K,
+            n_probe=4, predicate="label IN (1, 3, 5)",
+        ).collect()
+        want = {
+            (q, -(q * TOP_K + j + 1))
+            for q in range(N_QUERIES)
+            for j in range(TOP_K)
+        }
+        hit = len(
+            {(r["query_id"], r["neighbor_id"]) for r in got} & want
+        )
+        print(
+            f"ivfpq_filtered planted: recall {hit / len(want):.2f} "
+            f"({time.time() - t0:.2f}s, n_probe=4)"
+        )
+        assert hit == len(want), "planted filtered recall != 1.0"
+    finally:
+        _sh.rmtree(idx_dir, ignore_errors=True)
+
+    mask = _np.isin(labels, (1, 3, 5))
+    lbl = {int(i): int(l) for i, l in zip(ids, labels)}
+    ladder = []
+    for n_codes, n_probe, shortlist in (
+        (16, 4, 50),      # the oracle-checked test-scale budget
+        (16, 16, 200),    # wider probe + shortlist, same codes
+        (256, 16, 200),   # the production budget (1 B/dim)
+    ):
+        idx_dir = _tf.mkdtemp(prefix="r9_ivfpq_raw_")
+        try:
+            save_ivfpq_index(
+                *build_ivfpq_index(
+                    emb, train_iters=2, n_codes=n_codes
+                ),
+                idx_dir,
+            )
+            t0 = time.time()
+            got = ivfpq_index_topk(
+                spark, idx_dir, query_ids=list(range(N_QUERIES)), k=5,
+                n_probe=n_probe, shortlist=shortlist,
+                predicate="label IN (1, 3, 5)",
+            ).collect()
+            per_q = {
+                q: {r["neighbor_id"] for r in got if r["query_id"] == q}
+                for q in range(N_QUERIES)
+            }
+            assert all(len(v) == 5 for v in per_q.values()), (
+                "filtered search under-filled k"
+            )
+            assert all(
+                lbl[nid] in (1, 3, 5)
+                for v in per_q.values()
+                for nid in v
+            ), "a neighbor escaped the predicate"
+            hits = sum(
+                len(per_q[q] & exact_topk(q, mask=mask))
+                for q in range(N_QUERIES)
+            )
+            ladder.append(hits / (5 * N_QUERIES))
+            print(
+                f"ivfpq_filtered raw sel~30% K={n_codes} "
+                f"n_probe={n_probe} shortlist={shortlist}: "
+                f"recall {ladder[-1]:.2f} ({time.time() - t0:.2f}s)"
+            )
+        finally:
+            _sh.rmtree(idx_dir, ignore_errors=True)
+    assert ladder == sorted(ladder), (
+        f"filtered recall not monotone in budget: {ladder}"
+    )
+
+    # --- semantic dedup at n x ---
+    # The scaled corpus holds n exact copies of every raw vector (ids
+    # shift, values don't) plus each copy's shifted plant, so every
+    # cluster must contain >= 2 members and the component count is
+    # bounded by the number of distinct raw vectors.
+    from mora_spark.llm.semdedup import semantic_dedup
+    from mora_spark.queries.vectors import _planted
+
+    t0 = time.time()
+    sd = semantic_dedup(
+        _planted(emb.select("vec_id", "embedding")),
+        threshold=0.95, n_bits=8, n_bands=16,
+    ).collect()
+    n_raw = load_table(spark, SF_DIR, "embeddings").count()
+    sizes = [r["cluster_size"] for r in sd]
+    print(
+        f"semdedup x{n}: {len(sd)} clusters, "
+        f"{sum(sizes):,} members, {time.time() - t0:.2f}s"
+    )
+    assert len(sd) <= n_raw, "more clusters than distinct raw vectors"
+    assert all(s >= 2 for s in sizes)
+    assert sum(sizes) >= 2 * n * len(sd)  # n copies + n plants per raw
+    emb.unpersist()
+
+    # --- derived packing chunk at n x ---
+    from mora_spark.llm.curation import _derive_pack_chunk, pack_by_domain
+
+    t0 = time.time()
+    chunk = _derive_pack_chunk(docs, "doc_id")
+    packed = pack_by_domain(docs, budget=512)
+    per = packed.groupBy("source").agg(
+        F.max("cum_tokens").alias("max_cum"),
+        F.sum("tok_len").alias("total"),
+    ).collect()
+    assert per and all(r["max_cum"] == r["total"] for r in per), (
+        "token conservation broke under the derived chunk"
+    )
+    print(
+        f"pack_by_domain x{n}: derived chunk={chunk}, "
+        f"{len(per)} domains conserved, {time.time() - t0:.2f}s"
+    )
+
+
+if __name__ == "__main__" and "r9" in sys.argv[1:]:
+    _n = next((int(a) for a in sys.argv[1:] if a.isdigit()), 10)
+    _spark = get_spark(app_name="mora_scale_probe")
+    _spark.sparkContext.setLogLevel("ERROR")
+    _docs = scaled_docs(_spark, _n)
+    print(f"docs={_docs.count():,} (x{_n}) [r9 sections only]")
+    probe_round9(_spark, _docs, _n)
+elif __name__ == "__main__" and "r8" in sys.argv[1:]:
     _n = next((int(a) for a in sys.argv[1:] if a.isdigit()), 10)
     _spark = get_spark(app_name="mora_scale_probe")
     _spark.sparkContext.setLogLevel("ERROR")
