@@ -575,15 +575,24 @@ PACK_DRIVER_ROW_TARGET = 100_000  # phase-1 subtotal rows the driver holds
 def _derive_pack_chunk(df: DataFrame, id_col: str) -> int:
     """Size the id-range chunk so phase 1 collects at most
     ~PACK_DRIVER_ROW_TARGET subtotal rows: chunk = ceil(id_span /
-    target), floored at 256. One cheap min/max agg (scan-shaped,
-    column-pruned); the RESULT is chunk-invariant either way (pinned
-    by tests), only driver state and per-task window width move."""
-    row = df.agg(
-        F.min(F.col(id_col)).alias("lo"), F.max(F.col(id_col)).alias("hi")
-    ).collect()[0]
-    if row["lo"] is None:
+    target), floored at 256. The span is the [0.5%, 99.5%] quantile
+    range, NOT min..max — a single stray id (a sentinel, a
+    timestamp-derived outlier) would otherwise inflate the span,
+    collapse every real doc into one chunk, and reintroduce the
+    single-task window the two-phase design exists to prevent.
+    (The clip must exceed approxQuantile's rank tolerance, or the
+    quantile itself can legally return the outlier.) Clipped outliers
+    simply land in their own sparse chunks (a few extra subtotal
+    rows, bounded by the outlier count). One cheap column-pruned
+    approxQuantile pass; the RESULT is chunk-invariant either way
+    (pinned by tests) — only driver state and per-task window width
+    move. Pathological distributions beyond the clip (e.g. >0.5% of
+    ids scattered over a vastly wider range) are what the explicit
+    ``chunk`` override is for."""
+    qs = df.stat.approxQuantile(id_col, [0.005, 0.995], 0.001)
+    if not qs:
         return 256
-    span = int(row["hi"]) - int(row["lo"]) + 1
+    span = int(qs[1]) - int(qs[0]) + 1
     return max(256, -(-span // PACK_DRIVER_ROW_TARGET))
 
 

@@ -808,64 +808,25 @@ def simhash_neardup_pairs(
     """SimHash near-dup pairs: all (doc_a < doc_b) whose 16-bit
     signatures differ in <= ``max_hamming`` bits.
 
-    The pigeonhole banding that makes simhash searchable at scale:
-    split the signature into ``max_hamming + 1`` chunks — a pair within
-    the Hamming budget must agree EXACTLY on at least one chunk — so
+    The pigeonhole banding that makes simhash searchable at scale —
+    shared with the multimodal dHash search
+    (:func:`mora_spark.llm.hamming.banded_hamming_pairs`): split the
+    signature into ``max_hamming + 1`` chunks — a pair within the
+    Hamming budget must agree EXACTLY on at least one chunk — so
     candidates come from an equi-join on (chunk index, chunk value),
-    never an all-pairs compare. Each candidate pair is emitted once via
-    the first-shared-chunk filter (both sides carry their full chunk
-    arrays, map-side), then verified with bit_count(xor) — one cheap
-    integer op. 16 bits keeps the oracle exact; production uses 64/128
-    bits with the same plan shape.
+    never an all-pairs compare, verified with one bit_count(xor).
+    16 bits keeps the oracle exact; production uses 64/128 bits with
+    the same plan shape.
     """
-    n_chunks = max_hamming + 1
-    base, extra = divmod(16, n_chunks)
-    sizes = [base + (1 if i < extra else 0) for i in range(n_chunks)]
-    offs = [sum(sizes[:i]) for i in range(n_chunks)]
+    from mora_spark.llm.hamming import banded_hamming_pairs
 
-    sig = simhash16(df, text_col, id_col).select(
-        F.col(id_col).alias("id"), "simhash"
-    )
-    chunk_arr = F.array(
-        *[
-            F.expr(
-                f"CAST(shiftright(simhash, {offs[i]}) "
-                f"& {(1 << sizes[i]) - 1} AS INT)"
-            )
-            for i in range(n_chunks)
-        ]
-    )
-    chunked = sig.withColumn("cks", chunk_arr).select(
-        "id", "simhash", "cks",
-        F.posexplode("cks").alias("chunk", "ck"),
-    )
-    a, b = chunked.alias("a"), chunked.alias("b")
-    first_shared = F.array_position(
-        F.zip_with(
-            F.col("a.cks"),
-            F.col("b.cks"),
-            lambda x, y: (x == y).cast("int"),
-        ),
-        1,
-    )
-    return (
-        a.join(
-            b,
-            (F.col("a.chunk") == F.col("b.chunk"))
-            & (F.col("a.ck") == F.col("b.ck"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .where(first_shared == F.col("a.chunk") + 1)
-        .withColumn(
-            "hamming",
-            F.expr("bit_count(a.simhash ^ b.simhash)").cast("int"),
-        )
-        .where(F.col("hamming") <= max_hamming)
-        .select(
-            F.col("a.id").alias("doc_a"),
-            F.col("b.id").alias("doc_b"),
-            "hamming",
-        )
+    return banded_hamming_pairs(
+        simhash16(df, text_col, id_col),
+        sig_col="simhash",
+        n_bits=16,
+        max_hamming=max_hamming,
+        out_a="doc_a",
+        out_b="doc_b",
     )
 
 

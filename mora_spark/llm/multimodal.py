@@ -240,61 +240,17 @@ def media_neardup_pairs(
     """Perceptual near-dup pairs: all (id_a < id_b) whose dHashes
     differ in <= ``max_hamming`` bits.
 
-    The same lossless pigeonhole banding as the text-side
-    ``simhash_neardup_pairs`` (llm/dedup.py), over the 56-bit hash:
-    split into ``max_hamming + 1`` chunks — a pair inside the budget
-    agrees exactly on at least one chunk — equi-join on (chunk index,
-    chunk value), emit once via first-shared-chunk, verify with one
-    ``bit_count(xor)``. Never all-pairs; the join input is 8 bytes of
+    The lossless pigeonhole banding shared with the text-side SimHash
+    search (:func:`mora_spark.llm.hamming.banded_hamming_pairs`), over
+    the 56-bit hash. Never all-pairs; the join input is 8 bytes of
     signature per payload, not the payload."""
-    n_chunks = max_hamming + 1
-    base, extra = divmod(DHASH_BITS, n_chunks)
-    sizes = [base + (1 if i < extra else 0) for i in range(n_chunks)]
-    offs = [sum(sizes[:i]) for i in range(n_chunks)]
+    from mora_spark.llm.hamming import banded_hamming_pairs
 
-    sig = dhash_media(media, id_col, payload_col).select(
-        F.col(id_col).alias("id"), "dhash"
-    )
-    chunk_arr = F.array(
-        *[
-            F.expr(
-                f"CAST(shiftright(dhash, {offs[i]}) "
-                f"& {(1 << sizes[i]) - 1} AS BIGINT)"
-            )
-            for i in range(n_chunks)
-        ]
-    )
-    chunked = sig.withColumn("cks", chunk_arr).select(
-        "id", "dhash", "cks",
-        F.posexplode("cks").alias("chunk", "ck"),
-    )
-    a, b = chunked.alias("a"), chunked.alias("b")
-    first_shared = F.array_position(
-        F.zip_with(
-            F.col("a.cks"),
-            F.col("b.cks"),
-            lambda x, y: (x == y).cast("int"),
-        ),
-        1,
-    )
-    return (
-        a.join(
-            b,
-            (F.col("a.chunk") == F.col("b.chunk"))
-            & (F.col("a.ck") == F.col("b.ck"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .where(first_shared == F.col("a.chunk") + 1)
-        .withColumn(
-            "hamming",
-            F.expr("bit_count(a.dhash ^ b.dhash)").cast("int"),
-        )
-        .where(F.col("hamming") <= max_hamming)
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            "hamming",
-        )
+    return banded_hamming_pairs(
+        dhash_media(media, id_col, payload_col),
+        sig_col="dhash",
+        n_bits=DHASH_BITS,
+        max_hamming=max_hamming,
     )
 
 

@@ -42,6 +42,7 @@ def semantic_dedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     quality: DataFrame | None = None,
+    quality_col: str = "quality",
 ) -> DataFrame:
     """One row per semantic near-dup cluster:
     (cluster_id, keep_id, best_quality, cluster_size).
@@ -49,12 +50,18 @@ def semantic_dedup(
     ``cluster_id`` is the component's min member id; ``keep_id`` the
     quality-canonical member (max quality, ties to the smaller id —
     the q_cluster_best max(struct) discipline). ``quality`` is an
-    optional (id_col, quality) frame; by default the vector's L2 norm
-    (rounded to 6 dp on both engines) stands in — a deterministic,
-    embedding-intrinsic proxy so the operator needs no side table.
-    Docs outside any cluster (no pair at the threshold) are untouched
-    by definition and not emitted; the caller's keep-set is
-    ``all ids - (cluster members - keep ids)``.
+    optional frame carrying (id_col, quality_col) — the column is
+    selected BY NAME and must exist (extra columns are ignored, a
+    missing one raises instead of silently ranking by the wrong
+    signal), and the join is LEFT: a clustered id absent from the
+    quality frame keeps its cluster membership with NULL quality,
+    ranking below every scored member (ties by smaller id) rather
+    than vanishing from the cluster size. By default the vector's L2
+    norm (rounded to 6 dp on both engines) stands in — a
+    deterministic, embedding-intrinsic proxy so the operator needs no
+    side table. Docs outside any cluster (no pair at the threshold)
+    are untouched by definition and not emitted; the caller's
+    keep-set is ``all ids - (cluster members - keep ids)``.
     """
     pairs = embedding_neardup_pairs(
         embeddings,
@@ -71,11 +78,19 @@ def semantic_dedup(
             F.round(l2_norm(F.col(vec_col)), 6).alias("q"),
         )
     else:
-        cols = [c for c in quality.columns if c != id_col]
+        if quality_col not in quality.columns:
+            raise ValueError(
+                f"quality frame has no column {quality_col!r} "
+                f"(columns: {quality.columns})"
+            )
         q = quality.select(
-            F.col(id_col).alias("node"), F.col(cols[0]).alias("q")
+            F.col(id_col).alias("node"), F.col(quality_col).alias("q")
         )
-    j = cc.join(q, "node")
+    # LEFT join: an id missing from the quality frame stays a cluster
+    # member with NULL quality (NULL struct fields sort below every
+    # scored member under max(), ties by smaller id) — dropping it
+    # would silently shrink cluster_size and could erase a cluster.
+    j = cc.join(q, "node", "left")
     best = j.groupBy("label").agg(
         F.count(F.lit(1)).alias("cluster_size"),
         F.max(F.struct(F.col("q"), (-F.col("node")).alias("nid"))).alias(

@@ -1205,10 +1205,15 @@ def ivfpq_index_topk(
     to the driver so stage 2's full-precision fetch pushes an isin()
     filter INTO the parquet scan — fewest bytes read, two driver-
     synchronized jobs. False keeps the shortlist as a DataFrame join —
-    the whole search is ONE plannable job (no driver sync; use it when
-    query fan-in is large enough that the collected pair list isn't
-    driver-cheap), at the cost of stage 2 scanning the probed cells'
-    float column and filtering by join instead of by pushdown."""
+    the whole search is ONE plannable job with no mid-query driver
+    sync, which is what makes stage 1's I/O contract plan-pinnable
+    (tests/test_pq.py); the cost is that stage 2 scans the probed
+    cells' float column and filters by join instead of by pushdown.
+    NOTE the lazy path does NOT remove the driver from the shortlist's
+    scaling story — the probe lists and query tables are still built
+    driver-side per request, so both paths assume request-sized
+    (queries x shortlist) state; the knob trades scan pushdown for
+    plannability, not driver memory."""
     cents, books, cells = load_ivfpq_index(spark, path)
     m_subspaces, n_codes, dsub = books.shape
     qrows = (
@@ -1281,10 +1286,13 @@ def ivfpq_index_topk(
         )
     else:
         # Lazy stage 2: one plannable job — the shortlist stays a
-        # DataFrame and filters the full-precision fetch by broadcast
-        # join (the isin() pushdown is the price; the probed cells'
-        # float column is scanned and join-filtered instead).
-        pairs = broadcast(short_df)
+        # DataFrame joined to the full-precision fetch (the isin()
+        # pushdown is the price; the probed cells' float column is
+        # scanned and join-filtered instead). No broadcast hint: AQE
+        # sees the shortlist's true size at runtime and picks the
+        # strategy itself — request-sized shortlists broadcast anyway,
+        # bigger ones shuffle instead of being forced onto the driver.
+        pairs = short_df
         full = cells.where(F.col("cell").isin(all_cells))
     full = full.select(
         F.col(id_col).alias("neighbor_id"),

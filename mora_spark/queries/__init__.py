@@ -94,16 +94,19 @@ PRIORITY: tuple[str, ...] = (
     "q_dedup_increment",
     "q_dup_spans",
     "q_lm_score",
-    "q_quantize_embed",  # r5 row AND lives in the changed simsearch.py
+    # guard: simhash_neardup_pairs now routes through the shared
+    # llm/hamming.py banding helper (the dHash refactor) — its r8 row
+    # predates that machinery
+    "q_simhash_pairs",
 )
 # Demoted below the window: everything else keeps a green CORRECTNESS
-# row from r7 or r8 except 14 remaining r5-era rows — dominated by ONE
+# row from r7 or r8 except 15 remaining r5-era rows — dominated by ONE
 # machinery family (the windows.py/ema.py indicator kin: atr,
 # bollinger, donchian, macd, obv, rsi, stochastic, heikin_ashi,
 # ema_12, plus anomaly_zscore/drawdown/seasonality/dedup_lines/
-# chunk_docs), untouched since they greened; they are round 10's
-# rotation target. 155 queries are declared; once this window greens
-# the union is 155/155 and no latest row predates r5.
+# chunk_docs/quantize_embed), untouched since they greened; they are
+# round 10's rotation target. 155 queries are declared; once this
+# window greens the union is 155/155 and no latest row predates r5.
 
 
 def collect_registry() -> tuple[dict[str, QueryFn], dict[str, str]]:

@@ -324,7 +324,18 @@ def test_pack_chunk_derivation_bounds_driver_state(spark, sf_dir):
         F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")
     ).collect()[0]
     span = row["hi"] - row["lo"] + 1
-    assert -(-span // c) <= PACK_DRIVER_ROW_TARGET  # rows bound holds
+    # the derivation sizes against the 0.1%-clipped span, so allow
+    # that sliver of slack when checking against the full span
+    assert -(-span // c) <= PACK_DRIVER_ROW_TARGET * 1.01 + 2
+    # a single stray id must NOT collapse the bulk into one chunk:
+    # the quantile-clipped span ignores it and the floor holds
+    dense = spark.range(10_000).select(
+        F.col("id").alias("doc_id"), F.lit("w w w").alias("text")
+    )
+    stray = spark.createDataFrame(
+        [(10**15, "w w w")], "doc_id long, text string"
+    )
+    assert _derive_pack_chunk(dense.unionByName(stray), "doc_id") == 256
     derived = {
         (r["doc_id"], r["cum_tokens"])
         for r in pack_sequences(wide, budget=128).collect()

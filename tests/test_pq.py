@@ -403,12 +403,18 @@ def _labeled(spark, sf_dir):
 def _brute_filtered(rows, qrows, labels, k):
     """Exact filtered top-k replay (round-6 scores, id tie-breaks) —
     the ground truth pq_topk(shortlist >= corpus) must reproduce."""
+    qids = {q["vec_id"] for q in qrows}
     out = {}
     for q in qrows:
         qv = np.asarray(q["embedding"])
         scored = []
         for r in rows:
-            if r["label"] not in labels or r["vec_id"] == q["vec_id"]:
+            # exclude ALL batched query ids, matching pq_topk's
+            # candidate filter — not just the self vector (a query
+            # whose label is in the filter set could otherwise appear
+            # in another query's ground truth while pq_topk can
+            # never return it)
+            if r["label"] not in labels or r["vec_id"] in qids:
                 continue
             cv = np.asarray(r["embedding"])
             s = round(
