@@ -111,6 +111,15 @@ PRESTAGED = [
         "_ivfpq_stage",
         "ivfpq_search_hot",
     ),
+    # Same discipline for filtered search: the labeled index is built
+    # once (ingest-time); the timed line is the predicate-pushdown
+    # search a serving workload repeats per filter.
+    (
+        "q_ann_filtered_hot",
+        "mora_spark.queries.vectors",
+        "_ivfpq_filtered_stage",
+        "ivfpq_filtered_hot",
+    ),
 ]
 
 
