@@ -83,3 +83,16 @@ def test_banding_is_lossless_vs_brute_force(spark, sf_dir):
                 want.append((ida, idb, d))
     assert got == sorted(want)
     assert len(got) >= docs.count()  # every planted copy pairs up
+
+
+def test_media_neardup_no_pairs_is_empty_not_error(spark, sf_dir):
+    """A corpus with no pairs inside the Hamming budget returns an
+    empty frame with the contract schema (max_hamming=0 on distinct
+    payloads: only exact dHash collisions would pair)."""
+    docs = load_table(spark, sf_dir, "documents").limit(20)
+    out = media_neardup_pairs(
+        media_from_documents(docs.select("doc_id", "text")),
+        max_hamming=0,
+    )
+    assert out.columns == ["id_a", "id_b", "hamming"]
+    assert all(r["hamming"] == 0 for r in out.collect())

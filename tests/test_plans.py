@@ -68,6 +68,11 @@ SMELL_QUERIES = [
     "q_ann_srp",
     "q_ann_pq",
     "q_domain_mix_temp",
+    # r9: dHash near-dup is lazily planned (mapInPandas + banded join);
+    # q_semdedup / q_ann_filtered execute jobs at construction (CC
+    # loop / index build) and are plan-audited in their own tests
+    # (tests/test_pq.py pins the filtered stage-1 scan).
+    "q_media_neardup",
 ]
 
 # Declared exact-verification twins: quadratic/cross-join by design,

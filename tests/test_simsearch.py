@@ -472,3 +472,52 @@ def test_semantic_dedup_blocking_independent_and_canonical(
     )
     for r in forced.collect():
         assert r["keep_id"] == r["cluster_id"]  # min id wins everywhere
+
+
+def test_semantic_dedup_no_pairs_is_empty_not_error(spark, sf_dir):
+    """No pair reaches an impossible threshold: the operator returns
+    an empty cluster frame instead of erroring in the CC loop."""
+    from mora_spark.llm.semdedup import semantic_dedup
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    out = semantic_dedup(e, threshold=1.01, n_bits=8, n_bands=16)
+    assert out.count() == 0
+    assert out.columns == [
+        "cluster_id", "keep_id", "best_quality", "cluster_size"
+    ]
+
+
+def test_filtered_search_empty_predicate_returns_empty(spark, sf_dir):
+    """A predicate matching nothing yields zero rows (k simply cannot
+    fill), never an error — for both the flat and persisted paths."""
+    import tempfile
+
+    from mora_spark.llm.simsearch import (
+        build_ivfpq_index,
+        ivfpq_index_topk,
+        pq_topk,
+        save_ivfpq_index,
+        train_pq_codebooks,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias(
+            "embedding"
+        ),
+        "label",
+    )
+    books = train_pq_codebooks(e)
+    flat = pq_topk(
+        e, books, query_ids=[0, 1], k=5, predicate="label = 999"
+    )
+    assert flat.count() == 0
+    d = tempfile.mkdtemp()
+    save_ivfpq_index(*build_ivfpq_index(e, n_cells=8, train_iters=1), d)
+    got = ivfpq_index_topk(
+        spark, d, query_ids=[0, 1], k=5, n_probe=8,
+        predicate="label = 999",
+    )
+    assert got.count() == 0
