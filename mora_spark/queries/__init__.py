@@ -19,7 +19,7 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # only (round-1 evidence: CORRECTNESS_r01.json stops at entry 50 in
 # registry order). PRIORITY pins the round-9 window (the r8 verdict's
 # "Next round" list):
-# - 3 queries NEW this round: q_ann_filtered (metadata-predicate
+# - 4 queries NEW this round: q_ann_filtered (metadata-predicate
 #   filtered IVFPQ search — the predicate pushes into the stage-1
 #   postings scan and k fills post-filter; plants carry an in-set
 #   label so the min-ADC containment argument holds on the restricted
@@ -29,16 +29,20 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #   recursive-CTE label propagation), q_media_neardup (perceptual
 #   dHash near-dup over binary payloads with lossless pigeonhole
 #   Hamming banding; the integer-exact luminance grid lets the oracle
-#   recompute the hash in SQL);
-# - 6 changed-code guards (see the tuple comment);
+#   recompute the hash in SQL), q_stream_media_dedup (the streaming
+#   composition of the two: per-micro-batch perceptual dedup against
+#   a persisted signature index, replay-idempotent epoch writes,
+#   oracle = unrolled greedy per-batch CTEs);
+# - 7 changed-code guards (see the tuple comment);
 # - ALL 20 r4-era-latest rows — the TPC-H tail + vwap/value_histogram/
 #   time_window the r8 verdict ranked as rotation obligation #1;
-# - 20 of the 35 r5-era rows, favoring family diversity.
+# - 19 of the 35 r5-era rows, favoring family diversity.
 PRIORITY: tuple[str, ...] = (
     # new this round (r9)
     "q_ann_filtered",
     "q_semdedup",
     "q_media_neardup",
+    "q_stream_media_dedup",
     # changed-code guards (r9): llm/simsearch.py grew the predicate /
     # lazy-stage-2 paths (the PQ family re-enters), llm/curation.py
     # changed behavior (eqNullSafe temperature join, round-grid rates,
@@ -72,7 +76,7 @@ PRIORITY: tuple[str, ...] = (
     "q_vwap",
     "q_value_histogram",
     "q_time_window",
-    # r5-era re-greens (20 of 35), favoring family diversity: joins,
+    # r5-era re-greens (19 of 35), favoring family diversity: joins,
     # TPC-H stragglers, events, dedup/curation, multimodal, resample
     "q_media_features",
     "q_frame_sample",
@@ -93,20 +97,20 @@ PRIORITY: tuple[str, ...] = (
     "q_minhash_lsh",
     "q_dedup_increment",
     "q_dup_spans",
-    "q_lm_score",
     # guard: simhash_neardup_pairs now routes through the shared
     # llm/hamming.py banding helper (the dHash refactor) — its r8 row
     # predates that machinery
     "q_simhash_pairs",
 )
 # Demoted below the window: everything else keeps a green CORRECTNESS
-# row from r7 or r8 except 15 remaining r5-era rows — dominated by ONE
+# row from r7 or r8 except 16 remaining r5-era rows — dominated by ONE
 # machinery family (the windows.py/ema.py indicator kin: atr,
 # bollinger, donchian, macd, obv, rsi, stochastic, heikin_ashi,
 # ema_12, plus anomaly_zscore/drawdown/seasonality/dedup_lines/
-# chunk_docs/quantize_embed), untouched since they greened; they are
-# round 10's rotation target. 155 queries are declared; once this
-# window greens the union is 155/155 and no latest row predates r5.
+# chunk_docs/quantize_embed/lm_score), untouched since they greened;
+# they are round 10's rotation target. 156 queries are declared; once
+# this window greens the union is 156/156 and no latest row predates
+# r5.
 
 
 def collect_registry() -> tuple[dict[str, QueryFn], dict[str, str]]:

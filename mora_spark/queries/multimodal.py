@@ -5,6 +5,8 @@ stubbed (no image/audio libs in this container) → rows-only checks.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -170,11 +172,112 @@ WHERE bit_count(xor(a.dhash, b.dhash)) <= {MEDIA_MAX_HAMMING}
 """
 
 
+# --- q_stream_media_dedup: continuous perceptual curation ---
+# The media twin of q_stream_dedup_increment: the planted media table
+# streams as 3 deterministic micro-batches — batch 0 the originals,
+# batch 1 the exact payload copies, batch 2 the one-byte near copies
+# (chunk = media_id div 100000, replayable in SQL) — through the
+# streaming dHash-dedup sink (streaming/media.py). Each batch dedups
+# against the persisted signature index of earlier KEPT media plus
+# itself; only survivors' signatures grow the index. The oracle
+# unrolls the same greedy sequence per batch over the identical dHash
+# SQL: copies drop against the kept originals (src='corpus'), near
+# copies then ALSO drop against the originals (the copies never
+# entered the index), and same-batch natural collisions emit as
+# src='batch' — identical arithmetic on both engines.
+
+_MEDIA_STREAM_CHUNKS = 3
+_MEDIA_CHUNK_EXPR = "media_id div 100000"
+
+
+def q_stream_media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mora_spark.queries.store import scratch_dir
+    from mora_spark.streaming.media import (
+        media_chunked_source,
+        stream_media_dedup,
+    )
+
+    work = scratch_dir("stream_media_dedup", sf_dir)
+    import shutil
+
+    src_dir = os.path.join(work, "src")
+    media = _planted_media(load_table(spark, sf_dir, "documents"))
+    if not os.path.exists(src_dir):
+        media_chunked_source(
+            spark, media, src_dir,
+            n_chunks=_MEDIA_STREAM_CHUNKS,
+            chunk_expr=_MEDIA_CHUNK_EXPR,
+        )
+    run = os.path.join(work, "run")
+    shutil.rmtree(run, ignore_errors=True)
+    return stream_media_dedup(
+        spark, src_dir, run, max_hamming=MEDIA_MAX_HAMMING
+    )
+
+
+def _o_stream_media_dedup(n: int = _MEDIA_STREAM_CHUNKS) -> str:
+    """Unrolled greedy replay (the _kept_ctes discipline of
+    queries/streaming.py, over media ids and Hamming pairs)."""
+    hash_prefix = O_MEDIA_NEARDUP.split("SELECT a.media_id AS id_a")[0]
+
+    def member(x: str, k: int) -> str:
+        return f"({x} // 100000 = {k})"
+
+    kept_ctes, emits = [], []
+    for k in range(n):
+        prev = (
+            " UNION ALL ".join(
+                f"SELECT media_id FROM kept_{j}" for j in range(k)
+            )
+            or "SELECT NULL::BIGINT AS media_id WHERE false"
+        )
+        kept_ctes.append(f"""
+prev_{k} AS ({prev}),
+dropped_{k} AS (
+  SELECT p.db AS media_id FROM pairs p
+  WHERE {member("p.db", k)} AND {member("p.da", k)}
+  UNION ALL
+  SELECT p.db FROM pairs p JOIN prev_{k} u ON p.da = u.media_id
+  WHERE {member("p.db", k)}
+  UNION ALL
+  SELECT p.da FROM pairs p JOIN prev_{k} u ON p.db = u.media_id
+  WHERE {member("p.da", k)}
+),
+kept_{k} AS (
+  SELECT media_id FROM docs2 WHERE {member("media_id", k)}
+    AND media_id NOT IN (SELECT media_id FROM dropped_{k})
+)""")
+        emits.append(f"""
+UNION ALL
+SELECT p.db AS media_id, p.da AS dup_id, p.hamming, 'corpus' AS src
+FROM pairs p JOIN prev_{k} u ON p.da = u.media_id
+WHERE {member("p.db", k)}
+UNION ALL
+SELECT p.da, p.db, p.hamming, 'corpus'
+FROM pairs p JOIN prev_{k} u ON p.db = u.media_id
+WHERE {member("p.da", k)}""")
+    same_batch = " OR ".join(
+        f"({member('p.da', k)} AND {member('p.db', k)})" for k in range(n)
+    )
+    return f"""{hash_prefix.rstrip().rstrip(",")},
+pairs AS (
+  SELECT a.media_id AS da, b.media_id AS db,
+         CAST(bit_count(xor(a.dhash, b.dhash)) AS INT) AS hamming
+  FROM h a JOIN h b ON a.media_id < b.media_id
+  WHERE bit_count(xor(a.dhash, b.dhash)) <= {MEDIA_MAX_HAMMING}
+),{",".join(kept_ctes)}
+SELECT p.db AS media_id, p.da AS dup_id, p.hamming, 'batch' AS src
+FROM pairs p WHERE {same_batch}
+{"".join(emits)}
+"""
+
+
 QUERIES = {
     "q_multimodal_meta": q_multimodal_meta,
     "q_media_features": q_media_features,
     "q_frame_sample": q_frame_sample,
     "q_media_neardup": q_media_neardup,
+    "q_stream_media_dedup": q_stream_media_dedup,
 }
 
 ORACLES = {
@@ -182,4 +285,5 @@ ORACLES = {
     "q_media_features": O_MEDIA_FEATURES,
     "q_frame_sample": O_FRAME_SAMPLE,
     "q_media_neardup": O_MEDIA_NEARDUP,
+    "q_stream_media_dedup": _o_stream_media_dedup(),
 }

@@ -1,0 +1,222 @@
+"""Streaming perceptual dedup for multimodal payloads.
+
+The media twin of ``streaming/increment.py``'s continuous text
+curation: media payloads ARRIVE as a stream, each micro-batch is
+deduped perceptually (dHash Hamming distance, the
+``llm/multimodal.py`` operator) against the persisted signature index
+of earlier KEPT media plus itself, and only survivors' signatures
+grow the index. The reference engine has no streaming or media
+surface at all (command enum INSERT/COMMIT,
+`database/command/types.go:11-14`); this composes two already-verified
+rebuild layers.
+
+Index contents are 8-byte signatures — never payloads — so the
+per-batch state the sink re-reads is ~16 bytes/kept-item however large
+the media bytes are. Signatures are re-banded on read (3 bit-ops per
+row, scan-stage); a deployment with billions of kept items would
+persist the band chunks as index columns and band-partition the
+layout like the MinHash index — same plan shape, noted not needed at
+this scale.
+
+Replay-idempotence follows the increment sink's WAL discipline: every
+write (pairs AND index) targets its own deterministic
+``batch_id=<n>`` directory with mode=overwrite, and each batch joins
+the index through a ``batch_id < current`` snapshot filter, so a
+crashed-and-replayed micro-batch recomputes the same answer against
+the same snapshot and overwrites, never duplicates.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mora_spark.llm.hamming import banded_hamming_pairs
+from mora_spark.llm.multimodal import DHASH_BITS, dhash_media
+
+
+def media_chunked_source(
+    spark: SparkSession,
+    media: DataFrame,
+    out_dir: str,
+    n_chunks: int,
+    chunk_expr: str,
+) -> str:
+    """Materialize a media frame (media_id, payload) as ``n_chunks``
+    parquet files (chunk k = rows with ``chunk_expr == k``) with
+    increasing mtimes, so a ``maxFilesPerTrigger=1`` file stream
+    replays them as deterministic micro-batches — the
+    ``docs_chunked_source`` discipline for binary payload columns.
+    ``chunk_expr`` is plain SQL over media_id so the chunking is
+    exactly reproducible in the oracle."""
+    import glob
+    import shutil
+
+    if os.path.exists(out_dir):
+        return out_dir
+    build = out_dir + ".build"
+    shutil.rmtree(build, ignore_errors=True)
+    os.makedirs(build)
+    src = media.select("media_id", "payload")
+    for k in range(n_chunks):
+        (
+            src.where(F.expr(chunk_expr) == k)
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(os.path.join(build, str(k)))
+        )
+    ready = os.path.join(build, "ready")
+    os.makedirs(ready)
+    for k in range(n_chunks):
+        part = glob.glob(os.path.join(build, str(k), "part-*.parquet"))[0]
+        path = os.path.join(ready, f"chunk-{k:04d}.parquet")
+        os.rename(part, path)
+        os.utime(path, (1_600_000_000 + k, 1_600_000_000 + k))
+    os.rename(ready, out_dir)  # the publish point
+    shutil.rmtree(build, ignore_errors=True)
+    return out_dir
+
+
+def stream_media_dedup(
+    spark: SparkSession,
+    src: str,
+    work_dir: str,
+    max_hamming: int = 2,
+) -> DataFrame:
+    """Run the continuous perceptual-dedup loop over a media file
+    stream; returns the accumulated dup-pair table
+    (media_id, dup_id, hamming, src).
+
+    Per micro-batch: (1) dHash the batch's payloads; (2) emit dup
+    pairs — same-batch pairs as src='batch' (the later id is the dup)
+    and pairs against earlier kept signatures as src='corpus' (the
+    batch side is the dup, either id orientation); (3) survivors
+    (batch items pairing with nothing earlier or smaller) append
+    their signatures to the index under the batch's own epoch. The
+    drop rule matches the text sink's greedy replay exactly, so the
+    oracle unrolls per-batch CTEs over the same dHash SQL."""
+    index_dir = os.path.join(work_dir, "sig_index")
+    pairs_dir = os.path.join(work_dir, "dup_pairs")
+    ckpt = os.path.join(work_dir, "ckpt_media_dedup")
+
+    def sink(batch: DataFrame, batch_id: int) -> None:
+        dedup_media_batch(
+            spark, batch, batch_id, index_dir, pairs_dir, max_hamming
+        )
+
+    schema = "media_id long, payload binary"
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(pairs_dir).select(
+        "media_id", "dup_id", "hamming", "src"
+    )
+
+
+def dedup_media_batch(
+    spark: SparkSession,
+    batch: DataFrame,
+    batch_id: int,
+    index_dir: str,
+    pairs_dir: str,
+    max_hamming: int = 2,
+) -> None:
+    """One micro-batch step of :func:`stream_media_dedup` — exposed so
+    the replay-idempotence contract is directly testable: re-invoking
+    a batch (foreachBatch is at-least-once) recomputes the same answer
+    against the same ``batch_id < current`` index snapshot and
+    overwrites its own epoch directories, never duplicating."""
+    sig_b = dhash_media(batch).persist()
+    try:
+        if os.path.exists(index_dir):
+            kept = (
+                spark.read.parquet(index_dir)
+                .where(F.col("batch_id") < batch_id)
+                .select("media_id", "dhash")
+            )
+        else:
+            kept = sig_b.where(F.lit(False)).select(
+                "media_id", "dhash"
+            )
+        # One banded pass over kept + batch; index ids and batch
+        # ids are disjoint (each media arrives once), so pair
+        # classification is pure membership arithmetic below.
+        b_ids = sig_b.select(F.col("media_id").alias("bid"))
+        all_pairs = banded_hamming_pairs(
+            kept.unionByName(sig_b),
+            sig_col="dhash",
+            n_bits=DHASH_BITS,
+            max_hamming=max_hamming,
+        )
+        a_in = F.col("a_in_batch")
+        b_in = F.col("b_in_batch")
+        classified = (
+            all_pairs.join(
+                b_ids.withColumnRenamed("bid", "id_a").withColumn(
+                    "a_in_batch", F.lit(True)
+                ),
+                "id_a",
+                "left",
+            )
+            .join(
+                b_ids.withColumnRenamed("bid", "id_b").withColumn(
+                    "b_in_batch", F.lit(True)
+                ),
+                "id_b",
+                "left",
+            )
+            .select(
+                "id_a",
+                "id_b",
+                "hamming",
+                F.coalesce(a_in, F.lit(False)).alias("a_in_batch"),
+                F.coalesce(b_in, F.lit(False)).alias("b_in_batch"),
+            )
+        )
+        intra = classified.where(a_in & b_in).select(
+            F.col("id_b").alias("media_id"),
+            F.col("id_a").alias("dup_id"),
+            "hamming",
+            F.lit("batch").alias("src"),
+        )
+        cross = classified.where(a_in != b_in).select(
+            F.when(a_in, F.col("id_a"))
+            .otherwise(F.col("id_b"))
+            .alias("media_id"),
+            F.when(a_in, F.col("id_b"))
+            .otherwise(F.col("id_a"))
+            .alias("dup_id"),
+            "hamming",
+            F.lit("corpus").alias("src"),
+        )
+        pairs = intra.unionByName(cross)
+        pairs.write.mode("overwrite").parquet(
+            os.path.join(pairs_dir, f"batch_id={batch_id}")
+        )
+        # Survivors: the drop set is read back from THIS batch's
+        # just-written pairs dir (the evaluated answer), so the
+        # survivor write can't diverge from the emitted pairs.
+        dropped = (
+            spark.read.parquet(
+                os.path.join(pairs_dir, f"batch_id={batch_id}")
+            )
+            .select("media_id")
+            .distinct()
+        )
+        (
+            sig_b.join(dropped, "media_id", "left_anti")
+            .select("media_id", "dhash")
+            .write.mode("overwrite")
+            .parquet(os.path.join(index_dir, f"batch_id={batch_id}"))
+        )
+    finally:
+        sig_b.unpersist()

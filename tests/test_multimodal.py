@@ -96,3 +96,46 @@ def test_media_neardup_no_pairs_is_empty_not_error(spark, sf_dir):
     )
     assert out.columns == ["id_a", "id_b", "hamming"]
     assert all(r["hamming"] == 0 for r in out.collect())
+
+
+def test_stream_media_dedup_batch_replay_is_idempotent(
+    spark, sf_dir, tmp_path
+):
+    """foreachBatch is at-least-once: re-invoking a batch step must
+    recompute the same pairs against the same batch_id<current index
+    snapshot and overwrite its own epoch dirs — state identical to the
+    single-delivery run, never duplicated."""
+    import os
+
+    from mora_spark.streaming.media import dedup_media_batch
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    base = media_from_documents(docs).select("media_id", "payload")
+    copies = base.select(
+        (F.col("media_id") + 50_000).alias("media_id"), "payload"
+    )
+    index_dir = str(tmp_path / "sig_index")
+    pairs_dir = str(tmp_path / "dup_pairs")
+    dedup_media_batch(spark, base, 0, index_dir, pairs_dir)
+    dedup_media_batch(spark, copies, 1, index_dir, pairs_dir)
+
+    def state():
+        pairs = sorted(
+            (r["media_id"], r["dup_id"], r["hamming"], r["src"])
+            for r in spark.read.parquet(pairs_dir).collect()
+        )
+        kept = sorted(
+            (r["media_id"], r["dhash"], r["batch_id"])
+            for r in spark.read.parquet(index_dir).collect()
+        )
+        return pairs, kept
+
+    once = state()
+    dedup_media_batch(spark, copies, 1, index_dir, pairs_dir)  # replay
+    assert state() == once
+    pairs, kept = once
+    # every exact copy pairs against its kept original at hamming 0
+    corpus = {(m, d) for m, d, h, s in pairs if s == "corpus" and h == 0}
+    n = docs.count()
+    assert len(corpus) >= n
+    assert all(b == 0 for _, _, b in kept)  # no copy entered the index
