@@ -187,10 +187,18 @@ WHERE bit_count(xor(a.dhash, b.dhash)) <= {MEDIA_MAX_HAMMING}
 # src='batch' — identical arithmetic on both engines.
 
 _MEDIA_STREAM_CHUNKS = 3
-_MEDIA_CHUNK_EXPR = "media_id div 100000"
+# Derived from the plant offsets, not a free-standing literal: chunk 0
+# = originals, 1 = copies, 2 = near copies. media_chunked_source
+# additionally asserts the chunking covers every row, so an offset
+# change that breaks this arithmetic fails loudly instead of silently
+# streaming fewer batches than the oracle unrolls.
+assert MEDIA_NEAR_OFFSET == 2 * MEDIA_COPY_OFFSET
+_MEDIA_CHUNK_EXPR = f"media_id div {MEDIA_COPY_OFFSET}"
 
 
 def q_stream_media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
     from mora_spark.queries.store import scratch_dir
     from mora_spark.streaming.media import (
         media_chunked_source,
@@ -198,16 +206,12 @@ def q_stream_media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     work = scratch_dir("stream_media_dedup", sf_dir)
-    import shutil
-
-    src_dir = os.path.join(work, "src")
     media = _planted_media(load_table(spark, sf_dir, "documents"))
-    if not os.path.exists(src_dir):
-        media_chunked_source(
-            spark, media, src_dir,
-            n_chunks=_MEDIA_STREAM_CHUNKS,
-            chunk_expr=_MEDIA_CHUNK_EXPR,
-        )
+    src_dir = media_chunked_source(
+        spark, media, os.path.join(work, "src"),
+        n_chunks=_MEDIA_STREAM_CHUNKS,
+        chunk_expr=_MEDIA_CHUNK_EXPR,
+    )
     run = os.path.join(work, "run")
     shutil.rmtree(run, ignore_errors=True)
     return stream_media_dedup(
@@ -221,7 +225,7 @@ def _o_stream_media_dedup(n: int = _MEDIA_STREAM_CHUNKS) -> str:
     hash_prefix = O_MEDIA_NEARDUP.split("SELECT a.media_id AS id_a")[0]
 
     def member(x: str, k: int) -> str:
-        return f"({x} // 100000 = {k})"
+        return f"({x} // {MEDIA_COPY_OFFSET} = {k})"
 
     kept_ctes, emits = [], []
     for k in range(n):

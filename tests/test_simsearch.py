@@ -489,7 +489,9 @@ def test_semantic_dedup_no_pairs_is_empty_not_error(spark, sf_dir):
     ]
 
 
-def test_filtered_search_empty_predicate_returns_empty(spark, sf_dir):
+def test_filtered_search_empty_predicate_returns_empty(
+    spark, sf_dir, tmp_path
+):
     """A predicate matching nothing yields zero rows (k simply cannot
     fill), never an error — for both the flat and persisted paths."""
     import tempfile
@@ -514,7 +516,7 @@ def test_filtered_search_empty_predicate_returns_empty(spark, sf_dir):
         e, books, query_ids=[0, 1], k=5, predicate="label = 999"
     )
     assert flat.count() == 0
-    d = tempfile.mkdtemp()
+    d = str(tmp_path / "idx")
     save_ivfpq_index(*build_ivfpq_index(e, n_cells=8, train_iters=1), d)
     got = ivfpq_index_topk(
         spark, d, query_ids=[0, 1], k=5, n_probe=8,
