@@ -139,3 +139,39 @@ def test_stream_media_dedup_batch_replay_is_idempotent(
     n = docs.count()
     assert len(corpus) >= n
     assert all(b == 0 for _, _, b in kept)  # no copy entered the index
+
+
+def test_banded_hamming_pairs_lossless_across_budgets(spark):
+    """The shared pigeonhole helper (llm/hamming.py) is lossless for
+    EVERY budget it's used at: on seeded random 56-bit signatures plus
+    planted near-pairs at each distance, the banded equi-join emits
+    exactly the brute-force pair set — once per pair."""
+    import numpy as np
+
+    from mora_spark.llm.hamming import banded_hamming_pairs
+
+    rng = np.random.default_rng(0)
+    sigs = list(rng.integers(0, 1 << 56, size=200, dtype=np.int64))
+    # plant near pairs at distances 1..3 off the first few signatures
+    for d in (1, 2, 3):
+        base = int(sigs[d])
+        flipped = base
+        for b in range(d):
+            flipped ^= 1 << int(rng.integers(0, 56))
+        sigs.append(np.int64(flipped))
+    rows = [(i, int(s)) for i, s in enumerate(sigs)]
+    df = spark.createDataFrame(rows, "sid long, h long")
+    for budget in (1, 2, 3):
+        got = sorted(
+            (r["id_a"], r["id_b"], r["hamming"])
+            for r in banded_hamming_pairs(
+                df, sig_col="h", n_bits=56, max_hamming=budget
+            ).collect()
+        )
+        want = []
+        for i in range(len(sigs)):
+            for j in range(i + 1, len(sigs)):
+                d = bin(int(sigs[i]) ^ int(sigs[j])).count("1")
+                if d <= budget:
+                    want.append((i, j, d))
+        assert got == sorted(want), f"budget {budget} diverged"
