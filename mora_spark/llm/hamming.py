@@ -29,6 +29,14 @@ def banded_hamming_pairs(
     (id, sig_col) with the id first) differ in <= ``max_hamming``
     bits. Returns (out_a, out_b, hamming:int). The join input is one
     integer signature per row — callers keep payloads/texts out."""
+    if sig_col not in sig.columns or len(sig.columns) != 2:
+        # The id column is inferred as "the one that isn't sig_col";
+        # with extra columns that inference would silently pair on
+        # whatever column happens to come first.
+        raise ValueError(
+            f"sig must carry exactly (id, {sig_col!r}); got columns "
+            f"{sig.columns}"
+        )
     id_col = [c for c in sig.columns if c != sig_col][0]
     n_chunks = max_hamming + 1
     base, extra = divmod(n_bits, n_chunks)

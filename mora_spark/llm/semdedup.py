@@ -78,13 +78,23 @@ def semantic_dedup(
             F.round(l2_norm(F.col(vec_col)), 6).alias("q"),
         )
     else:
-        if quality_col not in quality.columns:
-            raise ValueError(
-                f"quality frame has no column {quality_col!r} "
-                f"(columns: {quality.columns})"
+        for col in (id_col, quality_col):
+            if col not in quality.columns:
+                raise ValueError(
+                    f"quality frame has no column {col!r} "
+                    f"(columns: {quality.columns})"
+                )
+        # Collapse duplicate ids to their max quality: a duplicated id
+        # would otherwise fan out the cc join, inflating cluster_size
+        # and potentially shifting keep_id. max() is deterministic and
+        # map-side combinable; one quality row per id is the contract.
+        q = (
+            quality.select(
+                F.col(id_col).alias("node"),
+                F.col(quality_col).alias("q"),
             )
-        q = quality.select(
-            F.col(id_col).alias("node"), F.col(quality_col).alias("q")
+            .groupBy("node")
+            .agg(F.max("q").alias("q"))
         )
     # LEFT join: an id missing from the quality frame stays a cluster
     # member with NULL quality (NULL struct fields sort below every

@@ -109,7 +109,14 @@ MEDIA_MAX_HAMMING = 2
 
 
 def _planted_media(docs: DataFrame) -> DataFrame:
-    plain = docs.select("doc_id", "text")
+    # ASCII-only guard, applied IDENTICALLY in the oracle's docs2 CTE:
+    # the oracle reconstructs payload bytes as ord(char), which equals
+    # the UTF-8 byte only while text is pure ASCII. Today's corpus is
+    # (the filter is a no-op); a future non-ASCII document is excluded
+    # on BOTH engines instead of silently diverging the hashes.
+    plain = docs.select("doc_id", "text").where(
+        F.expr("octet_length(text) = length(text)")
+    )
     copies = plain.select(
         (F.col("doc_id") + MEDIA_COPY_OFFSET).alias("doc_id"), "text"
     )
@@ -130,14 +137,19 @@ def q_media_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 O_MEDIA_NEARDUP = f"""
-WITH docs2 AS (
-  SELECT doc_id AS media_id, text FROM documents
+WITH ascii_docs AS (
+  -- mirrors _planted_media's ASCII-only guard: ord(char)-as-byte
+  -- reconstruction below is only valid for pure-ASCII text
+  SELECT doc_id, text FROM documents
+  WHERE octet_length(encode(text)) = length(text)
+), docs2 AS (
+  SELECT doc_id AS media_id, text FROM ascii_docs
   UNION ALL
-  SELECT doc_id + {MEDIA_COPY_OFFSET} AS media_id, text FROM documents
+  SELECT doc_id + {MEDIA_COPY_OFFSET} AS media_id, text FROM ascii_docs
   UNION ALL
   SELECT doc_id + {MEDIA_NEAR_OFFSET} AS media_id,
          'z' || substr(text, 2) AS text
-  FROM documents
+  FROM ascii_docs
 ), pos AS (
   SELECT media_id, text, unnest(range(length(text))) AS i FROM docs2
 ), grid AS (

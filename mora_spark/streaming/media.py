@@ -165,7 +165,15 @@ def dedup_media_batch(
     the replay-idempotence contract is directly testable: re-invoking
     a batch (foreachBatch is at-least-once) recomputes the same answer
     against the same ``batch_id < current`` index snapshot and
-    overwrites its own epoch directories, never duplicating."""
+    overwrites its own epoch directories, never duplicating.
+
+    The intra-batch drop rule is ORDER-GREEDY, not component-greedy
+    (matching the text sink, ``streaming/increment.py``): a batch item
+    pairing with an EARLIER batchmate is dropped even if that batchmate
+    was itself dropped against the corpus index — so the kept set is
+    "items pairing with nothing earlier", NOT "survivors of a greedy
+    replay over kept items only". A consumer reconstructing kept media
+    from the pairs table must apply the same rule."""
     sig_b = dhash_media(batch).persist()
     try:
         if os.path.exists(index_dir):
@@ -229,20 +237,17 @@ def dedup_media_batch(
             "hamming",
             F.lit("corpus").alias("src"),
         )
-        pairs = intra.unionByName(cross)
+        # Eager checkpoint: the pair set is fully materialized once,
+        # then feeds both the pairs sink and the survivor anti-join
+        # from the SAME evaluated lineage (the increment-sink
+        # discipline) — a read-back of the just-written directory
+        # would cost an extra job and fail schema inference on a
+        # zero-pair batch written with zero partitions.
+        pairs = intra.unionByName(cross).localCheckpoint(eager=True)
         pairs.write.mode("overwrite").parquet(
             os.path.join(pairs_dir, f"batch_id={batch_id}")
         )
-        # Survivors: the drop set is read back from THIS batch's
-        # just-written pairs dir (the evaluated answer), so the
-        # survivor write can't diverge from the emitted pairs.
-        dropped = (
-            spark.read.parquet(
-                os.path.join(pairs_dir, f"batch_id={batch_id}")
-            )
-            .select("media_id")
-            .distinct()
-        )
+        dropped = pairs.select("media_id").distinct()
         (
             sig_b.join(dropped, "media_id", "left_anti")
             .select("media_id", "dhash")
