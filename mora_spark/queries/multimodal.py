@@ -223,6 +223,10 @@ def q_stream_media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, media, os.path.join(work, "src"),
         n_chunks=_MEDIA_STREAM_CHUNKS,
         chunk_expr=_MEDIA_CHUNK_EXPR,
+        # The cache token names the corpus: scratch_dir already scopes
+        # ``work`` by sf_dir, but the token keeps the reuse safe even
+        # if a caller ever shares the scratch root.
+        cache_token=sf_dir,
     )
     run = os.path.join(work, "run")
     shutil.rmtree(run, ignore_errors=True)

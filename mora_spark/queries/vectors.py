@@ -962,20 +962,18 @@ def q_stream_ann_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     save_ivfpq_index(*build_ivfpq_index(base, train_iters=2), path)
 
     plants = _planted_pq(base).where(F.col("vec_id") < 0)
-    src = os.path.join(work, "src")
-    os.makedirs(src)
     # Shard j carries every query's j-th copy; mtimes pin replay order
-    # (maxFilesPerTrigger=1 -> one shard per micro-batch).
-    for j in range(TOP_K):
-        tmp = os.path.join(work, f"_chunk_{j}")
-        plants.where((-F.col("vec_id") - 1) % TOP_K == j).coalesce(
-            1
-        ).write.mode("overwrite").parquet(tmp)
-        part = next(p for p in os.listdir(tmp) if p.endswith(".parquet"))
-        dst = os.path.join(src, f"chunk-{j}.parquet")
-        os.replace(os.path.join(tmp, part), dst)
-        shutil.rmtree(tmp, ignore_errors=True)
-        os.utime(dst, (1_600_000_000 + j,) * 2)
+    # (maxFilesPerTrigger=1 -> one shard per micro-batch). ``work`` is
+    # rebuilt per run, so no cache token (always a fresh source).
+    from mora_spark.streaming.chunked import chunked_replay_source
+
+    src = chunked_replay_source(
+        spark,
+        plants,
+        os.path.join(work, "src"),
+        TOP_K,
+        f"(-vec_id - 1) % {TOP_K}",
+    )
 
     def sink(batch: DataFrame, batch_id: int) -> None:
         # Epoch = batch_id + 1 (0 is the base build): deterministic,

@@ -1,6 +1,7 @@
 """Structured Streaming ingestion: the reference's WAL/commit pipeline
 re-expressed as micro-batch streams with checkpoint recovery."""
 
+from mora_spark.streaming.chunked import chunked_replay_source
 from mora_spark.streaming.increment import (
     compact_stream_index,
     docs_chunked_source,
@@ -22,6 +23,7 @@ from mora_spark.streaming.ingest import (
 )
 
 __all__ = [
+    "chunked_replay_source",
     "chunked_source",
     "docs_chunked_source",
     "compact_stream_index",

@@ -1,0 +1,114 @@
+"""Deterministic chunked replay sources for file-stream fixtures.
+
+One implementation of the machinery three streaming gates previously
+carried as drifting copies (text increments in
+``streaming/increment.py``, ANN ingest in ``queries/vectors.py``,
+media dedup in ``streaming/media.py`` — the round-9 ``hamming.py``
+extraction episode showed such copies diverge): materialize a frame as
+``n_chunks`` single-file parquet chunks with strictly increasing
+mtimes so a ``maxFilesPerTrigger=1`` file stream replays them as
+deterministic micro-batches.
+
+The chunk assignment is a plain SQL expression over the frame's own
+columns, so the oracle can replay the identical arithmetic — range
+chunking (row-count splits) would not be SQL-reproducible. Hardening
+invariants (previously present only in the newest copy):
+
+- **Coverage assert**: every row's chunk value must land in
+  ``range(n_chunks)``; a row falling outside would silently vanish
+  from the stream while the oracle (replaying the same arithmetic)
+  stays green — the gate would stop exercising what it claims to.
+- **Keyed cache**: reuse is keyed by (n_chunks, chunk_expr,
+  cache_token) — the token names the corpus (callers pass the
+  sf_dir + any corpus-defining filter), so two different frames with
+  the same chunk params can never hit the same cached source.
+- **Atomic publish**: everything is assembled under a ``.build``
+  staging dir and published with one directory rename as the very
+  last step; a crash mid-build leaves no source dir, so the next run
+  rebuilds from scratch instead of replaying a partial source as if
+  it were complete.
+
+The reference engine has no streaming surface at all (command enum
+INSERT/COMMIT, `database/command/types.go:11-14`); this is test/gate
+plumbing for the streaming operators layered on Structured Streaming.
+"""
+
+from __future__ import annotations
+
+import glob
+import hashlib
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# Fixed epoch base for chunk mtimes: any strictly increasing sequence
+# works (the file stream orders by mtime); a fixed base keeps rebuilt
+# sources byte-for-byte reproducible.
+_MTIME_BASE = 1_600_000_000
+
+
+def chunked_replay_source(
+    spark: SparkSession,
+    df: DataFrame,
+    out_dir: str,
+    n_chunks: int,
+    chunk_expr: str,
+    cache_token: str | None = None,
+) -> str:
+    """Materialize ``df`` as ``n_chunks`` parquet files (chunk k = rows
+    where ``chunk_expr`` evaluates to k) named ``chunk-%04d.parquet``
+    with increasing mtimes, and return the published directory.
+
+    ``chunk_expr`` is SQL over ``df``'s columns and must map EVERY row
+    into ``range(n_chunks)`` (asserted with one aggregate before any
+    write). With ``cache_token`` the published dir is
+    ``{out_dir}_{md5(params|token)[:8]}`` and an existing dir is
+    reused; with ``cache_token=None`` the source is always rebuilt at
+    ``out_dir`` (callers that scope the path per run want no reuse).
+    The per-chunk write loop is driver-side but bounded by n_chunks,
+    not rows."""
+    if cache_token is not None:
+        key = hashlib.md5(
+            f"{n_chunks}|{chunk_expr}|{cache_token}".encode()
+        ).hexdigest()[:8]
+        out_dir = f"{out_dir}_{key}"
+        if os.path.exists(out_dir):
+            return out_dir
+    else:
+        shutil.rmtree(out_dir, ignore_errors=True)
+    build = out_dir + ".build"
+    shutil.rmtree(build, ignore_errors=True)
+    os.makedirs(build)
+    chunk = F.expr(chunk_expr)
+    cov = df.agg(
+        F.count(F.lit(1)).alias("n_all"),
+        F.count(F.when((chunk >= 0) & (chunk < n_chunks), 1)).alias(
+            "n_in"
+        ),
+    ).collect()[0]
+    if cov["n_all"] != cov["n_in"]:
+        raise ValueError(
+            f"chunk_expr {chunk_expr!r} covers {cov['n_in']} of "
+            f"{cov['n_all']} rows for n_chunks={n_chunks} — rows "
+            "outside range(n_chunks) would silently drop from the "
+            "stream"
+        )
+    for k in range(n_chunks):
+        (
+            df.where(chunk == k)
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(os.path.join(build, str(k)))
+        )
+    ready = os.path.join(build, "ready")
+    os.makedirs(ready)
+    for k in range(n_chunks):
+        part = glob.glob(os.path.join(build, str(k), "part-*.parquet"))[0]
+        path = os.path.join(ready, f"chunk-{k:04d}.parquet")
+        os.rename(part, path)
+        os.utime(path, (_MTIME_BASE + k, _MTIME_BASE + k))
+    os.rename(ready, out_dir)  # the publish point
+    shutil.rmtree(build, ignore_errors=True)
+    return out_dir

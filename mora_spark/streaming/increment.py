@@ -21,7 +21,6 @@ it reproduces what sequential ingestion actually keeps.
 from __future__ import annotations
 
 import os
-import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -51,48 +50,24 @@ def docs_chunked_source(
     ``maxFilesPerTrigger=1`` file stream replays them as deterministic
     micro-batches. Both expressions are plain SQL over ``doc_id`` so
     the chunking (unlike range chunking) is exactly reproducible in
-    the DuckDB oracle. The per-chunk write loop is driver-side but
-    bounded by n_chunks, not rows."""
-    import hashlib
+    the DuckDB oracle. Delegates to
+    :func:`mora_spark.streaming.chunked.chunked_replay_source` (the
+    shared hardened machinery: coverage assert, corpus-keyed cache,
+    atomic publish); the cache token names the corpus — sf_dir plus
+    the corpus-defining filter."""
+    from mora_spark.streaming.chunked import chunked_replay_source
 
-    key = str(n_chunks)
-    if filter_expr is not None or chunk_expr != "doc_id":
-        sig = hashlib.md5(
-            f"{filter_expr}|{chunk_expr}".encode()
-        ).hexdigest()[:8]
-        key = f"{n_chunks}_{sig}"
-    src = os.path.join(out_dir, f"docs_source_{key}")
-    if os.path.exists(src):
-        return src
-    # Assemble EVERYTHING under the build dir and publish with one
-    # atomic directory rename as the very last step: a crash mid-build
-    # leaves no ``src``, so the next run rebuilds from scratch instead
-    # of replaying a partial source as if it were complete.
-    build = src + ".build"
-    shutil.rmtree(build, ignore_errors=True)
-    os.makedirs(build)
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     if filter_expr is not None:
         docs = docs.where(F.expr(filter_expr))
-    for k in range(n_chunks):
-        (
-            docs.where(F.expr(chunk_expr) % n_chunks == k)
-            .coalesce(1)
-            .write.mode("overwrite")
-            .parquet(os.path.join(build, str(k)))
-        )
-    import glob
-
-    ready = os.path.join(build, "ready")
-    os.makedirs(ready)
-    for k in range(n_chunks):
-        part = glob.glob(os.path.join(build, str(k), "part-*.parquet"))[0]
-        path = os.path.join(ready, f"chunk-{k:04d}.parquet")
-        os.rename(part, path)
-        os.utime(path, (1_600_000_000 + k, 1_600_000_000 + k))
-    os.rename(ready, src)  # the publish point
-    shutil.rmtree(build, ignore_errors=True)
-    return src
+    return chunked_replay_source(
+        spark,
+        docs,
+        os.path.join(out_dir, "docs_source"),
+        n_chunks,
+        f"({chunk_expr}) % {n_chunks}",
+        cache_token=f"{sf_dir}|{filter_expr}",
+    )
 
 
 def stream_dedup_increment(

@@ -43,71 +43,29 @@ def media_chunked_source(
     out_dir: str,
     n_chunks: int,
     chunk_expr: str,
+    cache_token: str | None = None,
 ) -> str:
     """Materialize a media frame (media_id, payload) as ``n_chunks``
     parquet files (chunk k = rows with ``chunk_expr == k``) with
     increasing mtimes, so a ``maxFilesPerTrigger=1`` file stream
-    replays them as deterministic micro-batches — the
-    ``docs_chunked_source`` discipline (streaming/increment.py) for
-    binary payload columns; round-10 consolidation candidate once that
-    module's queries rotate back through the window.
-    ``chunk_expr`` is plain SQL over media_id so the chunking is
-    exactly reproducible in the oracle.
+    replays them as deterministic micro-batches. ``chunk_expr`` is
+    plain SQL over media_id so the chunking is exactly reproducible in
+    the oracle. Delegates to
+    :func:`mora_spark.streaming.chunked.chunked_replay_source` (the
+    shared hardened machinery: coverage assert, atomic publish);
+    callers wanting cache reuse MUST pass a ``cache_token`` naming the
+    corpus — keying by chunk params alone would let two different
+    media frames hit the same cached source."""
+    from mora_spark.streaming.chunked import chunked_replay_source
 
-    The cached directory is KEYED by (n_chunks, chunk_expr) — a bare
-    path-exists reuse would silently replay a stale source built under
-    different chunking params while the oracle unrolls the new ones.
-    A chunking that does not cover every row raises: a row whose
-    chunk value falls outside range(n_chunks) would otherwise vanish
-    from the stream while the oracle (replaying the same arithmetic)
-    stays green — the gate would silently stop exercising what it
-    claims to."""
-    import glob
-    import hashlib
-    import shutil
-
-    key = hashlib.md5(f"{n_chunks}|{chunk_expr}".encode()).hexdigest()[:8]
-    out_dir = f"{out_dir}_{key}"
-    if os.path.exists(out_dir):
-        return out_dir
-    build = out_dir + ".build"
-    shutil.rmtree(build, ignore_errors=True)
-    os.makedirs(build)
-    src = media.select("media_id", "payload")
-    cov = src.agg(
-        F.count(F.lit(1)).alias("n_all"),
-        F.count(
-            F.when(
-                (F.expr(chunk_expr) >= 0)
-                & (F.expr(chunk_expr) < n_chunks),
-                1,
-            )
-        ).alias("n_in"),
-    ).collect()[0]
-    if cov["n_all"] != cov["n_in"]:
-        raise ValueError(
-            f"chunk_expr {chunk_expr!r} covers {cov['n_in']} of "
-            f"{cov['n_all']} rows for n_chunks={n_chunks} — rows "
-            "outside range(n_chunks) would silently drop from the "
-            "stream"
-        )
-    for k in range(n_chunks):
-        (
-            src.where(F.expr(chunk_expr) == k)
-            .coalesce(1)
-            .write.mode("overwrite")
-            .parquet(os.path.join(build, str(k)))
-        )
-    ready = os.path.join(build, "ready")
-    os.makedirs(ready)
-    for k in range(n_chunks):
-        part = glob.glob(os.path.join(build, str(k), "part-*.parquet"))[0]
-        path = os.path.join(ready, f"chunk-{k:04d}.parquet")
-        os.rename(part, path)
-        os.utime(path, (1_600_000_000 + k, 1_600_000_000 + k))
-    os.rename(ready, out_dir)  # the publish point
-    shutil.rmtree(build, ignore_errors=True)
-    return out_dir
+    return chunked_replay_source(
+        spark,
+        media.select("media_id", "payload"),
+        out_dir,
+        n_chunks,
+        chunk_expr,
+        cache_token=cache_token,
+    )
 
 
 def stream_media_dedup(
