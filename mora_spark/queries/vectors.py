@@ -1001,6 +1001,147 @@ def q_stream_ann_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- q_stream_semdedup: continuous embedding-space curation ---
+# The semantic twin of q_stream_dedup_increment / q_stream_media_dedup,
+# closing the dedup matrix's last streaming cell: the planted corpus
+# streams as 3 deterministic micro-batches — batch 0 the originals,
+# batch 1 the alpha=0.2 shifted copies (the q_semdedup plant), batch 2
+# a CLOSER alpha=0.1 shift (chunk = vec_id div PLANT_OFFSET, replayable
+# in SQL) — through the streaming semantic-dedup sink. Each batch
+# dedups by exact cosine (banded SRP candidates) against the persisted
+# index of earlier KEPT embeddings plus itself; only survivors grow
+# the index. Both shifted generations drop against the kept originals
+# (copies of batch-1-dropped vectors never entered the index), and
+# natural near-dups emit identically on both engines: the oracle
+# unrolls the same greedy sequence per batch over the exact cosine
+# pair graph.
+
+PLANT_ALPHA2 = 0.1
+_SEM_STREAM_CHUNKS = 3
+
+
+def _planted_semstream(e: DataFrame) -> DataFrame:
+    v = as_double(F.col("embedding"))
+    base = e.select("vec_id", v.alias("embedding"))
+    out = base
+    for gen, alpha in ((1, PLANT_ALPHA), (2, PLANT_ALPHA2)):
+        shift = F.lit(alpha) * l2_norm(F.col("embedding")) / _SQRT_DIM
+        out = out.unionByName(
+            e.select(
+                (F.col("vec_id") + F.lit(gen * PLANT_OFFSET)).alias(
+                    "vec_id"
+                ),
+                F.transform(v, lambda x: x + shift).alias("embedding"),
+            )
+        )
+    return out
+
+
+def q_stream_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+
+    from mora_spark.queries.store import scratch_dir
+    from mora_spark.streaming.chunked import chunked_replay_source
+    from mora_spark.streaming.semdedup import stream_semantic_dedup
+
+    work = scratch_dir("stream_semdedup", sf_dir)
+    src = chunked_replay_source(
+        spark,
+        _planted_semstream(_emb(spark, sf_dir)),
+        os.path.join(work, "src"),
+        _SEM_STREAM_CHUNKS,
+        f"vec_id div {PLANT_OFFSET}",
+        cache_token=sf_dir,
+    )
+    run = os.path.join(work, "run")
+    shutil.rmtree(run, ignore_errors=True)
+    return stream_semantic_dedup(
+        spark,
+        src,
+        run,
+        threshold=NEARDUP_THRESHOLD,
+        n_bits=NEARDUP_BITS,
+        n_bands=NEARDUP_BANDS,
+    )
+
+
+def _o_stream_semdedup(n: int = _SEM_STREAM_CHUNKS) -> str:
+    """Unrolled greedy replay (the _kept_ctes discipline of
+    queries/streaming.py, over vector ids and exact cosine pairs)."""
+
+    def member(x: str, k: int) -> str:
+        return f"({x} // {PLANT_OFFSET} = {k})"
+
+    kept_ctes, emits = [], []
+    for k in range(n):
+        prev = (
+            " UNION ALL ".join(
+                f"SELECT vec_id FROM kept_{j}" for j in range(k)
+            )
+            or "SELECT NULL::BIGINT AS vec_id WHERE false"
+        )
+        kept_ctes.append(f"""
+prev_{k} AS ({prev}),
+dropped_{k} AS (
+  SELECT p.db AS vec_id FROM pairs p
+  WHERE {member("p.db", k)} AND {member("p.da", k)}
+  UNION ALL
+  SELECT p.db FROM pairs p JOIN prev_{k} u ON p.da = u.vec_id
+  WHERE {member("p.db", k)}
+  UNION ALL
+  SELECT p.da FROM pairs p JOIN prev_{k} u ON p.db = u.vec_id
+  WHERE {member("p.da", k)}
+),
+kept_{k} AS (
+  SELECT vec_id FROM e WHERE {member("vec_id", k)}
+    AND vec_id NOT IN (SELECT vec_id FROM dropped_{k})
+)""")
+        emits.append(f"""
+UNION ALL
+SELECT p.db AS vec_id, p.da AS dup_id, p.score, 'corpus' AS src
+FROM pairs p JOIN prev_{k} u ON p.da = u.vec_id
+WHERE {member("p.db", k)}
+UNION ALL
+SELECT p.da, p.db, p.score, 'corpus'
+FROM pairs p JOIN prev_{k} u ON p.db = u.vec_id
+WHERE {member("p.da", k)}""")
+    same_batch = " OR ".join(
+        f"({member('p.da', k)} AND {member('p.db', k)})" for k in range(n)
+    )
+    return f"""
+WITH base AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), e AS (
+  SELECT vec_id, v FROM base
+  UNION ALL
+  SELECT vec_id + {PLANT_OFFSET} AS vec_id,
+         list_transform(v, x -> x + {PLANT_ALPHA}
+             * sqrt(list_dot_product(v, v)) / {_SQRT_DIM}) AS v
+  FROM base
+  UNION ALL
+  SELECT vec_id + {2 * PLANT_OFFSET} AS vec_id,
+         list_transform(v, x -> x + {PLANT_ALPHA2}
+             * sqrt(list_dot_product(v, v)) / {_SQRT_DIM}) AS v
+  FROM base
+), pairs AS (
+  SELECT a.vec_id AS da, b.vec_id AS db,
+         round(list_dot_product(a.v, b.v)
+               / (sqrt(list_dot_product(a.v, a.v))
+                  * sqrt(list_dot_product(b.v, b.v))), 6) AS score
+  FROM e a JOIN e b ON a.vec_id < b.vec_id
+  WHERE round(list_dot_product(a.v, b.v)
+              / (sqrt(list_dot_product(a.v, a.v))
+                 * sqrt(list_dot_product(b.v, b.v))), 6)
+        >= {NEARDUP_THRESHOLD}
+),{",".join(kept_ctes)}
+SELECT p.db AS vec_id, p.da AS dup_id, p.score, 'batch' AS src
+FROM pairs p WHERE {same_batch}
+{"".join(emits)}
+"""
+
+
 QUERIES = {
     "q_embedding_norms": q_embedding_norms,
     "q_simsearch_topk": q_simsearch_topk,
@@ -1016,6 +1157,7 @@ QUERIES = {
     "q_ann_filtered": q_ann_filtered,
     "q_ann_opq": q_ann_opq,
     "q_stream_ann_ingest": q_stream_ann_ingest,
+    "q_stream_semdedup": q_stream_semdedup,
     "q_quantize_embed": q_quantize_embed,
     "q_embed_neardup": q_embed_neardup,
     "q_semdedup": q_semdedup,
@@ -1037,6 +1179,7 @@ ORACLES = {
     "q_ann_filtered": O_ANN_FILTERED,
     "q_ann_opq": O_ANN_PQ,
     "q_stream_ann_ingest": O_ANN_PQ,
+    "q_stream_semdedup": _o_stream_semdedup(),
     "q_quantize_embed": O_QUANTIZE_EMBED,
     "q_embed_neardup": O_EMBED_NEARDUP,
     "q_semdedup": O_SEMDEDUP,

@@ -2,6 +2,11 @@
 re-expressed as micro-batch streams with checkpoint recovery."""
 
 from mora_spark.streaming.chunked import chunked_replay_source
+from mora_spark.streaming.pairdedup import dedup_pairs_batch
+from mora_spark.streaming.semdedup import (
+    dedup_embed_batch,
+    stream_semantic_dedup,
+)
 from mora_spark.streaming.increment import (
     compact_stream_index,
     docs_chunked_source,
@@ -25,9 +30,12 @@ from mora_spark.streaming.ingest import (
 __all__ = [
     "chunked_replay_source",
     "chunked_source",
+    "dedup_embed_batch",
+    "dedup_pairs_batch",
     "docs_chunked_source",
     "compact_stream_index",
     "stream_dedup_increment",
+    "stream_semantic_dedup",
     "ordered_chunked_source",
     "stream_candles",
     "stream_dedup_ingest",

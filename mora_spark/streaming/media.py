@@ -31,10 +31,10 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
 from mora_spark.llm.hamming import banded_hamming_pairs
 from mora_spark.llm.multimodal import DHASH_BITS, dhash_media
+from mora_spark.streaming.pairdedup import dedup_pairs_batch
 
 
 def media_chunked_source(
@@ -131,86 +131,23 @@ def dedup_media_batch(
     was itself dropped against the corpus index — so the kept set is
     "items pairing with nothing earlier", NOT "survivors of a greedy
     replay over kept items only". A consumer reconstructing kept media
-    from the pairs table must apply the same rule."""
-    sig_b = dhash_media(batch).persist()
-    try:
-        if os.path.exists(index_dir):
-            kept = (
-                spark.read.parquet(index_dir)
-                .where(F.col("batch_id") < batch_id)
-                .select("media_id", "dhash")
-            )
-        else:
-            kept = sig_b.where(F.lit(False)).select(
-                "media_id", "dhash"
-            )
-        # One banded pass over kept + batch; index ids and batch
-        # ids are disjoint (each media arrives once), so pair
-        # classification is pure membership arithmetic below.
-        b_ids = sig_b.select(F.col("media_id").alias("bid"))
-        all_pairs = banded_hamming_pairs(
-            kept.unionByName(sig_b),
+    from the pairs table must apply the same rule.
+
+    The transactional step is the shared pair-dedup core
+    (``streaming/pairdedup.py``) with the banded-Hamming pair pass as
+    the pair function; only the dHash state projection lives here."""
+    dedup_pairs_batch(
+        spark,
+        dhash_media(batch).select("media_id", "dhash"),
+        batch_id,
+        index_dir,
+        pairs_dir,
+        pair_fn=lambda sigs: banded_hamming_pairs(
+            sigs,
             sig_col="dhash",
             n_bits=DHASH_BITS,
             max_hamming=max_hamming,
-        )
-        a_in = F.col("a_in_batch")
-        b_in = F.col("b_in_batch")
-        classified = (
-            all_pairs.join(
-                b_ids.withColumnRenamed("bid", "id_a").withColumn(
-                    "a_in_batch", F.lit(True)
-                ),
-                "id_a",
-                "left",
-            )
-            .join(
-                b_ids.withColumnRenamed("bid", "id_b").withColumn(
-                    "b_in_batch", F.lit(True)
-                ),
-                "id_b",
-                "left",
-            )
-            .select(
-                "id_a",
-                "id_b",
-                "hamming",
-                F.coalesce(a_in, F.lit(False)).alias("a_in_batch"),
-                F.coalesce(b_in, F.lit(False)).alias("b_in_batch"),
-            )
-        )
-        intra = classified.where(a_in & b_in).select(
-            F.col("id_b").alias("media_id"),
-            F.col("id_a").alias("dup_id"),
-            "hamming",
-            F.lit("batch").alias("src"),
-        )
-        cross = classified.where(a_in != b_in).select(
-            F.when(a_in, F.col("id_a"))
-            .otherwise(F.col("id_b"))
-            .alias("media_id"),
-            F.when(a_in, F.col("id_b"))
-            .otherwise(F.col("id_a"))
-            .alias("dup_id"),
-            "hamming",
-            F.lit("corpus").alias("src"),
-        )
-        # Eager checkpoint: the pair set is fully materialized once,
-        # then feeds both the pairs sink and the survivor anti-join
-        # from the SAME evaluated lineage (the increment-sink
-        # discipline) — a read-back of the just-written directory
-        # would cost an extra job and fail schema inference on a
-        # zero-pair batch written with zero partitions.
-        pairs = intra.unionByName(cross).localCheckpoint(eager=True)
-        pairs.write.mode("overwrite").parquet(
-            os.path.join(pairs_dir, f"batch_id={batch_id}")
-        )
-        dropped = pairs.select("media_id").distinct()
-        (
-            sig_b.join(dropped, "media_id", "left_anti")
-            .select("media_id", "dhash")
-            .write.mode("overwrite")
-            .parquet(os.path.join(index_dir, f"batch_id={batch_id}"))
-        )
-    finally:
-        sig_b.unpersist()
+        ),
+        id_col="media_id",
+        score_col="hamming",
+    )

@@ -1,0 +1,137 @@
+"""Generic per-micro-batch pair-dedup step against a persisted index.
+
+The shared core of the streaming near-dup sinks: perceptual media
+dedup (``streaming/media.py``, Hamming pairs over 8-byte dHash
+signatures) and embedding-space semantic dedup
+(``streaming/semdedup.py``, banded SRP cosine pairs) run the identical
+transactional step per micro-batch — only the per-item state columns
+and the pair function differ. One implementation keeps the two sinks'
+replay/WAL semantics from drifting (the round-9 ``hamming.py``
+extraction showed copies diverge).
+
+Per batch: (1) read the kept-state index AS OF earlier batches
+(``batch_id < current`` snapshot over the epoch layout); (2) one pair
+pass over kept ∪ batch; (3) classify pairs — same-batch pairs emit as
+``src='batch'`` (the later id is the dup), pairs against earlier kept
+state as ``src='corpus'`` (the batch side is the dup, either id
+orientation); (4) survivors (batch items appearing in no pair as the
+dropped side) append their state to the index under the batch's own
+epoch.
+
+Replay-idempotence is the increment sink's WAL discipline: every
+write (pairs AND index) targets its own deterministic
+``batch_id=<n>`` directory with mode=overwrite, and the index is read
+through the snapshot filter, so a crashed-and-replayed micro-batch
+recomputes the same answer and overwrites, never duplicates.
+
+The intra-batch drop rule is ORDER-GREEDY, not component-greedy: a
+batch item pairing with an EARLIER batchmate is dropped even if that
+batchmate was itself dropped against the corpus index — the kept set
+is "items pairing with nothing earlier", NOT "survivors of a greedy
+replay over kept items only". A consumer reconstructing the kept set
+from the pairs table must apply the same rule.
+
+The reference engine has no streaming surface at all (command enum
+INSERT/COMMIT, `database/command/types.go:11-14`).
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def dedup_pairs_batch(
+    spark: SparkSession,
+    state_b: DataFrame,
+    batch_id: int,
+    index_dir: str,
+    pairs_dir: str,
+    pair_fn: Callable[[DataFrame], DataFrame],
+    id_col: str,
+    score_col: str,
+) -> None:
+    """One micro-batch pair-dedup step (see module docstring).
+
+    ``state_b`` carries the batch's per-item dedup state —
+    ``(id_col, *state columns)``; the index persists exactly these
+    columns per kept item. ``pair_fn`` maps a state frame to its
+    near-dup pairs ``(id_a, id_b, score_col)`` with ``id_a < id_b``.
+    Batch ids and index ids must be disjoint (each item arrives once),
+    so pair classification is pure membership arithmetic. Emitted pair
+    rows are ``(id_col, dup_id, score_col, src)`` with the dropped
+    item first."""
+    state_b = state_b.persist()
+    try:
+        if os.path.exists(index_dir):
+            kept = (
+                spark.read.parquet(index_dir)
+                .where(F.col("batch_id") < batch_id)
+                .select(state_b.columns)
+            )
+        else:
+            kept = state_b.where(F.lit(False))
+        b_ids = state_b.select(F.col(id_col).alias("bid"))
+        all_pairs = pair_fn(kept.unionByName(state_b))
+        a_in = F.col("a_in_batch")
+        b_in = F.col("b_in_batch")
+        classified = (
+            all_pairs.join(
+                b_ids.withColumnRenamed("bid", "id_a").withColumn(
+                    "a_in_batch", F.lit(True)
+                ),
+                "id_a",
+                "left",
+            )
+            .join(
+                b_ids.withColumnRenamed("bid", "id_b").withColumn(
+                    "b_in_batch", F.lit(True)
+                ),
+                "id_b",
+                "left",
+            )
+            .select(
+                "id_a",
+                "id_b",
+                score_col,
+                F.coalesce(a_in, F.lit(False)).alias("a_in_batch"),
+                F.coalesce(b_in, F.lit(False)).alias("b_in_batch"),
+            )
+        )
+        intra = classified.where(a_in & b_in).select(
+            F.col("id_b").alias(id_col),
+            F.col("id_a").alias("dup_id"),
+            score_col,
+            F.lit("batch").alias("src"),
+        )
+        cross = classified.where(a_in != b_in).select(
+            F.when(a_in, F.col("id_a"))
+            .otherwise(F.col("id_b"))
+            .alias(id_col),
+            F.when(a_in, F.col("id_b"))
+            .otherwise(F.col("id_a"))
+            .alias("dup_id"),
+            score_col,
+            F.lit("corpus").alias("src"),
+        )
+        # Eager checkpoint: the pair set is fully materialized once,
+        # then feeds both the pairs sink and the survivor anti-join
+        # from the SAME evaluated lineage — a read-back of the
+        # just-written directory would cost an extra job and fail
+        # schema inference on a zero-pair batch written with zero
+        # partitions.
+        pairs = intra.unionByName(cross).localCheckpoint(eager=True)
+        pairs.write.mode("overwrite").parquet(
+            os.path.join(pairs_dir, f"batch_id={batch_id}")
+        )
+        dropped = pairs.select(id_col).distinct()
+        (
+            state_b.join(dropped, id_col, "left_anti")
+            .write.mode("overwrite")
+            .parquet(os.path.join(index_dir, f"batch_id={batch_id}"))
+        )
+    finally:
+        state_b.unpersist()

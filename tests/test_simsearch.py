@@ -523,3 +523,59 @@ def test_filtered_search_empty_predicate_returns_empty(
         predicate="label = 999",
     )
     assert got.count() == 0
+
+
+def test_stream_semdedup_batch_replay_is_idempotent(
+    spark, sf_dir, tmp_path
+):
+    """foreachBatch is at-least-once: re-invoking a batch step must
+    recompute the same pairs against the same batch_id<current index
+    snapshot and overwrite its own epoch dirs — state identical to the
+    single-delivery run, never duplicated. Every alpha-shifted copy
+    must drop against its kept original (the q_semdedup plant shifts
+    by 0.2, measured cosine > 0.95 on this corpus), and no copy may
+    enter the index."""
+    from mora_spark.functions.vectors import l2_norm
+    from mora_spark.queries.vectors import _SQRT_DIM, as_double
+    from mora_spark.streaming.semdedup import dedup_embed_batch
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("embedding")
+    )
+    shift = F.lit(0.2) * l2_norm(F.col("embedding")) / _SQRT_DIM
+    copies = e.select(
+        (F.col("vec_id") + 50_000).alias("vec_id"),
+        F.transform("embedding", lambda x: x + shift).alias("embedding"),
+    )
+    index_dir = str(tmp_path / "embed_index")
+    pairs_dir = str(tmp_path / "dup_pairs")
+    dedup_embed_batch(spark, e, 0, index_dir, pairs_dir)
+    dedup_embed_batch(spark, copies, 1, index_dir, pairs_dir)
+
+    def state():
+        pairs = sorted(
+            (r["vec_id"], r["dup_id"], r["score"], r["src"])
+            for r in spark.read.parquet(pairs_dir).collect()
+        )
+        kept = sorted(
+            (r["vec_id"], r["batch_id"])
+            for r in spark.read.parquet(index_dir)
+            .select("vec_id", "batch_id")
+            .collect()
+        )
+        return pairs, kept
+
+    once = state()
+    dedup_embed_batch(spark, copies, 1, index_dir, pairs_dir)  # replay
+    assert state() == once
+    pairs, kept = once
+    n = e.count()
+    # every copy pairs against its kept original across the corpus
+    corpus = {
+        (v, d) for v, d, s, src in pairs
+        if src == "corpus" and v == d + 50_000
+    }
+    kept_0 = {v for v, b in kept if b == 0}
+    assert corpus >= {(v + 50_000, v) for v in kept_0}
+    assert all(b == 0 for _, b in kept)  # no copy entered the index
+    assert len(kept_0) <= n
