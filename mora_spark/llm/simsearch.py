@@ -669,12 +669,21 @@ def ivf_index_topk(
     n_probe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    predicate: str | Column | None = None,
 ) -> DataFrame:
     """Top-k search against a PERSISTED IVF index: identical results to
     :func:`ivf_topk` with the same (deterministic) training, but the
     corpus scan touches only the probed cells' partitions. Query
     vectors are fetched by id and probe cells computed driver-side —
-    bounded by the request size, the natural client-query shape."""
+    bounded by the request size, the natural client-query shape.
+
+    ``predicate`` is FILTERED search (faiss's IDSelector / a vector
+    DB's metadata filter), the ``ivfpq_index_topk`` contract on the
+    simpler index tier: a SQL expression (or Column) over the posting
+    columns — they're stored in the cell parquet next to the vectors,
+    so the filter rides the SAME partition-pruned scan as a pushed
+    parquet predicate and k fills POST-filter (post-filtering an
+    unfiltered top-k would silently under-fill k)."""
     cents, assigned = load_ivf_index(spark, path)
     qrows = (
         assigned.where(F.col(id_col).isin(query_ids))
@@ -697,10 +706,15 @@ def ivf_index_topk(
     q = spark.createDataFrame(
         probe, f"query_id long, qv array<{elem}>, cell int"
     )
-    cand = assigned.where(
+    pruned = assigned.where(
         F.col("cell").isin(sorted({c for _, _, c in probe}))
         & ~F.col(id_col).isin(query_ids)
-    ).select(
+    )
+    if predicate is not None:
+        pruned = pruned.where(
+            F.expr(predicate) if isinstance(predicate, str) else predicate
+        )
+    cand = pruned.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"), "cell"
     )
     scored = cand.join(broadcast(q), "cell").withColumn(
@@ -723,6 +737,7 @@ def sq8_rerank_topk(
     shortlist: int = 50,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    predicate: str | Column | None = None,
 ) -> DataFrame:
     """Two-stage scalar-quantized (SQ8) top-k — the classic
     quantize-then-rerank ANN pipeline (faiss's SQ8 flat):
@@ -740,20 +755,36 @@ def sq8_rerank_topk(
     stages are JVM higher-order functions; scores round to 6 dp with
     (score desc, id) ranking so the pipeline is oracle-exact
     end-to-end, with no planted corpus needed.
+
+    ``predicate`` is FILTERED search (the ``pq_topk`` contract on the
+    scalar-quantized tier): a SQL expression (or Column) over the
+    corpus's metadata columns restricting the CANDIDATE set — queries
+    themselves need not satisfy it, and both stages inherit the
+    restriction, so k fills post-filter. It applies before
+    quantization, which is per-vector scan-stage arithmetic, so the
+    filter reaches the source scan as a pushed predicate.
     """
-    base = quantize_embeddings(
-        embeddings.select(
-            id_col,
-            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias(
-                vec_col
+
+    def quant(src: DataFrame) -> DataFrame:
+        return quantize_embeddings(
+            src.select(
+                id_col,
+                F.transform(
+                    F.col(vec_col), lambda x: x.cast("double")
+                ).alias(vec_col),
             ),
-        ),
-        vec_col=vec_col,
-    )
-    q = base.where(F.col(id_col).isin(query_ids)).select(
+            vec_col=vec_col,
+        )
+
+    q = quant(embeddings).where(F.col(id_col).isin(query_ids)).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
     )
-    c = base.where(~F.col(id_col).isin(query_ids)).select(
+    csrc = embeddings
+    if predicate is not None:
+        csrc = csrc.where(
+            F.expr(predicate) if isinstance(predicate, str) else predicate
+        )
+    c = quant(csrc).where(~F.col(id_col).isin(query_ids)).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
         F.transform(F.col("qvec"), lambda x: x.cast("double")).alias("cq"),

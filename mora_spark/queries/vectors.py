@@ -18,6 +18,7 @@ from mora_spark.functions.vectors import as_double, cosine, dot, l2_norm
 
 N_QUERIES = 5  # vec_id < 5 are the query vectors
 TOP_K = 5
+SQ8_SHORTLIST = 50
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -510,6 +511,105 @@ SELECT query_id, neighbor_id, score, rank FROM (
 """
 
 
+# --- q_ann_filtered_ivf / q_ann_filtered_sq8: filtered-search parity
+# on the non-PQ ladder --- A user on the simpler index tiers gets the
+# same predicate contract as ivfpq_index_topk (k fills POST-filter,
+# the filter rides the pruned scan) instead of under-filling
+# post-filtration. The IVF tier reuses the labeled plant and the
+# brute-force-filtered oracle verbatim: exact copies land in the
+# query's own (always probed) cell, pass the in-set label, score
+# round(cos,6)=1.0 and win ties at their negative ids, so the filtered
+# top-k is exactly the TOP_K copies on both engines. The SQ8 tier
+# needs no plant at all — the whole quantize→shortlist→rerank pipeline
+# is oracle-exact, so the oracle is the q_ann_sq8 replay with the same
+# label restriction on the candidate CTE.
+
+def q_ann_filtered_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from mora_spark.llm.simsearch import (
+        build_ivf_index,
+        ivf_index_topk,
+        save_ivf_index,
+    )
+    from mora_spark.queries.store import scratch_dir
+
+    path = scratch_dir("ivf_filtered", sf_dir)
+    shutil.rmtree(path, ignore_errors=True)
+    e = _planted_pq_labeled(_emb(spark, sf_dir))
+    # Build ONCE over the whole corpus; the predicate varies per query
+    # (the production shape — an index is never rebuilt per filter).
+    save_ivf_index(*build_ivf_index(e, train_iters=2), path)
+    return ivf_index_topk(
+        spark,
+        path,
+        query_ids=list(range(N_QUERIES)),
+        k=TOP_K,
+        n_probe=4,
+        predicate=FILTER_PREDICATE,
+    )
+
+
+def q_ann_filtered_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mora_spark.llm.simsearch import sq8_rerank_topk
+
+    return sq8_rerank_topk(
+        _emb(spark, sf_dir),
+        query_ids=list(range(N_QUERIES)),
+        k=TOP_K,
+        shortlist=SQ8_SHORTLIST,
+        predicate=FILTER_PREDICATE,
+    )
+
+
+O_ANN_FILTERED_SQ8 = f"""
+WITH e AS (
+  SELECT vec_id, label,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), s AS (
+  SELECT vec_id, label, v,
+         CASE WHEN list_max(list_transform(v, x -> abs(x))) > 0
+              THEN list_max(list_transform(v, x -> abs(x))) / 127.0
+              ELSE 1.0 END AS scale
+  FROM e
+), qz AS (
+  SELECT vec_id, label, v,
+         list_transform(v, x -> CAST(greatest(-127, least(127,
+             CAST(floor(x / scale + 0.5) AS INT))) AS DOUBLE)) AS cq
+  FROM s
+), q AS (
+  SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < {N_QUERIES}
+), c AS (
+  SELECT vec_id AS neighbor_id, v AS cv, cq FROM qz
+  WHERE vec_id >= {N_QUERIES} AND label IN {FILTER_LABELS}
+), stage1 AS (
+  SELECT query_id, neighbor_id, cv, qv,
+         round(list_dot_product(qv, cq)
+               / (sqrt(list_dot_product(qv, qv))
+                  * sqrt(list_dot_product(cq, cq))), 6) AS qscore
+  FROM c CROSS JOIN q
+), short AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY qscore DESC, neighbor_id) AS qrank
+    FROM stage1
+  ) WHERE qrank <= {SQ8_SHORTLIST}
+), rescored AS (
+  SELECT query_id, neighbor_id,
+         round(list_dot_product(qv, cv)
+               / (sqrt(list_dot_product(qv, qv))
+                  * sqrt(list_dot_product(cv, cv))), 6) AS score
+  FROM short
+)
+SELECT query_id, neighbor_id, score, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY score DESC, neighbor_id) AS rank
+  FROM rescored
+) WHERE rank <= {TOP_K}
+"""
+
+
 # --- q_ann_opq: optimized product quantization (learned rotation) ---
 # OPQ learns an orthogonal rotation that redistributes variance
 # across the PQ subspaces before coding (alternating Procrustes /
@@ -603,8 +703,8 @@ FROM q
 # BOTH stages — the quantization grid, the quantized ranking, and the
 # exact re-rank — so the driver hash verifies the whole pipeline, not
 # just its final answer.
-
-SQ8_SHORTLIST = 50
+# (Defined above the filtered-search section that references it at
+# module load: oracles are f-strings evaluated at import time.)
 
 
 def q_ann_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1155,6 +1255,8 @@ QUERIES = {
     "q_ann_pq": q_ann_pq,
     "q_ann_ivfpq": q_ann_ivfpq,
     "q_ann_filtered": q_ann_filtered,
+    "q_ann_filtered_ivf": q_ann_filtered_ivf,
+    "q_ann_filtered_sq8": q_ann_filtered_sq8,
     "q_ann_opq": q_ann_opq,
     "q_stream_ann_ingest": q_stream_ann_ingest,
     "q_stream_semdedup": q_stream_semdedup,
@@ -1177,6 +1279,8 @@ ORACLES = {
     "q_ann_pq": O_ANN_PQ,
     "q_ann_ivfpq": O_ANN_PQ,
     "q_ann_filtered": O_ANN_FILTERED,
+    "q_ann_filtered_ivf": O_ANN_FILTERED,
+    "q_ann_filtered_sq8": O_ANN_FILTERED_SQ8,
     "q_ann_opq": O_ANN_PQ,
     "q_stream_ann_ingest": O_ANN_PQ,
     "q_stream_semdedup": _o_stream_semdedup(),

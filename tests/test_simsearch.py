@@ -579,3 +579,64 @@ def test_stream_semdedup_batch_replay_is_idempotent(
     assert corpus >= {(v + 50_000, v) for v in kept_0}
     assert all(b == 0 for _, b in kept)  # no copy entered the index
     assert len(kept_0) <= n
+
+
+def test_filtered_search_parity_on_ivf_and_sq8_tiers(
+    spark, sf_dir, tmp_path
+):
+    """The non-PQ tiers honor the same predicate contract as
+    ivfpq_index_topk: k fills POST-filter (every returned neighbor
+    satisfies the predicate, and ranks are dense 1..k), an
+    impossible predicate yields zero rows not an error, and a
+    tautological predicate returns exactly the unfiltered answer."""
+    from mora_spark.llm.simsearch import (
+        build_ivf_index,
+        ivf_index_topk,
+        save_ivf_index,
+        sq8_rerank_topk,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias(
+            "embedding"
+        ),
+        "label",
+    )
+    labels = {r["vec_id"]: r["label"] for r in e.select(
+        "vec_id", "label").collect()}
+    d = str(tmp_path / "ivf")
+    save_ivf_index(*build_ivf_index(e, n_cells=8, train_iters=1), d)
+
+    def pin(df, k):
+        rows = df.collect()
+        by_q = {}
+        for r in rows:
+            assert labels[r["neighbor_id"]] in (1, 3, 5)
+            by_q.setdefault(r["query_id"], []).append(r["rank"])
+        for ranks in by_q.values():
+            assert sorted(ranks) == list(range(1, k + 1))
+
+    pin(ivf_index_topk(spark, d, query_ids=[0, 1], k=5, n_probe=8,
+                       predicate="label IN (1, 3, 5)"), 5)
+    pin(sq8_rerank_topk(e, query_ids=[0, 1], k=5,
+                        predicate="label IN (1, 3, 5)"), 5)
+    assert ivf_index_topk(spark, d, query_ids=[0], k=5, n_probe=8,
+                          predicate="label = 999").count() == 0
+    assert sq8_rerank_topk(e, query_ids=[0], k=5,
+                           predicate="label = 999").count() == 0
+
+    key = lambda r: (r["query_id"], r["rank"], r["neighbor_id"],  # noqa: E731
+                     r["score"])
+    got = sorted(map(key, ivf_index_topk(
+        spark, d, query_ids=[0, 1], k=5, n_probe=8,
+        predicate="label IS NOT NULL").collect()))
+    want = sorted(map(key, ivf_index_topk(
+        spark, d, query_ids=[0, 1], k=5, n_probe=8).collect()))
+    assert got == want
+    got = sorted(map(key, sq8_rerank_topk(
+        e, query_ids=[0, 1], k=5,
+        predicate="label IS NOT NULL").collect()))
+    want = sorted(map(key, sq8_rerank_topk(
+        e, query_ids=[0, 1], k=5).collect()))
+    assert got == want
