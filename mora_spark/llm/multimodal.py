@@ -267,3 +267,53 @@ def frame_sample(media: DataFrame, every_n: int = 10) -> DataFrame:
             )
         ).alias("frame_no"),
     )
+
+
+def media_cluster_best(
+    media: DataFrame,
+    max_hamming: int = 2,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Cluster-level perceptual dedup — the media twin of the text
+    pipeline's quality-canonical selection (``queries/text.py::
+    q_cluster_best``) and the embedding pipeline's
+    ``llm/semdedup.py``: connected components over the
+    :func:`media_neardup_pairs` graph, keeping ONE canonical member
+    per cluster. Returns (cluster_id, keep_media_id, best_quality,
+    cluster_size); cluster_id is the component's min member id.
+
+    Quality is the payload byte size — the deterministic,
+    payload-intrinsic proxy (bigger original beats a truncated or
+    re-encoded copy; a real deployment would swap in a decoder-side
+    signal like resolution or the ``extract_features`` entropy, same
+    plan). The winner is one max(struct(quality, -id)) aggregation —
+    map-side combinable, so a giant boilerplate cluster never funnels
+    through a single sort partition. Semantics are
+    blocking-independent (components of the exact Hamming pair graph),
+    so the DuckDB oracle replays it exactly via recursive label
+    propagation."""
+    from mora_spark.llm.cluster import connected_components
+
+    pairs = media_neardup_pairs(
+        media, max_hamming=max_hamming, id_col=id_col,
+        payload_col=payload_col,
+    )
+    cc = connected_components(pairs, src="id_a", dst="id_b")
+    q = media.select(
+        F.col(id_col).alias("node"),
+        F.length(F.col(payload_col)).cast("long").alias("q"),
+    )
+    j = cc.join(q, "node")
+    best = j.groupBy("label").agg(
+        F.count(F.lit(1)).alias("cluster_size"),
+        F.max(F.struct(F.col("q"), (-F.col("node")).alias("nid"))).alias(
+            "w"
+        ),
+    )
+    return best.select(
+        F.col("label").alias("cluster_id"),
+        (-F.col("w.nid")).cast("long").alias("keep_media_id"),
+        F.col("w.q").alias("best_quality"),
+        "cluster_size",
+    )

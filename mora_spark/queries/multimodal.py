@@ -184,6 +184,64 @@ WHERE bit_count(xor(a.dhash, b.dhash)) <= {MEDIA_MAX_HAMMING}
 """
 
 
+# --- q_media_cluster_best: cluster-level perceptual dedup ---
+# Completes perceptual dedup to cluster level the way text
+# (q_cluster_best) and embeddings (q_semdedup) have it: connected
+# components over the media_neardup_pairs graph + one
+# quality-canonical keeper per cluster (payload byte size, ties to
+# the smaller id, via the map-side-combinable max(struct)). The
+# cluster definition is blocking-independent, so the oracle replays
+# it exactly: the same dHash SQL prefix, brute-force pairs, recursive
+# min-label propagation, and the same canonical pick. Every planted
+# triple {original, exact copy, near copy} shares one cluster whose
+# members all have equal byte size, so the keeper is the min id (the
+# original) — and natural collisions merge in identically on both
+# engines.
+
+def q_media_cluster_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mora_spark.llm.multimodal import media_cluster_best
+
+    media = _planted_media(load_table(spark, sf_dir, "documents"))
+    return media_cluster_best(media, max_hamming=MEDIA_MAX_HAMMING)
+
+
+def _o_media_cluster_best() -> str:
+    hash_prefix = (
+        O_MEDIA_NEARDUP.split("SELECT a.media_id AS id_a")[0]
+        .replace("WITH ascii_docs", "WITH RECURSIVE ascii_docs", 1)
+        .rstrip()
+        .rstrip(",")
+    )
+    return f"""{hash_prefix},
+pairs AS (
+  SELECT a.media_id AS id_a, b.media_id AS id_b
+  FROM h a JOIN h b ON a.media_id < b.media_id
+  WHERE bit_count(xor(a.dhash, b.dhash)) <= {MEDIA_MAX_HAMMING}
+), bidir AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b AS a, id_a AS b FROM pairs
+), cc(node, label) AS (
+  SELECT DISTINCT a, a FROM bidir
+  UNION
+  SELECT bidir.a, cc.label FROM bidir JOIN cc ON cc.node = bidir.b
+), final AS (
+  SELECT node, min(label) AS cluster_id FROM cc GROUP BY node
+), nrm AS (
+  SELECT media_id AS node, octet_length(encode(text)) AS q FROM docs2
+)
+SELECT cluster_id, node AS keep_media_id, q AS best_quality,
+       cluster_size
+FROM (
+  SELECT cluster_id, node, q,
+         row_number() OVER (PARTITION BY cluster_id
+                            ORDER BY q DESC, node) AS rn,
+         count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+  FROM final JOIN nrm USING (node)
+) WHERE rn = 1
+"""
+
+
 # --- q_stream_media_dedup: continuous perceptual curation ---
 # The media twin of q_stream_dedup_increment: the planted media table
 # streams as 3 deterministic micro-batches — batch 0 the originals,
@@ -297,6 +355,7 @@ QUERIES = {
     "q_media_features": q_media_features,
     "q_frame_sample": q_frame_sample,
     "q_media_neardup": q_media_neardup,
+    "q_media_cluster_best": q_media_cluster_best,
     "q_stream_media_dedup": q_stream_media_dedup,
 }
 
@@ -305,5 +364,6 @@ ORACLES = {
     "q_media_features": O_MEDIA_FEATURES,
     "q_frame_sample": O_FRAME_SAMPLE,
     "q_media_neardup": O_MEDIA_NEARDUP,
+    "q_media_cluster_best": _o_media_cluster_best(),
     "q_stream_media_dedup": _o_stream_media_dedup(),
 }

@@ -175,3 +175,29 @@ def test_banded_hamming_pairs_lossless_across_budgets(spark):
                 if d <= budget:
                     want.append((i, j, d))
         assert got == sorted(want), f"budget {budget} diverged"
+
+
+def test_media_cluster_best_keeps_original_per_planted_triple(
+    spark, sf_dir
+):
+    """Each planted triple {original, exact copy, near copy} forms one
+    cluster; all members share the payload byte size, so the
+    quality-canonical keeper is the min id — the original."""
+    from mora_spark.llm.multimodal import media_cluster_best
+    from mora_spark.queries.multimodal import (
+        MEDIA_MAX_HAMMING,
+        _planted_media,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").limit(200)
+    out = media_cluster_best(
+        _planted_media(docs), max_hamming=MEDIA_MAX_HAMMING
+    ).collect()
+    n = docs.count()
+    assert len(out) <= n  # every original anchors at most one cluster
+    covered = 0
+    for r in out:
+        assert r["cluster_size"] >= 3  # original + copy + near copy
+        assert r["keep_media_id"] == r["cluster_id"]  # equal sizes -> min id
+        covered += 1
+    assert covered > 0
