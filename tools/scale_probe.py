@@ -962,7 +962,157 @@ def probe_round9(spark, docs, n) -> None:
     )
 
 
-if __name__ == "__main__" and "r9" in sys.argv[1:]:
+def mostly_unique_docs(spark, n, plant_every=100):
+    """Grow the documents corpus WITHOUT growing near-dup clusters —
+    the round-10 scaling mode. ``scaled_docs`` duplicates the corpus
+    verbatim, so every doc sits in an n-member exact-dup cluster and
+    intra-cluster edges grow with n^2: its 10x/20x chart measures
+    emitted-pair VOLUME, not engine cost. Here copy i instead keeps
+    only the tokens whose xxhash64(token, i) is even — an independent
+    half per copy, so cross-copy jaccard is ~1/3 (copy-vs-original
+    ~1/2), below the dedup thresholds — and plant DENSITY is held
+    constant: docs with doc_id % plant_every == 7 get one exact
+    duplicate inside their own copy's id space. Emitted pairs grow
+    linearly with the corpus; what's left to measure is the engine."""
+    d = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+
+    def rewrite(i):
+        # Per-copy token rewrite: every token becomes an 8-hex-char
+        # md5 keyed by (token, copy). Within a copy, near-dup docs
+        # stay near-dups (same rewrite both sides — the base corpus's
+        # natural cliques replicate linearly); ACROSS copies token
+        # sets are disjoint (jaccard 0) and byte grids pseudorandom
+        # (dHash collisions at the 2^-56 birthday floor).
+        def f(t):
+            return F.substring(F.md5(F.concat(t, F.lit(str(i)))), 1, 8)
+
+        return f
+
+    parts = [d]
+    for i in range(1, n):
+        toks = F.split(F.col("text"), "\\s+")
+        parts.append(
+            d.select(
+                (F.col("doc_id") + F.lit(i * 10_000_000)).alias("doc_id"),
+                F.concat_ws(" ", F.transform(toks, rewrite(i))).alias(
+                    "text"
+                ),
+            )
+        )
+    out = parts[0]
+    for c in parts[1:]:
+        out = out.unionByName(c)
+    plants = out.where(F.col("doc_id") % plant_every == 7).select(
+        (F.col("doc_id") + F.lit(5_000_000)).alias("doc_id"), "text"
+    )
+    return out.unionByName(plants)
+
+
+def mostly_unique_embeddings(spark, n, plant_every=100):
+    """The embedding twin of :func:`mostly_unique_docs`: copy i adds
+    deterministic per-(vector, copy, coord) noise of ~0.5 relative
+    norm, pushing cosine against the original (and every other copy)
+    below the 0.95 semdedup threshold, while a constant fraction of
+    EXACT copies (vec_id % plant_every == 7, +5M offset) keeps the
+    planted-pair density fixed."""
+    e = load_table(spark, SF_DIR, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias(
+            "embedding"
+        ),
+    )
+    from mora_spark.functions.vectors import l2_norm
+
+    def add_noise(i, amp):
+        def f(x, idx):
+            u = (
+                F.pmod(
+                    F.xxhash64(F.col("vec_id"), F.lit(i), idx),
+                    F.lit(2001),
+                )
+                - F.lit(1000)
+            ).cast("double") / F.lit(1000.0)
+            return x + amp * u
+
+        return f
+
+    parts = [e]
+    for i in range(1, n):
+        amp = F.lit(0.9) * l2_norm(F.col("embedding")) / F.lit(8.0)
+        noisy = F.transform(F.col("embedding"), add_noise(i, amp))
+        parts.append(
+            e.select(
+                (F.col("vec_id") + F.lit(i * 10_000_000)).alias("vec_id"),
+                noisy.alias("embedding"),
+            )
+        )
+    out = parts[0]
+    for c in parts[1:]:
+        out = out.unionByName(c)
+    plants = out.where(F.col("vec_id") % plant_every == 7).select(
+        (F.col("vec_id") + F.lit(5_000_000)).alias("vec_id"), "embedding"
+    )
+    return out.unionByName(plants)
+
+
+def probe_round10(spark, n) -> None:
+    """Round-10 surfaces: the dedup families under MOSTLY-UNIQUE
+    corpus growth (constant plant density) — the chart that separates
+    engine cost from output volume — for MinHash, semantic, and
+    perceptual dedup. Standalone: ``python tools/scale_probe.py 10 r10``."""
+    from mora_spark.llm.multimodal import media_from_documents, media_neardup_pairs
+    from mora_spark.llm.semdedup import semantic_dedup
+
+    def rates(k):
+        docs_u = mostly_unique_docs(spark, k)
+        n_docs = docs_u.count()
+        t0 = time.time()
+        mh = minhash_lsh_pairs(docs_u).count()
+        mh_s = time.time() - t0
+        t0 = time.time()
+        md = media_neardup_pairs(media_from_documents(docs_u)).count()
+        md_s = time.time() - t0
+        emb_u = mostly_unique_embeddings(spark, k)
+        n_emb = emb_u.count()
+        t0 = time.time()
+        sd = semantic_dedup(emb_u, threshold=0.95, n_bits=8, n_bands=16)
+        members = sd.agg(
+            F.count(F.lit(1)).alias("c"), F.sum("cluster_size").alias("m")
+        ).collect()[0]
+        sd_s = time.time() - t0
+        print(
+            f"x{k}: docs={n_docs:,} vecs={n_emb:,} | "
+            f"minhash {mh_s:.1f}s {mh:,}p ({1000 * mh / n_docs:.1f}/1k) | "
+            f"media {md_s:.1f}s {md:,}p ({1000 * md / n_docs:.1f}/1k) | "
+            f"semdedup {sd_s:.1f}s {members['c']:,}cl "
+            f"{members['m']:,}mem ({1000 * members['m'] / n_emb:.1f}/1k)"
+        )
+        return (mh / n_docs, md / n_docs, members["m"] / n_emb)
+
+    base = rates(1)
+    scaled = rates(n)
+    # The engine-cost contract: under constant plant density the
+    # per-item pair/membership rate must stay FLAT as the corpus grows
+    # (the duplicated-corpus mode's rate grows ~linearly in n because
+    # every doc joins an n-member exact clique). Slack covers the
+    # birthday-floor collisions the growth itself adds.
+    for name, b, s in zip(
+        ("minhash pairs", "media pairs", "semdedup members"),
+        base,
+        scaled,
+    ):
+        assert s <= 1.3 * b + 0.05, (
+            f"{name}/item rate grew {b:.3f} -> {s:.3f}: output is "
+            "scaling super-linearly under mostly-unique growth"
+        )
+
+
+if __name__ == "__main__" and "r10" in sys.argv[1:]:
+    _n = next((int(a) for a in sys.argv[1:] if a.isdigit()), 10)
+    _spark = get_spark(app_name="mora_scale_probe")
+    _spark.sparkContext.setLogLevel("ERROR")
+    probe_round10(_spark, _n)
+elif __name__ == "__main__" and "r9" in sys.argv[1:]:
     _n = next((int(a) for a in sys.argv[1:] if a.isdigit()), 10)
     _spark = get_spark(app_name="mora_scale_probe")
     _spark.sparkContext.setLogLevel("ERROR")
