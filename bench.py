@@ -82,6 +82,12 @@ HEADLINE = [
     "q_ann_filtered",
     "q_semdedup",
     "q_media_neardup",
+    # new in r10: the SQ8 filtered tier is flat-corpus (no build) and
+    # the media cluster canonical is one CC pass over the dHash pairs;
+    # q_ann_filtered_ivf's inline index build is covered by its
+    # prestaged hot twin below instead of a timed build line.
+    "q_ann_filtered_sq8",
+    "q_media_cluster_best",
 ]
 
 # Pre-staged lines: the SETUP (building bucketed tables / stores) is
@@ -119,6 +125,15 @@ PRESTAGED = [
         "mora_spark.queries.vectors",
         "_ivfpq_filtered_stage",
         "ivfpq_filtered_hot",
+    ),
+    # r10: the IVF-tier filtered search under the same discipline —
+    # the labeled IVF index is built untimed, the timed line is the
+    # repeated predicate-pushdown probe.
+    (
+        "q_ann_filtered_ivf_hot",
+        "mora_spark.queries.vectors",
+        "_ivf_filtered_stage",
+        "ivf_filtered_hot",
     ),
 ]
 

@@ -1352,3 +1352,33 @@ def ivfpq_filtered_hot(spark: SparkSession, sf_dir: str) -> DataFrame:
         shortlist=SQ8_SHORTLIST,
         predicate=FILTER_PREDICATE,
     )
+
+
+def _ivf_filtered_stage(spark: SparkSession, sf_dir: str) -> None:
+    """Bench staging (untimed): build + persist the labeled IVF index
+    once — same prestaged-hot discipline as the IVFPQ twin."""
+    import shutil
+
+    from mora_spark.llm.simsearch import build_ivf_index, save_ivf_index
+    from mora_spark.queries.store import scratch_dir
+
+    path = scratch_dir("ivf_filtered_hot", sf_dir)
+    shutil.rmtree(path, ignore_errors=True)
+    e = _planted_pq_labeled(_emb(spark, sf_dir))
+    save_ivf_index(*build_ivf_index(e, train_iters=2), path)
+
+
+def ivf_filtered_hot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bench-only: filtered IVF search against the pre-staged labeled
+    index — the predicate rides the partition-pruned cell scan."""
+    from mora_spark.llm.simsearch import ivf_index_topk
+    from mora_spark.queries.store import scratch_dir
+
+    return ivf_index_topk(
+        spark,
+        scratch_dir("ivf_filtered_hot", sf_dir),
+        query_ids=list(range(N_QUERIES)),
+        k=TOP_K,
+        n_probe=4,
+        predicate=FILTER_PREDICATE,
+    )

@@ -73,6 +73,11 @@ SMELL_QUERIES = [
     # loop / index build) and are plan-audited in their own tests
     # (tests/test_pq.py pins the filtered stage-1 scan).
     "q_media_neardup",
+    # r10: the SQ8 filtered tier is fully lazy (scan-stage quantize +
+    # window ranks); q_ann_filtered_ivf / q_media_cluster_best execute
+    # jobs at construction (index build / CC loop) and are audited by
+    # their oracle rows + operator tests instead.
+    "q_ann_filtered_sq8",
 ]
 
 # Declared exact-verification twins: quadratic/cross-join by design,
@@ -84,7 +89,10 @@ DECLARED_QUADRATIC = {
 }
 
 # Selective scans that must reach the parquet reader as PushedFilters.
-PUSHDOWN_QUERIES = ["q_range_scan", "q_tpch_q6"]
+# q_ann_filtered_sq8 pins the r10 filtered-search contract: the
+# metadata predicate must reach the embeddings scan, not hang above
+# the quantization expressions.
+PUSHDOWN_QUERIES = ["q_range_scan", "q_tpch_q6", "q_ann_filtered_sq8"]
 
 SMELLS = ("CartesianProduct", "BatchEvalPython")
 
