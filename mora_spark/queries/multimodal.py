@@ -281,10 +281,12 @@ def q_stream_media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, media, os.path.join(work, "src"),
         n_chunks=_MEDIA_STREAM_CHUNKS,
         chunk_expr=_MEDIA_CHUNK_EXPR,
-        # The cache token names the corpus: scratch_dir already scopes
-        # ``work`` by sf_dir, but the token keeps the reuse safe even
-        # if a caller ever shares the scratch root.
-        cache_token=sf_dir,
+        # The cache token names the frame's CONTENT, not just the
+        # corpus: the plant offsets are what _planted_media bakes in,
+        # so changing them invalidates the cached source instead of
+        # silently replaying pre-edit chunks (the chunked_replay_source
+        # cache-key contract).
+        cache_token=f"{sf_dir}|{MEDIA_COPY_OFFSET}|{MEDIA_NEAR_OFFSET}",
     )
     run = os.path.join(work, "run")
     shutil.rmtree(run, ignore_errors=True)

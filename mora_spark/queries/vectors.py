@@ -1152,7 +1152,11 @@ def q_stream_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.path.join(work, "src"),
         _SEM_STREAM_CHUNKS,
         f"vec_id div {PLANT_OFFSET}",
-        cache_token=sf_dir,
+        # Token = content fingerprint: the plant alphas are what
+        # _planted_semstream bakes into the frame, so an alpha edit
+        # rebuilds the source instead of replaying stale chunks (the
+        # chunked_replay_source cache-key contract).
+        cache_token=f"{sf_dir}|{PLANT_ALPHA}|{PLANT_ALPHA2}",
     )
     run = os.path.join(work, "run")
     shutil.rmtree(run, ignore_errors=True)

@@ -67,8 +67,16 @@ def chunked_replay_source(
     ``{out_dir}_{md5(params|token)[:8]}`` and an existing dir is
     reused; with ``cache_token=None`` the source is always rebuilt at
     ``out_dir`` (callers that scope the path per run want no reuse).
-    The per-chunk write loop is driver-side but bounded by n_chunks,
-    not rows."""
+
+    CACHE-KEY CONTRACT: the key fingerprints only (n_chunks,
+    chunk_expr, cache_token) — NOT the frame's construction. The
+    token must therefore name everything that defines the frame's
+    CONTENT: the corpus path plus any plant/augmentation parameters
+    the caller's builder code bakes in (in-repo callers embed their
+    plant offsets/alphas). A token that omits a parameter replays a
+    stale source after that parameter changes, silently testing
+    pre-edit data. The per-chunk write loop is driver-side but
+    bounded by n_chunks, not rows."""
     if cache_token is not None:
         key = hashlib.md5(
             f"{n_chunks}|{chunk_expr}|{cache_token}".encode()

@@ -195,9 +195,15 @@ def test_media_cluster_best_keeps_original_per_planted_triple(
     ).collect()
     n = docs.count()
     assert len(out) <= n  # every original anchors at most one cluster
-    covered = 0
+    pure_triples = 0
     for r in out:
         assert r["cluster_size"] >= 3  # original + copy + near copy
-        assert r["keep_media_id"] == r["cluster_id"]  # equal sizes -> min id
-        covered += 1
-    assert covered > 0
+        if r["cluster_size"] == 3:
+            # A pure triple's members all share the payload byte size,
+            # so the canonical is the min id (the original). A natural
+            # dHash collision can merge triples of DIFFERENT docs —
+            # then the keeper is legitimately the larger doc's min id,
+            # so the equality only holds on unmerged clusters.
+            assert r["keep_media_id"] == r["cluster_id"]
+            pure_triples += 1
+    assert pure_triples > 0

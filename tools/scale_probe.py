@@ -967,13 +967,15 @@ def mostly_unique_docs(spark, n, plant_every=100):
     the round-10 scaling mode. ``scaled_docs`` duplicates the corpus
     verbatim, so every doc sits in an n-member exact-dup cluster and
     intra-cluster edges grow with n^2: its 10x/20x chart measures
-    emitted-pair VOLUME, not engine cost. Here copy i instead keeps
-    only the tokens whose xxhash64(token, i) is even — an independent
-    half per copy, so cross-copy jaccard is ~1/3 (copy-vs-original
-    ~1/2), below the dedup thresholds — and plant DENSITY is held
-    constant: docs with doc_id % plant_every == 7 get one exact
-    duplicate inside their own copy's id space. Emitted pairs grow
-    linearly with the corpus; what's left to measure is the engine."""
+    emitted-pair VOLUME, not engine cost. Here copy i instead rewrites
+    EVERY token to a per-copy md5 (see ``rewrite`` below): token sets
+    are disjoint ACROSS copies and vs the original (jaccard ~0), while
+    WITHIN a copy the base corpus's natural near-dup structure is
+    preserved (same rewrite both sides), so natural pairs replicate
+    linearly — and plant DENSITY is held constant: docs with
+    doc_id % plant_every == 7 get one exact duplicate inside their own
+    copy's id space. Emitted pairs grow linearly with the corpus;
+    what's left to measure is the engine."""
     d = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
 
     def rewrite(i):
