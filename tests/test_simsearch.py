@@ -640,3 +640,41 @@ def test_filtered_search_parity_on_ivf_and_sq8_tiers(
     want = sorted(map(key, sq8_rerank_topk(
         e, query_ids=[0, 1], k=5).collect()))
     assert got == want
+
+
+def test_ivf_filtered_predicate_pushes_into_cell_scan(
+    spark, sf_dir, tmp_path
+):
+    """The IVF-tier filtered search must carry the metadata predicate
+    into the persisted index's parquet scan as a pushed filter (the
+    ivfpq stage-1 contract, tests/test_pq.py) — not as a post-scan
+    Filter only."""
+    from mora_spark.llm.simsearch import (
+        build_ivf_index,
+        ivf_index_topk,
+        save_ivf_index,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias(
+            "embedding"
+        ),
+        "label",
+    )
+    d = str(tmp_path / "ivf")
+    save_ivf_index(*build_ivf_index(e, n_cells=8, train_iters=1), d)
+    df = ivf_index_topk(
+        spark, d, query_ids=[0, 1], k=5, n_probe=2,
+        predicate="label IN (1, 3, 5)",
+    )
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    plan = df._jdf.queryExecution().explainString(mode)
+    pushed = [
+        ln
+        for ln in plan.splitlines()
+        if "PushedFilters" in ln and "In(label" in ln
+    ]
+    assert pushed, f"label predicate not pushed to the index scan:\n{plan[:2000]}"
