@@ -135,3 +135,29 @@ def dedup_pairs_batch(
         )
     finally:
         state_b.unpersist()
+
+
+def compact_epoch_index(
+    spark: SparkSession,
+    index_dir: str,
+    dest: str,
+    n_files: int = 1,
+) -> int:
+    """Fold a ``batch_id=``-epoch state index (grown one directory per
+    micro-batch by :func:`dedup_pairs_batch`, forever, on a long-lived
+    stream) into ``n_files`` files at ``dest`` — the epoch-layout
+    analogue of ``compact_stream_index`` for the LSH index and
+    ``CandleStore.compact`` for the store.
+
+    The compacted state lands under ``batch_id=-1``, so the SAME sink
+    reads it: a fresh stream epoch's batches start at 0 and the
+    snapshot filter ``batch_id < current`` always admits the seed.
+    Membership is exactly the input's (one projection, no dedup logic
+    re-run); writing to ``dest`` — never in place — keeps readers of
+    ``index_dir`` consistent mid-compaction. Returns the number of
+    kept items folded in. The production cadence is
+    stream → compact → next epoch reads the compacted dir."""
+    state = spark.read.parquet(index_dir).drop("batch_id")
+    out = os.path.join(dest, "batch_id=-1")
+    state.coalesce(n_files).write.mode("overwrite").parquet(out)
+    return spark.read.parquet(out).count()

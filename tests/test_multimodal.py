@@ -207,3 +207,54 @@ def test_media_cluster_best_keeps_original_per_planted_triple(
             assert r["keep_media_id"] == r["cluster_id"]
             pure_triples += 1
     assert pure_triples > 0
+
+
+def test_compact_epoch_index_preserves_dedup_behavior(
+    spark, sf_dir, tmp_path
+):
+    """Compacting the batch_id-epoch signature index (one file set,
+    batch_id=-1) must not change what a later batch drops: the same
+    micro-batch deduped against raw vs compacted index emits identical
+    pairs and survivors."""
+    import os
+
+    from mora_spark.streaming.media import dedup_media_batch
+    from mora_spark.streaming.pairdedup import compact_epoch_index
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    base = media_from_documents(docs).select("media_id", "payload")
+    b0 = base.where(F.col("media_id") % 2 == 0)
+    b1 = base.where(F.col("media_id") % 2 == 1)
+    raw_ix = str(tmp_path / "raw_ix")
+    dedup_media_batch(spark, b0, 0, raw_ix, str(tmp_path / "p0"))
+    dedup_media_batch(spark, b1, 1, raw_ix, str(tmp_path / "p0"))
+    comp_ix = str(tmp_path / "comp_ix")
+    n = compact_epoch_index(spark, raw_ix, comp_ix)
+    assert n == spark.read.parquet(raw_ix).count()
+    assert os.path.isdir(os.path.join(comp_ix, "batch_id=-1"))
+    # identical membership
+    key = lambda df: sorted(  # noqa: E731
+        (r["media_id"], r["dhash"])
+        for r in df.select("media_id", "dhash").collect()
+    )
+    assert key(spark.read.parquet(comp_ix)) == key(
+        spark.read.parquet(raw_ix)
+    )
+    # a new-epoch batch (copies of b0 at +70_000) drops identically
+    nxt = b0.select(
+        (F.col("media_id") + 70_000).alias("media_id"), "payload"
+    )
+    outs = []
+    for ix in (raw_ix, comp_ix):
+        pd_ = str(tmp_path / f"pairs_{os.path.basename(ix)}")
+        # batch_id=2 vs raw (snapshot sees 0,1); batch_id=0 vs
+        # compacted (snapshot sees -1) — the fresh-epoch contract
+        bid = 2 if ix == raw_ix else 0
+        dedup_media_batch(spark, nxt, bid, ix, pd_)
+        outs.append(
+            sorted(
+                (r["media_id"], r["dup_id"], r["hamming"], r["src"])
+                for r in spark.read.parquet(pd_).collect()
+            )
+        )
+    assert outs[0] == outs[1] and outs[0]
