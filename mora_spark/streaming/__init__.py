@@ -2,7 +2,10 @@
 re-expressed as micro-batch streams with checkpoint recovery."""
 
 from mora_spark.streaming.chunked import chunked_replay_source
-from mora_spark.streaming.pairdedup import dedup_pairs_batch
+from mora_spark.streaming.pairdedup import (
+    compact_epoch_index,
+    dedup_pairs_batch,
+)
 from mora_spark.streaming.semdedup import (
     dedup_embed_batch,
     stream_semantic_dedup,
@@ -30,6 +33,7 @@ from mora_spark.streaming.ingest import (
 __all__ = [
     "chunked_replay_source",
     "chunked_source",
+    "compact_epoch_index",
     "dedup_embed_batch",
     "dedup_pairs_batch",
     "docs_chunked_source",
