@@ -776,7 +776,10 @@ def sq8_rerank_topk(
             vec_col=vec_col,
         )
 
-    q = quant(embeddings).where(F.col(id_col).isin(query_ids)).select(
+    # Quantization is per-vector, so restricting to the query rows
+    # BEFORE quantizing is identical — and pushes the isin() into the
+    # scan instead of quantizing the whole corpus to extract k rows.
+    q = quant(embeddings.where(F.col(id_col).isin(query_ids))).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
     )
     csrc = embeddings
