@@ -324,6 +324,7 @@ def embedding_neardup_pairs(
     n_bands: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    broadcast_vectors: bool = True,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: all (id_a < id_b) with
     round(cosine, 6) >= threshold.
@@ -347,9 +348,13 @@ def embedding_neardup_pairs(
     tests/test_simsearch.py.
 
     The banded self-join is SKINNY — ids and band arrays only; vectors
-    rejoin for verification afterwards (broadcast here; drop the hint
-    at scale and it degrades to a sort-merge join, the same shape as
-    the MinHash verify stage).
+    rejoin for verification afterwards. ``broadcast_vectors=True``
+    (default) hints that rejoin broadcast — right when the corpus fits
+    an executor; pass False for an unbounded corpus (e.g. the
+    streaming sink's ever-growing kept index) and the hint is dropped:
+    AQE picks broadcast vs shuffle from the frame's runtime size, and
+    at scale the verify degrades to a sort-merge join — the same
+    shape as the MinHash verify stage.
     """
     if n_bits:
         src = with_srp_bands(
@@ -390,8 +395,9 @@ def embedding_neardup_pairs(
         vecs = embeddings.select(
             id_col, vec_col, l2_norm(F.col(vec_col)).alias("nrm")
         )
+        hint = F.broadcast if broadcast_vectors else (lambda df: df)
         joined = cand.join(
-            F.broadcast(
+            hint(
                 vecs.select(
                     F.col(id_col).alias("id_a"),
                     F.col(vec_col).alias("va"),
@@ -400,7 +406,7 @@ def embedding_neardup_pairs(
             ),
             "id_a",
         ).join(
-            F.broadcast(
+            hint(
                 vecs.select(
                     F.col(id_col).alias("id_b"),
                     F.col(vec_col).alias("vb"),

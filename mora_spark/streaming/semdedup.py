@@ -66,11 +66,16 @@ def dedup_embed_batch(
         batch_id,
         index_dir,
         pairs_dir,
+        # broadcast_vectors=False: the kept index grows without bound
+        # on a long-lived stream, so the verify rejoin must never be
+        # FORCED onto the driver — AQE still broadcasts it while it's
+        # small and shuffles once it isn't.
         pair_fn=lambda vecs: embedding_neardup_pairs(
             vecs,
             threshold=threshold,
             n_bits=n_bits,
             n_bands=n_bands,
+            broadcast_vectors=False,
         ),
         id_col="vec_id",
         score_col="score",
