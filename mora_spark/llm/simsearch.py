@@ -99,6 +99,7 @@ def srp_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     multi_probe: bool = True,
+    predicate=None,
 ) -> DataFrame:
     """Approximate top-k: probe candidates in the query's bucket (plus,
     with ``multi_probe``, every bucket at Hamming distance 1 — the
@@ -107,6 +108,11 @@ def srp_topk(
     At 100 TB the bucket join replaces the O(n) scan per query with a
     shuffle on bucket id — expected (1 + n_bits)/2^n_bits of the corpus
     probed per query.
+
+    ``predicate`` is FILTERED search (the tier-wide contract, see
+    :func:`pq_topk`): a SQL expression (or Column) restricting the
+    candidate set; k fills post-filter, and the filter sits above the
+    scan so Catalyst pushes it into the source.
     """
     b = with_srp_bucket(embeddings, vec_col, n_bits)
     q = b.where(F.col(id_col).isin(query_ids)).select(
@@ -123,7 +129,12 @@ def srp_topk(
             ],
         )
         q = q.withColumn("qbucket", F.explode(probes))
-    c = b.where(~F.col(id_col).isin(query_ids)).select(
+    cb = b
+    if predicate is not None:
+        cb = cb.where(
+            F.expr(predicate) if isinstance(predicate, str) else predicate
+        )
+    c = cb.where(~F.col(id_col).isin(query_ids)).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
         "bucket",
@@ -252,6 +263,7 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     train_iters: int = 0,
+    predicate=None,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: partition the corpus into
     ``n_cells`` Voronoi cells around deterministic centroids, probe only
@@ -264,7 +276,9 @@ def ivf_topk(
     same probe budget. Either way the corpus is scanned ONCE to assign
     cells (a matmul per Arrow batch) and the candidate join is an
     equi-join on cell id, so the per-query probe cost is
-    ~n_probe/n_cells of the corpus.
+    ~n_probe/n_cells of the corpus. ``predicate`` restricts the
+    candidate set (the tier-wide filtered-search contract, see
+    :func:`pq_topk`); k fills post-filter.
     """
     dim = 64
     if train_iters > 0:
@@ -301,7 +315,12 @@ def ivf_topk(
             F.explode(probe_cells(F.col(vec_col))).alias("cell"),
         )
     )
-    c = assigned.where(~F.col(id_col).isin(query_ids)).select(
+    ca = assigned
+    if predicate is not None:
+        ca = ca.where(
+            F.expr(predicate) if isinstance(predicate, str) else predicate
+        )
+    c = ca.where(~F.col(id_col).isin(query_ids)).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"), "cell"
     )
     scored = c.join(broadcast(q), "cell").withColumn(
@@ -1528,12 +1547,14 @@ def opq_topk(
     shortlist: int = 50,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    predicate: str | Column | None = None,
 ) -> DataFrame:
     """PQ search in the learned-rotation space: rotate once, then the
     exact :func:`pq_topk` pipeline. The re-rank's cosine is computed
     on rotated vectors — R is orthogonal, so cosine is preserved
     (plants score exactly 1.0 either way; the plant oracle needs no
-    rotation awareness)."""
+    rotation awareness). ``predicate`` passes through to pq_topk —
+    metadata columns ride the rotation untouched."""
     return pq_topk(
         rotate_embeddings(embeddings, rotation, vec_col),
         books,
@@ -1542,6 +1563,7 @@ def opq_topk(
         shortlist=shortlist,
         id_col=id_col,
         vec_col=vec_col,
+        predicate=predicate,
     )
 
 

@@ -678,3 +678,45 @@ def test_ivf_filtered_predicate_pushes_into_cell_scan(
         if "PushedFilters" in ln and "In(label" in ln
     ]
     assert pushed, f"label predicate not pushed to the index scan:\n{plan[:2000]}"
+
+
+def test_filtered_search_parity_on_srp_ivf_flat_and_opq_tiers(
+    spark, sf_dir
+):
+    """predicate= is uniform across the whole ANN API: the SRP bucket
+    tier, the flat IVF tier, and OPQ (pass-through to pq_topk) all
+    restrict candidates to the predicate set, fill k post-filter, and
+    return the unfiltered answer under a tautology."""
+    from mora_spark.llm.simsearch import (
+        ivf_topk,
+        opq_topk,
+        srp_topk,
+        train_opq,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias(
+            "embedding"
+        ),
+        "label",
+    )
+    labels = {r["vec_id"]: r["label"]
+              for r in e.select("vec_id", "label").collect()}
+    rot, books, _ = train_opq(e, n_iter=1)
+    key = lambda r: (r["query_id"], r["rank"], r["neighbor_id"],  # noqa: E731
+                     r["score"])
+
+    def runs(fn):
+        filt = fn("label IN (1, 3, 5)").collect()
+        for r in filt:
+            assert labels[r["neighbor_id"]] in (1, 3, 5)
+        got = sorted(map(key, fn("label IS NOT NULL").collect()))
+        want = sorted(map(key, fn(None).collect()))
+        assert got == want and want
+
+    runs(lambda p: srp_topk(e, query_ids=[0, 1], k=5, predicate=p))
+    runs(lambda p: ivf_topk(e, query_ids=[0, 1], k=5, n_probe=4,
+                            predicate=p))
+    runs(lambda p: opq_topk(e, rot, books, query_ids=[0, 1], k=5,
+                            predicate=p))
