@@ -21,6 +21,26 @@ TOP_K = 5
 SQ8_SHORTLIST = 50
 
 
+from contextlib import contextmanager  # noqa: E402
+
+
+@contextmanager
+def _pinned(df: DataFrame):
+    """Cache a (small, plant-augmented) corpus for the duration of an
+    index BUILD block: training iterations + seed job + encode + save
+    re-scan the frame 4-8 times, and each re-scan otherwise replays
+    the parquet read, the double cast, and the plant union.
+    Ownership is explicit — the cache drops when the block exits (the
+    increment-sink persist discipline), and everything after the
+    block reads the PERSISTED index from disk, not the frame.
+    Measured on the sf0.1 IVFPQ build: 22.3s -> 14.7s."""
+    df = df.persist()
+    try:
+        yield df
+    finally:
+        df.unpersist()
+
+
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     # spread: per-row vector arithmetic parallelizes only if the scan does.
     return spread(load_table(spark, sf_dir, "embeddings"))
@@ -267,10 +287,8 @@ def q_ann_ivf_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     path = scratch_dir("ivf_index", sf_dir)
     shutil.rmtree(path, ignore_errors=True)
-    save_ivf_index(
-        *build_ivf_index(_planted_topk(_emb(spark, sf_dir)), train_iters=2),
-        path,
-    )
+    with _pinned(_planted_topk(_emb(spark, sf_dir))) as e:
+        save_ivf_index(*build_ivf_index(e, train_iters=2), path)
     return ivf_index_topk(
         spark, path, query_ids=list(range(N_QUERIES)), k=TOP_K, n_probe=4
     )
@@ -394,8 +412,8 @@ def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     path = scratch_dir("ivfpq_index", sf_dir)
     shutil.rmtree(path, ignore_errors=True)
-    e = _planted_pq(_emb(spark, sf_dir))
-    save_ivfpq_index(*build_ivfpq_index(e, train_iters=2), path)
+    with _pinned(_planted_pq(_emb(spark, sf_dir))) as e:
+        save_ivfpq_index(*build_ivfpq_index(e, train_iters=2), path)
     return ivfpq_index_topk(
         spark,
         path,
@@ -463,10 +481,10 @@ def q_ann_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     path = scratch_dir("ivfpq_filtered", sf_dir)
     shutil.rmtree(path, ignore_errors=True)
-    e = _planted_pq_labeled(_emb(spark, sf_dir))
     # Build ONCE over the whole corpus; the predicate varies per query
     # (the production shape — an index is never rebuilt per filter).
-    save_ivfpq_index(*build_ivfpq_index(e, train_iters=2), path)
+    with _pinned(_planted_pq_labeled(_emb(spark, sf_dir))) as e:
+        save_ivfpq_index(*build_ivfpq_index(e, train_iters=2), path)
     return ivfpq_index_topk(
         spark,
         path,
@@ -536,10 +554,10 @@ def q_ann_filtered_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     path = scratch_dir("ivf_filtered", sf_dir)
     shutil.rmtree(path, ignore_errors=True)
-    e = _planted_pq_labeled(_emb(spark, sf_dir))
     # Build ONCE over the whole corpus; the predicate varies per query
     # (the production shape — an index is never rebuilt per filter).
-    save_ivf_index(*build_ivf_index(e, train_iters=2), path)
+    with _pinned(_planted_pq_labeled(_emb(spark, sf_dir))) as e:
+        save_ivf_index(*build_ivf_index(e, train_iters=2), path)
     return ivf_index_topk(
         spark,
         path,
@@ -790,14 +808,16 @@ def q_ann_ivf_add(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     path = scratch_dir("ivf_index_add", sf_dir)
     shutil.rmtree(path, ignore_errors=True)
-    base = _emb(spark, sf_dir).select(
-        "vec_id", as_double(F.col("embedding")).alias("embedding")
-    )
-    save_ivf_index(*build_ivf_index(base, train_iters=2), path)
-    plants = _planted_topk(base).where(
-        F.col("vec_id") >= F.lit(TOPK_PLANT_OFFSET)
-    )
-    ivf_index_add(spark, path, plants)
+    with _pinned(
+        _emb(spark, sf_dir).select(
+            "vec_id", as_double(F.col("embedding")).alias("embedding")
+        )
+    ) as base:
+        save_ivf_index(*build_ivf_index(base, train_iters=2), path)
+        plants = _planted_topk(base).where(
+            F.col("vec_id") >= F.lit(TOPK_PLANT_OFFSET)
+        )
+        ivf_index_add(spark, path, plants)
     return ivf_index_topk(
         spark, path, query_ids=list(range(N_QUERIES)), k=TOP_K, n_probe=4
     )
@@ -831,23 +851,25 @@ def q_ann_ivf_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     dest = scratch_dir("ivf_index_compact_dst", sf_dir)
     shutil.rmtree(path, ignore_errors=True)
     shutil.rmtree(dest, ignore_errors=True)
-    base = _emb(spark, sf_dir).select(
-        "vec_id", as_double(F.col("embedding")).alias("embedding")
-    )
-    save_ivf_index(*build_ivf_index(base, train_iters=2), path)
-    plants = _planted_topk(base).where(
-        F.col("vec_id") >= F.lit(TOPK_PLANT_OFFSET)
-    )
-    for j in range(len(TOPK_PLANT_SCALES)):  # one increment per scale
-        lo = (j + 1) * TOPK_PLANT_OFFSET
-        ivf_index_add(
-            spark,
-            path,
-            plants.where(
-                (F.col("vec_id") >= lo)
-                & (F.col("vec_id") < lo + TOPK_PLANT_OFFSET)
-            ),
+    with _pinned(
+        _emb(spark, sf_dir).select(
+            "vec_id", as_double(F.col("embedding")).alias("embedding")
         )
+    ) as base:
+        save_ivf_index(*build_ivf_index(base, train_iters=2), path)
+        plants = _planted_topk(base).where(
+            F.col("vec_id") >= F.lit(TOPK_PLANT_OFFSET)
+        )
+        for j in range(len(TOPK_PLANT_SCALES)):  # one increment per scale
+            lo = (j + 1) * TOPK_PLANT_OFFSET
+            ivf_index_add(
+                spark,
+                path,
+                plants.where(
+                    (F.col("vec_id") >= lo)
+                    & (F.col("vec_id") < lo + TOPK_PLANT_OFFSET)
+                ),
+            )
     ivf_index_compact(spark, path, dest)
     return ivf_index_topk(
         spark, dest, query_ids=list(range(N_QUERIES)), k=TOP_K, n_probe=4
@@ -1056,24 +1078,26 @@ def q_stream_ann_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     work = scratch_dir("stream_ann", sf_dir)
     shutil.rmtree(work, ignore_errors=True)
     path = os.path.join(work, "index")
-    base = _emb(spark, sf_dir).select(
-        "vec_id", as_double(F.col("embedding")).alias("embedding")
-    )
-    save_ivfpq_index(*build_ivfpq_index(base, train_iters=2), path)
-
-    plants = _planted_pq(base).where(F.col("vec_id") < 0)
-    # Shard j carries every query's j-th copy; mtimes pin replay order
-    # (maxFilesPerTrigger=1 -> one shard per micro-batch). ``work`` is
-    # rebuilt per run, so no cache token (always a fresh source).
     from mora_spark.streaming.chunked import chunked_replay_source
 
-    src = chunked_replay_source(
-        spark,
-        plants,
-        os.path.join(work, "src"),
-        TOP_K,
-        f"(-vec_id - 1) % {TOP_K}",
-    )
+    with _pinned(
+        _emb(spark, sf_dir).select(
+            "vec_id", as_double(F.col("embedding")).alias("embedding")
+        )
+    ) as base:
+        save_ivfpq_index(*build_ivfpq_index(base, train_iters=2), path)
+        plants = _planted_pq(base).where(F.col("vec_id") < 0)
+        # Shard j carries every query's j-th copy; mtimes pin replay
+        # order (maxFilesPerTrigger=1 -> one shard per micro-batch).
+        # ``work`` is rebuilt per run, so no cache token (always a
+        # fresh source).
+        src = chunked_replay_source(
+            spark,
+            plants,
+            os.path.join(work, "src"),
+            TOP_K,
+            f"(-vec_id - 1) % {TOP_K}",
+        )
 
     def sink(batch: DataFrame, batch_id: int) -> None:
         # Epoch = batch_id + 1 (0 is the base build): deterministic,
@@ -1306,8 +1330,8 @@ def _ivfpq_stage(spark: SparkSession, sf_dir: str) -> None:
 
     path = scratch_dir("ivfpq_hot", sf_dir)
     shutil.rmtree(path, ignore_errors=True)
-    e = _planted_pq(_emb(spark, sf_dir))
-    save_ivfpq_index(*build_ivfpq_index(e, train_iters=2), path)
+    with _pinned(_planted_pq(_emb(spark, sf_dir))) as e:
+        save_ivfpq_index(*build_ivfpq_index(e, train_iters=2), path)
 
 
 def ivfpq_search_hot(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1337,8 +1361,8 @@ def _ivfpq_filtered_stage(spark: SparkSession, sf_dir: str) -> None:
 
     path = scratch_dir("ivfpq_filtered_hot", sf_dir)
     shutil.rmtree(path, ignore_errors=True)
-    e = _planted_pq_labeled(_emb(spark, sf_dir))
-    save_ivfpq_index(*build_ivfpq_index(e, train_iters=2), path)
+    with _pinned(_planted_pq_labeled(_emb(spark, sf_dir))) as e:
+        save_ivfpq_index(*build_ivfpq_index(e, train_iters=2), path)
 
 
 def ivfpq_filtered_hot(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1368,8 +1392,8 @@ def _ivf_filtered_stage(spark: SparkSession, sf_dir: str) -> None:
 
     path = scratch_dir("ivf_filtered_hot", sf_dir)
     shutil.rmtree(path, ignore_errors=True)
-    e = _planted_pq_labeled(_emb(spark, sf_dir))
-    save_ivf_index(*build_ivf_index(e, train_iters=2), path)
+    with _pinned(_planted_pq_labeled(_emb(spark, sf_dir))) as e:
+        save_ivf_index(*build_ivf_index(e, train_iters=2), path)
 
 
 def ivf_filtered_hot(spark: SparkSession, sf_dir: str) -> DataFrame:
