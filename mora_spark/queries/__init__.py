@@ -105,20 +105,24 @@ PRIORITY: tuple[str, ...] = (
     "q_scalar_funcs",
     "q_resample_5m",
     "q_topk_volume",
-    "q_dedup_exact",
+    # new interchange surface (r10): ORC roundtrip — takes the slot
+    # q_dedup_exact (r7) held in the draft window; the dedup family is
+    # already five-deep in this window and q_dedup_exact joins the r11
+    # rotation tail instead.
+    "q_orc_roundtrip",
 )
 # Demoted below the window: everything else keeps a green CORRECTNESS
 # row from r7, r8, or r9. After this window greens, NO query's latest
-# row predates r7; the oldest tail is the 23 remaining r7-era rows —
+# row predates r7; the oldest tail is the 24 remaining r7-era rows —
 # q_ann_ivf, q_approx_profile, q_bucketed_join, q_centroid_dist,
-# q_decontaminate_fuzzy, q_drift_psi, q_embed_neardup_exact,
-# q_embedding_norms, q_gapfill_interp, q_multimodal_meta,
-# q_sessionize, q_simhash, q_store_bucketed_join, q_stream_candles,
-# q_stream_csv, q_stream_drawdown, q_stream_drift, q_stream_enrich,
-# q_stream_join, q_stream_jsonl, q_stream_store_asof,
+# q_decontaminate_fuzzy, q_dedup_exact, q_drift_psi,
+# q_embed_neardup_exact, q_embedding_norms, q_gapfill_interp,
+# q_multimodal_meta, q_sessionize, q_simhash, q_store_bucketed_join,
+# q_stream_candles, q_stream_csv, q_stream_drawdown, q_stream_drift,
+# q_stream_enrich, q_stream_join, q_stream_jsonl, q_stream_store_asof,
 # q_stream_store_merge, q_stream_store_rollup — round 11's rotation
-# target (they fit one window with 27 slots to spare). 160 queries
-# are declared; the union after this window greens is 160/160.
+# target (they fit one window with 26 slots to spare). 161 queries
+# are declared; the union after this window greens is 161/161.
 
 
 def collect_registry() -> tuple[dict[str, QueryFn], dict[str, str]]:

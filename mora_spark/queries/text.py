@@ -865,11 +865,37 @@ FROM documents
 """
 
 
+# --- q_orc_roundtrip: the columnar interchange sibling ---
+# ORC is Hive's default columnar format — the other on-disk shape a
+# migrating warehouse holds corpora in. Spark's bundled vectorized
+# ORC reader keeps the engine's scan properties (column pruning +
+# predicate pushdown reach the stripe reader — pinned by test), so
+# the round-trip query is the same lossless contract as CSV/JSONL,
+# minus quarantine: ORC is self-describing binary, a corrupt file
+# fails loudly instead of yielding quietly-null rows.
+
+def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from mora_spark.queries.store import scratch_dir
+    from mora_spark.sources.orcio import read_orc, write_orc
+
+    docs = load_table(spark, sf_dir, "documents")
+    path = scratch_dir("orc_roundtrip", sf_dir)
+    shutil.rmtree(path, ignore_errors=True)
+    write_orc(docs, path)
+    return read_orc(spark, path, docs).select(*docs.columns)
+
+
+O_ORC_ROUNDTRIP = "SELECT * FROM documents"
+
+
 QUERIES = {
     "q_jsonl_roundtrip": q_jsonl_roundtrip,
     "q_jsonl_quarantine": q_jsonl_quarantine,
     "q_csv_roundtrip": q_csv_roundtrip,
     "q_csv_quarantine": q_csv_quarantine,
+    "q_orc_roundtrip": q_orc_roundtrip,
     "q_dedup_exact": q_dedup_exact,
     "q_dup_spans": q_dup_spans,
     "q_text_stats": q_text_stats,
@@ -892,6 +918,7 @@ ORACLES = {
     "q_jsonl_quarantine": O_JSONL_QUARANTINE,
     "q_csv_roundtrip": O_CSV_ROUNDTRIP,
     "q_csv_quarantine": O_CSV_QUARANTINE,
+    "q_orc_roundtrip": O_ORC_ROUNDTRIP,
     "q_dedup_exact": O_DEDUP_EXACT,
     "q_dup_spans": _o_dup_spans(),
     "q_text_stats": O_TEXT_STATS,
