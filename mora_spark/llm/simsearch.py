@@ -23,6 +23,18 @@ from pyspark.sql.functions import broadcast, pandas_udf
 from mora_spark.functions.vectors import as_double, cosine, dot, l2_norm
 
 
+def _filtered(df: DataFrame, predicate: str | Column | None) -> DataFrame:
+    """Apply the tier-wide filtered-search predicate (SQL string or
+    Column; None = unfiltered) to a candidate frame. ONE coercion
+    point for the whole ANN ladder — every tier's ``predicate=``
+    routes through here, so the contract cannot drift per tier."""
+    if predicate is None:
+        return df
+    return df.where(
+        F.expr(predicate) if isinstance(predicate, str) else predicate
+    )
+
+
 def _hyperplanes(dim: int, n_bits: int, seed: str = "srp") -> np.ndarray:
     """Deterministic pseudo-random hyperplanes: unit normals derived
     from sha256(seed, bit, chunk) — no RNG state, reproducible across
@@ -129,12 +141,9 @@ def srp_topk(
             ],
         )
         q = q.withColumn("qbucket", F.explode(probes))
-    cb = b
-    if predicate is not None:
-        cb = cb.where(
-            F.expr(predicate) if isinstance(predicate, str) else predicate
-        )
-    c = cb.where(~F.col(id_col).isin(query_ids)).select(
+    c = _filtered(b, predicate).where(
+        ~F.col(id_col).isin(query_ids)
+    ).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
         "bucket",
@@ -315,12 +324,9 @@ def ivf_topk(
             F.explode(probe_cells(F.col(vec_col))).alias("cell"),
         )
     )
-    ca = assigned
-    if predicate is not None:
-        ca = ca.where(
-            F.expr(predicate) if isinstance(predicate, str) else predicate
-        )
-    c = ca.where(~F.col(id_col).isin(query_ids)).select(
+    c = _filtered(assigned, predicate).where(
+        ~F.col(id_col).isin(query_ids)
+    ).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"), "cell"
     )
     scored = c.join(broadcast(q), "cell").withColumn(
@@ -735,10 +741,7 @@ def ivf_index_topk(
         F.col("cell").isin(sorted({c for _, _, c in probe}))
         & ~F.col(id_col).isin(query_ids)
     )
-    if predicate is not None:
-        pruned = pruned.where(
-            F.expr(predicate) if isinstance(predicate, str) else predicate
-        )
+    pruned = _filtered(pruned, predicate)
     cand = pruned.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"), "cell"
     )
@@ -807,12 +810,9 @@ def sq8_rerank_topk(
     q = quant(embeddings.where(F.col(id_col).isin(query_ids))).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
     )
-    csrc = embeddings
-    if predicate is not None:
-        csrc = csrc.where(
-            F.expr(predicate) if isinstance(predicate, str) else predicate
-        )
-    c = quant(csrc).where(~F.col(id_col).isin(query_ids)).select(
+    c = quant(_filtered(embeddings, predicate)).where(
+        ~F.col(id_col).isin(query_ids)
+    ).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
         F.transform(F.col("qvec"), lambda x: x.cast("double")).alias("cq"),
@@ -1048,11 +1048,7 @@ def pq_topk(
     matching rows are encoded and scored.
     """
     m_subspaces, n_codes, _ = books.shape
-    src = embeddings
-    if predicate is not None:
-        src = src.where(
-            F.expr(predicate) if isinstance(predicate, str) else predicate
-        )
+    src = _filtered(embeddings, predicate)
     enc = pq_encode(src.select(id_col, vec_col), books, vec_col)
     qrows = (
         embeddings.where(F.col(id_col).isin(query_ids))
@@ -1302,10 +1298,7 @@ def ivfpq_index_topk(
     pruned = cells.where(
         F.col("cell").isin(all_cells) & ~F.col(id_col).isin(query_ids)
     )
-    if predicate is not None:
-        pruned = pruned.where(
-            F.expr(predicate) if isinstance(predicate, str) else predicate
-        )
+    pruned = _filtered(pruned, predicate)
     # Stage 1 projects only (id, code, cell): the scan that touches
     # every probed posting reads 4 bytes/vector (plus the filter's own
     # metadata column when a predicate pushes down), not the float

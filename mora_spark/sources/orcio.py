@@ -32,10 +32,11 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def write_orc(df: DataFrame, path: str, n_files: int | None = None) -> None:
-    """Write ``df`` as ORC (zlib-by-default stripes). ``n_files``
-    repartitions first — the shard-count knob that bounds per-file
-    size; at scale prefer FEWER, larger files (stripes split for
-    parallelism, unlike multiLine CSV)."""
+    """Write ``df`` as ORC (zstd stripes — Spark 4's
+    ``spark.sql.orc.compression.codec`` default; set that conf to pick
+    another codec). ``n_files`` repartitions first — the shard-count
+    knob that bounds per-file size; at scale prefer FEWER, larger
+    files (stripes split for parallelism, unlike multiLine CSV)."""
     if n_files is not None:
         df = df.repartition(n_files)
     df.write.mode("overwrite").orc(path)

@@ -153,10 +153,21 @@ def compact_epoch_index(
     reads it: a fresh stream epoch's batches start at 0 and the
     snapshot filter ``batch_id < current`` always admits the seed.
     Membership is exactly the input's (one projection, no dedup logic
-    re-run); writing to ``dest`` — never in place — keeps readers of
-    ``index_dir`` consistent mid-compaction. Returns the number of
-    kept items folded in. The production cadence is
+    re-run); writing to ``dest`` — never in place, ENFORCED below —
+    keeps readers of ``index_dir`` consistent mid-compaction. Returns
+    the number of kept items folded in. The production cadence is
     stream → compact → next epoch reads the compacted dir."""
+    src_abs = os.path.abspath(index_dir)
+    dest_abs = os.path.abspath(dest)
+    if dest_abs == src_abs or dest_abs.startswith(src_abs + os.sep):
+        # A dest inside the live index would add a batch_id=-1 dir the
+        # snapshot filter always admits ON TOP of the epochs it folds,
+        # duplicating every kept id — silently breaking the sinks'
+        # id-disjointness precondition.
+        raise ValueError(
+            f"dest {dest!r} must lie outside index_dir {index_dir!r} "
+            "(in-place compaction would double every kept item)"
+        )
     state = spark.read.parquet(index_dir).drop("batch_id")
     out = os.path.join(dest, "batch_id=-1")
     state.coalesce(n_files).write.mode("overwrite").parquet(out)

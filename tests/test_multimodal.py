@@ -240,9 +240,12 @@ def test_compact_epoch_index_preserves_dedup_behavior(
     assert key(spark.read.parquet(comp_ix)) == key(
         spark.read.parquet(raw_ix)
     )
-    # a new-epoch batch (copies of b0 at +70_000) drops identically
+    # a new-epoch batch (copies of b0 at +500_000 — past the
+    # media_from_documents plant bands at +100k/+200k, so batch ids
+    # stay disjoint from index ids at any fixture size) drops
+    # identically
     nxt = b0.select(
-        (F.col("media_id") + 70_000).alias("media_id"), "payload"
+        (F.col("media_id") + 500_000).alias("media_id"), "payload"
     )
     outs = []
     for ix in (raw_ix, comp_ix):
