@@ -9,6 +9,8 @@ brute-force replay verifies their recall hash-exactly.
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
@@ -19,9 +21,6 @@ from mora_spark.functions.vectors import as_double, cosine, dot, l2_norm
 N_QUERIES = 5  # vec_id < 5 are the query vectors
 TOP_K = 5
 SQ8_SHORTLIST = 50
-
-
-from contextlib import contextmanager  # noqa: E402
 
 
 @contextmanager
