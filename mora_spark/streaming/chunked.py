@@ -76,7 +76,15 @@ def chunked_replay_source(
     plant offsets/alphas). A token that omits a parameter replays a
     stale source after that parameter changes, silently testing
     pre-edit data. The per-chunk write loop is driver-side but
-    bounded by n_chunks, not rows."""
+    bounded by n_chunks, not rows.
+
+    NEVER reuse a Structured Streaming checkpoint across a rebuild:
+    a rebuilt source (``cache_token=None``, or a changed token)
+    publishes files with the SAME paths and the SAME fixed-base
+    mtimes, so a checkpoint that survived from an earlier build
+    treats every new file as already-seen and the stream silently
+    replays nothing. Scope the checkpoint dir per run (as every
+    in-repo caller does) or wipe it whenever the source is rebuilt."""
     if cache_token is not None:
         key = hashlib.md5(
             f"{n_chunks}|{chunk_expr}|{cache_token}".encode()

@@ -24,7 +24,15 @@ rule is order-greedy (see the core's docstring). Unlike batch
 ``llm/semdedup.py`` — which keeps one canonical member per cosine
 component — the streaming rule keeps the FIRST-ARRIVED member: a
 stream cannot know a better-quality member arrives later. The two
-agree exactly when quality order matches arrival order.
+agree exactly when quality order matches arrival order. A production
+pipeline reconciles the two offline: periodically run batch
+``semantic_dedup`` over the kept index (compacted first via
+``pairdedup.compact_epoch_index`` — membership-preserving, so the
+pair graph is unchanged), swap each first-arrived keeper for the
+quality-canonical member of its cluster, and seed the next stream
+epoch with the re-canonicalized index. Both pieces exist here; the
+cadence (stream → compact → re-canonicalize → next epoch) is the
+operator's maintenance loop, not part of the per-batch path.
 
 The reference engine has no streaming or vector surface at all
 (command enum INSERT/COMMIT, `database/command/types.go:11-14`).
