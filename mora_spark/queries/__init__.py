@@ -17,112 +17,98 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 # The driver's correctness gate verifies the FIRST 50 registry entries
 # only (round-1 evidence: CORRECTNESS_r01.json stops at entry 50 in
-# registry order). PRIORITY pins the round-10 window (the r9 verdict's
-# "Next round" list):
-# - 4 queries NEW this round: q_stream_semdedup (the dedup matrix's
-#   last streaming cell — per-micro-batch exact-cosine dedup via
-#   banded SRP candidates against a persisted kept-embedding index,
-#   replay-idempotent epoch writes, oracle = unrolled greedy
-#   per-batch CTEs over the exact pair graph), q_ann_filtered_ivf +
-#   q_ann_filtered_sq8 (the ivfpq predicate= contract extended to the
-#   simpler index tiers: k fills post-filter, the filter rides the
-#   pruned scan; IVF reuses the labeled-plant brute-force oracle, SQ8
-#   replays its whole pipeline in SQL with the label restriction),
-#   q_media_cluster_best (perceptual dedup completed to cluster level:
-#   components over the dHash pair graph + a byte-size-canonical
-#   keeper, oracle = recursive min-label propagation);
-# - ALL 16 r5-era-latest rows — the indicator-family tail the r9
-#   verdict ranked as rotation obligation #1 (q_quantize_embed/
-#   q_lm_score/q_dedup_lines/q_chunk_docs first: their modules
-#   changed in r9);
-# - 11 changed-code guards (see the tuple comment);
-# - 19 of the 42 remaining r7-era rows, favoring family diversity.
+# registry order). PRIORITY pins the round-12 window (the r11 verdict's
+# "Next round" list — the inherited r11 brief, one round heavier):
+# - the full 24-row r7-era tail (rotation obligation #1, now four
+#   rounds old);
+# - the 7 post-window ANN-tier change guards whose llm/simsearch.py
+#   machinery changed in r10 AFTER their latest driver row: q_ann_srp
+#   (r8), q_ann_pq/q_ann_ivfpq/q_ann_opq/q_ann_filtered (r9),
+#   q_embed_neardup (r8), q_simsearch_topk (r8);
+# - changed-code guards for this round's semdedup n_bits derivation
+#   (q_semdedup, q_stream_semdedup ride llm/semdedup.py +
+#   streaming/semdedup.py);
+# - the remaining slots go to the oldest r8-era rows, favoring the
+#   modules this round touches (curation/classifier, the jsonl
+#   pipeline on the widened bench policy) and family diversity.
 PRIORITY: tuple[str, ...] = (
-    # new this round (r10)
-    "q_stream_semdedup",
-    "q_ann_filtered_ivf",
-    "q_ann_filtered_sq8",
-    "q_media_cluster_best",
-    # r5-era rows whose modules changed in r9 (the lead rotation
-    # targets): llm/simsearch.py, llm/curation.py, llm/dedup.py
-    "q_quantize_embed",
-    "q_lm_score",
-    "q_dedup_lines",
-    "q_chunk_docs",
-    # the r5-era indicator family (operators/windows.py + ema.py,
-    # git-clean since creation — window policy rotates them anyway)
-    "q_atr",
-    "q_bollinger",
-    "q_donchian",
-    "q_macd",
-    "q_obv",
-    "q_rsi",
-    "q_stochastic",
-    "q_heikin_ashi",
-    "q_ema_12",
-    "q_anomaly_zscore",
-    "q_drawdown",
-    "q_seasonality",
-    # changed-code guards (r10): llm/hamming.py gained the two-column
-    # contract check (q_simhash_pairs, q_media_neardup ride it);
-    # llm/semdedup.py gained quality-frame validation (q_semdedup);
-    # streaming/media.py + the new streaming/pairdedup.py carry the
-    # extracted per-batch core (q_stream_media_dedup); streaming/
-    # increment.py + queries/vectors.py now delegate to the new
-    # streaming/chunked.py replay source (q_stream_dedup_increment,
-    # q_stream_dedup_seeded, q_stream_ann_ingest); llm/simsearch.py
-    # grew predicate= on ivf_index_topk (q_ann_ivf_index, q_ann_ivf_add,
-    # q_ann_ivf_compact ride it) and sq8_rerank_topk (q_ann_sq8).
-    "q_simhash_pairs",
-    "q_media_neardup",
+    # new this round (r12) — each uncommented as it lands in the
+    # registry (a PRIORITY name missing from the registry raises in
+    # collect_registry, so the names stay commented until implemented)
+    # "q_quality_classifier",
+    # "q_stream_epoch_compact",
+    # "q_stream_orc",
+    # the 7 ANN-tier guards: latest driver rows predate r10's
+    # simsearch.py changes (_filtered extraction, predicate= on every
+    # tier, _pinned build cache)
+    "q_ann_srp",
+    "q_ann_pq",
+    "q_ann_ivfpq",
+    "q_ann_opq",
+    "q_ann_filtered",
+    "q_embed_neardup",
+    "q_simsearch_topk",
+    # changed-code guards (r12): llm/semdedup.py + streaming/semdedup.py
+    # gain the derived n_bits=None default (VERDICT r11 #4)
     "q_semdedup",
-    "q_stream_media_dedup",
-    "q_stream_dedup_increment",
-    "q_stream_dedup_seeded",
-    "q_stream_ann_ingest",
-    "q_ann_sq8",
-    "q_ann_ivf_index",
-    "q_ann_ivf_add",
-    "q_ann_ivf_compact",
-    # oldest remaining evidence: 19 of the 42 r7-era rows, favoring
-    # family diversity — store/manifest, ysf, csv/jsonl interchange,
-    # text functions, and core relational/resample rows
-    "q_upsert_lww",
-    "q_store_append",
-    "q_store_roundtrip",
-    "q_store_maintenance",
-    "q_store_rollup",
-    "q_range_scan",
-    "q_ysf_roundtrip",
-    "q_csv_roundtrip",
-    "q_csv_quarantine",
-    "q_jsonl_roundtrip",
-    "q_jsonl_quarantine",
-    "q_text_stats",
-    "q_lang_id",
-    "q_fingerprint",
-    "q_redact_pii",
-    "q_scalar_funcs",
-    "q_resample_5m",
-    "q_topk_volume",
-    # new interchange surface (r10): ORC roundtrip — takes the slot
-    # q_dedup_exact (r7) held in the draft window; the dedup family is
-    # already five-deep in this window and q_dedup_exact joins the r11
-    # rotation tail instead.
-    "q_orc_roundtrip",
+    "q_stream_semdedup",
+    # the full r7-era tail (24 rows) — oldest evidence in the union
+    "q_ann_ivf",
+    "q_approx_profile",
+    "q_bucketed_join",
+    "q_centroid_dist",
+    "q_decontaminate_fuzzy",
+    "q_dedup_exact",
+    "q_drift_psi",
+    "q_embed_neardup_exact",
+    "q_embedding_norms",
+    "q_gapfill_interp",
+    "q_multimodal_meta",
+    "q_sessionize",
+    "q_simhash",
+    "q_store_bucketed_join",
+    "q_stream_candles",
+    "q_stream_csv",
+    "q_stream_drawdown",
+    "q_stream_drift",
+    "q_stream_enrich",
+    "q_stream_join",
+    "q_stream_jsonl",
+    "q_stream_store_asof",
+    "q_stream_store_merge",
+    "q_stream_store_rollup",
+    # oldest r8-era rows (14 of 38 remaining), favoring modules this
+    # round touches: the classifier trains on q_quality_rules' planted
+    # labels; q_corpus_pipeline_jsonl moves to the widened bench
+    # policy; curation/dedup/streaming/relational family diversity for
+    # the rest
+    "q_quality_rules",
+    "q_corpus_pipeline_jsonl",
+    "q_corpus_curation",
+    "q_vocab_topk",
+    "q_boilerplate",
+    "q_stratified_sample",
+    "q_dedup_clusters",
+    "q_jaccard_pairs",
+    "q_stream_ingest",
+    "q_stream_wire",
+    "q_stream_ema",
+    "q_tpch_q1",
+    "q_data_profile",
+    "q_setops",
 )
 # Demoted below the window: everything else keeps a green CORRECTNESS
-# row from r7, r8, or r9. After this window greens, NO query's latest
-# row predates r7; the oldest tail is the 24 remaining r7-era rows —
-# q_ann_ivf, q_approx_profile, q_bucketed_join, q_centroid_dist,
-# q_decontaminate_fuzzy, q_dedup_exact, q_drift_psi,
-# q_embed_neardup_exact, q_embedding_norms, q_gapfill_interp,
-# q_multimodal_meta, q_sessionize, q_simhash, q_store_bucketed_join,
-# q_stream_candles, q_stream_csv, q_stream_drawdown, q_stream_drift,
-# q_stream_enrich, q_stream_join, q_stream_jsonl, q_stream_store_asof,
-# q_stream_store_merge, q_stream_store_rollup — round 11's rotation
-# target (they fit one window with 26 slots to spare). 161 queries
-# are declared; the union after this window greens is 161/161.
+# row from r8, r9, or r11. After this window greens, NO query's latest
+# row predates r8; the oldest tail is the 24 remaining r8-era rows —
+# q_cube_orders, q_decontaminate, q_domain_mix, q_gapfill,
+# q_grouping_sets, q_json_props, q_lag_lead, q_order_rank,
+# q_pivot_daily, q_resample_1h, q_revenue_by_nation, q_rolling_corr,
+# q_rollup_acctbal, q_semi_anti, q_sma_roll, q_store_diff,
+# q_store_diff_bucketed, q_stream_sessions, q_stream_sliding,
+# q_tpch_q12, q_tpch_q3, q_train_shards, q_user_stats,
+# q_validate_candles — round 13's rotation target (they fit one window
+# with 26 slots to spare). 164 queries are declared; the union after
+# this window greens is 164/164.
 
 
 def collect_registry() -> tuple[dict[str, QueryFn], dict[str, str]]:
