@@ -37,7 +37,7 @@ from mora_spark.llm.simsearch import embedding_neardup_pairs
 def semantic_dedup(
     embeddings: DataFrame,
     threshold: float = 0.95,
-    n_bits: int = 8,
+    n_bits: int | None = None,
     n_bands: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -46,6 +46,15 @@ def semantic_dedup(
 ) -> DataFrame:
     """One row per semantic near-dup cluster:
     (cluster_id, keep_id, best_quality, cluster_size).
+
+    ``n_bits=None`` (default) sizes the SRP band width to the corpus
+    count (``simsearch.derive_srp_bits``: ~log2(n) - 4, floored at the
+    old fixed default 8) — candidate volume at a fixed width grows
+    ~n²/2^n_bits, so the fixed default was scale-unsafe past ~50k
+    vectors (361.6 s vs 37.6 s at the 40x probe, identical answer).
+    The result is width-independent by construction (next paragraph);
+    explicit ints remain exact overrides, the ``chunk=None`` contract
+    of ``curation.pack_sequences``.
 
     ``cluster_id`` is the component's min member id; ``keep_id`` the
     quality-canonical member (max quality, ties to the smaller id —

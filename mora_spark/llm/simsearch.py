@@ -35,6 +35,33 @@ def _filtered(df: DataFrame, predicate: str | Column | None) -> DataFrame:
     )
 
 
+def derive_srp_bits(n: int) -> int:
+    """Corpus-sized SRP band width: ``max(8, ceil(log2(n)) - 4)``,
+    capped at 24.
+
+    Candidate volume at a FIXED band width grows ~n²/2^n_bits (the
+    classic LSH scaling — measured at the 40x probe: 361.6 s at the
+    old fixed default vs 37.6 s at a log2-sized width, identical
+    answer, README "Scale probes"). Sizing 2^n_bits ~ n/16 keeps the
+    EXPECTED per-band candidate count ~16n — linear in the corpus —
+    while the answer is unchanged by construction (near-dup clusters
+    are components of the exact pair graph; any blocking with full
+    recall yields the identical result, `llm/semdedup.py`).
+
+    Recall at the derived width: per-band match probability is
+    p^n_bits with p = 1 - θ/π, so at the semantic-dedup thresholds
+    (cos >= 0.95 → p ≈ 0.9/bit) 16 bands hold pair recall >= 0.99 out
+    to n_bits = 12, and true duplicate pairs sit well above the
+    threshold (cos ~0.98+ → p ≈ 0.94/bit) where recall stays ~1.0 far
+    beyond. For permissive thresholds (< ~0.9) or derived widths past
+    ~14, raise ``n_bands`` alongside — both stay explicit overrides
+    everywhere ``n_bits=None`` is accepted.
+    """
+    import math
+
+    return min(24, max(8, math.ceil(math.log2(max(n, 2))) - 4))
+
+
 def _hyperplanes(dim: int, n_bits: int, seed: str = "srp") -> np.ndarray:
     """Deterministic pseudo-random hyperplanes: unit normals derived
     from sha256(seed, bit, chunk) — no RNG state, reproducible across
@@ -345,7 +372,7 @@ def ivf_topk(
 def embedding_neardup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.9,
-    n_bits: int = 0,
+    n_bits: int | None = 0,
     n_bands: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -357,6 +384,13 @@ def embedding_neardup_pairs(
     ``n_bits=0`` is the exact all-pairs baseline — a nested-loop
     self-compare, JVM-side ``zip_with``/``aggregate`` only (oracle-
     checkable, quadratic: use as a small-n verification twin only).
+
+    ``n_bits=None`` derives the band width from the corpus count via
+    :func:`derive_srp_bits` (one column-pruned count job) — the
+    default the semantic-dedup family passes through, so a user at
+    10^8 vectors gets a linear candidate stage without reading the
+    scale-probe chart. The answer is width-independent by construction
+    (see `llm/semdedup.py`); explicit ints remain exact overrides.
 
     ``n_bits>0`` is the scale path: band-OR SRP LSH. Each vector gets
     ``n_bands`` bucket ids (``n_bits`` hyperplanes per band); candidate
@@ -381,6 +415,8 @@ def embedding_neardup_pairs(
     at scale the verify degrades to a sort-merge join — the same
     shape as the MinHash verify stage.
     """
+    if n_bits is None:
+        n_bits = derive_srp_bits(embeddings.count())
     if n_bits:
         src = with_srp_bands(
             embeddings, vec_col, n_bits=n_bits, n_bands=n_bands

@@ -56,7 +56,7 @@ def dedup_embed_batch(
     index_dir: str,
     pairs_dir: str,
     threshold: float = 0.95,
-    n_bits: int = 8,
+    n_bits: int | None = None,
     n_bands: int = 16,
 ) -> None:
     """One micro-batch step of :func:`stream_semantic_dedup` — exposed
@@ -67,7 +67,13 @@ def dedup_embed_batch(
     Emits pair rows (vec_id, dup_id, score, src) with the dropped
     vector first; the banded pass verifies candidates with exact
     rounded cosine, so emitted pairs are exactly the pair graph
-    restricted to this batch's greedy step."""
+    restricted to this batch's greedy step.
+
+    ``n_bits=None`` (default) re-derives the band width per batch
+    from the pair pass's actual input — kept index ∪ batch — via
+    ``simsearch.derive_srp_bits``, so the candidate stage stays
+    linear as the kept corpus grows across a long-lived stream
+    (result unchanged by construction; explicit ints override)."""
     dedup_pairs_batch(
         spark,
         batch.select("vec_id", "embedding"),
@@ -95,7 +101,7 @@ def stream_semantic_dedup(
     src: str,
     work_dir: str,
     threshold: float = 0.95,
-    n_bits: int = 8,
+    n_bits: int | None = None,
     n_bands: int = 16,
 ) -> DataFrame:
     """Run the continuous semantic-dedup loop over an embedding file

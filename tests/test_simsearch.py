@@ -474,6 +474,116 @@ def test_semantic_dedup_blocking_independent_and_canonical(
         assert r["keep_id"] == r["cluster_id"]  # min id wins everywhere
 
 
+def test_derive_srp_bits_breakpoints():
+    """The corpus-sized band-width rule: ceil(log2(n)) - 4, floored at
+    the old fixed default 8 (so every existing small-corpus caller and
+    the in-window driver rows keep their exact behavior under
+    n_bits=None), capped at 24."""
+    from mora_spark.llm.simsearch import derive_srp_bits
+
+    assert derive_srp_bits(0) == 8
+    assert derive_srp_bits(2_000) == 8
+    assert derive_srp_bits(4_096) == 8  # log2 = 12 exactly -> 8
+    assert derive_srp_bits(80_000) == 13  # the 40x-probe regime
+    assert derive_srp_bits(1_000_000) == 16
+    assert derive_srp_bits(10**9) == 24  # capped
+
+
+def test_semantic_dedup_derived_default_matches_explicit(spark, sf_dir):
+    """n_bits=None (the new default) derives the width from the corpus
+    count and — blocking independence — yields the identical cluster
+    table to the explicit in-window setting. On this corpus the
+    derived width IS the old default, pinning that the default change
+    is behavior-preserving for every green driver row."""
+    from mora_spark.llm.semdedup import semantic_dedup
+    from mora_spark.llm.simsearch import derive_srp_bits
+    from mora_spark.queries.vectors import _planted
+
+    e = _planted(
+        load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", "embedding"
+        )
+    )
+    assert derive_srp_bits(e.count()) == 8
+    canon = lambda df: sorted(map(tuple, df.collect()))
+    derived = semantic_dedup(e, threshold=0.95, n_bands=16)
+    explicit = semantic_dedup(e, threshold=0.95, n_bits=8, n_bands=16)
+    got = canon(derived)
+    assert got and got == canon(explicit)
+
+
+def test_epoch_compaction_preserves_stream_dedup(spark, sf_dir, tmp_path):
+    """The maintenance cadence (stream -> compact_epoch_index -> next
+    epoch) is invisible to dedup semantics: folding epoch 1's batch_id=
+    dirs into a batch_id=-1 seed and continuing in a fresh epoch yields
+    the same pair set and the same kept membership as the uncompacted
+    single-epoch run — compaction preserves membership exactly."""
+    from mora_spark.functions.vectors import l2_norm
+    from mora_spark.queries.vectors import _SQRT_DIM, as_double
+    from mora_spark.streaming.pairdedup import compact_epoch_index
+    from mora_spark.streaming.semdedup import dedup_embed_batch
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("embedding")
+    )
+
+    def shifted(offset: int, alpha: float):
+        s = F.lit(alpha) * l2_norm(F.col("embedding")) / _SQRT_DIM
+        return e.select(
+            (F.col("vec_id") + offset).alias("vec_id"),
+            F.transform("embedding", lambda x: x + s).alias("embedding"),
+        )
+
+    batches = [e, shifted(50_000, 0.2), shifted(100_000, 0.1)]
+
+    def pairs_of(d):
+        return sorted(
+            (r["vec_id"], r["dup_id"], r["score"], r["src"])
+            for r in spark.read.parquet(d).collect()
+        )
+
+    def kept_of(d):
+        return sorted(
+            r["vec_id"]
+            for r in spark.read.parquet(d).select("vec_id").collect()
+        )
+
+    # Run A: one epoch, three batches.
+    ia, pa = str(tmp_path / "a_index"), str(tmp_path / "a_pairs")
+    for k, b in enumerate(batches):
+        dedup_embed_batch(spark, b, k, ia, pa)
+    # Run B: two batches, compact into a fresh epoch, one more batch.
+    ib1, pb1 = str(tmp_path / "b1_index"), str(tmp_path / "b1_pairs")
+    for k, b in enumerate(batches[:2]):
+        dedup_embed_batch(spark, b, k, ib1, pb1)
+    ib2, pb2 = str(tmp_path / "b2_index"), str(tmp_path / "b2_pairs")
+    n_seed = compact_epoch_index(spark, ib1, ib2)
+    assert n_seed == len(kept_of(ib1))
+    import os
+
+    assert os.path.isdir(os.path.join(ib2, "batch_id=-1"))
+    dedup_embed_batch(spark, batches[2], 0, ib2, pb2)
+
+    assert pairs_of(pa) == sorted(pairs_of(pb1) + pairs_of(pb2))
+    assert kept_of(ia) == kept_of(ib2)
+    # Epoch 2's batch is all-copies, so it has ZERO survivors: every
+    # kept row still carries the seed epoch (batch_id=-1), proving the
+    # dedup ran against the compacted index rather than appending the
+    # copies — and every copy emitted a 'corpus' pair against it.
+    epochs = {
+        r["batch_id"]
+        for r in spark.read.parquet(ib2).select("batch_id").collect()
+    }
+    assert epochs == {-1}
+    # ...and every kept original's copy shows up as a pair against the
+    # seed (superset: copies of naturally-dropped originals may also
+    # clear the threshold against their clique's kept canonical).
+    corpus_drops = {
+        v for v, d, s, src in pairs_of(pb2) if src == "corpus"
+    }
+    assert corpus_drops >= {v + 100_000 for v in kept_of(ib1)}
+
+
 def test_semantic_dedup_no_pairs_is_empty_not_error(spark, sf_dir):
     """No pair reaches an impossible threshold: the operator returns
     an empty cluster frame instead of erroring in the CC loop."""

@@ -1109,7 +1109,45 @@ def probe_round10(spark, n) -> None:
         )
 
 
-if __name__ == "__main__" and "r10" in sys.argv[1:]:
+def probe_round12(spark, n) -> None:
+    """Round-12 surface: the DERIVED semdedup band width
+    (``n_bits=None``) at the duplicated-corpus wall where README
+    "Scale probes" measured the fixed default at 361.6 s and the
+    log2-rule width at 37.6 s (identical answer). Runs the derived
+    default, prints the chosen width + wall + output counts; with the
+    extra arg ``fixed`` also re-runs the old fixed width and asserts
+    the answers match (blocking independence, end to end). Standalone:
+    ``python tools/scale_probe.py 40 r12 [fixed]``."""
+    from mora_spark.llm.semdedup import semantic_dedup
+    from mora_spark.llm.simsearch import derive_srp_bits
+
+    emb = scaled_embeddings(spark, n).persist()
+    n_emb = emb.count()
+    print(f"vecs={n_emb:,} (x{n}) derived n_bits={derive_srp_bits(n_emb)}")
+
+    def run(bits):
+        t0 = time.time()
+        sd = semantic_dedup(emb, threshold=0.95, n_bits=bits, n_bands=16)
+        agg = sd.agg(
+            F.count(F.lit(1)).alias("c"), F.sum("cluster_size").alias("m")
+        ).collect()[0]
+        print(
+            f"n_bits={bits}: {time.time() - t0:.1f}s "
+            f"{agg['c']:,}cl {agg['m']:,}mem"
+        )
+        return (agg["c"], agg["m"])
+
+    derived = run(None)
+    if "fixed" in sys.argv[1:]:
+        assert run(8) == derived, "derived width changed the answer"
+
+
+if __name__ == "__main__" and "r12" in sys.argv[1:]:
+    _n = next((int(a) for a in sys.argv[1:] if a.isdigit()), 40)
+    _spark = get_spark(app_name="mora_scale_probe")
+    _spark.sparkContext.setLogLevel("ERROR")
+    probe_round12(_spark, _n)
+elif __name__ == "__main__" and "r10" in sys.argv[1:]:
     _n = next((int(a) for a in sys.argv[1:] if a.isdigit()), 10)
     _spark = get_spark(app_name="mora_scale_probe")
     _spark.sparkContext.setLogLevel("ERROR")
