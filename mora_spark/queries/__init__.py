@@ -32,12 +32,12 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #   modules this round touches (curation/classifier, the jsonl
 #   pipeline on the widened bench policy) and family diversity.
 PRIORITY: tuple[str, ...] = (
-    # new this round (r12) — each uncommented as it lands in the
-    # registry (a PRIORITY name missing from the registry raises in
-    # collect_registry, so the names stay commented until implemented)
-    # "q_quality_classifier",
-    # "q_stream_epoch_compact",
-    # "q_stream_orc",
+    # new this round (r12): the learned quality scorer (VERDICT r11
+    # #3), the epoch-compaction maintenance cadence (#5), and the
+    # streaming ORC gate completing the interchange matrix (#6)
+    "q_quality_classifier",
+    "q_stream_epoch_compact",
+    "q_stream_orc",
     # the 7 ANN-tier guards: latest driver rows predate r10's
     # simsearch.py changes (_filtered extraction, predicate= on every
     # tier, _pinned build cache)

@@ -443,6 +443,84 @@ FROM scan JOIN top USING (doc_id)
 """
 
 
+# --- q_quality_classifier: learned linear quality scoring ---
+# The model-based stage after the heuristic gates: NB log-odds weights
+# over hashed token buckets (closed-form fastText-shape training on
+# the quality_rules verdicts — distillation), then a zero-shuffle
+# scan-stage scoring pass (literal weight array + JVM aggregate HOF).
+# The oracle replays BOTH stages symbolically: the label CTE is
+# O_QUALITY_RULES verbatim as a subquery, training is a grouped count
+# + the same rounded ln arithmetic, scoring the same fold.
+
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mora_spark.llm.classifier import (
+        quality_classifier_score,
+        train_quality_classifier,
+    )
+
+    docs = _docs(spark, sf_dir)
+    weights, bias = train_quality_classifier(docs)
+    return quality_classifier_score(docs, weights, bias)
+
+
+def _o_quality_classifier() -> str:
+    from mora_spark.llm.classifier import ALPHA, N_BUCKETS
+
+    d = N_BUCKETS
+    a = float(ALPHA)
+    bucket = (
+        "CAST(('0x' || substr(md5('clf:' || {x}), 1, 8)) AS BIGINT)"
+        f" % {d}"
+    )
+    return f"""
+WITH dt AS (
+  SELECT doc_id, list_filter({TOKS_SQL}, x -> x != '') AS toks
+  FROM documents
+), lab AS (
+  SELECT doc_id, keep AS y FROM ({O_QUALITY_RULES})
+), hits AS (
+  SELECT {bucket.format(x="u.tok")} AS j, l.y
+  FROM (SELECT doc_id, unnest(toks) AS tok FROM dt) u
+  JOIN lab l USING (doc_id)
+), cnt AS (
+  SELECT j,
+         count(*) FILTER (WHERE y) AS ck,
+         count(*) FILTER (WHERE NOT y) AS cd
+  FROM hits GROUP BY j
+), tot AS (
+  SELECT CAST(sum(ck) AS DOUBLE) AS tk,
+         CAST(sum(cd) AS DOUBLE) AS td
+  FROM cnt
+), wj AS (
+  SELECT js.j,
+         round(ln((coalesce(ck, 0) + {a}) / (tk + {a * d}))
+             - ln((coalesce(cd, 0) + {a}) / (td + {a * d})), 8) AS w
+  FROM (SELECT unnest(range({d})) AS j) js
+  LEFT JOIN cnt ON js.j = cnt.j
+  CROSS JOIN tot
+), warr AS (
+  SELECT list(w ORDER BY j) AS w_arr FROM wj
+), nb AS (
+  SELECT round(ln((count(*) FILTER (WHERE y) + 1.0)
+             / (count(*) FILTER (WHERE NOT y) + 1.0)), 8) AS bias
+  FROM lab
+), scored AS (
+  SELECT doc_id,
+         len(toks) AS n_tokens,
+         CASE WHEN len(toks) > 0 THEN
+           round(bias + list_sum(list_transform(toks,
+                   x -> w_arr[{bucket.format(x="x")} + 1]))
+                 / len(toks), 6)
+         END AS clf_logit
+  FROM dt CROSS JOIN warr CROSS JOIN nb
+)
+SELECT doc_id, n_tokens, clf_logit,
+       1.0 / (1.0 + exp(-clf_logit)) AS clf_score,
+       clf_logit > 0 AS clf_keep
+FROM scored
+"""
+
+
 # --- q_boilerplate: corpus-common shingle fraction per document ---
 # Template-text detection: the share of a doc's distinct 5-gram
 # shingles that occur in >= 2 distinct documents.
@@ -616,6 +694,7 @@ QUERIES = {
     "q_chunk_docs": q_chunk_docs,
     "q_train_shards": q_train_shards,
     "q_quality_rules": q_quality_rules,
+    "q_quality_classifier": q_quality_classifier,
     "q_boilerplate": q_boilerplate,
     "q_decontaminate": q_decontaminate,
     "q_decontaminate_fuzzy": q_decontaminate_fuzzy,
@@ -632,6 +711,7 @@ ORACLES = {
     "q_chunk_docs": O_CHUNK_DOCS,
     "q_train_shards": O_TRAIN_SHARDS,
     "q_quality_rules": O_QUALITY_RULES,
+    "q_quality_classifier": _o_quality_classifier(),
     "q_boilerplate": O_BOILERPLATE,
     "q_decontaminate": O_DECONTAMINATE,
     "q_decontaminate_fuzzy": _o_decontaminate_fuzzy(),

@@ -702,6 +702,57 @@ FROM documents
 """
 
 
+# --- q_stream_orc: streaming ORC corpus ingest ---
+# The ORC twin of q_stream_csv/q_stream_jsonl, making the interchange
+# matrix symmetric at 3 formats x batch+stream. ORC is self-describing
+# binary — no quarantine column; a corrupt stripe fails the stream
+# loudly rather than yielding quietly-null rows (sources/orcio.py) —
+# so the gate here is exact lossless reconciliation: the documents
+# table written as ORC shards, replayed as mtime-ordered micro-batches
+# through read_orc_stream, parquet-sunk, and compared field-for-field
+# against the batch table.
+
+def q_stream_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mora_spark.sources.orcio import read_orc_stream, write_orc
+
+    work = _work("stream_orc", sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    src = os.path.join(work, "src")
+    write_orc(docs.repartition(4, "doc_id"), src)
+    # Shard mtimes define replay order; one shard per micro-batch so
+    # the stream actually exercises multi-batch file discovery.
+    parts = sorted(n for n in os.listdir(src) if n.endswith(".orc"))
+    for i, n in enumerate(parts):
+        os.utime(os.path.join(src, n), (1_600_000_000 + i,) * 2)
+    out = os.path.join(work, "ingested")
+    q = (
+        read_orc_stream(spark, src, docs, max_files_per_trigger=1)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", os.path.join(work, "ckpt_orc"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    back = spark.read.parquet(out)
+    return back.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_distinct("doc_id").alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.sum(F.length("text")).alias("sum_text_len"),
+    )
+
+
+O_STREAM_ORC = """
+SELECT count(*) AS n_rows,
+       count(DISTINCT doc_id) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       CAST(sum(length(text)) AS BIGINT) AS sum_text_len
+FROM documents
+"""
+
+
 # --- q_stream_drift: continuous PSI gate over ingest micro-batches ---
 # The data-quality loop a continuously-training pipeline runs: every
 # micro-batch's value distribution is PSI-scored against the standing
@@ -930,6 +981,7 @@ QUERIES = {
     "q_corpus_pipeline_jsonl": q_corpus_pipeline_jsonl,
     "q_stream_drift": q_stream_drift,
     "q_stream_csv": q_stream_csv,
+    "q_stream_orc": q_stream_orc,
     "q_stream_drawdown": q_stream_drawdown,
     "q_stream_store_asof": q_stream_store_asof,
     "q_stream_ingest": q_stream_ingest,
@@ -951,6 +1003,7 @@ ORACLES = {
     "q_corpus_pipeline_jsonl": _o_corpus_pipeline(),
     "q_stream_drift": _o_stream_drift(),
     "q_stream_csv": O_STREAM_CSV,
+    "q_stream_orc": O_STREAM_ORC,
     "q_stream_drawdown": O_STREAM_DRAWDOWN,
     "q_stream_store_asof": O_STREAM_STORE_ASOF,
     "q_stream_ingest": O_STREAM_INGEST,

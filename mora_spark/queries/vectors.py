@@ -1269,6 +1269,82 @@ FROM pairs p WHERE {same_batch}
 """
 
 
+# --- q_stream_epoch_compact: the epoch-index maintenance cadence ---
+# The maintenance loop the streaming dedup sinks' docstrings promise
+# (streaming/semdedup.py): a long-lived stream grows one batch_id=
+# epoch directory per micro-batch, so the production cadence is
+# stream -> compact_epoch_index -> next stream epoch reads the
+# compacted seed. This row runs exactly that: epoch 1 streams the
+# originals + the alpha=0.2 copies (2 micro-batches), the kept-state
+# index is folded into a fresh batch_id=-1 seed, and epoch 2 streams
+# the closer alpha=0.1 copies against the compacted index. Compaction
+# is membership-preserving, so the union of both epochs' pair tables
+# must equal the single 3-batch stream's pairs EXACTLY — the oracle is
+# q_stream_semdedup's unrolled greedy replay, verbatim.
+
+def q_stream_epoch_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+
+    from mora_spark.queries.store import scratch_dir
+    from mora_spark.streaming.chunked import chunked_replay_source
+    from mora_spark.streaming.pairdedup import compact_epoch_index
+    from mora_spark.streaming.semdedup import stream_semantic_dedup
+
+    work = scratch_dir("stream_epoch_compact", sf_dir)
+    planted = _planted_semstream(_emb(spark, sf_dir))
+    # Same corpus and chunk arithmetic as q_stream_semdedup, cut into
+    # two epochs at the compaction point. Tokens name the plant params
+    # each source's frame bakes in (the chunked-source cache-key
+    # contract) plus the epoch split.
+    src1 = chunked_replay_source(
+        spark,
+        planted.where(F.col("vec_id") < 2 * PLANT_OFFSET),
+        os.path.join(work, "src1"),
+        2,
+        f"vec_id div {PLANT_OFFSET}",
+        cache_token=f"{sf_dir}|{PLANT_ALPHA}|{PLANT_ALPHA2}|epoch1",
+    )
+    src2 = chunked_replay_source(
+        spark,
+        planted.where(F.col("vec_id") >= 2 * PLANT_OFFSET),
+        os.path.join(work, "src2"),
+        1,
+        f"vec_id div {PLANT_OFFSET} - 2",
+        cache_token=f"{sf_dir}|{PLANT_ALPHA}|{PLANT_ALPHA2}|epoch2",
+    )
+    run1 = os.path.join(work, "run1")
+    run2 = os.path.join(work, "run2")
+    for d in (run1, run2):
+        shutil.rmtree(d, ignore_errors=True)
+    pairs1 = stream_semantic_dedup(
+        spark,
+        src1,
+        run1,
+        threshold=NEARDUP_THRESHOLD,
+        n_bits=NEARDUP_BITS,
+        n_bands=NEARDUP_BANDS,
+    )
+    # The cadence's pivot: fold epoch 1's per-batch index directories
+    # into a single batch_id=-1 seed OUTSIDE the live index, then hand
+    # it to epoch 2 as its starting state (epoch 2's batches restart
+    # at 0; the sinks' batch_id < current snapshot always admits -1).
+    compact_epoch_index(
+        spark,
+        os.path.join(run1, "embed_index"),
+        os.path.join(run2, "embed_index"),
+    )
+    pairs2 = stream_semantic_dedup(
+        spark,
+        src2,
+        run2,
+        threshold=NEARDUP_THRESHOLD,
+        n_bits=NEARDUP_BITS,
+        n_bands=NEARDUP_BANDS,
+    )
+    return pairs1.unionByName(pairs2)
+
+
 QUERIES = {
     "q_embedding_norms": q_embedding_norms,
     "q_simsearch_topk": q_simsearch_topk,
@@ -1287,6 +1363,7 @@ QUERIES = {
     "q_ann_opq": q_ann_opq,
     "q_stream_ann_ingest": q_stream_ann_ingest,
     "q_stream_semdedup": q_stream_semdedup,
+    "q_stream_epoch_compact": q_stream_epoch_compact,
     "q_quantize_embed": q_quantize_embed,
     "q_embed_neardup": q_embed_neardup,
     "q_semdedup": q_semdedup,
@@ -1311,6 +1388,9 @@ ORACLES = {
     "q_ann_opq": O_ANN_PQ,
     "q_stream_ann_ingest": O_ANN_PQ,
     "q_stream_semdedup": _o_stream_semdedup(),
+    # Compaction is membership-preserving, so the two-epoch run's pair
+    # union replays as the SAME greedy sequence (see the query comment).
+    "q_stream_epoch_compact": _o_stream_semdedup(),
     "q_quantize_embed": O_QUANTIZE_EMBED,
     "q_embed_neardup": O_EMBED_NEARDUP,
     "q_semdedup": O_SEMDEDUP,
