@@ -88,6 +88,10 @@ HEADLINE = [
     # prestaged hot twin below instead of a timed build line.
     "q_ann_filtered_sq8",
     "q_media_cluster_best",
+    # new in r12: the learned quality scorer — trains (two bounded-
+    # collect jobs) then scores scan-stage; the line should price as
+    # ~two tokenize passes over documents.
+    "q_quality_classifier",
 ]
 
 # Pre-staged lines: the SETUP (building bucketed tables / stores) is
@@ -263,6 +267,10 @@ def main() -> None:
         "q_corpus_curation",
         "q_decontaminate_fuzzy",
         "q_embed_neardup",
+        # r12 (VERDICT r11 #7): same-code spread [32.1, 47.5, 38.8] in
+        # the r11 run qualifies it for the widened rule; it is also the
+        # drift-watch line for the ANN build-path bisect.
+        "q_corpus_pipeline_jsonl",
     }
     heavy_runs: dict[str, list[float]] = {}
     from mora_spark.llm.dedup import clear_lsh_cache
