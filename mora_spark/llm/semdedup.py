@@ -38,7 +38,7 @@ def semantic_dedup(
     embeddings: DataFrame,
     threshold: float = 0.95,
     n_bits: int | None = None,
-    n_bands: int = 16,
+    n_bands: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     quality: DataFrame | None = None,
@@ -52,9 +52,14 @@ def semantic_dedup(
     old fixed default 8) — candidate volume at a fixed width grows
     ~n²/2^n_bits, so the fixed default was scale-unsafe past ~50k
     vectors (361.6 s vs 37.6 s at the 40x probe, identical answer).
-    The result is width-independent by construction (next paragraph);
-    explicit ints remain exact overrides, the ``chunk=None`` contract
-    of ``curation.pack_sequences``.
+    ``n_bands=None`` (default) sizes the band count to hold the recall
+    envelope AT the derived width (``simsearch.derive_srp_bands``,
+    floored at the old fixed 16) — a fixed band count would silently
+    lose recall as the derived width grows, breaking the
+    width-independence the next paragraph promises. The result is
+    blocking-independent by construction; explicit ints remain exact
+    overrides, the ``chunk=None`` contract of
+    ``curation.pack_sequences``.
 
     ``cluster_id`` is the component's min member id; ``keep_id`` the
     quality-canonical member (max quality, ties to the smaller id —

@@ -49,17 +49,50 @@ def derive_srp_bits(n: int) -> int:
     recall yields the identical result, `llm/semdedup.py`).
 
     Recall at the derived width: per-band match probability is
-    p^n_bits with p = 1 - θ/π, so at the semantic-dedup thresholds
-    (cos >= 0.95 → p ≈ 0.9/bit) 16 bands hold pair recall >= 0.99 out
-    to n_bits = 12, and true duplicate pairs sit well above the
-    threshold (cos ~0.98+ → p ≈ 0.94/bit) where recall stays ~1.0 far
-    beyond. For permissive thresholds (< ~0.9) or derived widths past
-    ~14, raise ``n_bands`` alongside — both stay explicit overrides
-    everywhere ``n_bits=None`` is accepted.
+    p^n_bits with p = 1 - θ/π, so a FIXED band count loses recall as
+    the derived width grows (at cos >= 0.95, p ≈ 0.9/bit: 16 bands
+    hold pair recall >= 0.99 only out to n_bits ≈ 13). The derived
+    path therefore sizes the band count alongside the width
+    (:func:`derive_srp_bands` — solved from the recall identity, never
+    a fixed 16), shrinking the width first if the band budget would
+    blow past its cap; both stay explicit overrides everywhere
+    ``n_bits=None`` is accepted.
     """
     import math
 
     return min(24, max(8, math.ceil(math.log2(max(n, 2))) - 4))
+
+
+#: Band-count budget for the derived path: past this the width is
+#: shrunk instead (each band is one more stacked matmul + one more
+#: posexplode row per vector — width is the cheaper knob).
+MAX_DERIVED_BANDS = 64
+
+
+def derive_srp_bands(
+    n_bits: int,
+    threshold: float,
+    floor: int = 16,
+    target_recall: float = 0.99,
+) -> int:
+    """Band count holding pair recall >= ``target_recall`` AT the
+    threshold boundary for a given band width: the smallest B with
+    1 - (1 - p^n_bits)^B >= target, p = 1 - arccos(threshold)/π —
+    the band-OR identity solved for B instead of eyeballed. True
+    duplicates sit above the boundary (higher p), so their recall is
+    strictly better. Floored at 16 (the strongest fixed setting the
+    in-repo callers pin) so deriving never REDUCES the band count an
+    existing caller measured at recall 1.0."""
+    import math
+
+    p = 1.0 - math.acos(max(-1.0, min(1.0, threshold))) / math.pi
+    pb = p**n_bits
+    if pb >= 1.0 - 1e-12:
+        return floor
+    if pb <= 0.0:
+        return MAX_DERIVED_BANDS
+    need = math.ceil(math.log(1.0 - target_recall) / math.log(1.0 - pb))
+    return max(floor, need)
 
 
 def _hyperplanes(dim: int, n_bits: int, seed: str = "srp") -> np.ndarray:
@@ -373,7 +406,7 @@ def embedding_neardup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.9,
     n_bits: int | None = 0,
-    n_bands: int = 8,
+    n_bands: int | None = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     broadcast_vectors: bool = True,
@@ -389,8 +422,17 @@ def embedding_neardup_pairs(
     :func:`derive_srp_bits` (one column-pruned count job) — the
     default the semantic-dedup family passes through, so a user at
     10^8 vectors gets a linear candidate stage without reading the
-    scale-probe chart. The answer is width-independent by construction
-    (see `llm/semdedup.py`); explicit ints remain exact overrides.
+    scale-probe chart. ``n_bands=None`` derives the band count from
+    the width + threshold via :func:`derive_srp_bands` — a derived
+    width with a FIXED band count would silently leave the recall
+    envelope as n grows, which is exactly the "answer unchanged"
+    claim's precondition; when both are None the width shrinks until
+    the derived band count fits ``MAX_DERIVED_BANDS``, so the
+    full-recall envelope holds at every corpus size (the width floor 8
+    wins if both bind — permissive thresholds are intrinsically
+    band-hungry, and the derived path pays the bands rather than
+    silently losing recall; pass explicit knobs to trade recall for
+    cost). Explicit ints remain exact overrides.
 
     ``n_bits>0`` is the scale path: band-OR SRP LSH. Each vector gets
     ``n_bands`` bucket ids (``n_bits`` hyperplanes per band); candidate
@@ -417,6 +459,15 @@ def embedding_neardup_pairs(
     """
     if n_bits is None:
         n_bits = derive_srp_bits(embeddings.count())
+        if n_bands is None:
+            while (
+                n_bits > 8
+                and derive_srp_bands(n_bits, threshold)
+                > MAX_DERIVED_BANDS
+            ):
+                n_bits -= 1
+    if n_bands is None:
+        n_bands = derive_srp_bands(n_bits, threshold) if n_bits else 8
     if n_bits:
         src = with_srp_bands(
             embeddings, vec_col, n_bits=n_bits, n_bands=n_bands

@@ -707,10 +707,13 @@ FROM documents
 # matrix symmetric at 3 formats x batch+stream. ORC is self-describing
 # binary — no quarantine column; a corrupt stripe fails the stream
 # loudly rather than yielding quietly-null rows (sources/orcio.py) —
-# so the gate here is exact lossless reconciliation: the documents
-# table written as ORC shards, replayed as mtime-ordered micro-batches
-# through read_orc_stream, parquet-sunk, and compared field-for-field
-# against the batch table.
+# so the gate here is lossless reconciliation: the documents table
+# written as ORC shards, replayed as mtime-ordered micro-batches
+# through read_orc_stream, parquet-sunk, and reconciled against the
+# batch table via counts PLUS an order-insensitive all-column content
+# hash (sum of per-row md5 prefixes over every field, the
+# engine-independent hashing discipline) — a length-preserving
+# corruption or a field swap anywhere breaks the row.
 
 def q_stream_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mora_spark.sources.orcio import read_orc_stream, write_orc
@@ -736,11 +739,24 @@ def q_stream_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     back = spark.read.parquet(out)
+    row_hash = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "|", "doc_id", "text", "lang", "source", "n_chars"
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
     return back.agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.count_distinct("doc_id").alias("n_docs"),
         F.sum("n_chars").alias("sum_chars"),
-        F.sum(F.length("text")).alias("sum_text_len"),
+        F.sum(row_hash).alias("content_hash"),
     )
 
 
@@ -748,7 +764,9 @@ O_STREAM_ORC = """
 SELECT count(*) AS n_rows,
        count(DISTINCT doc_id) AS n_docs,
        CAST(sum(n_chars) AS BIGINT) AS sum_chars,
-       CAST(sum(length(text)) AS BIGINT) AS sum_text_len
+       CAST(sum(CAST(('0x' || substr(md5(
+              concat_ws('|', doc_id, text, lang, source, n_chars)
+            ), 1, 8)) AS BIGINT)) AS BIGINT) AS content_hash
 FROM documents
 """
 

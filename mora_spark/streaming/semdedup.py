@@ -57,7 +57,7 @@ def dedup_embed_batch(
     pairs_dir: str,
     threshold: float = 0.95,
     n_bits: int | None = None,
-    n_bands: int = 16,
+    n_bands: int | None = None,
 ) -> None:
     """One micro-batch step of :func:`stream_semantic_dedup` — exposed
     so the replay-idempotence contract is directly testable:
@@ -102,7 +102,7 @@ def stream_semantic_dedup(
     work_dir: str,
     threshold: float = 0.95,
     n_bits: int | None = None,
-    n_bands: int = 16,
+    n_bands: int | None = None,
 ) -> DataFrame:
     """Run the continuous semantic-dedup loop over an embedding file
     stream; returns the accumulated dup-pair table

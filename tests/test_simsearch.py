@@ -489,6 +489,30 @@ def test_derive_srp_bits_breakpoints():
     assert derive_srp_bits(10**9) == 24  # capped
 
 
+def test_derive_srp_bands_holds_recall_envelope():
+    """The band count derives WITH the width: at every derivable width
+    the returned count satisfies the band-OR recall identity at the
+    threshold boundary — a fixed 16 would drop to ~0.76 recall at the
+    widths large corpora derive, silently breaking the
+    blocking-independence contract."""
+    import math
+
+    from mora_spark.llm.simsearch import (
+        MAX_DERIVED_BANDS,
+        derive_srp_bands,
+    )
+
+    p = 1 - math.acos(0.95) / math.pi
+    for bits in range(8, 25):
+        bands = derive_srp_bands(bits, 0.95)
+        recall = 1 - (1 - p**bits) ** bands
+        assert recall >= 0.99, (bits, bands, recall)
+    # small widths keep the old fixed count (derive never reduces it)
+    assert derive_srp_bands(8, 0.95) == 16
+    # the width the 40x probe regime derives still fits the budget
+    assert derive_srp_bands(13, 0.95) <= MAX_DERIVED_BANDS
+
+
 def test_semantic_dedup_derived_default_matches_explicit(spark, sf_dir):
     """n_bits=None (the new default) derives the width from the corpus
     count and — blocking independence — yields the identical cluster

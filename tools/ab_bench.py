@@ -24,15 +24,10 @@ def main() -> None:
         "q_ann_ivf_compact",
         "q_corpus_pipeline_jsonl",
     ]
-    sys.path.insert(0, root)
-    os.chdir(root)
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from _ab_common import bootstrap_tree
 
-    from mora_spark.session import get_spark
-    import __spark_entry__ as entry_mod
-
-    spark = get_spark(app_name="ab_bench")
-    spark.sparkContext.setLogLevel("ERROR")
-    queries = entry_mod.queries()
+    spark, queries = bootstrap_tree(root)
 
     from mora_spark.datasets import load_table
     from pyspark.sql import functions as F

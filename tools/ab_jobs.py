@@ -19,15 +19,10 @@ def main() -> None:
     root = os.path.abspath(sys.argv[1])
     sf_dir = sys.argv[2]
     names = sys.argv[3:]
-    sys.path.insert(0, root)
-    os.chdir(root)
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from _ab_common import bootstrap_tree
 
-    from mora_spark.session import get_spark
-    import __spark_entry__ as entry_mod
-
-    spark = get_spark(app_name="ab_jobs")
-    spark.sparkContext.setLogLevel("ERROR")
-    queries = entry_mod.queries()
+    spark, queries = bootstrap_tree(root)
     sc = spark.sparkContext
 
     for name in names:
