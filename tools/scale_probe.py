@@ -1121,13 +1121,19 @@ def probe_round12(spark, n) -> None:
     from mora_spark.llm.semdedup import semantic_dedup
     from mora_spark.llm.simsearch import derive_srp_bits
 
-    emb = scaled_embeddings(spark, n).persist()
+    # The mostly-unique corpus — the regime the README chart measured
+    # (361.6 s at fixed n_bits=8, 37.6 s at hand-tuned 12 on 80.8k
+    # vectors); the duplicated-copies corpus is a different workload
+    # (2k exact 40-cliques, output-bound).
+    emb = mostly_unique_embeddings(spark, n).persist()
     n_emb = emb.count()
     print(f"vecs={n_emb:,} (x{n}) derived n_bits={derive_srp_bits(n_emb)}")
 
     def run(bits):
         t0 = time.time()
-        sd = semantic_dedup(emb, threshold=0.95, n_bits=bits, n_bands=16)
+        sd = semantic_dedup(
+            emb, threshold=0.95, n_bits=bits, n_bands=None
+        )
         agg = sd.agg(
             F.count(F.lit(1)).alias("c"), F.sum("cluster_size").alias("m")
         ).collect()[0]
