@@ -85,9 +85,14 @@ def train_quality_classifier(
 
     Driver state is exactly the ``n_buckets``-row count table plus
     one 2-value doc-count row — bounded by the model size, never the
-    corpus. Weights are rounded to 8 dp so the floats an oracle
-    recomputes from the same integer counts agree bit-for-bit after
-    rounding (libm ln differs by ~1 ulp across engines)."""
+    corpus. At 100 TB train on a hash-deterministic sample — pass
+    ``df.where(curation.hash_uniform(F.col(id_col)) < frac)`` — the
+    log-odds converge long before the corpus ends, and the selection
+    is a pure function of the id (reproducible across engines,
+    retries, and repartitions). Weights are rounded to 8 dp so the
+    floats an oracle recomputes from the same integer counts agree
+    bit-for-bit after rounding (libm ln differs by ~1 ulp across
+    engines)."""
     if labels is None:
         from mora_spark.llm.curation import quality_rules
 
