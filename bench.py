@@ -92,6 +92,12 @@ HEADLINE = [
     # collect jobs) then scores scan-stage; the line should price as
     # ~two tokenize passes over documents.
     "q_quality_classifier",
+    # new in r13: the derived-defaults semdedup path (n_bits=None,
+    # n_bands=None) — at this sf the derivation lands on the explicit
+    # line's exact (8, 16), so the line should price as q_semdedup
+    # plus one column-pruned count job; a spread beyond that is the
+    # derivation regressing.
+    "q_semdedup_derived",
 ]
 
 # Pre-staged lines: the SETUP (building bucketed tables / stores) is

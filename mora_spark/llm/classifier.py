@@ -160,7 +160,10 @@ def quality_classifier_score(
 
     ``clf_logit`` is rounded to 6 dp BEFORE the sigmoid and the 0.5
     cut so the discrete ``clf_keep`` verdict cannot flip on a
-    last-ulp summation difference; docs with zero (non-empty) tokens
+    last-ulp summation difference, and ``clf_score`` is rounded to
+    6 dp AFTER it — the sigmoid runs through each engine's libm
+    ``exp``, whose last ulp is no more portable than the ``ln`` the
+    8 dp weight rounding absorbs; docs with zero (non-empty) tokens
     keep a row with ``n_tokens = 0`` and NULL logit/score/keep — the
     no-row-loss contract of ``curation.lm_score``."""
     w_arr = F.lit([float(w) for w in weights])
@@ -180,6 +183,8 @@ def quality_classifier_score(
         F.col("id").alias(id_col),
         n.alias("n_tokens"),
         logit.alias("clf_logit"),
-        (F.lit(1.0) / (F.lit(1.0) + F.exp(-logit))).alias("clf_score"),
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-logit)), 6).alias(
+            "clf_score"
+        ),
         (logit > 0).alias("clf_keep"),
     )

@@ -57,9 +57,11 @@ def semantic_dedup(
     floored at the old fixed 16) — a fixed band count would silently
     lose recall as the derived width grows, breaking the
     width-independence the next paragraph promises. The result is
-    blocking-independent by construction; explicit ints remain exact
-    overrides, the ``chunk=None`` contract of
-    ``curation.pack_sequences``.
+    unchanged whenever the banded pass holds full recall on the pair
+    graph — which the derivation targets (>= 0.99 at the threshold
+    boundary, strictly better above it) but approximates rather than
+    guarantees per-pair; explicit ints remain exact overrides, the
+    ``chunk=None`` contract of ``curation.pack_sequences``.
 
     ``cluster_id`` is the component's min member id; ``keep_id`` the
     quality-canonical member (max quality, ties to the smaller id —

@@ -63,10 +63,30 @@ def derive_srp_bits(n: int) -> int:
     return min(24, max(8, math.ceil(math.log2(max(n, 2))) - 4))
 
 
-#: Band-count budget for the derived path: past this the width is
-#: shrunk instead (each band is one more stacked matmul + one more
-#: posexplode row per vector — width is the cheaper knob).
+#: Band-count budget for the derived path: the both-``None`` default
+#: shrinks the width while the needed count exceeds this (each band is
+#: one more stacked matmul + one more posexplode row per vector —
+#: width is the cheaper knob), and :func:`derive_srp_bands` hard-caps
+#: its return here in every case, warning when the cap costs recall.
 MAX_DERIVED_BANDS = 64
+
+
+def _srp_bands_needed(
+    n_bits: int, threshold: float, target_recall: float = 0.99
+) -> int:
+    """Uncapped band count from the band-OR recall identity: the
+    smallest B with 1 - (1 - p^n_bits)^B >= target_recall,
+    p = 1 - arccos(threshold)/π. Internal — the shrink loop needs the
+    raw requirement to decide whether a width fits the budget."""
+    import math
+
+    p = 1.0 - math.acos(max(-1.0, min(1.0, threshold))) / math.pi
+    pb = p**n_bits
+    if pb >= 1.0 - 1e-12:
+        return 1
+    if pb <= 0.0:
+        return MAX_DERIVED_BANDS + 1  # unreachable target at any budget
+    return math.ceil(math.log(1.0 - target_recall) / math.log(1.0 - pb))
 
 
 def derive_srp_bands(
@@ -82,17 +102,54 @@ def derive_srp_bands(
     duplicates sit above the boundary (higher p), so their recall is
     strictly better. Floored at 16 (the strongest fixed setting the
     in-repo callers pin) so deriving never REDUCES the band count an
-    existing caller measured at recall 1.0."""
+    existing caller measured at recall 1.0 — and CAPPED at
+    ``MAX_DERIVED_BANDS`` on every path: a permissive threshold at an
+    explicitly pinned wide band width can need thousands of bands
+    (threshold 0.7 at n_bits=24 solves to 5,081 — 5,081 stacked
+    matmuls and a 5,081× posexplode per vector), so past the budget
+    this returns the cap and warns with the recall actually achieved;
+    pass :func:`derive_srp_params` both knobs ``None`` to have the
+    width shrunk for the target instead, or pin ``n_bands`` explicitly
+    to pay more."""
     import math
+    import warnings
 
-    p = 1.0 - math.acos(max(-1.0, min(1.0, threshold))) / math.pi
-    pb = p**n_bits
-    if pb >= 1.0 - 1e-12:
-        return floor
-    if pb <= 0.0:
+    need = _srp_bands_needed(n_bits, threshold, target_recall)
+    if need > MAX_DERIVED_BANDS:
+        p = 1.0 - math.acos(max(-1.0, min(1.0, threshold))) / math.pi
+        got = 1.0 - (1.0 - p**n_bits) ** MAX_DERIVED_BANDS
+        warnings.warn(
+            f"derive_srp_bands: holding recall {target_recall} at "
+            f"threshold {threshold} with n_bits={n_bits} needs {need} "
+            f"bands; capping at MAX_DERIVED_BANDS={MAX_DERIVED_BANDS} "
+            f"(boundary recall ~{got:.3f}) — leave n_bits=None to "
+            "shrink the width instead, or pass n_bands explicitly",
+            stacklevel=2,
+        )
         return MAX_DERIVED_BANDS
-    need = math.ceil(math.log(1.0 - target_recall) / math.log(1.0 - pb))
     return max(floor, need)
+
+
+def derive_srp_params(
+    n: int, threshold: float, target_recall: float = 0.99
+) -> tuple[int, int]:
+    """The both-``None`` derivation as one function of the corpus
+    count: width from :func:`derive_srp_bits`, then shrunk (floor 8)
+    while the band count the recall identity demands exceeds
+    ``MAX_DERIVED_BANDS``, then the band count at the settled width.
+    Shared by :func:`embedding_neardup_pairs` and the streaming sink's
+    running-count path (``streaming/semdedup.py``), so the two cannot
+    drift."""
+    n_bits = derive_srp_bits(n)
+    while (
+        n_bits > 8
+        and _srp_bands_needed(n_bits, threshold, target_recall)
+        > MAX_DERIVED_BANDS
+    ):
+        n_bits -= 1
+    return n_bits, derive_srp_bands(
+        n_bits, threshold, target_recall=target_recall
+    )
 
 
 def _hyperplanes(dim: int, n_bits: int, seed: str = "srp") -> np.ndarray:
@@ -410,6 +467,7 @@ def embedding_neardup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     broadcast_vectors: bool = True,
+    n_hint: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: all (id_a < id_b) with
     round(cosine, 6) >= threshold.
@@ -419,20 +477,23 @@ def embedding_neardup_pairs(
     checkable, quadratic: use as a small-n verification twin only).
 
     ``n_bits=None`` derives the band width from the corpus count via
-    :func:`derive_srp_bits` (one column-pruned count job) — the
-    default the semantic-dedup family passes through, so a user at
-    10^8 vectors gets a linear candidate stage without reading the
-    scale-probe chart. ``n_bands=None`` derives the band count from
-    the width + threshold via :func:`derive_srp_bands` — a derived
-    width with a FIXED band count would silently leave the recall
-    envelope as n grows, which is exactly the "answer unchanged"
-    claim's precondition; when both are None the width shrinks until
-    the derived band count fits ``MAX_DERIVED_BANDS``, so the
-    full-recall envelope holds at every corpus size (the width floor 8
-    wins if both bind — permissive thresholds are intrinsically
-    band-hungry, and the derived path pays the bands rather than
-    silently losing recall; pass explicit knobs to trade recall for
-    cost). Explicit ints remain exact overrides.
+    :func:`derive_srp_bits` (one column-pruned count job — or free
+    when the caller already knows the count and passes ``n_hint``,
+    the streaming sink's running-count path) — the default the
+    semantic-dedup family passes through, so a user at 10^8 vectors
+    gets a linear candidate stage without reading the scale-probe
+    chart. ``n_bands=None`` derives the band count from the width +
+    threshold via :func:`derive_srp_bands` — a derived width with a
+    FIXED band count would silently leave the recall envelope as n
+    grows, which is exactly the "answer unchanged" claim's
+    precondition; when both are None the width shrinks until the
+    band count the recall identity demands fits ``MAX_DERIVED_BANDS``
+    (:func:`derive_srp_params`), so the 0.99-at-the-boundary envelope
+    holds at every corpus size (the width floor 8 wins if both bind;
+    if even width 8 cannot meet the target within the band budget,
+    the count caps at ``MAX_DERIVED_BANDS`` and a warning reports the
+    recall actually achieved — never a silent loss; pass explicit
+    knobs to pay more). Explicit ints remain exact overrides.
 
     ``n_bits>0`` is the scale path: band-OR SRP LSH. Each vector gets
     ``n_bands`` bucket ids (``n_bits`` hyperplanes per band); candidate
@@ -458,14 +519,11 @@ def embedding_neardup_pairs(
     shape as the MinHash verify stage.
     """
     if n_bits is None:
-        n_bits = derive_srp_bits(embeddings.count())
+        n = n_hint if n_hint is not None else embeddings.count()
         if n_bands is None:
-            while (
-                n_bits > 8
-                and derive_srp_bands(n_bits, threshold)
-                > MAX_DERIVED_BANDS
-            ):
-                n_bits -= 1
+            n_bits, n_bands = derive_srp_params(n, threshold)
+        else:
+            n_bits = derive_srp_bits(n)
     if n_bands is None:
         n_bands = derive_srp_bands(n_bits, threshold) if n_bits else 8
     if n_bits:

@@ -17,98 +17,96 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 # The driver's correctness gate verifies the FIRST 50 registry entries
 # only (round-1 evidence: CORRECTNESS_r01.json stops at entry 50 in
-# registry order). PRIORITY pins the round-12 window (the r11 verdict's
-# "Next round" list — the inherited r11 brief, one round heavier):
-# - the full 24-row r7-era tail (rotation obligation #1, now four
-#   rounds old);
-# - the 7 post-window ANN-tier change guards whose llm/simsearch.py
-#   machinery changed in r10 AFTER their latest driver row: q_ann_srp
-#   (r8), q_ann_pq/q_ann_ivfpq/q_ann_opq/q_ann_filtered (r9),
-#   q_embed_neardup (r8), q_simsearch_topk (r8);
-# - changed-code guards for this round's semdedup n_bits derivation
-#   (q_semdedup, q_stream_semdedup ride llm/semdedup.py +
-#   streaming/semdedup.py);
-# - the remaining slots go to the oldest r8-era rows, favoring the
-#   modules this round touches (curation/classifier, the jsonl
-#   pipeline on the widened bench policy) and family diversity.
+# registry order). PRIORITY pins the round-13 window (the r12 verdict's
+# "Next round" list):
+# - the 2 new rows: q_semdedup_derived (the derived n_bits/n_bands
+#   defaults against q_semdedup's verbatim oracle, brief #2) and
+#   q_quality_classifier_labels (the external-labels training path,
+#   brief #6);
+# - changed-module guards for this round's code: llm/classifier.py +
+#   the curation oracle round clf_score to 6 dp (ADVICE #4) →
+#   q_quality_classifier; llm/simsearch.py gains the derive_srp_bands
+#   cap + derive_srp_params + n_hint (ADVICE #1/#3) → the full ANN
+#   ladder + neardup/topk rows; llm/semdedup.py, streaming/semdedup.py
+#   and streaming/pairdedup.py change for the running kept-count →
+#   the semdedup/epoch-compact/media streaming rows;
+# - the full 24-row r8-era tail (rotation obligation, brief #1 —
+#   changed-module rows q_decontaminate/q_domain_mix/q_train_shards,
+#   q_stream_sessions/q_stream_sliding, q_json_props/q_user_stats
+#   lead);
+# - the remaining 9 slots go to oldest r9-era rows, family-diverse.
 PRIORITY: tuple[str, ...] = (
-    # new this round (r12): the learned quality scorer (VERDICT r11
-    # #3), the epoch-compaction maintenance cadence (#5), and the
-    # streaming ORC gate completing the interchange matrix (#6)
+    # new this round (r13)
+    "q_semdedup_derived",
+    "q_quality_classifier_labels",
+    # changed-module guards: llm/classifier.py (clf_score 6 dp)
     "q_quality_classifier",
-    "q_stream_epoch_compact",
-    "q_stream_orc",
-    # the 7 ANN-tier guards: latest driver rows predate r10's
-    # simsearch.py changes (_filtered extraction, predicate= on every
-    # tier, _pinned build cache)
+    # changed-module guards: llm/simsearch.py (band-budget cap,
+    # derive_srp_params, n_hint)
     "q_ann_srp",
     "q_ann_pq",
     "q_ann_ivfpq",
     "q_ann_opq",
     "q_ann_filtered",
+    "q_ann_ivf",
     "q_embed_neardup",
+    "q_embed_neardup_exact",
     "q_simsearch_topk",
-    # changed-code guards (r12): llm/semdedup.py + streaming/semdedup.py
-    # gain the derived n_bits=None default (VERDICT r11 #4)
+    "q_stream_ann_ingest",
+    # changed-module guards: llm/semdedup.py + streaming/semdedup.py +
+    # streaming/pairdedup.py (running kept-count, survivor return)
     "q_semdedup",
     "q_stream_semdedup",
-    # the full r7-era tail (24 rows) — oldest evidence in the union
-    "q_ann_ivf",
-    "q_approx_profile",
-    "q_bucketed_join",
-    "q_centroid_dist",
-    "q_decontaminate_fuzzy",
-    "q_dedup_exact",
-    "q_drift_psi",
-    "q_embed_neardup_exact",
-    "q_embedding_norms",
-    "q_gapfill_interp",
-    "q_multimodal_meta",
-    "q_sessionize",
-    "q_simhash",
-    "q_store_bucketed_join",
-    "q_stream_candles",
-    "q_stream_csv",
-    "q_stream_drawdown",
-    "q_stream_drift",
-    "q_stream_enrich",
-    "q_stream_join",
-    "q_stream_jsonl",
-    "q_stream_store_asof",
-    "q_stream_store_merge",
-    "q_stream_store_rollup",
-    # oldest r8-era rows (14 of 38 remaining), favoring modules this
-    # round touches: the classifier trains on q_quality_rules' planted
-    # labels; q_corpus_pipeline_jsonl moves to the widened bench
-    # policy; curation/dedup/streaming/relational family diversity for
-    # the rest
-    "q_quality_rules",
-    "q_corpus_pipeline_jsonl",
-    "q_corpus_curation",
-    "q_vocab_topk",
-    "q_boilerplate",
-    "q_stratified_sample",
-    "q_dedup_clusters",
-    "q_jaccard_pairs",
-    "q_stream_ingest",
-    "q_stream_wire",
-    "q_stream_ema",
-    "q_tpch_q1",
-    "q_data_profile",
-    "q_setops",
+    "q_stream_epoch_compact",
+    "q_stream_media_dedup",
+    # the full r8-era tail (24 rows) — oldest evidence in the union;
+    # changed-module rows first
+    "q_decontaminate",
+    "q_domain_mix",
+    "q_train_shards",
+    "q_stream_sessions",
+    "q_stream_sliding",
+    "q_json_props",
+    "q_user_stats",
+    "q_cube_orders",
+    "q_gapfill",
+    "q_grouping_sets",
+    "q_lag_lead",
+    "q_order_rank",
+    "q_pivot_daily",
+    "q_resample_1h",
+    "q_revenue_by_nation",
+    "q_rolling_corr",
+    "q_rollup_acctbal",
+    "q_semi_anti",
+    "q_sma_roll",
+    "q_store_diff",
+    "q_store_diff_bucketed",
+    "q_tpch_q12",
+    "q_tpch_q3",
+    "q_validate_candles",
+    # oldest r9-era rows (9 of 42), family-diverse: dedup, curation,
+    # timeseries, relational
+    "q_minhash_lsh",
+    "q_dedup_increment",
+    "q_cluster_best",
+    "q_pack_sequences",
+    "q_domain_mix_temp",
+    "q_vwap",
+    "q_resample_anchored",
+    "q_tpch_q2",
+    "q_percentiles",
 )
 # Demoted below the window: everything else keeps a green CORRECTNESS
-# row from r8, r9, or r11. After this window greens, NO query's latest
-# row predates r8; the oldest tail is the 24 remaining r8-era rows —
-# q_cube_orders, q_decontaminate, q_domain_mix, q_gapfill,
-# q_grouping_sets, q_json_props, q_lag_lead, q_order_rank,
-# q_pivot_daily, q_resample_1h, q_revenue_by_nation, q_rolling_corr,
-# q_rollup_acctbal, q_semi_anti, q_sma_roll, q_store_diff,
-# q_store_diff_bucketed, q_stream_sessions, q_stream_sliding,
-# q_tpch_q12, q_tpch_q3, q_train_shards, q_user_stats,
-# q_validate_candles — round 13's rotation target (they fit one window
-# with 26 slots to spare). 164 queries are declared; the union after
-# this window greens is 164/164.
+# row from r9, r11, or r12. After this window greens, NO query's
+# latest row predates r9; the oldest tail is the 33 remaining r9-era
+# rows — q_asof_trades, q_candles_1m, q_dup_spans, q_frame_sample,
+# q_full_outer, q_funnel, q_interval_join, q_media_features,
+# q_mtf_join, q_pack_by_domain, q_retention_cohort, q_skew_join,
+# q_sql_shared, q_time_window, q_tpch_q4..q_tpch_q22 (the 18
+# remaining TPC-H rows), q_value_histogram — round 14's rotation
+# target (they fit one window with 17 slots to spare). 166 queries
+# are declared; the union after this window greens is 166/166.
 
 
 def collect_registry() -> tuple[dict[str, QueryFn], dict[str, str]]:

@@ -451,6 +451,10 @@ FROM scan JOIN top USING (doc_id)
 # The oracle replays BOTH stages symbolically: the label CTE is
 # O_QUALITY_RULES verbatim as a subquery, training is a grouped count
 # + the same rounded ln arithmetic, scoring the same fold.
+# q_quality_classifier_labels is the external-labels twin (labels= is
+# any (id, bool) frame — human ratings, an LLM judge; the DCLM
+# production shape): same machinery trained on a planted label frame
+# that is a pure function of doc_id, so both engines replay it.
 
 def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mora_spark.llm.classifier import (
@@ -463,11 +467,29 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_classifier_score(docs, weights, bias)
 
 
-def _o_quality_classifier() -> str:
+def q_quality_classifier_labels(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from mora_spark.llm.classifier import (
+        quality_classifier_score,
+        train_quality_classifier,
+    )
+
+    docs = _docs(spark, sf_dir)
+    labels = docs.select(
+        "doc_id", (F.col("doc_id") % 3 != 0).alias("keep")
+    )
+    weights, bias = train_quality_classifier(docs, labels=labels)
+    return quality_classifier_score(docs, weights, bias)
+
+
+def _o_quality_classifier(label_sql: str | None = None) -> str:
     from mora_spark.llm.classifier import ALPHA, N_BUCKETS
 
     d = N_BUCKETS
     a = float(ALPHA)
+    if label_sql is None:
+        label_sql = f"SELECT doc_id, keep AS y FROM ({O_QUALITY_RULES})"
     bucket = (
         "CAST(('0x' || substr(md5('clf:' || {x}), 1, 8)) AS BIGINT)"
         f" % {d}"
@@ -477,7 +499,7 @@ WITH dt AS (
   SELECT doc_id, list_filter({TOKS_SQL}, x -> x != '') AS toks
   FROM documents
 ), lab AS (
-  SELECT doc_id, keep AS y FROM ({O_QUALITY_RULES})
+  {label_sql}
 ), hits AS (
   SELECT {bucket.format(x="u.tok")} AS j, l.y
   FROM (SELECT doc_id, unnest(toks) AS tok FROM dt) u
@@ -515,7 +537,7 @@ WITH dt AS (
   FROM dt CROSS JOIN warr CROSS JOIN nb
 )
 SELECT doc_id, n_tokens, clf_logit,
-       1.0 / (1.0 + exp(-clf_logit)) AS clf_score,
+       round(1.0 / (1.0 + exp(-clf_logit)), 6) AS clf_score,
        clf_logit > 0 AS clf_keep
 FROM scored
 """
@@ -695,6 +717,7 @@ QUERIES = {
     "q_train_shards": q_train_shards,
     "q_quality_rules": q_quality_rules,
     "q_quality_classifier": q_quality_classifier,
+    "q_quality_classifier_labels": q_quality_classifier_labels,
     "q_boilerplate": q_boilerplate,
     "q_decontaminate": q_decontaminate,
     "q_decontaminate_fuzzy": q_decontaminate_fuzzy,
@@ -712,6 +735,9 @@ ORACLES = {
     "q_train_shards": O_TRAIN_SHARDS,
     "q_quality_rules": O_QUALITY_RULES,
     "q_quality_classifier": _o_quality_classifier(),
+    "q_quality_classifier_labels": _o_quality_classifier(
+        "SELECT doc_id, (doc_id % 3) != 0 AS y FROM documents"
+    ),
     "q_boilerplate": O_BOILERPLATE,
     "q_decontaminate": O_DECONTAMINATE,
     "q_decontaminate_fuzzy": _o_decontaminate_fuzzy(),

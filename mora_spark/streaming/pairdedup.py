@@ -53,8 +53,9 @@ def dedup_pairs_batch(
     pair_fn: Callable[[DataFrame], DataFrame],
     id_col: str,
     score_col: str,
-) -> None:
-    """One micro-batch pair-dedup step (see module docstring).
+) -> int:
+    """One micro-batch pair-dedup step (see module docstring);
+    returns the number of batch survivors appended to the index.
 
     ``state_b`` carries the batch's per-item dedup state —
     ``(id_col, *state columns)``; the index persists exactly these
@@ -63,7 +64,11 @@ def dedup_pairs_batch(
     Batch ids and index ids must be disjoint (each item arrives once),
     so pair classification is pure membership arithmetic. Emitted pair
     rows are ``(id_col, dup_id, score_col, src)`` with the dropped
-    item first."""
+    item first. The return value lets a sink maintain a RUNNING kept
+    count (one footer-metadata count of the just-written epoch dir —
+    never a scan of the whole index), which the semantic sink feeds
+    back as the derived-band-width corpus size
+    (``streaming/semdedup.py``)."""
     state_b = state_b.persist()
     try:
         if os.path.exists(index_dir):
@@ -128,11 +133,16 @@ def dedup_pairs_batch(
             os.path.join(pairs_dir, f"batch_id={batch_id}")
         )
         dropped = pairs.select(id_col).distinct()
+        epoch = os.path.join(index_dir, f"batch_id={batch_id}")
         (
             state_b.join(dropped, id_col, "left_anti")
             .write.mode("overwrite")
-            .parquet(os.path.join(index_dir, f"batch_id={batch_id}"))
+            .parquet(epoch)
         )
+        # Footer-metadata count of the batch-sized epoch just written
+        # (never the whole index): the survivor tally the caller's
+        # running kept-count accumulates.
+        return spark.read.parquet(epoch).count()
     finally:
         state_b.unpersist()
 

@@ -58,23 +58,37 @@ def dedup_embed_batch(
     threshold: float = 0.95,
     n_bits: int | None = None,
     n_bands: int | None = None,
-) -> None:
+    kept_count: int | None = None,
+) -> int:
     """One micro-batch step of :func:`stream_semantic_dedup` — exposed
     so the replay-idempotence contract is directly testable:
     re-invoking a batch (foreachBatch is at-least-once) recomputes the
     same answer against the same ``batch_id < current`` index snapshot
     and overwrites its own epoch directories, never duplicating.
     Emits pair rows (vec_id, dup_id, score, src) with the dropped
-    vector first; the banded pass verifies candidates with exact
-    rounded cosine, so emitted pairs are exactly the pair graph
-    restricted to this batch's greedy step.
+    vector first and returns the batch's survivor count; the banded
+    pass verifies candidates with exact rounded cosine, so emitted
+    pairs are exactly the pair graph restricted to this batch's
+    greedy step.
 
-    ``n_bits=None`` (default) re-derives the band width per batch
-    from the pair pass's actual input — kept index ∪ batch — via
-    ``simsearch.derive_srp_bits``, so the candidate stage stays
-    linear as the kept corpus grows across a long-lived stream
-    (result unchanged by construction; explicit ints override)."""
-    dedup_pairs_batch(
+    ``n_bits=None`` (default) re-derives the band width (and, when
+    ``n_bands`` is also None, the band count — the recall-envelope
+    pair, ``simsearch.derive_srp_params``) per batch from the pair
+    pass's actual input size — kept index ∪ batch — so the candidate
+    stage stays linear as the kept corpus grows across a long-lived
+    stream. The result is unchanged whenever the banded pass holds
+    full recall on the batch's pair graph, which the derivation
+    targets (>= 0.99 at the threshold boundary, better above it) but
+    cannot guarantee per-pair; explicit ints override. ``kept_count``
+    is the caller's running index size: when supplied, sizing costs
+    zero extra jobs beyond one count of the (small) batch — without
+    it, the derived path falls back to counting kept ∪ batch, a
+    per-batch full scan of the ever-growing kept index
+    (:func:`stream_semantic_dedup` threads the running count)."""
+    hint = None
+    if n_bits is None and kept_count is not None:
+        hint = kept_count + batch.count()
+    return dedup_pairs_batch(
         spark,
         batch.select("vec_id", "embedding"),
         batch_id,
@@ -90,6 +104,7 @@ def dedup_embed_batch(
             n_bits=n_bits,
             n_bands=n_bands,
             broadcast_vectors=False,
+            n_hint=hint,
         ),
         id_col="vec_id",
         score_col="score",
@@ -112,8 +127,27 @@ def stream_semantic_dedup(
     pairs_dir = os.path.join(work_dir, "dup_pairs")
     ckpt = os.path.join(work_dir, "ckpt_semdedup")
 
+    # Running kept-index size for the derived-width path: initialized
+    # ONCE per run from the first batch's snapshot (0 when the index
+    # doesn't exist yet; a compacted batch_id=-1 seed is counted), then
+    # advanced by each batch's survivor count — so a long-lived stream
+    # never pays a per-batch full scan of the kept index just to size
+    # the bands. A crash-restart re-initializes from the replayed
+    # batch's own snapshot, which IS the pre-batch count — replay
+    # converges to the same derivation.
+    running = {"kept": None}
+
     def sink(batch: DataFrame, batch_id: int) -> None:
-        dedup_embed_batch(
+        if n_bits is None and running["kept"] is None:
+            if os.path.exists(index_dir):
+                running["kept"] = (
+                    spark.read.parquet(index_dir)
+                    .where(F.col("batch_id") < batch_id)
+                    .count()
+                )
+            else:
+                running["kept"] = 0
+        surv = dedup_embed_batch(
             spark,
             batch,
             batch_id,
@@ -122,7 +156,10 @@ def stream_semantic_dedup(
             threshold=threshold,
             n_bits=n_bits,
             n_bands=n_bands,
+            kept_count=running["kept"],
         )
+        if running["kept"] is not None:
+            running["kept"] += surv
 
     schema = "vec_id long, embedding array<double>"
     from mora_spark.streaming.ingest import _state_partitions

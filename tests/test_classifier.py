@@ -134,3 +134,79 @@ def test_token_bucket_matches_duckdb_twin(spark):
             [t],
         ).fetchone()[0]
         assert got[t] == want, t
+
+
+def test_classifier_sampled_training_is_hash_deterministic(spark, sf_dir):
+    """The 100 TB training recipe (`llm/classifier.py` docstring):
+    pre-sampling with ``hash_uniform(id) < frac`` is a pure function
+    of the id, so the trained weights are IDENTICAL across partition
+    layouts (retries, speculative tasks, cluster sizes) — and they
+    equal an independent numpy recomputation from the sampled counts,
+    pinning that the sample feeding training is exactly the hash
+    selection, not a layout-dependent approximation."""
+    import math as m
+
+    import numpy as np
+
+    from mora_spark.datasets import load_table
+    from mora_spark.functions.text import tokens
+    from mora_spark.llm.classifier import ALPHA
+    from mora_spark.llm.curation import hash_uniform, quality_rules
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    sampled = docs.where(hash_uniform(F.col("doc_id")) < 0.5)
+    n_all, n_s = docs.count(), sampled.count()
+    assert 0 < n_s < n_all  # the sample is real and proper
+
+    runs = [
+        train_quality_classifier(frame)
+        for frame in (sampled, sampled.repartition(7), sampled.repartition(3))
+    ]
+    assert runs[0] == runs[1] == runs[2]
+    weights, bias = runs[0]
+
+    # Independent recomputation: counts via pandas/numpy, weights via
+    # the documented closed form — not a second pass through the
+    # trainer.
+    lab = quality_rules(sampled).select("doc_id", "keep")
+    hits = (
+        sampled.select(
+            "doc_id", F.explode(tokens("text")).alias("tok")
+        )
+        .where(F.col("tok") != "")
+        .join(lab, "doc_id")
+        .select(token_bucket(F.col("tok")).alias("j"), "keep")
+        .toPandas()
+    )
+    ck = np.zeros(N_BUCKETS, dtype=np.int64)
+    cd = np.zeros(N_BUCKETS, dtype=np.int64)
+    for j, keep in zip(hits["j"], hits["keep"]):
+        (ck if keep else cd)[j] += 1
+    tk, td = int(ck.sum()), int(cd.sum())
+    want = [
+        round(
+            m.log((int(ck[j]) + ALPHA) / (tk + ALPHA * N_BUCKETS))
+            - m.log((int(cd[j]) + ALPHA) / (td + ALPHA * N_BUCKETS)),
+            8,
+        )
+        for j in range(N_BUCKETS)
+    ]
+    assert weights == want
+    n_pos = int(lab.where("keep").count())
+    n_neg = int(lab.where("NOT keep").count())
+    assert bias == round(m.log((n_pos + 1.0) / (n_neg + 1.0)), 8)
+
+
+def test_classifier_score_is_rounded_cross_engine(spark):
+    """clf_score is the 6 dp-rounded sigmoid on BOTH engines: the raw
+    sigmoid runs through libm exp whose last ulp is engine-specific
+    (the hazard the 8 dp weight rounding absorbs for ln), so the
+    emitted column must already be rounded — here pinned against a
+    float64 recomputation from the emitted logit."""
+    df, labels = _corpus(spark)
+    weights, bias = train_quality_classifier(df, labels)
+    rows = quality_classifier_score(df, weights, bias).collect()
+    assert rows
+    for r in rows:
+        want = round(1.0 / (1.0 + math.exp(-r["clf_logit"])), 6)
+        assert r["clf_score"] == want, (r["clf_logit"], r["clf_score"])

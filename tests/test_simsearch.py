@@ -854,3 +854,120 @@ def test_filtered_search_parity_on_srp_ivf_flat_and_opq_tiers(
                             predicate=p))
     runs(lambda p: opq_topk(e, rot, books, query_ids=[0, 1], k=5,
                             predicate=p))
+
+
+def test_derive_srp_bands_caps_at_budget_and_warns():
+    """ADVICE r12 #1: an explicitly pinned wide width at a permissive
+    threshold used to derive an UNBOUNDED band count (threshold 0.7 at
+    n_bits=24 solves to 5,081 bands = 5,081 stacked matmuls). The
+    derivation now hard-caps at MAX_DERIVED_BANDS on every path and
+    warns with the recall actually achieved — never a silent blow-up,
+    never a silent recall loss."""
+    import warnings
+
+    from mora_spark.llm.simsearch import (
+        MAX_DERIVED_BANDS,
+        _srp_bands_needed,
+        derive_srp_bands,
+        derive_srp_params,
+    )
+
+    assert _srp_bands_needed(24, 0.7) > 5_000  # the footgun, quantified
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        assert derive_srp_bands(24, 0.7) == MAX_DERIVED_BANDS
+        assert any("capping" in str(w.message) for w in caught)
+    # within budget: capped path never fires, value unchanged
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        assert derive_srp_bands(13, 0.95) <= MAX_DERIVED_BANDS
+        assert not caught
+
+
+def test_derive_srp_params_shrinks_width_for_budget():
+    """The both-None path: when the log2-sized width would demand more
+    bands than the budget, the WIDTH shrinks (the cheaper knob) until
+    the recall-envelope band count fits — so the derived pair always
+    holds the 0.99 boundary target inside the budget, at any corpus
+    size, except at the width floor where the cap warns."""
+    import math
+    import warnings
+
+    from mora_spark.llm.simsearch import (
+        MAX_DERIVED_BANDS,
+        derive_srp_bits,
+        derive_srp_params,
+    )
+
+    # threshold 0.8 at 1e9 vectors: width 24 would need ~1,100 bands
+    bits, bands = derive_srp_params(10**9, 0.8)
+    assert bits < derive_srp_bits(10**9)  # shrunk
+    assert bands <= MAX_DERIVED_BANDS
+    p = 1 - math.acos(0.8) / math.pi
+    assert 1 - (1 - p**bits) ** bands >= 0.99  # envelope held
+    # tight threshold: no shrink needed, derive_srp_bits width kept
+    bits, bands = derive_srp_params(10**9, 0.95)
+    assert bits == derive_srp_bits(10**9) and bands <= MAX_DERIVED_BANDS
+    # floor width still over budget (threshold 0.35 needs ~227 bands
+    # at width 8): cap + warn, returns the best the budget buys
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        bits, bands = derive_srp_params(10**6, 0.35)
+        assert (bits, bands) == (8, MAX_DERIVED_BANDS)
+        assert any("capping" in str(w.message) for w in caught)
+
+
+def test_stream_semdedup_running_count_matches_fallback(
+    spark, sf_dir, tmp_path
+):
+    """ADVICE r12 #3: under n_bits=None the derived width used to cost
+    a per-batch full count of kept ∪ batch — O(corpus) per micro-batch
+    on a long-lived stream. The sink now threads a running kept-count
+    (seeded once, advanced by each batch's survivor return), and the
+    hint path must produce byte-identical state to the fallback count
+    since kept_count + |batch| IS |kept ∪ batch| (ids are disjoint by
+    the sink contract)."""
+    from mora_spark.functions.vectors import l2_norm
+    from mora_spark.queries.vectors import _SQRT_DIM, as_double
+    from mora_spark.streaming.semdedup import dedup_embed_batch
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("embedding")
+    )
+    shift = F.lit(0.2) * l2_norm(F.col("embedding")) / _SQRT_DIM
+    copies = e.select(
+        (F.col("vec_id") + 50_000).alias("vec_id"),
+        F.transform("embedding", lambda x: x + shift).alias("embedding"),
+    )
+
+    def run(root, counted: bool):
+        index_dir, pairs_dir = str(root / "idx"), str(root / "pairs")
+        kept = 0 if counted else None
+        survs = []
+        for bid, batch in enumerate((e, copies)):
+            s = dedup_embed_batch(
+                spark, batch, bid, index_dir, pairs_dir, kept_count=kept
+            )
+            survs.append(s)
+            if counted:
+                kept += s
+        pairs = sorted(
+            (r["vec_id"], r["dup_id"], r["score"], r["src"])
+            for r in spark.read.parquet(pairs_dir).collect()
+        )
+        idx = sorted(
+            (r["vec_id"], r["batch_id"])
+            for r in spark.read.parquet(index_dir)
+            .select("vec_id", "batch_id")
+            .collect()
+        )
+        return pairs, idx, survs
+
+    hinted = run(tmp_path / "hint", counted=True)
+    fallback = run(tmp_path / "fall", counted=False)
+    assert hinted == fallback
+    pairs, idx, survs = hinted
+    # the survivor return IS the index growth — the running count the
+    # sink accumulates is exact
+    assert survs[0] == sum(1 for _, b in idx if b == 0)
+    assert survs[1] == sum(1 for _, b in idx if b == 1)
