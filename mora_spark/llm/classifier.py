@@ -161,11 +161,19 @@ def quality_classifier_score(
     ``clf_logit`` is rounded to 6 dp BEFORE the sigmoid and the 0.5
     cut so the discrete ``clf_keep`` verdict cannot flip on a
     last-ulp summation difference, and ``clf_score`` is rounded to
-    6 dp AFTER it — the sigmoid runs through each engine's libm
+    8 dp AFTER it — the sigmoid runs through each engine's libm
     ``exp``, whose last ulp is no more portable than the ``ln`` the
-    8 dp weight rounding absorbs; docs with zero (non-empty) tokens
-    keep a row with ``n_tokens = 0`` and NULL logit/score/keep — the
-    no-row-loss contract of ``curation.lm_score``."""
+    8 dp weight rounding absorbs. 8 dp, not the logit's 6: the
+    smallest nonzero |logit| the 6 dp rounding admits is 1e-6, which
+    puts the raw sigmoid at least ~2.5e-7 from 0.5 — above 8 dp's
+    5e-9 half-step but BELOW 6 dp's 5e-7, so a 6 dp score would
+    collapse boundary docs onto exactly 0.5 and break
+    ``(clf_score > 0.5) == clf_keep``; at 8 dp the equivalence holds
+    for every representable logit while cross-engine exp noise
+    (~1e-16 relative) still rounds away. Docs with zero (non-empty)
+    tokens keep a row with ``n_tokens = 0`` and NULL
+    logit/score/keep — the no-row-loss contract of
+    ``curation.lm_score``."""
     w_arr = F.lit([float(w) for w in weights])
     t = df.select(
         F.col(id_col).alias("id"),
@@ -183,7 +191,7 @@ def quality_classifier_score(
         F.col("id").alias(id_col),
         n.alias("n_tokens"),
         logit.alias("clf_logit"),
-        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-logit)), 6).alias(
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-logit)), 8).alias(
             "clf_score"
         ),
         (logit > 0).alias("clf_keep"),

@@ -122,8 +122,9 @@ def derive_srp_bands(
             f"derive_srp_bands: holding recall {target_recall} at "
             f"threshold {threshold} with n_bits={n_bits} needs {need} "
             f"bands; capping at MAX_DERIVED_BANDS={MAX_DERIVED_BANDS} "
-            f"(boundary recall ~{got:.3f}) — leave n_bits=None to "
-            "shrink the width instead, or pass n_bands explicitly",
+            f"(boundary recall ~{got:.3f}) — raise the threshold, "
+            "pass n_bands explicitly to pay more, or accept the "
+            "reduced boundary recall",
             stacklevel=2,
         )
         return MAX_DERIVED_BANDS

@@ -537,7 +537,7 @@ WITH dt AS (
   FROM dt CROSS JOIN warr CROSS JOIN nb
 )
 SELECT doc_id, n_tokens, clf_logit,
-       round(1.0 / (1.0 + exp(-clf_logit)), 6) AS clf_score,
+       round(1.0 / (1.0 + exp(-clf_logit)), 8) AS clf_score,
        clf_logit > 0 AS clf_keep
 FROM scored
 """

@@ -53,9 +53,11 @@ def dedup_pairs_batch(
     pair_fn: Callable[[DataFrame], DataFrame],
     id_col: str,
     score_col: str,
-) -> int:
+    count_survivors: bool = False,
+) -> int | None:
     """One micro-batch pair-dedup step (see module docstring);
-    returns the number of batch survivors appended to the index.
+    returns the number of batch survivors appended to the index when
+    ``count_survivors=True``, else None (no count job is scheduled).
 
     ``state_b`` carries the batch's per-item dedup state —
     ``(id_col, *state columns)``; the index persists exactly these
@@ -64,11 +66,14 @@ def dedup_pairs_batch(
     Batch ids and index ids must be disjoint (each item arrives once),
     so pair classification is pure membership arithmetic. Emitted pair
     rows are ``(id_col, dup_id, score_col, src)`` with the dropped
-    item first. The return value lets a sink maintain a RUNNING kept
-    count (one footer-metadata count of the just-written epoch dir —
-    never a scan of the whole index), which the semantic sink feeds
-    back as the derived-band-width corpus size
-    (``streaming/semdedup.py``)."""
+    item first. The survivor count lets a sink maintain a RUNNING
+    kept count — the derived-band-width corpus size the semantic sink
+    threads (``streaming/semdedup.py``); it is recomputed from the
+    persisted batch + checkpointed pairs (both already materialized —
+    one cheap job, no index scan, and NEVER a read-back of the
+    just-written epoch dir: a zero-survivor batch writes zero
+    partitions, which parquet schema inference cannot read — the
+    localCheckpoint comment above)."""
     state_b = state_b.persist()
     try:
         if os.path.exists(index_dir):
@@ -134,15 +139,15 @@ def dedup_pairs_batch(
         )
         dropped = pairs.select(id_col).distinct()
         epoch = os.path.join(index_dir, f"batch_id={batch_id}")
-        (
-            state_b.join(dropped, id_col, "left_anti")
-            .write.mode("overwrite")
-            .parquet(epoch)
-        )
-        # Footer-metadata count of the batch-sized epoch just written
-        # (never the whole index): the survivor tally the caller's
-        # running kept-count accumulates.
-        return spark.read.parquet(epoch).count()
+        survivors = state_b.join(dropped, id_col, "left_anti")
+        survivors.write.mode("overwrite").parquet(epoch)
+        if count_survivors:
+            # Recompute the (persisted ⋈ checkpointed) anti-join —
+            # cheap, batch-sized, and safe on a zero-survivor batch,
+            # unlike reading back an epoch dir written with zero
+            # partitions.
+            return survivors.count()
+        return None
     finally:
         state_b.unpersist()
 

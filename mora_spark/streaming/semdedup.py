@@ -59,17 +59,19 @@ def dedup_embed_batch(
     n_bits: int | None = None,
     n_bands: int | None = None,
     kept_count: int | None = None,
-) -> int:
+) -> int | None:
     """One micro-batch step of :func:`stream_semantic_dedup` — exposed
     so the replay-idempotence contract is directly testable:
     re-invoking a batch (foreachBatch is at-least-once) recomputes the
     same answer against the same ``batch_id < current`` index snapshot
     and overwrites its own epoch directories, never duplicating.
     Emits pair rows (vec_id, dup_id, score, src) with the dropped
-    vector first and returns the batch's survivor count; the banded
-    pass verifies candidates with exact rounded cosine, so emitted
-    pairs are exactly the pair graph restricted to this batch's
-    greedy step.
+    vector first and returns the batch's survivor count when
+    ``kept_count`` is supplied (the running-count path needs the
+    increment; otherwise no count job is scheduled and None returns);
+    the banded pass verifies candidates with exact rounded cosine, so
+    emitted pairs are exactly the pair graph restricted to this
+    batch's greedy step.
 
     ``n_bits=None`` (default) re-derives the band width (and, when
     ``n_bands`` is also None, the band count — the recall-envelope
@@ -108,6 +110,7 @@ def dedup_embed_batch(
         ),
         id_col="vec_id",
         score_col="score",
+        count_survivors=kept_count is not None,
     )
 
 

@@ -198,7 +198,7 @@ def test_classifier_sampled_training_is_hash_deterministic(spark, sf_dir):
 
 
 def test_classifier_score_is_rounded_cross_engine(spark):
-    """clf_score is the 6 dp-rounded sigmoid on BOTH engines: the raw
+    """clf_score is the 8 dp-rounded sigmoid on BOTH engines: the raw
     sigmoid runs through libm exp whose last ulp is engine-specific
     (the hazard the 8 dp weight rounding absorbs for ln), so the
     emitted column must already be rounded — here pinned against a
@@ -208,5 +208,25 @@ def test_classifier_score_is_rounded_cross_engine(spark):
     rows = quality_classifier_score(df, weights, bias).collect()
     assert rows
     for r in rows:
-        want = round(1.0 / (1.0 + math.exp(-r["clf_logit"])), 6)
+        want = round(1.0 / (1.0 + math.exp(-r["clf_logit"])), 8)
         assert r["clf_score"] == want, (r["clf_logit"], r["clf_score"])
+
+
+def test_classifier_boundary_logit_keeps_score_keep_equivalence(spark):
+    """The rounding-width argument in quality_classifier_score's
+    docstring, executed: at the smallest nonzero logit the 6 dp logit
+    rounding admits (±1e-6), the 8 dp score must stay strictly on
+    clf_keep's side of 0.5 — a 6 dp score would collapse both onto
+    exactly 0.500000 and break (clf_score > 0.5) == clf_keep for
+    downstream consumers thresholding on the score."""
+    df = spark.createDataFrame(
+        [(1, "sometoken"), (2, "sometoken")], ["doc_id", "text"]
+    )
+    for bias, keep in ((1e-6, True), (-1e-6, False)):
+        rows = quality_classifier_score(
+            df, [0.0] * N_BUCKETS, bias
+        ).collect()
+        for r in rows:
+            assert r["clf_logit"] == bias
+            assert r["clf_keep"] is keep
+            assert (r["clf_score"] > 0.5) is keep, (bias, r["clf_score"])

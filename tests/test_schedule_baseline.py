@@ -15,6 +15,12 @@ part of the contract) in a FRESH process, so the suite's session
 state can't leak into the counts. Jobs/stages are asserted; tasks are
 recorded but not (task counts follow file splits, which testdata
 regeneration may legitimately change).
+
+The jobs/stages fingerprint is sf-INVARIANT on these five lines:
+`tools/ab_jobs_baseline_sf01.json` (recorded at sf0.1, the bench sf)
+shows identical jobs/stages to the sf0.001 baseline with only task
+counts differing — so this fast sf0.001 gate guards the schedule
+shape of the slow bench lines too.
 """
 
 from __future__ import annotations

@@ -869,7 +869,6 @@ def test_derive_srp_bands_caps_at_budget_and_warns():
         MAX_DERIVED_BANDS,
         _srp_bands_needed,
         derive_srp_bands,
-        derive_srp_params,
     )
 
     assert _srp_bands_needed(24, 0.7) > 5_000  # the footgun, quantified
@@ -965,9 +964,44 @@ def test_stream_semdedup_running_count_matches_fallback(
 
     hinted = run(tmp_path / "hint", counted=True)
     fallback = run(tmp_path / "fall", counted=False)
-    assert hinted == fallback
+    assert hinted[:2] == fallback[:2]
     pairs, idx, survs = hinted
     # the survivor return IS the index growth — the running count the
-    # sink accumulates is exact
+    # sink accumulates is exact; without a kept_count no count job is
+    # scheduled and the step returns None
     assert survs[0] == sum(1 for _, b in idx if b == 0)
     assert survs[1] == sum(1 for _, b in idx if b == 1)
+    assert fallback[2] == [None, None]
+
+
+def test_stream_semdedup_empty_batch_completes(spark, sf_dir, tmp_path):
+    """Review find r13: an empty micro-batch (an empty replayed
+    trigger, or every row filtered upstream) writes its epoch dir with
+    zero partitions, which parquet schema inference cannot read back —
+    so the survivor count must NEVER be taken from a read-back of the
+    just-written dir. Both the counted (running kept-count) and
+    uncounted paths must complete on an empty batch, return 0/None,
+    and leave the pair/index state usable."""
+    from mora_spark.queries.vectors import as_double
+    from mora_spark.streaming.semdedup import dedup_embed_batch
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("embedding")
+    )
+    empty = e.where(F.lit(False))
+    index_dir = str(tmp_path / "idx")
+    pairs_dir = str(tmp_path / "pairs")
+    surv0 = dedup_embed_batch(
+        spark, e.limit(50), 0, index_dir, pairs_dir, kept_count=0
+    )
+    # natural near-dups at 0.95 may drop a few of the 50; the count
+    # contract is survivors = batch - dropped, whatever that lands on
+    assert surv0 is not None and 0 < surv0 <= 50
+    surv1 = dedup_embed_batch(
+        spark, empty, 1, index_dir, pairs_dir, kept_count=surv0
+    )
+    assert surv1 == 0
+    surv2 = dedup_embed_batch(spark, empty, 2, index_dir, pairs_dir)
+    assert surv2 is None
+    kept = spark.read.parquet(index_dir)
+    assert kept.count() == surv0
