@@ -1005,3 +1005,45 @@ def test_stream_semdedup_empty_batch_completes(spark, sf_dir, tmp_path):
     assert surv2 is None
     kept = spark.read.parquet(index_dir)
     assert kept.count() == surv0
+
+
+def test_stream_semantic_dedup_derived_defaults_end_to_end(
+    spark, sf_dir, tmp_path
+):
+    """The actual readStream sink under the derived defaults
+    (n_bits=None, n_bands=None): the running kept-count wiring —
+    seeded once, advanced by survivor returns, fed as n_hint — must
+    produce the identical pair table to the explicit-knob run (on
+    this corpus the derivation lands on the explicit (8, 16), so any
+    difference is a wiring bug, not a recall difference)."""
+    import os
+
+    from mora_spark.functions.vectors import l2_norm
+    from mora_spark.queries.vectors import _SQRT_DIM, as_double
+    from mora_spark.streaming.semdedup import stream_semantic_dedup
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("embedding")
+    )
+    shift = F.lit(0.2) * l2_norm(F.col("embedding")) / _SQRT_DIM
+    copies = e.select(
+        (F.col("vec_id") + 50_000).alias("vec_id"),
+        F.transform("embedding", lambda x: x + shift).alias("embedding"),
+    )
+    src = str(tmp_path / "src")
+    e.coalesce(1).write.parquet(os.path.join(src, "c0"))
+    copies.coalesce(1).write.parquet(os.path.join(src, "c1"))
+    glob = os.path.join(src, "*")
+
+    def run(work, **knobs):
+        return sorted(
+            (r["vec_id"], r["dup_id"], r["score"], r["src"])
+            for r in stream_semantic_dedup(
+                spark, glob, str(tmp_path / work), **knobs
+            ).collect()
+        )
+
+    derived = run("derived")  # n_bits=None, n_bands=None
+    explicit = run("explicit", n_bits=8, n_bands=16)
+    assert derived == explicit
+    assert derived  # the planted copies must actually pair
