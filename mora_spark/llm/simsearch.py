@@ -153,6 +153,39 @@ def derive_srp_params(
     )
 
 
+def derive_ivf_cells(n: int) -> int:
+    """Corpus-sized IVF cell count: ``clamp(4·⌊√n⌋, 16, 65536)`` —
+    the published FAISS sizing guideline (nlist between √n and 16√n;
+    4√n is the middle of its recommended band), floored at the repo's
+    fixed default 16 and capped where the centroid model (cells × dim
+    float64 on the driver and in every task closure) stays a few MB.
+
+    Unlike the SRP width (``derive_srp_bits``), this is NOT the
+    default — the fixed ``n_cells=16`` stays: an IVF index is a
+    PERSISTED artifact whose cell count lives with the saved model
+    (searches load the stored centroids, so a silently corpus-derived
+    build default would retrain a different layout as the corpus
+    grows, breaking build/query reproducibility), and a fixed cell
+    count degrades only the probe CONSTANT (n_probe/n_cells of the
+    corpus per query — still linear), never a cliff like the SRP
+    candidate volume's n²/2^bits. Pass ``n_cells=None`` at build/query
+    sites to opt in.
+    """
+    import math
+
+    return min(65536, max(16, 4 * math.isqrt(max(n, 1))))
+
+
+def derive_ivf_probe(n_cells: int) -> int:
+    """Probe count for a derived cell count: ``max(4, ⌊√n_cells⌋)`` —
+    keeps the probed corpus fraction ~√n_cells/n_cells = 1/√n_cells
+    (shrinking as the index grows, the point of deriving cells) while
+    never probing fewer cells than the repo's fixed default 4."""
+    import math
+
+    return max(4, math.isqrt(max(n_cells, 1)))
+
+
 def _hyperplanes(dim: int, n_bits: int, seed: str = "srp") -> np.ndarray:
     """Deterministic pseudo-random hyperplanes: unit normals derived
     from sha256(seed, bit, chunk) — no RNG state, reproducible across
@@ -282,7 +315,7 @@ def srp_topk(
 
 def train_ivf_centroids(
     embeddings: DataFrame,
-    n_cells: int = 16,
+    n_cells: int | None = 16,
     n_iter: int = 3,
     dim: int = 64,
     vec_col: str = "embedding",
@@ -303,7 +336,12 @@ def train_ivf_centroids(
     At 100 TB you train on a hash-deterministic sample (a few million
     rows bounds centroid drift) and persist the model; assignment of
     the full corpus is the same single-pass matmul either way.
+    ``n_cells=None`` derives the count from the corpus size
+    (:func:`derive_ivf_cells`, the FAISS 4·√n rule — opt-in, see its
+    docstring for why the fixed default stays).
     """
+    if n_cells is None:
+        n_cells = derive_ivf_cells(embeddings.count())
     cents = _hyperplanes(dim, n_cells, seed="ivf")
     for _ in range(n_iter):
         planes = cents  # capture by value for the UDF closure
@@ -385,8 +423,8 @@ def ivf_topk(
     embeddings: DataFrame,
     query_ids: list[int],
     k: int = 5,
-    n_cells: int = 16,
-    n_probe: int = 4,
+    n_cells: int | None = 16,
+    n_probe: int | None = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     train_iters: int = 0,
@@ -406,8 +444,21 @@ def ivf_topk(
     ~n_probe/n_cells of the corpus. ``predicate`` restricts the
     candidate set (the tier-wide filtered-search contract, see
     :func:`pq_topk`); k fills post-filter.
+
+    ``n_cells=None`` derives the cell count from the corpus size
+    (:func:`derive_ivf_cells`, the FAISS 4·√n rule — one
+    column-pruned count job), and ``n_probe=None`` sizes the probe
+    budget to the settled cell count (:func:`derive_ivf_probe`,
+    ~√n_cells — the probed fraction then SHRINKS as the corpus grows
+    instead of staying a fixed quarter). Opt-in; the fixed defaults
+    stay (see ``derive_ivf_cells`` for why this tier, unlike the SRP
+    width, must not silently re-derive).
     """
     dim = 64
+    if n_cells is None:
+        n_cells = derive_ivf_cells(embeddings.count())
+    if n_probe is None:
+        n_probe = derive_ivf_probe(n_cells)
     if train_iters > 0:
         cents = train_ivf_centroids(
             embeddings, n_cells=n_cells, n_iter=train_iters,
@@ -629,14 +680,20 @@ def embedding_neardup_pairs(
 
 def build_ivf_index(
     embeddings: DataFrame,
-    n_cells: int = 16,
+    n_cells: int | None = 16,
     train_iters: int = 2,
     dim: int = 64,
     vec_col: str = "embedding",
 ) -> tuple[np.ndarray, DataFrame]:
     """(centroids, cell-assigned corpus) — the build-once side of a
     persistent IVF index. Training is the deterministic spherical
-    k-means above; assignment is one matmul pass over the corpus."""
+    k-means above; assignment is one matmul pass over the corpus.
+    ``n_cells=None`` sizes the layout to the corpus at BUILD time
+    (:func:`derive_ivf_cells`) — the count is then fixed in the saved
+    model, which is the reproducibility contract that keeps this
+    opt-in rather than the default."""
+    if n_cells is None:
+        n_cells = derive_ivf_cells(embeddings.count())
     if train_iters > 0:
         cents = train_ivf_centroids(
             embeddings, n_cells=n_cells, n_iter=train_iters,
@@ -1297,7 +1354,7 @@ def _adc_expr(m_subspaces: int, n_codes: int):
 
 def build_ivfpq_index(
     embeddings: DataFrame,
-    n_cells: int = 16,
+    n_cells: int | None = 16,
     train_iters: int = 2,
     m_subspaces: int = PQ_M,
     n_codes: int = PQ_K,

@@ -19,10 +19,10 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # only (round-1 evidence: CORRECTNESS_r01.json stops at entry 50 in
 # registry order). PRIORITY pins the round-13 window (the r12 verdict's
 # "Next round" list):
-# - the 2 new rows: q_semdedup_derived (the derived n_bits/n_bands
-#   defaults against q_semdedup's verbatim oracle, brief #2) and
+# - the 3 new rows: q_semdedup_derived (the derived n_bits/n_bands
+#   defaults against q_semdedup's verbatim oracle, brief #2),
 #   q_quality_classifier_labels (the external-labels training path,
-#   brief #6);
+#   brief #6), and q_ann_ivf_derived (opt-in FAISS 4·√n cell sizing);
 # - changed-module guards for this round's code: llm/classifier.py +
 #   the curation oracle round clf_score to 6 dp (ADVICE #4) →
 #   q_quality_classifier; llm/simsearch.py gains the derive_srp_bands
@@ -34,11 +34,14 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #   changed-module rows q_decontaminate/q_domain_mix/q_train_shards,
 #   q_stream_sessions/q_stream_sliding, q_json_props/q_user_stats
 #   lead);
-# - the remaining 9 slots go to oldest r9-era rows, family-diverse.
+# - the remaining 8 slots go to oldest r9-era rows, family-diverse.
 PRIORITY: tuple[str, ...] = (
-    # new this round (r13)
+    # new this round (r13): the derived-defaults semdedup twin, the
+    # external-labels classifier twin, and the derived IVF sizing
+    # (n_cells=None → FAISS 4·√n, opt-in — see derive_ivf_cells)
     "q_semdedup_derived",
     "q_quality_classifier_labels",
+    "q_ann_ivf_derived",
     # changed-module guards: llm/classifier.py (clf_score 6 dp)
     "q_quality_classifier",
     # changed-module guards: llm/simsearch.py (band-budget cap,
@@ -85,7 +88,7 @@ PRIORITY: tuple[str, ...] = (
     "q_tpch_q12",
     "q_tpch_q3",
     "q_validate_candles",
-    # oldest r9-era rows (9 of 42), family-diverse: dedup, curation,
+    # oldest r9-era rows (8 of 42), family-diverse: dedup, curation,
     # timeseries, relational
     "q_minhash_lsh",
     "q_dedup_increment",
@@ -95,18 +98,18 @@ PRIORITY: tuple[str, ...] = (
     "q_vwap",
     "q_resample_anchored",
     "q_tpch_q2",
-    "q_percentiles",
 )
 # Demoted below the window: everything else keeps a green CORRECTNESS
 # row from r9, r11, or r12. After this window greens, NO query's
-# latest row predates r9; the oldest tail is the 33 remaining r9-era
+# latest row predates r9; the oldest tail is the 34 remaining r9-era
 # rows — q_asof_trades, q_candles_1m, q_dup_spans, q_frame_sample,
 # q_full_outer, q_funnel, q_interval_join, q_media_features,
-# q_mtf_join, q_pack_by_domain, q_retention_cohort, q_skew_join,
-# q_sql_shared, q_time_window, q_tpch_q4..q_tpch_q22 (the 18
-# remaining TPC-H rows), q_value_histogram — round 14's rotation
-# target (they fit one window with 17 slots to spare). 166 queries
-# are declared; the union after this window greens is 166/166.
+# q_mtf_join, q_pack_by_domain, q_percentiles, q_retention_cohort,
+# q_skew_join, q_sql_shared, q_time_window, q_tpch_q4..q_tpch_q22
+# (the 18 remaining TPC-H rows), q_value_histogram — round 14's
+# rotation target (they fit one window with 16 slots to spare).
+# 167 queries are declared; the union after this window greens is
+# 167/167.
 
 
 def collect_registry() -> tuple[dict[str, QueryFn], dict[str, str]]:

@@ -267,6 +267,24 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# q_ann_ivf_derived: the same search through the derived sizing
+# (n_cells=None → FAISS 4·√n, n_probe=None → √n_cells — opt-in, see
+# derive_ivf_cells for why the fixed default stays). The planted
+# oracle is structural at ANY cell count: a scaled copy normalizes to
+# the query vector, so it assigns to the query's own argmax cell —
+# which is always the first probed cell — and scores exactly 1.0; the
+# shared brute-force oracle therefore applies verbatim.
+
+def q_ann_ivf_derived(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mora_spark.llm.simsearch import ivf_topk
+
+    e = _planted_topk(_emb(spark, sf_dir))
+    return ivf_topk(
+        e, query_ids=list(range(N_QUERIES)), k=TOP_K,
+        n_cells=None, n_probe=None, train_iters=2,
+    )
+
+
 # --- q_ann_ivf_index: the same search against a PERSISTED index ---
 # Build-once/query-many: centroids + cell-partitioned corpus round-trip
 # through parquet, and the probe reads only n_probe cell partitions
@@ -1368,6 +1386,7 @@ QUERIES = {
     "q_centroid_dist": q_centroid_dist,
     "q_ann_srp": q_ann_srp,
     "q_ann_ivf": q_ann_ivf,
+    "q_ann_ivf_derived": q_ann_ivf_derived,
     "q_ann_ivf_index": q_ann_ivf_index,
     "q_ann_ivf_add": q_ann_ivf_add,
     "q_ann_ivf_compact": q_ann_ivf_compact,
@@ -1394,6 +1413,7 @@ ORACLES = {
     "q_centroid_dist": O_CENTROID_DIST,
     "q_ann_srp": _o_ann_topk(),
     "q_ann_ivf": _o_ann_topk(),
+    "q_ann_ivf_derived": _o_ann_topk(),
     "q_ann_ivf_index": _o_ann_topk(),
     "q_ann_ivf_add": _o_ann_topk(),
     "q_ann_ivf_compact": _o_ann_topk(),

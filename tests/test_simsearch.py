@@ -1047,3 +1047,45 @@ def test_stream_semantic_dedup_derived_defaults_end_to_end(
     explicit = run("explicit", n_bits=8, n_bands=16)
     assert derived == explicit
     assert derived  # the planted copies must actually pair
+
+
+def test_derive_ivf_cells_and_probe_breakpoints():
+    """The opt-in FAISS sizing rule: cells = clamp(4·⌊√n⌋, 16, 65536),
+    probe = max(4, ⌊√cells⌋) — floors reproduce the repo's fixed
+    defaults, the probed corpus fraction shrinks ~1/√cells as the
+    corpus grows, and the centroid model stays driver-bounded at the
+    cap (65536 × 64 float64 = 32 MB)."""
+    from mora_spark.llm.simsearch import derive_ivf_cells, derive_ivf_probe
+
+    assert derive_ivf_cells(0) == 16
+    assert derive_ivf_cells(16) == 16
+    assert derive_ivf_cells(10_000) == 400
+    assert derive_ivf_cells(1_000_000) == 4_000
+    assert derive_ivf_cells(10**12) == 65_536  # capped
+    assert derive_ivf_probe(16) == 4  # the fixed default pair
+    assert derive_ivf_probe(400) == 20
+    assert derive_ivf_probe(4_000) == 63
+    # probed fraction shrinks: n_probe/n_cells strictly falls with n
+    fr = [
+        derive_ivf_probe(derive_ivf_cells(n)) / derive_ivf_cells(n)
+        for n in (10_000, 10**6, 10**9)
+    ]
+    assert fr[0] > fr[1] > fr[2]
+
+
+def test_ivf_derived_sizing_recall_structural_on_plants(spark, sf_dir):
+    """q_ann_ivf_derived's oracle premise, executed: under derived
+    (cells, probe) the planted scaled copies must be returned exactly
+    (a copy normalizes to the query vector, so it assigns to the
+    query's own first-probed cell at ANY cell count) — the result
+    equals the explicit-knob q_ann_ivf row by the shared brute-force
+    ground truth."""
+    from mora_spark.queries.vectors import q_ann_ivf, q_ann_ivf_derived
+
+    rows = lambda df: sorted(
+        (r["query_id"], r["neighbor_id"], r["score"], r["rank"])
+        for r in df.collect()
+    )
+    assert rows(q_ann_ivf_derived(spark, sf_dir)) == rows(
+        q_ann_ivf(spark, sf_dir)
+    )
