@@ -158,7 +158,8 @@ def derive_ivf_cells(n: int) -> int:
     the published FAISS sizing guideline (nlist between √n and 16√n;
     4√n is the middle of its recommended band), floored at the repo's
     fixed default 16 and capped where the centroid model (cells × dim
-    float64 on the driver and in every task closure) stays a few MB.
+    float64 on the driver and in every task closure) reaches 32 MB —
+    a deliberate broadcast-sized ceiling, not "small".
 
     Unlike the SRP width (``derive_srp_bits``), this is NOT the
     default — the fixed ``n_cells=16`` stays: an IVF index is a
@@ -429,6 +430,7 @@ def ivf_topk(
     vec_col: str = "embedding",
     train_iters: int = 0,
     predicate=None,
+    n_hint: int | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: partition the corpus into
     ``n_cells`` Voronoi cells around deterministic centroids, probe only
@@ -447,16 +449,19 @@ def ivf_topk(
 
     ``n_cells=None`` derives the cell count from the corpus size
     (:func:`derive_ivf_cells`, the FAISS 4·√n rule — one
-    column-pruned count job), and ``n_probe=None`` sizes the probe
-    budget to the settled cell count (:func:`derive_ivf_probe`,
-    ~√n_cells — the probed fraction then SHRINKS as the corpus grows
-    instead of staying a fixed quarter). Opt-in; the fixed defaults
-    stay (see ``derive_ivf_cells`` for why this tier, unlike the SRP
-    width, must not silently re-derive).
+    column-pruned count job, skipped when the caller passes the known
+    size as ``n_hint``, the ``embedding_neardup_pairs`` contract), and
+    ``n_probe=None`` sizes the probe budget to the settled cell count
+    (:func:`derive_ivf_probe`, ~√n_cells — the probed fraction then
+    SHRINKS as the corpus grows instead of staying a fixed quarter).
+    Opt-in; the fixed defaults stay (see ``derive_ivf_cells`` for why
+    this tier, unlike the SRP width, must not silently re-derive).
     """
     dim = 64
     if n_cells is None:
-        n_cells = derive_ivf_cells(embeddings.count())
+        n_cells = derive_ivf_cells(
+            n_hint if n_hint is not None else embeddings.count()
+        )
     if n_probe is None:
         n_probe = derive_ivf_probe(n_cells)
     if train_iters > 0:
@@ -684,16 +689,22 @@ def build_ivf_index(
     train_iters: int = 2,
     dim: int = 64,
     vec_col: str = "embedding",
+    n_hint: int | None = None,
 ) -> tuple[np.ndarray, DataFrame]:
     """(centroids, cell-assigned corpus) — the build-once side of a
     persistent IVF index. Training is the deterministic spherical
     k-means above; assignment is one matmul pass over the corpus.
     ``n_cells=None`` sizes the layout to the corpus at BUILD time
-    (:func:`derive_ivf_cells`) — the count is then fixed in the saved
+    (:func:`derive_ivf_cells`; ``n_hint`` skips the count job when
+    the caller knows the size) — the count is then fixed in the saved
     model, which is the reproducibility contract that keeps this
-    opt-in rather than the default."""
+    opt-in rather than the default; searches against the saved index
+    pass ``n_probe=None`` to size the probe to the loaded cell
+    count."""
     if n_cells is None:
-        n_cells = derive_ivf_cells(embeddings.count())
+        n_cells = derive_ivf_cells(
+            n_hint if n_hint is not None else embeddings.count()
+        )
     if train_iters > 0:
         cents = train_ivf_centroids(
             embeddings, n_cells=n_cells, n_iter=train_iters,
@@ -900,7 +911,7 @@ def ivf_index_topk(
     path: str,
     query_ids: list[int],
     k: int = 5,
-    n_probe: int = 4,
+    n_probe: int | None = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     predicate: str | Column | None = None,
@@ -910,6 +921,11 @@ def ivf_index_topk(
     corpus scan touches only the probed cells' partitions. Query
     vectors are fetched by id and probe cells computed driver-side —
     bounded by the request size, the natural client-query shape.
+    ``n_probe=None`` sizes the probe budget to the LOADED index's cell
+    count (:func:`derive_ivf_probe`, ~√n_cells) — the query-side half
+    of the derived sizing: an index built with ``n_cells=None`` at
+    large n has far more cells than the fixed default, and probing a
+    fixed 4 of them would silently collapse the probed fraction.
 
     ``predicate`` is FILTERED search (faiss's IDSelector / a vector
     DB's metadata filter), the ``ivfpq_index_topk`` contract on the
@@ -919,6 +935,8 @@ def ivf_index_topk(
     parquet predicate and k fills POST-filter (post-filtering an
     unfiltered top-k would silently under-fill k)."""
     cents, assigned = load_ivf_index(spark, path)
+    if n_probe is None:
+        n_probe = derive_ivf_probe(len(cents))
     qrows = (
         assigned.where(F.col(id_col).isin(query_ids))
         .select(id_col, vec_col)
@@ -1433,7 +1451,7 @@ def ivfpq_index_topk(
     path: str,
     query_ids: list[int],
     k: int = 5,
-    n_probe: int = 4,
+    n_probe: int | None = 4,
     shortlist: int = 50,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -1471,8 +1489,15 @@ def ivfpq_index_topk(
     scaling story — the probe lists and query tables are still built
     driver-side per request, so both paths assume request-sized
     (queries x shortlist) state; the knob trades scan pushdown for
-    plannability, not driver memory."""
+    plannability, not driver memory.
+
+    ``n_probe=None`` sizes the probe budget to the loaded index's
+    cell count (:func:`derive_ivf_probe` — the ``ivf_index_topk``
+    contract, completing the derived-sizing plumbing on the composed
+    tier)."""
     cents, books, cells = load_ivfpq_index(spark, path)
+    if n_probe is None:
+        n_probe = derive_ivf_probe(len(cents))
     m_subspaces, n_codes, dsub = books.shape
     qrows = (
         cells.where(F.col(id_col).isin(query_ids))

@@ -278,11 +278,15 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_ann_ivf_derived(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mora_spark.llm.simsearch import ivf_topk
 
-    e = _planted_topk(_emb(spark, sf_dir))
-    return ivf_topk(
-        e, query_ids=list(range(N_QUERIES)), k=TOP_K,
-        n_cells=None, n_probe=None, train_iters=2,
-    )
+    # _pinned covers the CONSTRUCTION-time jobs (the derivation's
+    # count + two training collects re-scan the plant union); the
+    # returned plan re-reads the parquet once at evaluation, exactly
+    # like q_ann_ivf.
+    with _pinned(_planted_topk(_emb(spark, sf_dir))) as e:
+        return ivf_topk(
+            e, query_ids=list(range(N_QUERIES)), k=TOP_K,
+            n_cells=None, n_probe=None, train_iters=2,
+        )
 
 
 # --- q_ann_ivf_index: the same search against a PERSISTED index ---

@@ -1089,3 +1089,42 @@ def test_ivf_derived_sizing_recall_structural_on_plants(spark, sf_dir):
     assert rows(q_ann_ivf_derived(spark, sf_dir)) == rows(
         q_ann_ivf(spark, sf_dir)
     )
+
+
+def test_ivf_index_derived_sizing_roundtrip(spark, sf_dir, tmp_path):
+    """The derived sizing is plumbed END-TO-END on the persisted tier
+    (review find r13): build with n_cells=None, search the saved index
+    with n_probe=None — the probe derives from the LOADED centroid
+    count, so a derived-build index queried through the derived path
+    answers exactly like the flat ivf_topk(None, None), and a fixed
+    default probe can never silently under-probe a many-celled
+    index. n_hint skips the sizing count job without changing the
+    derivation."""
+    from mora_spark.llm.simsearch import (
+        build_ivf_index,
+        derive_ivf_cells,
+        derive_ivf_probe,
+        ivf_index_topk,
+        ivf_topk,
+        save_ivf_index,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    n = e.count()
+    direct = ivf_topk(
+        e, query_ids=[0, 1, 2], k=5, n_cells=None, n_probe=None,
+        train_iters=2, n_hint=n,
+    )
+    cents, assigned = build_ivf_index(
+        e, n_cells=None, train_iters=2, n_hint=n
+    )
+    assert len(cents) == derive_ivf_cells(n)
+    save_ivf_index(cents, assigned, str(tmp_path / "ix"))
+    via_index = ivf_index_topk(
+        spark, str(tmp_path / "ix"), query_ids=[0, 1, 2], k=5, n_probe=None
+    )
+    assert sorted(map(tuple, direct.collect())) == sorted(
+        map(tuple, via_index.collect())
+    )
+    # and the derived probe really differs from the fixed default here
+    assert derive_ivf_probe(len(cents)) != 4
