@@ -15,6 +15,8 @@ shards" in an LLM data pipeline. Shared constraints:
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -207,6 +209,22 @@ def shingle_hashes(toks: Column, n: int = 8) -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
+def _doc_shingles(
+    df: DataFrame, keep: list[Column], text_col: str, n: int
+) -> DataFrame:
+    """Exploded per-doc distinct shingle hashes: (*keep, sh). The
+    array-side ``array_distinct`` (never a post-explode
+    ``dropDuplicates``) and the materialized ``_toks`` projection are
+    the two plan traps :func:`decontaminate`'s docstring documents."""
+    toked = df.select(*keep, tokens(text_col).alias("_toks"))
+    return toked.select(
+        *[c for c in toked.columns if c != "_toks"],
+        F.explode(
+            F.array_distinct(shingle_hashes(F.col("_toks"), n))
+        ).alias("sh"),
+    )
+
+
 def decontaminate(
     train: DataFrame,
     benchmark: DataFrame,
@@ -239,24 +257,140 @@ def decontaminate(
     n times per doc — measured 17x slower at 10x sf0.1), while an
     attribute reference is read once per row. Catalyst keeps the
     barrier because the alias is referenced more than once."""
-
-    def doc_shingles(df: DataFrame, keep: list[Column]) -> DataFrame:
-        toked = df.select(*keep, tokens(text_col).alias("_toks"))
-        return toked.select(
-            *[c for c in toked.columns if c != "_toks"],
-            F.explode(
-                F.array_distinct(shingle_hashes(F.col("_toks"), n))
-            ).alias("sh"),
-        )
-
-    t_sh = doc_shingles(train, [F.col(id_col).alias("train_id")])
-    b_sh = doc_shingles(benchmark, []).dropDuplicates(["sh"])
+    t_sh = _doc_shingles(
+        train, [F.col(id_col).alias("train_id")], text_col, n
+    )
+    b_sh = _doc_shingles(benchmark, [], text_col, n).dropDuplicates(["sh"])
     return (
         t_sh.join(F.broadcast(b_sh), "sh")
         .groupBy("train_id")
         .agg(F.count(F.lit(1)).alias("n_hits"))
         .select(F.col("train_id").alias(id_col), "n_hits")
     )
+
+
+def derive_bloom_params(
+    n_keys: int, bits_per_key: int = 16
+) -> tuple[int, int]:
+    """(m_bits, k) for a Bloom filter over ``n_keys`` keys: m is
+    ``n_keys * bits_per_key`` rounded up to a 64-bit word boundary
+    (floor one word), k = round(ln2 * bits_per_key) probes — the
+    optimum k = (m/n)·ln2 for the chosen density. The default 16
+    bits/key gives k=11 and a false-positive rate of ~5e-4; false
+    positives only cost exact-verification work downstream, never a
+    wrong answer."""
+    m_bits = 64 * max(1, math.ceil(n_keys * bits_per_key / 64))
+    k = max(1, round(math.log(2.0) * bits_per_key))
+    return m_bits, k
+
+
+#: Seed for the Bloom filter's second hash (Kirsch-Mitzenmacher double
+#: hashing: position_i = h1 + i*h2 mod m needs only two xxhash64
+#: evaluations per shingle regardless of k).
+_BLOOM_SEED2 = 0x5EED
+
+
+def _bloom_positions(sh: Column, m_bits: int, k: int) -> list[Column]:
+    """The k probe positions of one shingle hash. Both component
+    hashes are pmod-reduced BEFORE the affine combination so every
+    intermediate stays under ~k·m ≪ 2⁶³ (ANSI mode errors on long
+    overflow; hashing must not depend on wraparound)."""
+    h1 = F.pmod(F.xxhash64(sh), F.lit(m_bits))
+    # +1 keeps the stride nonzero, so the k probes never collapse to
+    # one position.
+    h2 = F.pmod(F.xxhash64(sh, F.lit(_BLOOM_SEED2)), F.lit(m_bits - 1)) + (
+        F.lit(1)
+    )
+    return [F.pmod(h1 + F.lit(i) * h2, F.lit(m_bits)) for i in range(k)]
+
+
+def _bloom_test(sh: Column, words: Column, m_bits: int, k: int) -> Column:
+    """True iff every probe bit of ``sh`` is set in the word-array
+    literal. ``get`` (0-based, null-safe) + ``getbit`` with a column
+    position keep the whole test a scan-stage JVM expression."""
+    hit = None
+    for pos in _bloom_positions(sh, m_bits, k):
+        bit = (
+            F.getbit(
+                F.get(words, (pos / F.lit(64)).cast("int")),
+                F.pmod(pos, F.lit(64)),
+            )
+            == 1
+        )
+        hit = bit if hit is None else hit & bit
+    return hit
+
+
+def decontaminate_bloom(
+    train: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    bits_per_key: int = 16,
+    n_keys_hint: int | None = None,
+) -> DataFrame:
+    """:func:`decontaminate` with a Bloom-filter pre-pass — the 100 TB
+    shape of benchmark decontamination. Answer IDENTICAL to
+    :func:`decontaminate` by construction: a Bloom filter has no false
+    negatives (every contaminated doc has a shingle whose k bits are
+    all set), and every candidate it admits is re-verified by the
+    exact shingle join, so false positives cost work, never rows.
+
+    Why it matters at scale: the exact pass explodes ~one shingle per
+    token of TRAINING text into a join — at 100 TB that is the
+    dominant shuffle even when the benchmark side broadcasts. Here the
+    full corpus pays only a zero-shuffle scan-stage test (2 xxhash64 +
+    k getbits per distinct shingle, short-circuited by ``exists``),
+    and only the candidate docs — the true contamination rate plus
+    ~5e-4 false positives — reach the explode+join. The bitset itself is bounded by the BENCHMARK's
+    distinct-shingle count (millions of rows → tens of MB), built
+    distributed (groupBy word index + bit_or), collected once, and
+    shipped as a plan literal; past ~10⁸ benchmark shingles, ship it
+    as a broadcast variable into a pandas-UDF test instead — same
+    candidate semantics, same verify stage.
+
+    ``n_keys_hint`` skips the benchmark count job when the caller
+    already knows it (e.g. from a parquet footer)."""
+    b_sh = _doc_shingles(benchmark, [], text_col, n).dropDuplicates(["sh"])
+    n_keys = b_sh.count() if n_keys_hint is None else n_keys_hint
+    m_bits, k = derive_bloom_params(max(n_keys, 1), bits_per_key)
+
+    pos = b_sh.select(
+        F.explode(
+            F.array(*_bloom_positions(F.col("sh"), m_bits, k))
+        ).alias("pos")
+    )
+    rows = (
+        pos.select(
+            (F.col("pos") / F.lit(64)).cast("int").alias("w"),
+            F.pmod("pos", F.lit(64)).cast("int").alias("bit"),
+        )
+        .withColumn("one", F.expr("shiftleft(CAST(1 AS BIGINT), bit)"))
+        .groupBy("w")
+        .agg(F.bit_or("one").alias("word"))
+        .collect()  # bounded: m_bits/64 words, never corpus rows
+    )
+    words = [0] * (m_bits // 64)
+    for r in rows:
+        words[r["w"]] = r["word"]
+
+    # Explicit bigint element type: F.lit infers array<int> whenever
+    # every word happens to fit 32 bits (e.g. a saturated filter's
+    # all-ones words are -1), and getbit would then bound positions
+    # to [0, 32).
+    wl = F.lit(words).cast("array<bigint>")
+    toked = train.select("*", tokens(text_col).alias("_toks"))
+    # No array_distinct here: ``exists`` short-circuits on the first
+    # hit and is indifferent to duplicate shingles, so deduping the
+    # array would be a pure extra pass.
+    candidates = toked.where(
+        F.exists(
+            shingle_hashes(F.col("_toks"), n),
+            lambda sh: _bloom_test(sh, wl, m_bits, k),
+        )
+    ).drop("_toks")
+    return decontaminate(candidates, benchmark, text_col, id_col, n)
 
 
 def quality_rules(

@@ -31,13 +31,90 @@ BAND_SIZE = 4
 # permutations (instead of N_HASHES md5s per token). P = 2³¹-1 keeps
 # every product under 2⁶² so Spark and DuckDB agree without overflow.
 MINHASH_P = 2_147_483_647
-MINHASH_AB = [
-    (
-        int(hashlib.md5(f"a{s}".encode()).hexdigest()[:8], 16) % (MINHASH_P - 2) + 1,
-        int(hashlib.md5(f"b{s}".encode()).hexdigest()[:8], 16) % MINHASH_P,
-    )
-    for s in range(N_HASHES)
-]
+
+
+def minhash_ab(n_hashes: int) -> list[tuple[int, int]]:
+    """First ``n_hashes`` (a, b) pairs of the md5-seeded affine family.
+    Pure function of the seed index, so any two call sites (engine and
+    oracle, fixed and derived configs) agree on a shared prefix."""
+    return [
+        (
+            int(hashlib.md5(f"a{s}".encode()).hexdigest()[:8], 16)
+            % (MINHASH_P - 2)
+            + 1,
+            int(hashlib.md5(f"b{s}".encode()).hexdigest()[:8], 16)
+            % MINHASH_P,
+        )
+        for s in range(n_hashes)
+    ]
+
+
+MINHASH_AB = minhash_ab(N_HASHES)
+
+#: Signature-length budget for the derived path (the standard prod
+#: size — Lee et al. 2022 and most web-dedup configs use 128 hashes).
+#: Each hash is one more array_min(transform) per unique token set and
+#: one more list_min in the oracle; bands add posexplode rows on top.
+MAX_MINHASH_HASHES = 128
+
+
+def derive_minhash_params(
+    threshold: float,
+    target_recall: float = 0.99,
+    max_hashes: int = MAX_MINHASH_HASHES,
+) -> tuple[int, int]:
+    """(band_size r, n_bands b) holding candidate recall >=
+    ``target_recall`` AT the threshold boundary, from the LSH S-curve
+    P(candidate | J=s) = 1 - (1 - s^r)^b solved for b at s=threshold —
+    the same derive-don't-eyeball discipline as the SRP family
+    (:func:`mora_spark.llm.simsearch.derive_srp_bands`).
+
+    Picks the LARGEST r whose minimum band count b(r) =
+    ceil(log(1-target)/log(1-t^r)) fits the r*b <= max_hashes budget:
+    r is the precision knob (the S-curve sharpens with r, admitting
+    fewer sub-threshold candidates into the exact-Jaccard verify), so
+    precision is maximized subject to the recall floor and the budget.
+    True duplicates sit above the boundary, so their recall is strictly
+    better. At threshold 0.5 this yields (3, 35) = 105 hashes — recall
+    0.990 at the boundary vs the fixed (4, 4)'s 0.23. If even r=1
+    cannot reach the target inside the budget (thresholds near 0), the
+    budget wins: returns (1, max_hashes) and warns with the recall
+    actually achieved."""
+    import warnings
+
+    best: tuple[int, int] | None = None
+    for r in range(1, max_hashes + 1):
+        p = threshold**r
+        if p <= 0.0:
+            break
+        if p >= 1.0 - 1e-12:
+            b = 1
+        else:
+            # log1p keeps the denominator nonzero when p underflows
+            # past double epsilon (tiny thresholds at wide bands —
+            # the band count is just astronomically infeasible there).
+            b = math.ceil(
+                math.log(1.0 - target_recall) / math.log1p(-p)
+            )
+        if r * b <= max_hashes:
+            best = (r, b)
+        elif best is not None:
+            # b(r) is nondecreasing in r past the feasible region;
+            # once a feasible r is followed by an infeasible one, no
+            # larger r fits the budget.
+            break
+    if best is None:
+        got = 1.0 - (1.0 - threshold) ** max_hashes
+        warnings.warn(
+            f"derive_minhash_params: holding recall {target_recall} at "
+            f"threshold {threshold} does not fit the {max_hashes}-hash "
+            f"budget even at band_size=1; using (1, {max_hashes}) "
+            f"(boundary recall ~{got:.3f}) — raise the threshold or "
+            "the budget",
+            stacklevel=2,
+        )
+        return (1, max_hashes)
+    return best
 
 
 def exact_dedup(
@@ -159,7 +236,7 @@ def _affine_minhash(ti: Column, n_hashes: int = N_HASHES) -> Column:
                     % F.lit(MINHASH_P),
                 )
             )
-            for a, b in MINHASH_AB[:n_hashes]
+            for a, b in minhash_ab(n_hashes)
         ]
     )
 
@@ -207,20 +284,28 @@ def _group_table(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
-def _band_table(groups: DataFrame) -> DataFrame:
+def _band_table(
+    groups: DataFrame,
+    band_size: int = BAND_SIZE,
+    n_bands: int = N_HASHES // BAND_SIZE,
+) -> DataFrame:
     """LSH band rows per group: (gid, bks, band, band_key), where bks is
     the group's full band-key array (carried so a pair's FIRST shared
-    band is computable map-side at join time)."""
-    sigs = groups.withColumn("mh", _affine_minhash(F.col("ti")))
-    n_bands = N_HASHES // BAND_SIZE
+    band is computable map-side at join time). ``(band_size, n_bands)``
+    default to the fixed module constants; pass
+    :func:`derive_minhash_params` output for the recall-derived
+    configuration."""
+    sigs = groups.withColumn(
+        "mh", _affine_minhash(F.col("ti"), band_size * n_bands)
+    )
     band_keys = F.array(
         *[
             F.md5(
                 F.concat_ws(
                     "|",
                     *[
-                        F.col("mh").getItem(b * BAND_SIZE + i)
-                        for i in range(BAND_SIZE)
+                        F.col("mh").getItem(b * band_size + i)
+                        for i in range(band_size)
                     ],
                 )
             )
@@ -244,6 +329,8 @@ def _minhash_groups_verified(
     threshold: float,
     cache_key: str | None = None,
     prebuilt: tuple[DataFrame, DataFrame] | None = None,
+    band_size: int = BAND_SIZE,
+    n_bands: int = N_HASHES // BAND_SIZE,
 ) -> tuple[DataFrame, DataFrame]:
     """Shared MinHash-LSH core: returns (groups, verified) where
     ``groups`` is the unique-token-set table (gid, members, ti, n) and
@@ -262,7 +349,7 @@ def _minhash_groups_verified(
     same batch joins the corpus index) tokenizes the input exactly
     once."""
     base_t = min(threshold, _CACHE_BASE_T)
-    key = (cache_key, text_col, id_col, base_t)
+    key = (cache_key, text_col, id_col, base_t, band_size, n_bands)
     if cache_key is not None and key in _LSH_CACHE:
         groups, verified = _LSH_CACHE[key]
         return groups, verified.where(F.col("jaccard") >= threshold)
@@ -273,7 +360,7 @@ def _minhash_groups_verified(
         groups, banded = prebuilt
     else:
         groups = _group_table(df, text_col, id_col).persist()
-        banded = _band_table(groups)
+        banded = _band_table(groups, band_size, n_bands)
 
     a, b = banded.alias("a"), banded.alias("b")
     # A pair sharing k bands meets k times in the band join; keeping
@@ -352,6 +439,8 @@ def minhash_lsh_pairs(
     threshold: float = 0.5,
     cache_key: str | None = None,
     prebuilt: tuple[DataFrame, DataFrame] | None = None,
+    band_size: int = BAND_SIZE,
+    n_bands: int = N_HASHES // BAND_SIZE,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash LSH, verified with exact Jaccard.
 
@@ -375,10 +464,17 @@ def minhash_lsh_pairs(
     outgrows the driver, drop the hint and Spark falls back to a
     sort-merge join on the group key — the rest of the plan is
     unchanged.
+
+    ``(band_size, n_bands)`` default to the fixed module constants
+    (4 bands of 4 — boundary recall 0.23 at threshold 0.5, rescued
+    for TRUE duplicates by their higher Jaccard); pass
+    :func:`derive_minhash_params` output to hold a recall target at
+    the boundary instead — the scale configuration, where candidate
+    recall is a contract, not an accident of a constant.
     """
     groups, verified = _minhash_groups_verified(
         df, text_col, id_col, threshold, cache_key=cache_key,
-        prebuilt=prebuilt,
+        prebuilt=prebuilt, band_size=band_size, n_bands=n_bands,
     )
 
     inter = (

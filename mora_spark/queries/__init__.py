@@ -19,10 +19,12 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # only (round-1 evidence: CORRECTNESS_r01.json stops at entry 50 in
 # registry order). PRIORITY pins the round-13 window (the r12 verdict's
 # "Next round" list):
-# - the 3 new rows: q_semdedup_derived (the derived n_bits/n_bands
+# - the 5 new rows: q_semdedup_derived (the derived n_bits/n_bands
 #   defaults against q_semdedup's verbatim oracle, brief #2),
 #   q_quality_classifier_labels (the external-labels training path,
-#   brief #6), and q_ann_ivf_derived (opt-in FAISS 4·√n cell sizing);
+#   brief #6), q_ann_ivf_derived (opt-in FAISS 4·√n cell sizing),
+#   q_minhash_lsh_derived (recall-derived LSH banding) and
+#   q_decontaminate_bloom (Bloom-prefiltered exact decontamination);
 # - changed-module guards for this round's code: llm/classifier.py +
 #   the curation oracle round clf_score to 6 dp (ADVICE #4) →
 #   q_quality_classifier; llm/simsearch.py gains the derive_srp_bands
@@ -34,14 +36,20 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #   changed-module rows q_decontaminate/q_domain_mix/q_train_shards,
 #   q_stream_sessions/q_stream_sliding, q_json_props/q_user_stats
 #   lead);
-# - the remaining 8 slots go to oldest r9-era rows, family-diverse.
+# - the remaining 6 slots go to oldest r9-era rows, family-diverse.
 PRIORITY: tuple[str, ...] = (
     # new this round (r13): the derived-defaults semdedup twin, the
-    # external-labels classifier twin, and the derived IVF sizing
-    # (n_cells=None → FAISS 4·√n, opt-in — see derive_ivf_cells)
+    # external-labels classifier twin, the derived IVF sizing
+    # (n_cells=None → FAISS 4·√n, opt-in — see derive_ivf_cells), the
+    # recall-derived MinHash banding (derive_minhash_params — the last
+    # LSH family still on eyeballed constants), and the
+    # Bloom-prefiltered decontamination scale path (exact-verified, so
+    # its oracle is O_DECONTAMINATE verbatim)
     "q_semdedup_derived",
     "q_quality_classifier_labels",
     "q_ann_ivf_derived",
+    "q_minhash_lsh_derived",
+    "q_decontaminate_bloom",
     # changed-module guards: llm/classifier.py (clf_score 6 dp)
     "q_quality_classifier",
     # changed-module guards: llm/simsearch.py (band-budget cap,
@@ -88,28 +96,32 @@ PRIORITY: tuple[str, ...] = (
     "q_tpch_q12",
     "q_tpch_q3",
     "q_validate_candles",
-    # oldest r9-era rows (8 of 42), family-diverse: dedup, curation,
-    # timeseries, relational
+    # oldest r9-era rows (6 of 42), family-diverse: dedup, curation,
+    # timeseries. q_minhash_lsh / q_dedup_increment / q_cluster_best
+    # double as changed-module guards for llm/dedup.py (the band-param
+    # threading behind q_minhash_lsh_derived); q_vwap and q_tpch_q2
+    # ceded their slots to the two extra new rows and move to the
+    # round-14 rotation tail.
     "q_minhash_lsh",
     "q_dedup_increment",
     "q_cluster_best",
     "q_pack_sequences",
     "q_domain_mix_temp",
-    "q_vwap",
     "q_resample_anchored",
-    "q_tpch_q2",
 )
 # Demoted below the window: everything else keeps a green CORRECTNESS
 # row from r9, r11, or r12. After this window greens, NO query's
-# latest row predates r9; the oldest tail is the 34 remaining r9-era
+# latest row predates r9; the oldest tail is the 36 remaining r9-era
 # rows — q_asof_trades, q_candles_1m, q_dup_spans, q_frame_sample,
 # q_full_outer, q_funnel, q_interval_join, q_media_features,
 # q_mtf_join, q_pack_by_domain, q_percentiles, q_retention_cohort,
-# q_skew_join, q_sql_shared, q_time_window, q_tpch_q4..q_tpch_q22
-# (the 18 remaining TPC-H rows), q_value_histogram — round 14's
-# rotation target (they fit one window with 16 slots to spare).
-# 167 queries are declared; the union after this window greens is
-# 167/167.
+# q_skew_join, q_sql_shared, q_time_window,
+# q_tpch_q4..q_tpch_q22 (the 18 remaining TPC-H rows),
+# q_value_histogram, plus q_tpch_q2 and q_vwap (which ceded their r13
+# slots to q_minhash_lsh_derived / q_decontaminate_bloom) — round
+# 14's rotation target (they fit one window with 14 slots to spare).
+# 169 queries are declared; the union after this window greens is
+# 169/169.
 
 
 def collect_registry() -> tuple[dict[str, QueryFn], dict[str, str]]:

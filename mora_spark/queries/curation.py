@@ -86,6 +86,21 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decontaminate(train, bench, n=DECON_N)
 
 
+# --- q_decontaminate_bloom: the Bloom-prefiltered scale path ---
+# Same answer as q_decontaminate BY CONSTRUCTION (Bloom filters have
+# no false negatives; candidates are exact-verified), so the oracle is
+# O_DECONTAMINATE verbatim — the driver row proves the pre-pass loses
+# no contaminated doc and admits no wrong one. What changes is the
+# plan: the full train side pays a zero-shuffle scan-stage bitset test
+# instead of the explode+join, which only candidate docs reach.
+
+def q_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mora_spark.llm.curation import decontaminate_bloom
+
+    train, bench = _decon_sides(spark, sf_dir)
+    return decontaminate_bloom(train, bench, n=DECON_N)
+
+
 # --- q_decontaminate_fuzzy: near-duplicate benchmark decontamination ---
 # Exact shingle overlap (q_decontaminate) misses lightly-paraphrased
 # eval leakage; the fuzzy pass flags any train doc whose Jaccard
@@ -720,6 +735,7 @@ QUERIES = {
     "q_quality_classifier_labels": q_quality_classifier_labels,
     "q_boilerplate": q_boilerplate,
     "q_decontaminate": q_decontaminate,
+    "q_decontaminate_bloom": q_decontaminate_bloom,
     "q_decontaminate_fuzzy": q_decontaminate_fuzzy,
     "q_vocab_topk": q_vocab_topk,
     "q_pack_sequences": q_pack_sequences,
@@ -740,6 +756,7 @@ ORACLES = {
     ),
     "q_boilerplate": O_BOILERPLATE,
     "q_decontaminate": O_DECONTAMINATE,
+    "q_decontaminate_bloom": O_DECONTAMINATE,
     "q_decontaminate_fuzzy": _o_decontaminate_fuzzy(),
     "q_vocab_topk": O_VOCAB_TOPK,
     "q_pack_sequences": O_PACK_SEQUENCES,

@@ -25,6 +25,7 @@ from mora_spark.functions.text import (
     type_token_ratio,
 )
 from mora_spark.llm.dedup import (
+    derive_minhash_params,
     exact_dedup,
     minhash_lsh_pairs,
     neardup_clusters,
@@ -317,19 +318,50 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _o_minhash(threshold: float = 0.5) -> str:
+# --- q_minhash_lsh_derived: recall-derived LSH banding ---
+# Same operator, (band_size, n_bands) solved from the S-curve for
+# candidate recall >= 0.99 AT the threshold boundary (derive-don't-
+# eyeball, the round-13 discipline — SRP and IVF sizing got the same
+# treatment). At threshold 0.5 the solve yields (3, 35) = 105 hashes
+# vs the fixed (4, 4) = 16 whose boundary recall is 0.23; the oracle
+# replays the derived family symbolically, so the driver verifies the
+# derived banding admits exactly the pairs the S-curve promises.
+
+def q_minhash_lsh_derived(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r, b = derive_minhash_params(0.5)
+    return minhash_lsh_pairs(
+        _docs(spark, sf_dir), threshold=0.5, cache_key=sf_dir,
+        band_size=r, n_bands=b,
+    )
+
+
+def _o_minhash(
+    threshold: float = 0.5,
+    band_size: int | None = None,
+    n_bands: int | None = None,
+) -> str:
     """Doc-level rendition of the engine's group-level LSH pipeline.
 
     Equivalent by construction: the MinHash signature, band keys, and
     Jaccard all depend only on a document's distinct-token set, so
     grouping identical sets (engine) vs. treating every doc separately
     (oracle) admits exactly the same pairs with the same scores.
+    ``(band_size, n_bands)`` default to the engine's fixed constants;
+    the derived row passes :func:`derive_minhash_params` output so
+    both sides replay the same family prefix.
     """
-    from mora_spark.llm.dedup import MINHASH_AB, MINHASH_P
+    from mora_spark.llm.dedup import (
+        BAND_SIZE,
+        MINHASH_P,
+        N_HASHES,
+        minhash_ab,
+    )
 
+    r = BAND_SIZE if band_size is None else band_size
+    nb = N_HASHES // BAND_SIZE if n_bands is None else n_bands
     sig_items = ", ".join(
         f"list_min(list_transform(ti, h -> ({a} * (h // 2) + {b}) % {MINHASH_P}))"
-        for a, b in MINHASH_AB
+        for a, b in minhash_ab(r * nb)
     )
     return f"""
 WITH t AS (
@@ -341,8 +373,8 @@ WITH t AS (
 sig AS (SELECT doc_id, ti, len(ti) AS n, [{sig_items}] AS mh FROM t),
 banded AS (
   SELECT doc_id, b,
-         md5(array_to_string(mh[4 * b + 1 : 4 * b + 4], '|')) AS band_key
-  FROM sig CROSS JOIN (SELECT unnest(range(4)) AS b)
+         md5(array_to_string(mh[{r} * b + 1 : {r} * b + {r}], '|')) AS band_key
+  FROM sig CROSS JOIN (SELECT unnest(range({nb})) AS b)
 ),
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -904,6 +936,7 @@ QUERIES = {
     "q_redact_pii": q_redact_pii,
     "q_jaccard_pairs": q_jaccard_pairs,
     "q_minhash_lsh": q_minhash_lsh,
+    "q_minhash_lsh_derived": q_minhash_lsh_derived,
     "q_dedup_increment": q_dedup_increment,
     "q_dedup_lines": q_dedup_lines,
     "q_simhash": q_simhash,
@@ -927,6 +960,7 @@ ORACLES = {
     "q_redact_pii": _o_redact_pii(),
     "q_jaccard_pairs": O_JACCARD_PAIRS,
     "q_minhash_lsh": _o_minhash(),
+    "q_minhash_lsh_derived": _o_minhash(0.5, *derive_minhash_params(0.5)),
     "q_dedup_increment": _o_dedup_increment(),
     "q_dedup_lines": O_DEDUP_LINES,
     "q_simhash": O_SIMHASH,

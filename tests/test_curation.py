@@ -345,3 +345,87 @@ def test_pack_chunk_derivation_bounds_driver_state(spark, sf_dir):
         for r in pack_sequences(wide, budget=128, chunk=97).collect()
     }
     assert derived == explicit and derived
+
+
+# --- Bloom-prefiltered decontamination ---
+
+def _decon_frames(spark, sf_dir):
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    bench = d.where(F.col("doc_id") % 20 == 0)
+    train = d.where(F.col("doc_id") % 20 != 0).unionByName(
+        bench.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    )
+    return train, bench
+
+
+def test_bloom_decontaminate_equals_exact(spark, sf_dir):
+    from mora_spark.llm.curation import decontaminate_bloom
+
+    train, bench = _decon_frames(spark, sf_dir)
+    exact = {
+        (r.doc_id, r.n_hits)
+        for r in decontaminate(train, bench, n=8).collect()
+    }
+    bloom = {
+        (r.doc_id, r.n_hits)
+        for r in decontaminate_bloom(train, bench, n=8).collect()
+    }
+    assert bloom == exact and len(exact) > 0
+
+
+def test_bloom_exact_even_when_saturated(spark, sf_dir):
+    # A deliberately undersized bitset (n_keys_hint=10 for thousands
+    # of benchmark shingles) saturates and admits nearly everything as
+    # a candidate — the exact verify still returns the exact answer.
+    # No sizing mistake can change rows, only work.
+    from mora_spark.llm.curation import decontaminate_bloom
+
+    train, bench = _decon_frames(spark, sf_dir)
+    exact = {
+        (r.doc_id, r.n_hits)
+        for r in decontaminate(train, bench, n=8).collect()
+    }
+    bloom = {
+        (r.doc_id, r.n_hits)
+        for r in decontaminate_bloom(
+            train, bench, n=8, n_keys_hint=10
+        ).collect()
+    }
+    assert bloom == exact
+
+
+def test_bloom_empty_benchmark(spark):
+    from mora_spark.llm.curation import decontaminate_bloom
+
+    train = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(20)))],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame([], "doc_id long, text string")
+    assert decontaminate_bloom(train, bench, n=8).count() == 0
+
+
+def test_bloom_prepass_adds_no_exchange(spark, sf_dir):
+    # The scale claim: the Bloom pre-pass is a scan-stage filter, so
+    # the full-plan shuffle count equals the exact operator's — the
+    # candidate test itself never shuffles.
+    from mora_spark.llm.curation import decontaminate_bloom
+
+    train, bench = _decon_frames(spark, sf_dir)
+    plan_exact = decontaminate(
+        train, bench, n=8
+    )._jdf.queryExecution().executedPlan().toString()
+    plan_bloom = decontaminate_bloom(
+        train, bench, n=8
+    )._jdf.queryExecution().executedPlan().toString()
+    assert plan_bloom.count("Exchange") == plan_exact.count("Exchange")
+
+
+def test_derive_bloom_params():
+    from mora_spark.llm.curation import derive_bloom_params
+
+    m, k = derive_bloom_params(1000, bits_per_key=16)
+    assert m % 64 == 0 and m >= 16_000
+    assert k == 11  # round(ln2 * 16)
+    m1, k1 = derive_bloom_params(1)
+    assert m1 == 64 and k1 >= 1

@@ -1148,7 +1148,65 @@ def probe_round12(spark, n) -> None:
         assert run(8) == derived, "derived width changed the answer"
 
 
-if __name__ == "__main__" and "r12" in sys.argv[1:]:
+def probe_round13(spark, n) -> None:
+    """Round-13 surface: the two new derive-don't-eyeball paths at
+    scale, on the mostly-unique corpus (the regime where candidate
+    volume — not output volume — is what's measured).
+
+    (a) Bloom-prefiltered decontamination vs the exact operator:
+        benchmark = every 20th doc, train = the rest plus a recrawl of
+        the benchmark under new ids (contamination rate ~5%). Walls
+        for both, and the answers asserted identical.
+    (b) Recall-derived MinHash banding (3, 35) vs the fixed (4, 4):
+        walls + verified-pair counts — the price of the 0.99 recall
+        contract is verify work on the extra candidates, which must
+        stay ~linear on a mostly-unique corpus.
+
+    Standalone: ``python tools/scale_probe.py 10 r13``."""
+    from mora_spark.llm.curation import decontaminate, decontaminate_bloom
+    from mora_spark.llm.dedup import derive_minhash_params
+
+    docs = mostly_unique_docs(spark, n).persist()
+    print(f"docs={docs.count():,} (x{n})")
+
+    bench = docs.where(F.col("doc_id") % 20 == 0)
+    train = docs.where(F.col("doc_id") % 20 != 0).unionByName(
+        bench.select(
+            (F.col("doc_id") + F.lit(500_000_000)).alias("doc_id"), "text"
+        )
+    )
+
+    def run_decon(name, fn):
+        t0 = time.time()
+        rows = {
+            (r["doc_id"], r["n_hits"])
+            for r in fn(train, bench, n=8).collect()
+        }
+        print(f"{name}: {time.time() - t0:.1f}s {len(rows):,} flagged")
+        return rows
+
+    exact = run_decon("decontaminate(exact)", decontaminate)
+    bloom = run_decon("decontaminate_bloom", decontaminate_bloom)
+    assert bloom == exact, "bloom pre-pass changed the answer"
+
+    def run_pairs(name, **kw):
+        t0 = time.time()
+        c = minhash_lsh_pairs(docs, threshold=0.5, **kw).count()
+        print(f"{name}: {time.time() - t0:.1f}s {c:,} pairs")
+        return c
+
+    fixed = run_pairs("minhash fixed (4,4)")
+    r, b = derive_minhash_params(0.5)
+    derived = run_pairs(f"minhash derived ({r},{b})", band_size=r, n_bands=b)
+    assert derived >= fixed, "derived banding lost pairs vs fixed"
+
+
+if __name__ == "__main__" and "r13" in sys.argv[1:]:
+    _n = next((int(a) for a in sys.argv[1:] if a.isdigit()), 10)
+    _spark = get_spark(app_name="mora_scale_probe")
+    _spark.sparkContext.setLogLevel("ERROR")
+    probe_round13(_spark, _n)
+elif __name__ == "__main__" and "r12" in sys.argv[1:]:
     _n = next((int(a) for a in sys.argv[1:] if a.isdigit()), 40)
     _spark = get_spark(app_name="mora_scale_probe")
     _spark.sparkContext.setLogLevel("ERROR")
