@@ -284,32 +284,43 @@ def derive_bloom_params(
     return m_bits, k
 
 
-#: Seed for the Bloom filter's second hash (Kirsch-Mitzenmacher double
-#: hashing: position_i = h1 + i*h2 mod m needs only two xxhash64
-#: evaluations per shingle regardless of k).
-_BLOOM_SEED2 = 0x5EED
+#: Kirsch-Mitzenmacher double hashing: position_i = h1 + i*h2 mod m.
+#: Both components come from the two halves of ONE xxhash64 per
+#: shingle (h2 from the high bits via this arithmetic shift) — the
+#: string hash is the expensive part of the probe, so it is paid
+#: exactly once per shingle regardless of k; everything after is
+#: integer arithmetic. (A first cut hashed twice per probe inside the
+#: lambda — 2k string hashes per shingle — and the 10x probe priced
+#: that at 20x the exact join. Measure, don't guess.)
+_BLOOM_H2_SHIFT = 41
 
 
-def _bloom_positions(sh: Column, m_bits: int, k: int) -> list[Column]:
-    """The k probe positions of one shingle hash. Both component
-    hashes are pmod-reduced BEFORE the affine combination so every
+def _bloom_probes(x: Column, m_bits: int, k: int) -> list[Column]:
+    """The k probe positions from one 64-bit shingle hash ``x``. Both
+    components are pmod-reduced BEFORE the affine combination so every
     intermediate stays under ~k·m ≪ 2⁶³ (ANSI mode errors on long
     overflow; hashing must not depend on wraparound)."""
-    h1 = F.pmod(F.xxhash64(sh), F.lit(m_bits))
+    h1 = F.pmod(x, F.lit(m_bits))
     # +1 keeps the stride nonzero, so the k probes never collapse to
     # one position.
-    h2 = F.pmod(F.xxhash64(sh, F.lit(_BLOOM_SEED2)), F.lit(m_bits - 1)) + (
-        F.lit(1)
-    )
+    h2 = F.pmod(
+        F.shiftright(x, _BLOOM_H2_SHIFT), F.lit(m_bits - 1)
+    ) + F.lit(1)
     return [F.pmod(h1 + F.lit(i) * h2, F.lit(m_bits)) for i in range(k)]
 
 
-def _bloom_test(sh: Column, words: Column, m_bits: int, k: int) -> Column:
-    """True iff every probe bit of ``sh`` is set in the word-array
-    literal. ``get`` (0-based, null-safe) + ``getbit`` with a column
-    position keep the whole test a scan-stage JVM expression."""
+def _bloom_test(x: Column, words: Column, m_bits: int, k: int) -> Column:
+    """True iff every probe bit of shingle hash ``x`` is set in the
+    bitmap word array. ``get`` (0-based, null-safe) + ``getbit`` with
+    a column position keep the whole test a JVM expression; the
+    unrolled AND chain short-circuits on the first clear bit.
+    ``words`` must be an ATTRIBUTE (the one-row broadcast in
+    :func:`decontaminate_bloom`), never a plan literal: a folded
+    array literal of tens of thousands of elements is re-materialized
+    per evaluation — measured 25x over the identical probe chain on a
+    16-word literal at 2M rows."""
     hit = None
-    for pos in _bloom_positions(sh, m_bits, k):
+    for pos in _bloom_probes(x, m_bits, k):
         bit = (
             F.getbit(
                 F.get(words, (pos / F.lit(64)).cast("int")),
@@ -334,21 +345,39 @@ def decontaminate_bloom(
     shape of benchmark decontamination. Answer IDENTICAL to
     :func:`decontaminate` by construction: a Bloom filter has no false
     negatives (every contaminated doc has a shingle whose k bits are
-    all set), and every candidate it admits is re-verified by the
-    exact shingle join, so false positives cost work, never rows.
+    all set), and every shingle it admits is re-verified by the exact
+    join, so false positives cost work, never rows.
 
-    Why it matters at scale: the exact pass explodes ~one shingle per
-    token of TRAINING text into a join — at 100 TB that is the
-    dominant shuffle even when the benchmark side broadcasts. Here the
-    full corpus pays only a zero-shuffle scan-stage test (2 xxhash64 +
-    k getbits per distinct shingle, short-circuited by ``exists``),
-    and only the candidate docs — the true contamination rate plus
-    ~5e-4 false positives — reach the explode+join. The bitset itself is bounded by the BENCHMARK's
-    distinct-shingle count (millions of rows → tens of MB), built
-    distributed (groupBy word index + bit_or), collected once, and
-    shipped as a plan literal; past ~10⁸ benchmark shingles, ship it
-    as a broadcast variable into a pandas-UDF test instead — same
-    candidate semantics, same verify stage.
+    Why it matters at scale: the exact pass joins EVERY training
+    shingle against the benchmark's distinct-shingle set — fine while
+    that set broadcasts as a hash relation of md5 strings, fatal once
+    it doesn't (a large eval suite is tens of millions of shingles ≈
+    GBs as strings+hashtable): Spark degrades to shuffling the full
+    ~8-hashes-per-token training stream. The Bloom bitset re-encodes
+    the same membership at ``bits_per_key`` (default 16) bits per
+    shingle — 20-40x smaller than the broadcast relation — and the
+    pre-filter (ONE xxhash64 + k getbits per shingle, applied to the
+    exploded shingle stream in the scan stage, before any join or
+    shuffle) drops all but the truly-contaminated shingles plus a
+    ~5e-4 false-positive trickle. Past the filter, the verify join
+    and the per-doc hit count see only candidate rows, so they stay
+    cheap even as a shuffle join. The bitset is built distributed
+    (groupBy word index + ``bit_or``), collected once (bounded by
+    m/64 words, never corpus rows), and shipped back as a ONE-ROW
+    broadcast frame whose array the probe reads as an attribute —
+    never as a plan literal (see the inline note for the measured
+    cliffs); past ~10⁸ benchmark shingles, ship it as a broadcast
+    variable into a pandas-UDF filter instead — same candidate
+    semantics, same verify.
+
+    Plan-shape note: the filter runs on the ``sh`` column OF THE
+    GENERATE OUTPUT, never as a per-doc ``exists`` over
+    ``shingle_hashes`` in a WHERE — predicate pushdown substitutes
+    the tokenization alias into such a filter and the shingle lambda
+    then re-evaluates it per window (the documented 17x trap; a
+    first cut of this function paid 20-30x the exact operator's wall
+    at the 10x probe exactly that way; generators are immune because
+    Catalyst does not substitute into a Generate).
 
     ``n_keys_hint`` skips the benchmark count job when the caller
     already knows it (e.g. from a parquet footer)."""
@@ -356,9 +385,9 @@ def decontaminate_bloom(
     n_keys = b_sh.count() if n_keys_hint is None else n_keys_hint
     m_bits, k = derive_bloom_params(max(n_keys, 1), bits_per_key)
 
-    pos = b_sh.select(
+    pos = b_sh.select(F.xxhash64("sh").alias("x")).select(
         F.explode(
-            F.array(*_bloom_positions(F.col("sh"), m_bits, k))
+            F.array(*_bloom_probes(F.col("x"), m_bits, k))
         ).alias("pos")
     )
     rows = (
@@ -375,22 +404,34 @@ def decontaminate_bloom(
     for r in rows:
         words[r["w"]] = r["word"]
 
-    # Explicit bigint element type: F.lit infers array<int> whenever
-    # every word happens to fit 32 bits (e.g. a saturated filter's
-    # all-ones words are -1), and getbit would then bound positions
-    # to [0, 32).
-    wl = F.lit(words).cast("array<bigint>")
-    toked = train.select("*", tokens(text_col).alias("_toks"))
-    # No array_distinct here: ``exists`` short-circuits on the first
-    # hit and is indifferent to duplicate shingles, so deduping the
-    # array would be a pure extra pass.
-    candidates = toked.where(
-        F.exists(
-            shingle_hashes(F.col("_toks"), n),
-            lambda sh: _bloom_test(sh, wl, m_bits, k),
-        )
-    ).drop("_toks")
-    return decontaminate(candidates, benchmark, text_col, id_col, n)
+    # The bitmap rides in a ONE-ROW broadcast frame and the test is
+    # the JOIN CONDITION, not a post-join filter. Both halves matter,
+    # measured at 2M shingle rows: (a) a plan-literal array this size
+    # is re-materialized per evaluation (25x); (b) a post-join filter
+    # materializes the 470KB-per-row joined output before filtering
+    # (~4x in copy bandwidth), while a join condition evaluates on
+    # the joined VIEW and only matching (candidate) rows are ever
+    # copied out. The explicit array<bigint> schema also matters:
+    # inference would type all-small words as array<int> and getbit
+    # would bound positions to [0, 32).
+    spark = train.sparkSession
+    wdf = spark.createDataFrame([(words,)], "_bloom_words array<bigint>")
+    t_sh = _doc_shingles(
+        train, [F.col(id_col).alias("train_id")], text_col, n
+    )
+    cand = t_sh.join(
+        F.broadcast(wdf),
+        on=_bloom_test(
+            F.xxhash64(F.col("sh")), F.col("_bloom_words"), m_bits, k
+        ),
+        how="inner",
+    ).drop("_bloom_words")
+    return (
+        cand.join(F.broadcast(b_sh), "sh")
+        .groupBy("train_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+        .select(F.col("train_id").alias(id_col), "n_hits")
+    )
 
 
 def quality_rules(

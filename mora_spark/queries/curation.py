@@ -88,11 +88,13 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- q_decontaminate_bloom: the Bloom-prefiltered scale path ---
 # Same answer as q_decontaminate BY CONSTRUCTION (Bloom filters have
-# no false negatives; candidates are exact-verified), so the oracle is
-# O_DECONTAMINATE verbatim — the driver row proves the pre-pass loses
-# no contaminated doc and admits no wrong one. What changes is the
-# plan: the full train side pays a zero-shuffle scan-stage bitset test
-# instead of the explode+join, which only candidate docs reach.
+# no false negatives; candidate shingles are exact-verified), so the
+# oracle is O_DECONTAMINATE verbatim — the driver row proves the
+# pre-pass loses no contaminated doc and admits no wrong one. What
+# changes is the plan: the verify join sees only the shingles that
+# pass a scan-stage bitset test (one-row broadcast bitmap as the join
+# condition — no new shuffle, plan-pinned), so the benchmark side no
+# longer needs to broadcast as a full string hash relation at scale.
 
 def q_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mora_spark.llm.curation import decontaminate_bloom

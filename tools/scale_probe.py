@@ -1162,10 +1162,12 @@ def probe_round13(spark, n) -> None:
         contract is verify work on the extra candidates, which must
         stay ~linear on a mostly-unique corpus.
 
-    Standalone: ``python tools/scale_probe.py 10 r13``."""
+    Standalone: ``python tools/scale_probe.py 10 r13`` (append
+    ``decon`` or ``pairs`` to run one section)."""
     from mora_spark.llm.curation import decontaminate, decontaminate_bloom
     from mora_spark.llm.dedup import derive_minhash_params
 
+    sections = {a for a in sys.argv[1:] if a in ("decon", "pairs")}
     docs = mostly_unique_docs(spark, n).persist()
     print(f"docs={docs.count():,} (x{n})")
 
@@ -1185,9 +1187,13 @@ def probe_round13(spark, n) -> None:
         print(f"{name}: {time.time() - t0:.1f}s {len(rows):,} flagged")
         return rows
 
-    exact = run_decon("decontaminate(exact)", decontaminate)
-    bloom = run_decon("decontaminate_bloom", decontaminate_bloom)
-    assert bloom == exact, "bloom pre-pass changed the answer"
+    if not sections or "decon" in sections:
+        exact = run_decon("decontaminate(exact)", decontaminate)
+        bloom = run_decon("decontaminate_bloom", decontaminate_bloom)
+        assert bloom == exact, "bloom pre-pass changed the answer"
+
+    if sections and "pairs" not in sections:
+        return
 
     def run_pairs(name, **kw):
         t0 = time.time()
