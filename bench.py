@@ -98,6 +98,13 @@ HEADLINE = [
     # plus one column-pruned count job; a spread beyond that is the
     # derivation regressing.
     "q_semdedup_derived",
+    # new in r13 (late): the Bloom-prefiltered decontamination — should
+    # price at ~q_decontaminate plus the bitset build (a benchmark
+    # count + one bounded collect); probe-measured at parity with the
+    # exact operator at 10x/20x. A spread beyond ~2x q_decontaminate
+    # means the scan-stage join-condition plan regressed (see the
+    # plan-shape notes in llm/curation.py).
+    "q_decontaminate_bloom",
 ]
 
 # Pre-staged lines: the SETUP (building bucketed tables / stores) is
