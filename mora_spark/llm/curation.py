@@ -379,8 +379,12 @@ def decontaminate_bloom(
     at the 10x probe exactly that way; generators are immune because
     Catalyst does not substitute into a Generate).
 
-    ``n_keys_hint`` skips the benchmark count job when the caller
-    already knows it (e.g. from a parquet footer)."""
+    The BENCHMARK side is scanned three times (sizing count, bitset
+    build, verify join) — every pass bounded by benchmark size, never
+    the corpus; ``n_keys_hint`` (e.g. from a parquet footer or a
+    prior run) drops the sizing count, and a caller looping over many
+    corpora against one benchmark should persist the benchmark
+    DataFrame to make the remaining two passes cache reads."""
     b_sh = _doc_shingles(benchmark, [], text_col, n).dropDuplicates(["sh"])
     n_keys = b_sh.count() if n_keys_hint is None else n_keys_hint
     m_bits, k = derive_bloom_params(max(n_keys, 1), bits_per_key)
