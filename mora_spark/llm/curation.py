@@ -430,8 +430,16 @@ def decontaminate_bloom(
         ),
         how="inner",
     ).drop("_bloom_words")
+    # NO broadcast hint on the verify join, deliberately — unlike
+    # :func:`decontaminate`, whose whole plan assumes the benchmark
+    # relation broadcasts. This operator exists for the regime where
+    # it does not, and a forced hint would rebuild the multi-GB string
+    # relation on the driver anyway. Below the threshold Spark still
+    # picks the broadcast join on its own; above it, both join inputs
+    # are bounded (the Bloom-filtered candidate stream and the
+    # benchmark's distinct shingles), so the shuffle join stays cheap.
     return (
-        cand.join(F.broadcast(b_sh), "sh")
+        cand.join(b_sh, "sh")
         .groupBy("train_id")
         .agg(F.count(F.lit(1)).alias("n_hits"))
         .select(F.col("train_id").alias(id_col), "n_hits")

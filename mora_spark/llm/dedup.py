@@ -250,6 +250,12 @@ def _affine_minhash(ti: Column, n_hashes: int = N_HASHES) -> Column:
 # accumulate across repeated invocations.
 _LSH_CACHE: dict[tuple, tuple[DataFrame, DataFrame]] = {}
 
+# The groups table is band-INDEPENDENT (it depends only on input
+# identity + tokenization), so it caches under a coarser key than the
+# cascade: a fixed-band and a derived-band run over the same corpus
+# share one tokenize/group pass and one persisted table.
+_GROUPS_CACHE: dict[tuple, DataFrame] = {}
+
 # Cascades are cached at min(threshold, this): pairs above any tighter
 # threshold are a subset with exact jaccard attached.
 _CACHE_BASE_T = 0.5
@@ -261,6 +267,9 @@ def clear_lsh_cache() -> None:
         groups.unpersist()
         verified.unpersist()
     _LSH_CACHE.clear()
+    for groups in _GROUPS_CACHE.values():
+        groups.unpersist()  # double unpersist via _LSH_CACHE is a no-op
+    _GROUPS_CACHE.clear()
 
 
 def _group_table(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -359,7 +368,13 @@ def _minhash_groups_verified(
     if prebuilt is not None:
         groups, banded = prebuilt
     else:
-        groups = _group_table(df, text_col, id_col).persist()
+        gkey = (cache_key, text_col, id_col)
+        if cache_key is not None and gkey in _GROUPS_CACHE:
+            groups = _GROUPS_CACHE[gkey]
+        else:
+            groups = _group_table(df, text_col, id_col).persist()
+            if cache_key is not None:
+                _GROUPS_CACHE[gkey] = groups
         banded = _band_table(groups, band_size, n_bands)
 
     a, b = banded.alias("a"), banded.alias("b")
