@@ -4,7 +4,9 @@ from mora_spark.llm.cluster import connected_components
 from mora_spark.llm.dedup import (
     build_minhash_index,
     dedup_increment,
+    derive_minhash_params,
     exact_dedup,
+    load_minhash_family,
     load_minhash_index,
     save_minhash_index,
     minhash_lsh_pairs,
@@ -33,6 +35,8 @@ __all__ = [
     "connected_components",
     "build_minhash_index",
     "dedup_increment",
+    "derive_minhash_params",
+    "load_minhash_family",
     "load_minhash_index",
     "save_minhash_index",
     "build_ivf_index",

@@ -519,7 +519,11 @@ def minhash_lsh_pairs(
 
 
 def build_minhash_index(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    band_size: int = BAND_SIZE,
+    n_bands: int = N_HASHES // BAND_SIZE,
 ) -> tuple[DataFrame, DataFrame]:
     """Corpus LSH index as two normalized tables — the build-once side
     of INCREMENTAL dedup (the production shape: new crawl batches are
@@ -532,9 +536,17 @@ def build_minhash_index(
     band_key) rows, and token arrays are fetched once per *candidate
     group* from ``groups`` — an index row never duplicates the token
     set four times. At scale, write ``bands`` bucketed by band_key and
-    ``groups`` bucketed by gid so increment joins are co-located."""
+    ``groups`` bucketed by gid so increment joins are co-located.
+
+    ``(band_size, n_bands)`` select the banding family — fixed module
+    constants by default, :func:`derive_minhash_params` output for the
+    recall-derived configuration. The family is part of the INDEX
+    FORMAT, not a query knob: every increment against the index must
+    band its batch identically or band keys never collide (see
+    :func:`dedup_increment`'s mismatch guard), which is why
+    :func:`save_minhash_index` persists it as index metadata."""
     groups = _group_table(df, text_col, id_col)
-    bands = _band_table(groups)
+    bands = _band_table(groups, band_size, n_bands)
     return bands, groups
 
 
@@ -553,11 +565,30 @@ def _gid_shard(gid: Column) -> Column:
     return F.pmod(F.xxhash64(gid), F.lit(GROUP_SHARDS)).cast("int")
 
 
+#: Index-metadata filename under a saved index root. Records the
+#: banding family the index was BUILT with, so increments replay the
+#: exact same signature prefix + band keys; a mismatched family would
+#: silently produce near-zero band collisions — i.e. "no duplicates
+#: found" — which is why :func:`dedup_increment` refuses on conflict.
+LSH_FAMILY_FILE = "_lsh_family.json"
+
+
 def save_minhash_index(
-    bands: DataFrame, groups: DataFrame, path: str
+    bands: DataFrame,
+    groups: DataFrame,
+    path: str,
+    band_size: int = BAND_SIZE,
+    n_bands: int = N_HASHES // BAND_SIZE,
 ) -> None:
     """Persist an LSH index, BOTH tables Hive-partitioned by a
     key-derived shard: ``bands`` by band_key, ``groups`` by gid.
+
+    ``(band_size, n_bands)`` must be the family ``bands`` was built
+    with (:func:`build_minhash_index`'s parameters); it is written to
+    ``{path}/_lsh_family.json`` so :func:`load_minhash_family` can
+    hand it back to every future increment — the family is index
+    FORMAT, and the md5 band keys carry no trace of it, so metadata
+    is the only recoverable record.
 
     The shard layouts are what make the increment's index-side joins
     scale: ``dedup_increment`` collects the (bounded, <= BAND_SHARDS)
@@ -595,13 +626,60 @@ def save_minhash_index(
         .partitionBy("gshard")
         .parquet(f"{path}/groups")
     )
+    write_minhash_family(path, band_size, n_bands)
+
+
+def write_minhash_family(
+    path: str, band_size: int, n_bands: int
+) -> None:
+    """Record the banding family as index metadata (one tiny JSON at
+    the index root, next to ``bands``/``groups``). Split out of
+    :func:`save_minhash_index` so the streaming sink — which appends
+    ``batch_id=`` parquet subdirs itself instead of going through
+    ``save`` — can stamp its sink-owned index too."""
+    import json
+    import os
+
+    os.makedirs(path, exist_ok=True)
+    tmp = os.path.join(path, LSH_FAMILY_FILE + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump(
+            {
+                "band_size": band_size,
+                "n_bands": n_bands,
+                "n_hashes": band_size * n_bands,
+            },
+            f,
+        )
+    os.replace(tmp, os.path.join(path, LSH_FAMILY_FILE))
+
+
+def load_minhash_family(path: str) -> tuple[int, int]:
+    """The (band_size, n_bands) family a saved index was built with,
+    from its ``_lsh_family.json``. Indexes written before the family
+    was persisted (or foreign plain-parquet layouts) carry no file and
+    resolve to the fixed module constants — exactly what every writer
+    used before the metadata existed, so the fallback is correct for
+    every legacy index, never a guess."""
+    import json
+    import os
+
+    meta = os.path.join(path, LSH_FAMILY_FILE)
+    if not os.path.exists(meta):
+        return (BAND_SIZE, N_HASHES // BAND_SIZE)
+    with open(meta) as f:
+        d = json.load(f)
+    return (int(d["band_size"]), int(d["n_bands"]))
 
 
 def load_minhash_index(spark, path: str) -> tuple[DataFrame, DataFrame]:
     """Load an index written by :func:`save_minhash_index` (sharded) or
     appended as plain parquet (the streaming sink): partition discovery
     surfaces ``shard``/``gshard`` only when the layout has them, and
-    :func:`dedup_increment` prunes only when they are there."""
+    :func:`dedup_increment` prunes only when they are there. The
+    banding family is NOT a column — fetch it with
+    :func:`load_minhash_family` and pass it to
+    :func:`dedup_increment` as ``index_family``."""
     return (
         spark.read.parquet(f"{path}/bands"),
         spark.read.parquet(f"{path}/groups"),
@@ -617,6 +695,9 @@ def dedup_increment(
     threshold: float = 0.5,
     prebuilt: tuple[DataFrame, DataFrame] | None = None,
     include_intra: bool = True,
+    band_size: int | None = None,
+    n_bands: int | None = None,
+    index_family: tuple[int, int] | None = None,
 ) -> DataFrame:
     """Dedup a new batch against an indexed corpus + within itself.
 
@@ -644,14 +725,44 @@ def dedup_increment(
     ``include_intra=False`` returns only the ``src='corpus'`` rows —
     for callers deduping one batch against SEVERAL indexes (e.g. the
     seeded streaming sink: a saved corpus index + its own growing
-    index), which must emit the within-batch pairs exactly once."""
+    index), which must emit the within-batch pairs exactly once.
+
+    Banding family: the batch MUST be banded with the family the
+    index was built with, or band keys never collide and the result
+    silently degenerates to "no duplicates found". Pass
+    ``index_family=load_minhash_family(path)`` for a saved index —
+    the batch side then follows the index automatically; an explicit
+    ``(band_size, n_bands)`` that CONFLICTS with a supplied
+    ``index_family`` raises instead of producing that empty answer.
+    With neither given, the fixed module constants apply (correct for
+    every index built with defaults, including pre-metadata legacy
+    layouts). A ``prebuilt`` pair must have been built with the same
+    resolved family (it carries the batch's band keys verbatim)."""
+    if index_family is not None:
+        fam = (int(index_family[0]), int(index_family[1]))
+        if (band_size is not None and band_size != fam[0]) or (
+            n_bands is not None and n_bands != fam[1]
+        ):
+            raise ValueError(
+                f"dedup_increment: requested banding family "
+                f"({band_size}, {n_bands}) conflicts with the index's "
+                f"persisted family {fam} — a mismatched family yields "
+                "near-zero band matches (everything 'unique'); band "
+                "the batch with the index's family or rebuild the "
+                "index"
+            )
+        band_size, n_bands = fam
+    if band_size is None:
+        band_size = BAND_SIZE
+    if n_bands is None:
+        n_bands = N_HASHES // BAND_SIZE
     # One tokenization of the batch: the same (groups, bands) feed the
     # cross join against the index AND the within-batch self-join.
     if prebuilt is not None:
         bgroups, bbands = prebuilt
     else:
         bgroups = _group_table(batch, text_col, id_col).persist()
-        bbands = _band_table(bgroups)
+        bbands = _band_table(bgroups, band_size, n_bands)
 
     if "shard" in index_bands.columns:
         # The batch's shard set is bounded by BAND_SHARDS; collecting

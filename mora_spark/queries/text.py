@@ -423,15 +423,71 @@ def q_dedup_increment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_increment(batch, bands, groups, threshold=0.5)
 
 
-def _o_dedup_increment(threshold: float = 0.5) -> str:
-    """Doc-level rendition of the index + increment pipeline: same
-    banding as :func:`_o_minhash`, with candidates restricted to
-    (increment x corpus) and (increment x earlier-in-increment)."""
-    from mora_spark.llm.dedup import MINHASH_AB, MINHASH_P
+# --- q_dedup_increment_derived: the recall contract, persisted ---
+# The production completion of q_minhash_lsh_derived (VERDICT r13
+# missing #2): the recall-derived family is part of the INDEX FORMAT
+# now — built in, persisted as metadata by save_minhash_index, read
+# back with load_minhash_family, and handed to dedup_increment as
+# index_family so the increment bands its batch identically. The
+# oracle replays the same derived family symbolically; a family that
+# failed to round-trip through the parquet index would show up as a
+# near-empty Spark side vs the oracle's full pair set.
 
+def q_dedup_increment_derived(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import shutil
+
+    from mora_spark.llm.dedup import (
+        build_minhash_index,
+        dedup_increment,
+        load_minhash_family,
+        load_minhash_index,
+        save_minhash_index,
+    )
+    from mora_spark.queries.store import scratch_dir
+
+    r, b = derive_minhash_params(0.5)
+    d = _docs(spark, sf_dir)
+    corpus = d.where(F.col("doc_id") % 10 != 0)
+    batch = d.where(F.col("doc_id") % 10 == 0)
+    path = scratch_dir("minhash_index_derived", sf_dir)
+    shutil.rmtree(path, ignore_errors=True)
+    save_minhash_index(
+        *build_minhash_index(corpus, band_size=r, n_bands=b),
+        path,
+        band_size=r,
+        n_bands=b,
+    )
+    bands, groups = load_minhash_index(spark, path)
+    return dedup_increment(
+        batch, bands, groups, threshold=0.5,
+        index_family=load_minhash_family(path),
+    )
+
+
+def _o_dedup_increment(
+    threshold: float = 0.5,
+    band_size: int | None = None,
+    n_bands: int | None = None,
+) -> str:
+    """Doc-level rendition of the index + increment pipeline: same
+    banding as :func:`_o_minhash` (fixed constants by default, the
+    derived family when passed — both sides replay the same affine
+    prefix), with candidates restricted to (increment x corpus) and
+    (increment x earlier-in-increment)."""
+    from mora_spark.llm.dedup import (
+        BAND_SIZE,
+        MINHASH_P,
+        N_HASHES,
+        minhash_ab,
+    )
+
+    r = BAND_SIZE if band_size is None else band_size
+    nb = N_HASHES // BAND_SIZE if n_bands is None else n_bands
     sig_items = ", ".join(
         f"list_min(list_transform(ti, h -> ({a} * (h // 2) + {b}) % {MINHASH_P}))"
-        for a, b in MINHASH_AB
+        for a, b in minhash_ab(r * nb)
     )
     return f"""
 WITH t AS (
@@ -443,8 +499,8 @@ WITH t AS (
 sig AS (SELECT doc_id, ti, len(ti) AS n, [{sig_items}] AS mh FROM t),
 banded AS (
   SELECT doc_id, b,
-         md5(array_to_string(mh[4 * b + 1 : 4 * b + 4], '|')) AS band_key
-  FROM sig CROSS JOIN (SELECT unnest(range(4)) AS b)
+         md5(array_to_string(mh[{r} * b + 1 : {r} * b + {r}], '|')) AS band_key
+  FROM sig CROSS JOIN (SELECT unnest(range({nb})) AS b)
 ),
 cand AS (
   SELECT DISTINCT n.doc_id AS doc_id, c.doc_id AS dup_id, 'corpus' AS src
@@ -938,6 +994,7 @@ QUERIES = {
     "q_minhash_lsh": q_minhash_lsh,
     "q_minhash_lsh_derived": q_minhash_lsh_derived,
     "q_dedup_increment": q_dedup_increment,
+    "q_dedup_increment_derived": q_dedup_increment_derived,
     "q_dedup_lines": q_dedup_lines,
     "q_simhash": q_simhash,
     "q_simhash_pairs": q_simhash_pairs,
@@ -962,6 +1019,9 @@ ORACLES = {
     "q_minhash_lsh": _o_minhash(),
     "q_minhash_lsh_derived": _o_minhash(0.5, *derive_minhash_params(0.5)),
     "q_dedup_increment": _o_dedup_increment(),
+    "q_dedup_increment_derived": _o_dedup_increment(
+        0.5, *derive_minhash_params(0.5)
+    ),
     "q_dedup_lines": O_DEDUP_LINES,
     "q_simhash": O_SIMHASH,
     "q_simhash_pairs": O_SIMHASH_PAIRS,

@@ -109,8 +109,10 @@ def stream_dedup_increment(
     from mora_spark.llm.dedup import (
         build_minhash_index,
         dedup_increment,
+        load_minhash_family,
         load_minhash_index,
         minhash_lsh_pairs,
+        write_minhash_family,
     )
 
     index_path = os.path.join(work_dir, "lsh_index")
@@ -121,6 +123,19 @@ def stream_dedup_increment(
         if seed_index_path is not None
         else None
     )
+    # The banding family follows the SEED index when there is one (a
+    # batch banded differently would never collide with the seed's
+    # band keys — the exact silent failure dedup_increment's guard
+    # exists for); an unseeded stream uses the fixed defaults. Either
+    # way the family is stamped onto the sink-owned index so the next
+    # epoch (compaction, reseeding, ad-hoc increments) recovers it
+    # from metadata instead of assuming.
+    family = (
+        load_minhash_family(seed_index_path)
+        if seed_index_path is not None
+        else load_minhash_family(index_path)
+    )
+    write_minhash_family(index_path, *family)
 
     def sink(batch: DataFrame, batch_id: int) -> None:
         batch = batch.select("doc_id", "text")
@@ -128,7 +143,7 @@ def stream_dedup_increment(
         # within-batch self-join, and the kept-set rebuild; the persist
         # lifetime is OWNED HERE (unpersisted after the checkpoint) so
         # cached blocks do not accumulate across micro-batches.
-        bands_b, groups_b = build_minhash_index(batch)
+        bands_b, groups_b = build_minhash_index(batch, band_size=family[0], n_bands=family[1])
         groups_b.persist()
         try:
             # One corpus-pair pass per index; each keeps its native
@@ -141,6 +156,7 @@ def stream_dedup_increment(
                     dedup_increment(
                         batch, seed[0], seed[1], threshold=threshold,
                         prebuilt=(groups_b, bands_b), include_intra=False,
+                        index_family=family,
                     )
                 )
             if os.path.isdir(os.path.join(index_path, "groups")):
@@ -161,6 +177,7 @@ def stream_dedup_increment(
                     dedup_increment(
                         batch, bands, groups, threshold=threshold,
                         prebuilt=(groups_b, bands_b), include_intra=False,
+                        index_family=family,
                     )
                 )
             intra = minhash_lsh_pairs(
@@ -188,7 +205,7 @@ def stream_dedup_increment(
         kept = batch.join(
             pairs.select("doc_id").distinct(), "doc_id", "left_anti"
         )
-        b, g = build_minhash_index(kept)
+        b, g = build_minhash_index(kept, band_size=family[0], n_bands=family[1])
         # One file per batch at fixture scale; a production stream
         # would instead target the store's compaction cadence (many
         # small appends, periodic rewrite — see CandleStore.compact).
@@ -252,11 +269,17 @@ def compact_stream_index(
     returns, now with directory-pruned joins."""
     from mora_spark.llm.dedup import (
         _band_table,
+        load_minhash_family,
         load_minhash_index,
         save_minhash_index,
     )
 
     index_path = os.path.join(work_dir, "lsh_index")
+    # The sink stamped its family (seed-inherited or default) onto the
+    # work index; the compacted index re-bands with, and re-persists,
+    # that same family — so the next epoch's seed metadata survives
+    # the compaction round-trip.
+    family = load_minhash_family(index_path)
     _, groups = load_minhash_index(spark, index_path)
     groups = groups.select("gid", "members", "ti", "n")
     if seed_index_path is not None:
@@ -274,4 +297,7 @@ def compact_stream_index(
                 F.first("n").alias("n"),
             )
         )
-    save_minhash_index(_band_table(groups), groups, dest)
+    save_minhash_index(
+        _band_table(groups, *family), groups, dest,
+        band_size=family[0], n_bands=family[1],
+    )

@@ -108,3 +108,92 @@ def test_src_tags(spark, docs, tmp_path):
         assert s == ("corpus" if p < 10 else "batch")
         if s == "batch":
             assert p < d
+
+
+def _save_derived(corpus, path):
+    from mora_spark.llm.dedup import derive_minhash_params
+
+    r, b = derive_minhash_params(0.5)
+    save_minhash_index(
+        *build_minhash_index(corpus, band_size=r, n_bands=b),
+        path,
+        band_size=r,
+        n_bands=b,
+    )
+    return r, b
+
+
+def test_family_metadata_roundtrip(spark, docs, tmp_path):
+    """The banding family is index FORMAT: save persists it, load
+    recovers it, and a legacy layout without the file resolves to the
+    fixed constants (what every pre-metadata writer used)."""
+    from mora_spark.llm.dedup import (
+        BAND_SIZE,
+        N_HASHES,
+        load_minhash_family,
+    )
+
+    corpus = docs.where(F.col("doc_id") < 10)
+    r, b = _save_derived(corpus, str(tmp_path / "ix"))
+    assert load_minhash_family(str(tmp_path / "ix")) == (r, b)
+    save_minhash_index(*build_minhash_index(corpus), str(tmp_path / "fx"))
+    assert load_minhash_family(str(tmp_path / "fx")) == (
+        BAND_SIZE,
+        N_HASHES // BAND_SIZE,
+    )
+    import os
+
+    os.remove(str(tmp_path / "fx" / "_lsh_family.json"))
+    assert load_minhash_family(str(tmp_path / "fx")) == (
+        BAND_SIZE,
+        N_HASHES // BAND_SIZE,
+    )
+
+
+def test_family_mismatch_guard_fires(spark, docs, tmp_path):
+    """An increment that requests a family conflicting with the
+    index's persisted one must REFUSE — the silent alternative is
+    near-zero band matches, i.e. 'no duplicates found'."""
+    from mora_spark.llm.dedup import load_minhash_family
+
+    corpus = docs.where(F.col("doc_id") < 10)
+    batch = docs.where(F.col("doc_id") >= 10)
+    _save_derived(corpus, str(tmp_path / "ix"))
+    bands, groups = load_minhash_index(spark, str(tmp_path / "ix"))
+    fam = load_minhash_family(str(tmp_path / "ix"))
+    with pytest.raises(ValueError, match="conflicts with the index"):
+        dedup_increment(
+            batch, bands, groups, band_size=4, n_bands=4,
+            index_family=fam,
+        )
+
+
+def test_derived_family_increment_equals_joint(spark, docs, tmp_path):
+    """Derived-family index -> save -> load -> increment with
+    index_family reproduces the joint derived-band rebuild, and finds
+    the planted near-dup the fixed family also finds."""
+    from mora_spark.llm.dedup import derive_minhash_params, load_minhash_family
+
+    corpus = docs.where(F.col("doc_id") < 10)
+    batch = docs.where(F.col("doc_id") >= 10)
+    r, b = _save_derived(corpus, str(tmp_path / "ix"))
+    bands, groups = load_minhash_index(spark, str(tmp_path / "ix"))
+    got = _pairs(
+        dedup_increment(
+            batch, bands, groups,
+            index_family=load_minhash_family(str(tmp_path / "ix")),
+        )
+    )
+    joint = minhash_lsh_pairs(docs, band_size=r, n_bands=b).collect()
+    want = {
+        (max(ra.doc_a, ra.doc_b) if min(ra.doc_a, ra.doc_b) >= 10 else
+         (ra.doc_a if ra.doc_a >= 10 else ra.doc_b),
+         min(ra.doc_a, ra.doc_b) if min(ra.doc_a, ra.doc_b) >= 10 else
+         (ra.doc_b if ra.doc_a >= 10 else ra.doc_a),
+         round(ra.jaccard, 9))
+        for ra in joint
+        if ra.doc_a >= 10 or ra.doc_b >= 10
+    }
+    assert got == want
+    found = {(a, b_) for a, b_, _ in got}
+    assert (10, 1) in found and (11, 4) in found

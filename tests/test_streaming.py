@@ -347,3 +347,50 @@ def test_compact_stream_index_is_lossless_and_seeds_next_epoch(
     }
     assert members(comp2[1]) == members(comp2[1]) | members(comp[1])
     assert members(comp2[1]) == members(raw2[1]) | members(comp[1])
+
+
+def test_seeded_stream_inherits_derived_family(spark, tmp_path):
+    """A stream seeded with a DERIVED-family index must band its
+    batches with the seed's family (metadata-inherited, not assumed):
+    the planted seed-dup is found, and the sink stamps the family onto
+    its own index so the next epoch recovers it too. Before the family
+    was persisted, this exact setup silently found nothing — the
+    batch's (4,4) band keys never collided with the seed's (3,35)."""
+    from mora_spark.llm.dedup import (
+        build_minhash_index,
+        derive_minhash_params,
+        load_minhash_family,
+        save_minhash_index,
+    )
+    from mora_spark.streaming.increment import stream_dedup_increment
+
+    seed_docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog again and again"),
+            (2, "a completely different document about spark execution plans"),
+        ],
+        ["doc_id", "text"],
+    )
+    r, b = derive_minhash_params(0.5)
+    seed_ix = str(tmp_path / "seed")
+    save_minhash_index(
+        *build_minhash_index(seed_docs, band_size=r, n_bands=b),
+        seed_ix,
+        band_size=r,
+        n_bands=b,
+    )
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [
+            (10, "the quick brown fox jumps over the lazy dog again and again"),
+            (11, "an unrelated streamed document mentioning watermarks only"),
+        ],
+        "doc_id long, text string",
+    ).coalesce(1).write.parquet(src)
+    work = str(tmp_path / "work")
+    pairs = stream_dedup_increment(
+        spark, src, work, seed_index_path=seed_ix
+    )
+    got = {(row["doc_id"], row["dup_id"], row["src"]) for row in pairs.collect()}
+    assert (10, 1, "corpus") in got
+    assert load_minhash_family(os.path.join(work, "lsh_index")) == (r, b)
