@@ -16,6 +16,7 @@ shards" in an LLM data pipeline. Shared constraints:
 from __future__ import annotations
 
 import math
+import os
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -292,7 +293,15 @@ def derive_bloom_params(
 #: integer arithmetic. (A first cut hashed twice per probe inside the
 #: lambda — 2k string hashes per shingle — and the 10x probe priced
 #: that at 20x the exact join. Measure, don't guess.)
-_BLOOM_H2_SHIFT = 41
+#: Shift of 32 keeps h1 (low bits, reduced mod m) and h2 (the full
+#: high 32 bits) disjoint for every m up to 2^32 — a first cut used
+#: 41, which left only 23 bits of stride: past ~520k benchmark
+#: shingles (m-1 > 2^23) the pmod on h2 became a no-op and all k
+#: probes landed in a narrow window around h1, drifting the FP rate
+#: above its design value in exactly the large-benchmark regime this
+#: operator targets (never wrong rows — the exact verify catches FPs
+#: — just extra verify work).
+_BLOOM_H2_SHIFT = 32
 
 
 def _bloom_probes(x: Column, m_bits: int, k: int) -> list[Column]:
@@ -332,9 +341,46 @@ def _bloom_test(x: Column, words: Column, m_bits: int, k: int) -> Column:
     return hit
 
 
+def bloom_footer_keys_bound(path: str, text_col: str = "text") -> int:
+    """Upper bound on a parquet benchmark's distinct shingle count
+    from FOOTER METADATA ONLY (zero Spark jobs): distinct shingles <=
+    shingle instances <= token count, and every whitespace token
+    consumes at least one character plus a separator, so tokens <=
+    (text bytes + rows) / 2. Footer row counts and the text column's
+    total_uncompressed_size give both terms. The bound oversizes the
+    bitset ~2-6x for typical prose (avg token ~5 bytes, plus
+    duplicate shingles); oversizing only LOWERS the false-positive
+    rate, and even 6x of the 16-bit/key design stays well under the
+    ~400 bits/key the broadcast md5-string hash relation costs — so
+    the trade is zero sizing scans for a uniformly safe size."""
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    files = (
+        [path]
+        if os.path.isfile(path)
+        else sorted(
+            _glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+        )
+    )
+    rows = 0
+    tbytes = 0
+    for f in files:
+        md = pq.read_metadata(f)
+        rows += md.num_rows
+        for rg in range(md.num_row_groups):
+            g = md.row_group(rg)
+            for ci in range(g.num_columns):
+                col = g.column(ci)
+                if col.path_in_schema == text_col:
+                    tbytes += col.total_uncompressed_size
+    return max(1, (tbytes + rows) // 2)
+
+
 def decontaminate_bloom(
     train: DataFrame,
-    benchmark: DataFrame,
+    benchmark: DataFrame | str,
     text_col: str = "text",
     id_col: str = "doc_id",
     n: int = 8,
@@ -381,10 +427,17 @@ def decontaminate_bloom(
 
     The BENCHMARK side is scanned three times (sizing count, bitset
     build, verify join) — every pass bounded by benchmark size, never
-    the corpus; ``n_keys_hint`` (e.g. from a parquet footer or a
-    prior run) drops the sizing count, and a caller looping over many
-    corpora against one benchmark should persist the benchmark
-    DataFrame to make the remaining two passes cache reads."""
+    the corpus. Two ways to drop the sizing scan: pass ``n_keys_hint``
+    from a prior run, or pass ``benchmark`` as a plain parquet PATH —
+    the filter is then sized from footer metadata alone
+    (:func:`bloom_footer_keys_bound`, zero jobs), the common
+    production case where the eval suite is a persisted table. A
+    caller looping over many corpora against one benchmark DataFrame
+    should persist it so the remaining passes are cache reads."""
+    if isinstance(benchmark, str):
+        if n_keys_hint is None:
+            n_keys_hint = bloom_footer_keys_bound(benchmark, text_col)
+        benchmark = train.sparkSession.read.parquet(benchmark)
     b_sh = _doc_shingles(benchmark, [], text_col, n).dropDuplicates(["sh"])
     n_keys = b_sh.count() if n_keys_hint is None else n_keys_hint
     m_bits, k = derive_bloom_params(max(n_keys, 1), bits_per_key)
@@ -394,7 +447,14 @@ def decontaminate_bloom(
             F.array(*_bloom_probes(F.col("x"), m_bits, k))
         ).alias("pos")
     )
-    rows = (
+    # Arrow-batched transfer, not .collect(): the word table is
+    # bounded by m_bits/64 (never corpus rows), but at the documented
+    # ~1e8-shingle ceiling that is still ~25M words — as Row objects
+    # that is GBs of transient Python; as one Arrow-backed pandas
+    # frame scattered into a numpy array it is a 200MB flat buffer.
+    import numpy as np
+
+    wpdf = (
         pos.select(
             (F.col("pos") / F.lit(64)).cast("int").alias("w"),
             F.pmod("pos", F.lit(64)).cast("int").alias("bit"),
@@ -402,11 +462,10 @@ def decontaminate_bloom(
         .withColumn("one", F.expr("shiftleft(CAST(1 AS BIGINT), bit)"))
         .groupBy("w")
         .agg(F.bit_or("one").alias("word"))
-        .collect()  # bounded: m_bits/64 words, never corpus rows
+        .toPandas()
     )
-    words = [0] * (m_bits // 64)
-    for r in rows:
-        words[r["w"]] = r["word"]
+    words = np.zeros(m_bits // 64, dtype=np.int64)
+    words[wpdf["w"].to_numpy()] = wpdf["word"].to_numpy()
 
     # The bitmap rides in a ONE-ROW broadcast frame and the test is
     # the JOIN CONDITION, not a post-join filter. Both halves matter,
@@ -418,8 +477,17 @@ def decontaminate_bloom(
     # copied out. The explicit array<bigint> schema also matters:
     # inference would type all-small words as array<int> and getbit
     # would bound positions to [0, 32).
+    import pandas as pd
+
     spark = train.sparkSession
-    wdf = spark.createDataFrame([(words,)], "_bloom_words array<bigint>")
+    # One row whose single cell is the word array; going through
+    # pandas keeps the round trip Arrow-batched end to end (a plain
+    # createDataFrame would re-serialize the array element-by-element
+    # through pickle — the same 25M-object wall the collect avoided).
+    wdf = spark.createDataFrame(
+        pd.DataFrame({"_bloom_words": [words]}),
+        "_bloom_words array<bigint>",
+    )
     t_sh = _doc_shingles(
         train, [F.col(id_col).alias("train_id")], text_col, n
     )

@@ -410,7 +410,10 @@ def test_bloom_prepass_adds_no_shuffle(spark, sf_dir):
     # candidate test is a broadcast-side join condition evaluated in
     # the scan stage, so the only exchange it introduces is the
     # one-row bitmap broadcast. Shuffle counts must match the exact
-    # operator's plan exactly.
+    # operator's plan exactly. The broadcast threshold is pinned for
+    # the comparison (ADVICE r13): the bloom verify join is
+    # deliberately unhinted, so without the pin this test would
+    # compare planner size estimates, not the pre-pass.
     from mora_spark.llm.curation import decontaminate_bloom
 
     train, bench = _decon_frames(spark, sf_dir)
@@ -419,9 +422,94 @@ def test_bloom_prepass_adds_no_shuffle(spark, sf_dir):
         plan = df._jdf.queryExecution().executedPlan().toString()
         return plan.count("Exchange") - plan.count("BroadcastExchange")
 
-    exact = decontaminate(train, bench, n=8)
-    bloom = decontaminate_bloom(train, bench, n=8)
-    assert shuffles(bloom) == shuffles(exact)
+    key = "spark.sql.autoBroadcastJoinThreshold"
+    old = spark.conf.get(key)
+    spark.conf.set(key, str(10 * 1024 * 1024))
+    try:
+        exact = decontaminate(train, bench, n=8)
+        bloom = decontaminate_bloom(train, bench, n=8)
+        assert shuffles(bloom) == shuffles(exact)
+    finally:
+        spark.conf.set(key, old)
+
+
+def test_bloom_shuffle_regime_same_answer(spark, sf_dir):
+    # The regime the operator EXISTS for: the benchmark relation does
+    # not broadcast (threshold forced to -1). The verify join must
+    # degrade to a candidate-only shuffle join — never a rebuilt
+    # driver-side hash relation — and the answer must still equal the
+    # exact operator's, because the Bloom pre-pass only prunes rows
+    # the verify would drop anyway.
+    from mora_spark.llm.curation import decontaminate_bloom
+
+    train, bench = _decon_frames(spark, sf_dir)
+    key = "spark.sql.autoBroadcastJoinThreshold"
+    old = spark.conf.get(key)
+    spark.conf.set(key, "-1")
+    try:
+        bloom = decontaminate_bloom(train, bench, n=8)
+        plan = bloom._jdf.queryExecution().executedPlan().toString()
+        # the one-row bitmap frame is explicitly hinted and survives
+        # the threshold; the unhinted verify join must have become a
+        # shuffle join
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+        got = {(r.doc_id, r.n_hits) for r in bloom.collect()}
+    finally:
+        spark.conf.set(key, old)
+    want = {
+        (r.doc_id, r.n_hits)
+        for r in decontaminate(train, bench, n=8).collect()
+    }
+    assert got == want
+
+
+def test_bloom_path_benchmark_skips_sizing_job(spark, sf_dir, tmp_path):
+    # Footer-derived sizing: with the benchmark passed as a parquet
+    # PATH, the bitset is sized from footer metadata (zero jobs), so
+    # the whole operator schedules exactly one job fewer than the
+    # DataFrame form (whose first job is the distinct-shingle count) —
+    # and returns the identical flagged set (sizing changes work,
+    # never rows).
+    from mora_spark.llm.curation import (
+        bloom_footer_keys_bound,
+        decontaminate_bloom,
+    )
+
+    train, bench = _decon_frames(spark, sf_dir)
+    bpath = str(tmp_path / "benchmark")
+    bench.write.parquet(bpath)
+    shingle_upper = bloom_footer_keys_bound(bpath)
+    assert shingle_upper > 0
+
+    sc = spark.sparkContext
+
+    def jobs_of(tag, fn):
+        sc.setJobGroup(tag, tag)
+        try:
+            out = fn()
+        finally:
+            sc.setJobGroup("", "")
+        return out, len(sc.statusTracker().getJobIdsForGroup(tag))
+
+    df_res, df_jobs = jobs_of(
+        "bloom_df",
+        lambda: {
+            (r.doc_id, r.n_hits)
+            for r in decontaminate_bloom(train, bench, n=8).collect()
+        },
+    )
+    p_res, p_jobs = jobs_of(
+        "bloom_path",
+        lambda: {
+            (r.doc_id, r.n_hits)
+            for r in decontaminate_bloom(train, bpath, n=8).collect()
+        },
+    )
+    assert p_res == df_res
+    # strictly fewer, not exactly one fewer: the sizing count is gone,
+    # and AQE may fold additional jobs on the simpler flat-parquet
+    # benchmark plan
+    assert p_jobs < df_jobs
 
 
 def test_derive_bloom_params():
