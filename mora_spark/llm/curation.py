@@ -352,7 +352,17 @@ def bloom_footer_keys_bound(path: str, text_col: str = "text") -> int:
     duplicate shingles); oversizing only LOWERS the false-positive
     rate, and even 6x of the 16-bit/key design stays well under the
     ~400 bits/key the broadcast md5-string hash relation costs — so
-    the trade is zero sizing scans for a uniformly safe size."""
+    the trade is zero sizing scans for a safe size on the common
+    layout. Honest caveat: total_uncompressed_size counts ENCODED
+    bytes, which parquet v1 PLAIN/dictionary pages keep at-or-above
+    the logical text bytes for realistic benchmarks, but v2 delta
+    encodings (DELTA_BYTE_ARRAY on heavily shared prefixes) can push
+    below — undersizing there drifts the FP rate up (extra verify
+    work, never wrong rows, since every candidate is exact-verified);
+    pass ``n_keys_hint`` explicitly for such layouts. Raises on an
+    empty file list (e.g. a ``scheme://`` URI this local glob cannot
+    see) rather than returning a bound that would size a saturated
+    one-word filter."""
     import glob as _glob
 
     import pyarrow.parquet as pq
@@ -364,6 +374,12 @@ def bloom_footer_keys_bound(path: str, text_col: str = "text") -> int:
             _glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
         )
     )
+    if not files:
+        raise FileNotFoundError(
+            f"bloom_footer_keys_bound: no parquet files under "
+            f"'{path}' — for non-local roots (hdfs://, s3a://, ...) "
+            "pass the benchmark as a DataFrame or supply n_keys_hint"
+        )
     rows = 0
     tbytes = 0
     for f in files:
@@ -484,8 +500,22 @@ def decontaminate_bloom(
     # pandas keeps the round trip Arrow-batched end to end (a plain
     # createDataFrame would re-serialize the array element-by-element
     # through pickle — the same 25M-object wall the collect avoided).
+    # The non-Arrow fallback converter rejects numpy int64 cells
+    # outright, so on a session without Arrow the cell degrades to a
+    # plain int list — slower, but correct on any caller's session
+    # (this repo's get_spark enables Arrow; external sessions may
+    # not).
+    arrow_on = (
+        str(
+            spark.conf.get(
+                "spark.sql.execution.arrow.pyspark.enabled", "false"
+            )
+        ).lower()
+        == "true"
+    )
+    cell = words if arrow_on else [int(w) for w in words]
     wdf = spark.createDataFrame(
-        pd.DataFrame({"_bloom_words": [words]}),
+        pd.DataFrame({"_bloom_words": [cell]}),
         "_bloom_words array<bigint>",
     )
     t_sh = _doc_shingles(

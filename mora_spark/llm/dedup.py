@@ -626,7 +626,48 @@ def save_minhash_index(
         .partitionBy("gshard")
         .parquet(f"{path}/groups")
     )
+    # The declared family must match what the bands table actually
+    # carries before it becomes authoritative metadata — the easy
+    # mistake is build_minhash_index(df, band_size=r, n_bands=b)
+    # followed by a save that forgets to repeat them, which would
+    # bless the DEFAULT family over derived bands and make every
+    # metadata-following increment silently find nothing. n_bands is
+    # recoverable from the data (len(bks)); this one-row read of the
+    # just-written parquet costs one tiny job per save (saves are
+    # build-once). band_size leaves no trace in the md5 band keys, so
+    # it stays a documented caller contract.
+    peek = (
+        bands.sparkSession.read.parquet(f"{path}/bands")
+        .select(F.size("bks").alias("nb"))
+        .first()
+    )
+    if peek is not None and peek["nb"] != n_bands:
+        raise ValueError(
+            f"save_minhash_index: bands table carries {peek['nb']} "
+            f"bands per group but the declared family says n_bands="
+            f"{n_bands}; pass the SAME (band_size, n_bands) the index "
+            "was built with (no family metadata was written)"
+        )
     write_minhash_family(path, band_size, n_bands)
+
+
+def _require_posix_index_root(path: str, op: str) -> None:
+    """The family metadata helpers use plain POSIX I/O — the same
+    local-filesystem assumption the store's manifest log already
+    makes (engine/store.py: link(2) CAS). A ``scheme://`` index root
+    (hdfs, s3a, ...) would let Spark write the parquet tables remotely
+    while the JSON landed in a spurious DRIVER-LOCAL directory, and a
+    later load on another machine would silently fall back to the
+    fixed family — the exact wrong-family failure the metadata
+    exists to prevent. Refuse loudly instead."""
+    scheme = path.split("://", 1)[0] if "://" in path else None
+    if scheme and scheme != "file":
+        raise NotImplementedError(
+            f"{op}: index root '{path}' uses a non-local filesystem; "
+            "family metadata I/O is POSIX-only (like the store "
+            "manifest log) — mount the store or extend these helpers "
+            "with Hadoop FileSystem I/O before using remote roots"
+        )
 
 
 def write_minhash_family(
@@ -640,6 +681,9 @@ def write_minhash_family(
     import json
     import os
 
+    _require_posix_index_root(path, "write_minhash_family")
+    if path.startswith("file://"):
+        path = path[len("file://"):]
     os.makedirs(path, exist_ok=True)
     tmp = os.path.join(path, LSH_FAMILY_FILE + ".tmp")
     with open(tmp, "w") as f:
@@ -664,6 +708,9 @@ def load_minhash_family(path: str) -> tuple[int, int]:
     import json
     import os
 
+    _require_posix_index_root(path, "load_minhash_family")
+    if path.startswith("file://"):
+        path = path[len("file://"):]
     meta = os.path.join(path, LSH_FAMILY_FILE)
     if not os.path.exists(meta):
         return (BAND_SIZE, N_HASHES // BAND_SIZE)

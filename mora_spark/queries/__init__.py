@@ -17,111 +17,96 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 # The driver's correctness gate verifies the FIRST 50 registry entries
 # only (round-1 evidence: CORRECTNESS_r01.json stops at entry 50 in
-# registry order). PRIORITY pins the round-13 window (the r12 verdict's
+# registry order). PRIORITY pins the round-14 window (the r13 verdict's
 # "Next round" list):
-# - the 5 new rows: q_semdedup_derived (the derived n_bits/n_bands
-#   defaults against q_semdedup's verbatim oracle, brief #2),
-#   q_quality_classifier_labels (the external-labels training path,
-#   brief #6), q_ann_ivf_derived (opt-in FAISS 4·√n cell sizing),
-#   q_minhash_lsh_derived (recall-derived LSH banding) and
-#   q_decontaminate_bloom (Bloom-prefiltered exact decontamination);
-# - changed-module guards for this round's code: llm/classifier.py +
-#   the curation oracle round clf_score to 6 dp (ADVICE #4) →
-#   q_quality_classifier; llm/simsearch.py gains the derive_srp_bands
-#   cap + derive_srp_params + n_hint (ADVICE #1/#3) → the full ANN
-#   ladder + neardup/topk rows; llm/semdedup.py, streaming/semdedup.py
-#   and streaming/pairdedup.py change for the running kept-count →
-#   the semdedup/epoch-compact/media streaming rows;
-# - the full 24-row r8-era tail (rotation obligation, brief #1 —
-#   changed-module rows q_decontaminate/q_domain_mix/q_train_shards,
-#   q_stream_sessions/q_stream_sliding, q_json_props/q_user_stats
-#   lead);
-# - the remaining 6 slots go to oldest r9-era rows, family-diverse.
+# - the FULL 36-row r9-era tail (rotation obligation, brief #1): after
+#   this window greens, every query's latest driver evidence sits
+#   within the r11+ horizon and the whole 170-name registry has been
+#   re-proven at least twice;
+# - 1 new row: q_dedup_increment_derived (the recall-derived banding
+#   family threaded through the PERSISTED index path — built in,
+#   persisted as _lsh_family.json, recovered by load_minhash_family,
+#   enforced by dedup_increment's mismatch guard; brief #2);
+# - 13 changed-module guards: llm/dedup.py grew the family metadata +
+#   guard (q_minhash_lsh, q_minhash_lsh_derived, q_dedup_increment,
+#   q_dedup_clusters, q_cluster_best, q_corpus_curation,
+#   q_decontaminate_fuzzy — the last also exercises the changed
+#   build/increment signatures); streaming/increment.py inherits +
+#   stamps the family (q_stream_dedup_increment, q_stream_dedup_seeded,
+#   q_stream_epoch_compact) and streaming/pipeline.py stamps its
+#   sink-owned index (q_corpus_pipeline_jsonl — also guards the
+#   changed build/increment call signatures its sink uses);
+#   llm/curation.py's Bloom path changed (h2 stride 32, Arrow bitset
+#   transfer, footer sizing — q_decontaminate_bloom, q_decontaminate).
 PRIORITY: tuple[str, ...] = (
-    # new this round (r13): the derived-defaults semdedup twin, the
-    # external-labels classifier twin, the derived IVF sizing
-    # (n_cells=None → FAISS 4·√n, opt-in — see derive_ivf_cells), the
-    # recall-derived MinHash banding (derive_minhash_params — the last
-    # LSH family still on eyeballed constants), and the
-    # Bloom-prefiltered decontamination scale path (exact-verified, so
-    # its oracle is O_DECONTAMINATE verbatim)
-    "q_semdedup_derived",
-    "q_quality_classifier_labels",
-    "q_ann_ivf_derived",
-    "q_minhash_lsh_derived",
-    "q_decontaminate_bloom",
-    # changed-module guards: llm/classifier.py (clf_score 6 dp)
-    "q_quality_classifier",
-    # changed-module guards: llm/simsearch.py (band-budget cap,
-    # derive_srp_params, n_hint)
-    "q_ann_srp",
-    "q_ann_pq",
-    "q_ann_ivfpq",
-    "q_ann_opq",
-    "q_ann_filtered",
-    "q_ann_ivf",
-    "q_embed_neardup",
-    "q_embed_neardup_exact",
-    "q_simsearch_topk",
-    "q_stream_ann_ingest",
-    # changed-module guards: llm/semdedup.py + streaming/semdedup.py +
-    # streaming/pairdedup.py (running kept-count, survivor return)
-    "q_semdedup",
-    "q_stream_semdedup",
-    "q_stream_epoch_compact",
-    "q_stream_media_dedup",
-    # the full r8-era tail (24 rows) — oldest evidence in the union;
-    # changed-module rows first
-    "q_decontaminate",
-    "q_domain_mix",
-    "q_train_shards",
-    "q_stream_sessions",
-    "q_stream_sliding",
-    "q_json_props",
-    "q_user_stats",
-    "q_cube_orders",
-    "q_gapfill",
-    "q_grouping_sets",
-    "q_lag_lead",
-    "q_order_rank",
-    "q_pivot_daily",
-    "q_resample_1h",
-    "q_revenue_by_nation",
-    "q_rolling_corr",
-    "q_rollup_acctbal",
-    "q_semi_anti",
-    "q_sma_roll",
-    "q_store_diff",
-    "q_store_diff_bucketed",
-    "q_tpch_q12",
-    "q_tpch_q3",
-    "q_validate_candles",
-    # oldest r9-era rows (6 of 42), family-diverse: dedup, curation,
-    # timeseries. q_minhash_lsh / q_dedup_increment / q_cluster_best
-    # double as changed-module guards for llm/dedup.py (the band-param
-    # threading behind q_minhash_lsh_derived); q_vwap and q_tpch_q2
-    # ceded their slots to the two extra new rows and move to the
-    # round-14 rotation tail.
-    "q_minhash_lsh",
+    # new this round (r14): the derived family is index FORMAT now —
+    # the oracle replays the persisted family symbolically, so a
+    # family that failed to round-trip through parquet would show as
+    # a near-empty Spark side vs the oracle's full pair set
+    "q_dedup_increment_derived",
+    # changed-module guards: llm/dedup.py (family metadata, mismatch
+    # guard, band-parameterized build/save/load)
     "q_dedup_increment",
+    "q_minhash_lsh",
+    "q_minhash_lsh_derived",
+    "q_dedup_clusters",
     "q_cluster_best",
-    "q_pack_sequences",
-    "q_domain_mix_temp",
-    "q_resample_anchored",
+    "q_corpus_curation",
+    "q_decontaminate_fuzzy",
+    # changed-module guards: llm/curation.py (Bloom h2 stride, Arrow
+    # bitset transfer, footer-derived sizing)
+    "q_decontaminate_bloom",
+    "q_decontaminate",
+    # changed-module guards: streaming/increment.py (family
+    # inheritance + stamping, compaction family round-trip)
+    "q_stream_dedup_increment",
+    "q_stream_dedup_seeded",
+    "q_stream_epoch_compact",
+    "q_corpus_pipeline_jsonl",
+    # the full 36-row r9-era tail — the oldest evidence in the union
+    # (18 TPC-H rows lead; q_tpch_q2/q_vwap ceded their r13 slots and
+    # rotate here)
+    "q_tpch_q2",
+    "q_tpch_q4",
+    "q_tpch_q5",
+    "q_tpch_q6",
+    "q_tpch_q7",
+    "q_tpch_q8",
+    "q_tpch_q9",
+    "q_tpch_q10",
+    "q_tpch_q11",
+    "q_tpch_q13",
+    "q_tpch_q14",
+    "q_tpch_q15",
+    "q_tpch_q16",
+    "q_tpch_q17",
+    "q_tpch_q18",
+    "q_tpch_q19",
+    "q_tpch_q20",
+    "q_tpch_q21",
+    "q_tpch_q22",
+    "q_asof_trades",
+    "q_candles_1m",
+    "q_dup_spans",
+    "q_frame_sample",
+    "q_full_outer",
+    "q_funnel",
+    "q_interval_join",
+    "q_media_features",
+    "q_mtf_join",
+    "q_pack_by_domain",
+    "q_percentiles",
+    "q_retention_cohort",
+    "q_skew_join",
+    "q_sql_shared",
+    "q_time_window",
+    "q_value_histogram",
+    "q_vwap",
 )
 # Demoted below the window: everything else keeps a green CORRECTNESS
-# row from r9, r11, or r12. After this window greens, NO query's
-# latest row predates r9; the oldest tail is the 36 remaining r9-era
-# rows — q_asof_trades, q_candles_1m, q_dup_spans, q_frame_sample,
-# q_full_outer, q_funnel, q_interval_join, q_media_features,
-# q_mtf_join, q_pack_by_domain, q_percentiles, q_retention_cohort,
-# q_skew_join, q_sql_shared, q_time_window,
-# q_tpch_q4..q_tpch_q22 (the 18 remaining TPC-H rows),
-# q_value_histogram, plus q_tpch_q2 and q_vwap (which ceded their r13
-# slots to q_minhash_lsh_derived / q_decontaminate_bloom) — round
-# 14's rotation target (they fit one window with 14 slots to spare).
-# 169 queries are declared; the union after this window greens is
-# 169/169.
+# row from r11, r12, or r13. After this window greens, the oldest
+# evidence tier in the union is r11 (a 4-round horizon) and every one
+# of the 170 declared queries has been driver-proven at least twice.
 
 
 def collect_registry() -> tuple[dict[str, QueryFn], dict[str, str]]:

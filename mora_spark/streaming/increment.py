@@ -126,15 +126,33 @@ def stream_dedup_increment(
     # The banding family follows the SEED index when there is one (a
     # batch banded differently would never collide with the seed's
     # band keys — the exact silent failure dedup_increment's guard
-    # exists for); an unseeded stream uses the fixed defaults. Either
-    # way the family is stamped onto the sink-owned index so the next
-    # epoch (compaction, reseeding, ad-hoc increments) recovers it
-    # from metadata instead of assuming.
-    family = (
-        load_minhash_family(seed_index_path)
-        if seed_index_path is not None
-        else load_minhash_family(index_path)
-    )
+    # exists for); an unseeded stream keeps whatever its own index
+    # already carries (fixed defaults on a fresh dir). If the sink
+    # already OWNS an index built with a different family, seeding is
+    # refused rather than silently re-stamped: the batches would band
+    # with the seed's family and never collide with the sink's own
+    # prior epochs — duplicates of earlier streamed docs would all
+    # come back "unique".
+    own_family = load_minhash_family(index_path)
+    if seed_index_path is not None:
+        family = load_minhash_family(seed_index_path)
+        if (
+            os.path.isdir(os.path.join(index_path, "groups"))
+            and own_family != family
+        ):
+            raise ValueError(
+                f"stream_dedup_increment: seed index family {family} "
+                f"conflicts with the existing sink-owned index's "
+                f"family {own_family} at {index_path}; compact the "
+                "old epoch with its own family (or start a fresh "
+                "work_dir) instead of mixing banding families in one "
+                "index"
+            )
+    else:
+        family = own_family
+    # Stamp the family onto the sink-owned index so the next epoch
+    # (compaction, reseeding, ad-hoc increments) recovers it from
+    # metadata instead of assuming.
     write_minhash_family(index_path, *family)
 
     def sink(batch: DataFrame, batch_id: int) -> None:

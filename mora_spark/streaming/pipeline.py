@@ -74,10 +74,13 @@ def stream_curate_jsonl(
     accumulated corpus (adds one count job per batch; leave None in
     production)."""
     from mora_spark.llm.dedup import (
+        BAND_SIZE,
+        N_HASHES,
         build_minhash_index,
         dedup_increment,
         load_minhash_index,
         minhash_lsh_pairs,
+        write_minhash_family,
     )
     from mora_spark.sources.jsonl import CORRUPT_COL, read_jsonl_stream
     from mora_spark.streaming.ingest import _state_partitions
@@ -89,6 +92,11 @@ def stream_curate_jsonl(
     curated_dir = os.path.join(work_dir, "curated")
     quar_dir = os.path.join(work_dir, "quarantine")
     ckpt = os.path.join(work_dir, "ckpt_pipeline")
+    # This pipeline's sink-owned index always uses the fixed default
+    # family; stamp it anyway so downstream consumers (compaction,
+    # ad-hoc increments via load_minhash_family) read metadata
+    # instead of assuming.
+    write_minhash_family(index_path, BAND_SIZE, N_HASHES // BAND_SIZE)
 
     def sink(batch: DataFrame, batch_id: int) -> None:
         import time as _time

@@ -394,3 +394,36 @@ def test_seeded_stream_inherits_derived_family(spark, tmp_path):
     got = {(row["doc_id"], row["dup_id"], row["src"]) for row in pairs.collect()}
     assert (10, 1, "corpus") in got
     assert load_minhash_family(os.path.join(work, "lsh_index")) == (r, b)
+
+
+def test_seeded_stream_refuses_family_conflict(spark, tmp_path):
+    """Seeding a work dir whose sink-owned index was built with a
+    DIFFERENT family must refuse up front: re-stamping would make the
+    sink mis-band against its own prior epochs (duplicates of earlier
+    streamed docs all come back 'unique')."""
+    from mora_spark.llm.dedup import (
+        build_minhash_index,
+        derive_minhash_params,
+        save_minhash_index,
+    )
+    from mora_spark.streaming.increment import stream_dedup_increment
+
+    seed_docs = spark.createDataFrame(
+        [(1, "seed doc about benchmark banding families")],
+        ["doc_id", "text"],
+    )
+    r, b = derive_minhash_params(0.5)
+    seed_ix = str(tmp_path / "seed")
+    save_minhash_index(
+        *build_minhash_index(seed_docs, band_size=r, n_bands=b),
+        seed_ix,
+        band_size=r,
+        n_bands=b,
+    )
+    # a prior unseeded epoch left a default-family sink-owned index
+    work = str(tmp_path / "work")
+    os.makedirs(os.path.join(work, "lsh_index", "groups"))
+    with pytest.raises(ValueError, match="conflicts with the existing"):
+        stream_dedup_increment(
+            spark, str(tmp_path / "src"), work, seed_index_path=seed_ix
+        )
