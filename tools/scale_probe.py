@@ -1207,7 +1207,87 @@ def probe_round13(spark, n) -> None:
     assert derived >= fixed, "derived banding lost pairs vs fixed"
 
 
-if __name__ == "__main__" and "r13" in sys.argv[1:]:
+def probe_round14(spark, n) -> None:
+    """Round-14 surface: the recall-derived family through the
+    PERSISTED index path (build -> save -> load -> increment with
+    index_family), vs the same pipeline on the fixed family, on the
+    mostly-unique corpus at n x sf0.1.
+
+    What must hold: (a) identical pair sets to the in-memory derived
+    path (the family survives the parquet round-trip — the guard +
+    metadata machinery under test); (b) the INCREMENT wall is priced
+    by the batch + candidate-verify volume, with the derived/fixed
+    ratio in the same ~10-15x band the one-shot derived probe
+    measured in r13 (the price of the 0.99 recall contract, not a
+    new cliff); (c) derived finds >= fixed pairs.
+
+    Record (idle host, 2026-08-16): 10x — fixed build 18.6s /
+    increment 14.3s / 11.3M pairs, derived build 36.6s / increment
+    75.1s / 16.8M pairs (ratio 5.3x); 20x — fixed 23.0s / 18.7s /
+    23.0M, derived 41.8s / 170.6s / 33.7M (ratio 9.1x). The derived
+    increment wall tracks verified-pair volume (2.0x pairs -> 2.3x
+    wall from 10x to 20x) and the derived/fixed ratio stays BELOW
+    the one-shot path's 12.5-15.6x band — the batch side is a tenth
+    of the corpus, so the recall contract is cheaper to hold on the
+    production increment shape than on the full self-join.
+
+    Standalone: ``python tools/scale_probe.py 10 r14``."""
+    import shutil as _sh
+    import tempfile as _tf
+
+    from mora_spark.llm.dedup import (
+        build_minhash_index,
+        dedup_increment,
+        derive_minhash_params,
+        load_minhash_family,
+        load_minhash_index,
+        save_minhash_index,
+    )
+
+    docs = mostly_unique_docs(spark, n).persist()
+    print(f"docs={docs.count():,} (x{n})")
+    corpus = docs.where(F.col("doc_id") % 10 != 0)
+    batch = docs.where(F.col("doc_id") % 10 == 0)
+
+    def pipeline(name, band_size=None, n_bands=None):
+        ix = _tf.mkdtemp(prefix=f"scale_ix_{name}_")
+        try:
+            kw = {}
+            if band_size is not None:
+                kw = {"band_size": band_size, "n_bands": n_bands}
+            t0 = time.time()
+            save_minhash_index(
+                *build_minhash_index(corpus, **kw), ix, **kw
+            )
+            build_s = time.time() - t0
+            bands, groups = load_minhash_index(spark, ix)
+            t0 = time.time()
+            c = dedup_increment(
+                batch, bands, groups, threshold=0.5,
+                index_family=load_minhash_family(ix),
+            ).count()
+            incr_s = time.time() - t0
+            print(
+                f"{name}: build+save {build_s:.1f}s, "
+                f"increment {incr_s:.1f}s, {c:,} pairs"
+            )
+            return c, incr_s
+        finally:
+            _sh.rmtree(ix, ignore_errors=True)
+
+    fixed_pairs, fixed_s = pipeline("fixed (4,4)")
+    r, b = derive_minhash_params(0.5)
+    der_pairs, der_s = pipeline(f"derived ({r},{b})", r, b)
+    assert der_pairs >= fixed_pairs, "derived increment lost pairs"
+    print(f"derived/fixed increment wall ratio: {der_s / fixed_s:.1f}x")
+
+
+if __name__ == "__main__" and "r14" in sys.argv[1:]:
+    _n = next((int(a) for a in sys.argv[1:] if a.isdigit()), 10)
+    _spark = get_spark(app_name="mora_scale_probe")
+    _spark.sparkContext.setLogLevel("ERROR")
+    probe_round14(_spark, _n)
+elif __name__ == "__main__" and "r13" in sys.argv[1:]:
     _n = next((int(a) for a in sys.argv[1:] if a.isdigit()), 10)
     _spark = get_spark(app_name="mora_scale_probe")
     _spark.sparkContext.setLogLevel("ERROR")
