@@ -197,3 +197,26 @@ def test_derived_family_increment_equals_joint(spark, docs, tmp_path):
     assert got == want
     found = {(a, b_) for a, b_, _ in got}
     assert (10, 1) in found and (11, 4) in found
+
+
+def test_derived_index_shard_pruning(spark, docs, tmp_path):
+    """Directory pruning is family-independent (shards hash the md5
+    band KEYS, whatever family produced them): the derived-family
+    persisted index must get the same bands/groups partition filters
+    the fixed-family index gets."""
+    from mora_spark.llm.dedup import load_minhash_family
+
+    corpus = docs.where(F.col("doc_id") < 10)
+    batch = docs.where(F.col("doc_id") >= 10)
+    _save_derived(corpus, str(tmp_path / "ix"))
+    bands, groups = load_minhash_index(spark, str(tmp_path / "ix"))
+    out = dedup_increment(
+        batch, bands, groups,
+        index_family=load_minhash_family(str(tmp_path / "ix")),
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    for col in ("shard", "gshard"):
+        assert any(
+            "PartitionFilters" in ln and col in ln
+            for ln in plan.splitlines()
+        ), f"no {col} partition filter in derived-index plan"
