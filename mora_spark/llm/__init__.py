@@ -9,6 +9,7 @@ from mora_spark.llm.dedup import (
     load_minhash_family,
     load_minhash_index,
     save_minhash_index,
+    write_minhash_family,
     minhash_lsh_pairs,
     neardup_clusters,
     ngram_jaccard_pairs,
@@ -39,6 +40,7 @@ __all__ = [
     "load_minhash_family",
     "load_minhash_index",
     "save_minhash_index",
+    "write_minhash_family",
     "build_ivf_index",
     "ivf_index_add",
     "ivf_index_topk",

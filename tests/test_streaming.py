@@ -427,3 +427,71 @@ def test_seeded_stream_refuses_family_conflict(spark, tmp_path):
         stream_dedup_increment(
             spark, str(tmp_path / "src"), work, seed_index_path=seed_ix
         )
+
+
+def test_compact_preserves_derived_family(spark, tmp_path):
+    """stream (derived seed) -> compact: the compacted index must
+    re-band with, and re-persist, the seed-inherited family — so the
+    next epoch's seed metadata survives the compaction round-trip and
+    an increment against the compacted index (family from metadata)
+    matches one against the raw two-index composition."""
+    from mora_spark.llm.dedup import (
+        build_minhash_index,
+        dedup_increment,
+        derive_minhash_params,
+        load_minhash_family,
+        load_minhash_index,
+        save_minhash_index,
+    )
+    from mora_spark.streaming.increment import (
+        compact_stream_index,
+        stream_dedup_increment,
+    )
+
+    seed_docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog again and again"),
+            (2, "a completely different document about spark execution plans"),
+        ],
+        ["doc_id", "text"],
+    )
+    r, b = derive_minhash_params(0.5)
+    seed_ix = str(tmp_path / "seed")
+    save_minhash_index(
+        *build_minhash_index(seed_docs, band_size=r, n_bands=b),
+        seed_ix,
+        band_size=r,
+        n_bands=b,
+    )
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [
+            (10, "shingle based near duplicate detection with minhash bands"),
+            (11, "an unrelated streamed document mentioning watermarks only"),
+        ],
+        "doc_id long, text string",
+    ).coalesce(1).write.parquet(src)
+    work = str(tmp_path / "work")
+    stream_dedup_increment(spark, src, work, seed_index_path=seed_ix)
+    dest = str(tmp_path / "compacted")
+    compact_stream_index(spark, work, dest, seed_index_path=seed_ix)
+    assert load_minhash_family(dest) == (r, b)
+    probe = spark.createDataFrame(
+        [
+            (20, "the quick brown fox jumps over the lazy dog again and again"),
+            (21, "shingle based near duplicate detection with minhash banding"),
+        ],
+        ["doc_id", "text"],
+    )
+    comp = load_minhash_index(spark, dest)
+    got = sorted(
+        (row["doc_id"], row["dup_id"], round(row["jaccard"], 9))
+        for row in dedup_increment(
+            probe, *comp, index_family=load_minhash_family(dest),
+            include_intra=False,
+        ).collect()
+    )
+    # seed doc 1 and streamed survivor 10 must both be findable from
+    # the one compacted index
+    assert (20, 1, 1.0) in got
+    assert any(d == 21 and p == 10 for d, p, _ in got)
