@@ -556,6 +556,17 @@ def build_minhash_index(
 BAND_SHARDS = 64
 GROUP_SHARDS = 64
 
+#: Test seam (off by default — planning the sub-tree costs a few ms
+#: per call): when True, :func:`dedup_increment` records the
+#: candidate sub-plan into ``_LAST_CAND_PLAN`` before the eager
+#: localCheckpoint MATERIALIZES it — after which the result plan
+#: shows only a checkpoint RDD scan, so the bands-side shard
+#: partition filter is invisible to any assertion on the returned
+#: DataFrame (a pre-r14 test asserted it there and passed only
+#: because "shard" substring-matched the groups scan's "gshard").
+CAPTURE_CAND_PLAN = False
+_LAST_CAND_PLAN: str | None = None
+
 
 def _band_shard(band_key: Column) -> Column:
     return F.pmod(F.xxhash64(band_key), F.lit(BAND_SHARDS)).cast("int")
@@ -844,6 +855,11 @@ def dedup_increment(
         .where(first_shared == F.col("n.band") + 1)
         .select(F.col("n.gid").alias("gid_n"), F.col("c.gid").alias("gid_c"))
     )
+    if CAPTURE_CAND_PLAN:
+        global _LAST_CAND_PLAN
+        _LAST_CAND_PLAN = (
+            cand._jdf.queryExecution().executedPlan().toString()
+        )
     if "gshard" in index_groups.columns:
         # The candidate set is batch-bounded and tiny relative to the
         # corpus; materialize it once (localCheckpoint — it feeds both

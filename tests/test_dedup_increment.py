@@ -36,6 +36,20 @@ def _pairs(df):
     return {(r.doc_id, r.dup_id, round(r.jaccard, 9)) for r in df.collect()}
 
 
+def _pf_lines(plan: str, col: str) -> list[str]:
+    """Plan lines whose PartitionFilters reference ``col`` as a whole
+    attribute name (word-boundary: 'shard#NN' must not match
+    'gshard#NN')."""
+    import re
+
+    return [
+        ln
+        for ln in plan.splitlines()
+        if "PartitionFilters" in ln
+        and re.search(rf"PartitionFilters: \[[^\]]*(?<![a-z]){col}#", ln)
+    ]
+
+
 def test_increment_equals_joint_rebuild(spark, docs, tmp_path):
     corpus = docs.where(F.col("doc_id") < 10)
     batch = docs.where(F.col("doc_id") >= 10)
@@ -72,24 +86,31 @@ def test_index_shard_pruning(spark, docs, tmp_path):
     save_minhash_index(*build_minhash_index(corpus), str(tmp_path / "ix"))
     bands, groups = load_minhash_index(spark, str(tmp_path / "ix"))
     assert "shard" in bands.columns
-    out = dedup_increment(batch, bands, groups)
+    import mora_spark.llm.dedup as dd
+
+    dd.CAPTURE_CAND_PLAN = True
+    try:
+        out = dedup_increment(batch, bands, groups)
+    finally:
+        dd.CAPTURE_CAND_PLAN = False
     plan = out._jdf.queryExecution().executedPlan().toString()
-    pruned = [
-        ln
-        for ln in plan.splitlines()
-        if "PartitionFilters" in ln and "shard" in ln
-    ]
-    assert pruned, f"no shard partition filter in plan:\n{plan[:2000]}"
+    # The bands scan lives in the CANDIDATE sub-plan, which the eager
+    # localCheckpoint materializes away from the result plan — assert
+    # on the captured sub-plan, with a word-boundary match ("shard"
+    # as a substring would also hit "gshard"; the pre-r14 version of
+    # this test passed vacuously exactly that way).
+    assert _pf_lines(dd._LAST_CAND_PLAN, "shard"), (
+        f"no shard partition filter in candidate plan:\n"
+        f"{dd._LAST_CAND_PLAN[:2000]}"
+    )
     # groups is gid-sharded too: the candidate-driven fetch must carry
     # its own gshard partition filter (the one remaining full-index
-    # touch before round 4 — every kept doc's token array).
+    # touch before round 4 — every kept doc's token array). That scan
+    # happens after the checkpoint, so it IS in the result plan.
     assert "gshard" in groups.columns
-    gpruned = [
-        ln
-        for ln in plan.splitlines()
-        if "PartitionFilters" in ln and "gshard" in ln
-    ]
-    assert gpruned, f"no gshard partition filter in plan:\n{plan[:2000]}"
+    assert _pf_lines(plan, "gshard"), (
+        f"no gshard partition filter in plan:\n{plan[:2000]}"
+    )
     mem_bands, mem_groups = build_minhash_index(corpus)
     assert _pairs(out) == _pairs(
         dedup_increment(batch, mem_bands, mem_groups)
@@ -210,13 +231,20 @@ def test_derived_index_shard_pruning(spark, docs, tmp_path):
     batch = docs.where(F.col("doc_id") >= 10)
     _save_derived(corpus, str(tmp_path / "ix"))
     bands, groups = load_minhash_index(spark, str(tmp_path / "ix"))
-    out = dedup_increment(
-        batch, bands, groups,
-        index_family=load_minhash_family(str(tmp_path / "ix")),
-    )
+    import mora_spark.llm.dedup as dd
+
+    dd.CAPTURE_CAND_PLAN = True
+    try:
+        out = dedup_increment(
+            batch, bands, groups,
+            index_family=load_minhash_family(str(tmp_path / "ix")),
+        )
+    finally:
+        dd.CAPTURE_CAND_PLAN = False
     plan = out._jdf.queryExecution().executedPlan().toString()
-    for col in ("shard", "gshard"):
-        assert any(
-            "PartitionFilters" in ln and col in ln
-            for ln in plan.splitlines()
-        ), f"no {col} partition filter in derived-index plan"
+    assert _pf_lines(dd._LAST_CAND_PLAN, "shard"), (
+        "no shard partition filter in derived-index candidate plan"
+    )
+    assert _pf_lines(plan, "gshard"), (
+        "no gshard partition filter in derived-index plan"
+    )

@@ -1213,13 +1213,15 @@ def probe_round14(spark, n) -> None:
     index_family), vs the same pipeline on the fixed family, on the
     mostly-unique corpus at n x sf0.1.
 
-    What must hold: (a) identical pair sets to the in-memory derived
-    path (the family survives the parquet round-trip — the guard +
-    metadata machinery under test); (b) the INCREMENT wall is priced
-    by the batch + candidate-verify volume, with the derived/fixed
-    ratio in the same ~10-15x band the one-shot derived probe
-    measured in r13 (the price of the 0.99 recall contract, not a
-    new cliff); (c) derived finds >= fixed pairs.
+    What must hold: (a) the family survives the parquet round-trip —
+    pinned by set-equality in tests/test_dedup_increment.py
+    (test_derived_family_increment_equals_joint), NOT re-checked
+    here (this probe only compares counts/walls at scale); (b) the
+    INCREMENT wall is priced by the batch + candidate-verify volume,
+    with the derived/fixed ratio staying BELOW the one-shot
+    self-join's 12.5-15.6x band (the batch side is a tenth of the
+    corpus, so the 0.99 recall contract is cheaper to hold here);
+    (c) derived finds >= fixed pairs (asserted).
 
     Record (idle host, 2026-08-16): 10x — fixed build 18.6s /
     increment 14.3s / 11.3M pairs, derived build 36.6s / increment
