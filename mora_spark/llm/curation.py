@@ -394,6 +394,18 @@ def bloom_footer_keys_bound(path: str, text_col: str = "text") -> int:
     return max(1, (tbytes + rows) // 2)
 
 
+#: Bitset-size boundary (in 64-bit words) between the two transport
+#: modes of :func:`decontaminate_bloom`'s pre-filter: up to 2^23
+#: words (64 MB, ~33M benchmark shingles at 16 bits/key) the bitmap
+#: rides a one-row broadcast FRAME and the membership test runs as a
+#: JVM join condition in the scan stage (the fast path — zero Arrow
+#: traffic); past it, the words ship as a sparkContext.broadcast
+#: variable into a mapInPandas filter (one Arrow round-trip of the
+#: shingle stream, but no 100s-of-MB single Arrow cell and no
+#: per-executor one-row-frame rebuild).
+_BLOOM_FRAME_WORDS_MAX = 1 << 23
+
+
 def decontaminate_bloom(
     train: DataFrame,
     benchmark: DataFrame | str,
@@ -402,6 +414,7 @@ def decontaminate_bloom(
     n: int = 8,
     bits_per_key: int = 16,
     n_keys_hint: int | None = None,
+    transport: str = "auto",
 ) -> DataFrame:
     """:func:`decontaminate` with a Bloom-filter pre-pass — the 100 TB
     shape of benchmark decontamination. Answer IDENTICAL to
@@ -425,12 +438,24 @@ def decontaminate_bloom(
     and the per-doc hit count see only candidate rows, so they stay
     cheap even as a shuffle join. The bitset is built distributed
     (groupBy word index + ``bit_or``), collected once (bounded by
-    m/64 words, never corpus rows), and shipped back as a ONE-ROW
-    broadcast frame whose array the probe reads as an attribute —
+    m/64 words, never corpus rows), and shipped back by one of two
+    ``transport`` modes: ``"frame"`` — a ONE-ROW broadcast frame
+    whose array the JVM join-condition probe reads as an attribute,
     never as a plan literal (see the inline note for the measured
-    cliffs); past ~10⁸ benchmark shingles, ship it as a broadcast
-    variable into a pandas-UDF filter instead — same candidate
-    semantics, same verify.
+    cliffs) — or ``"pandas_udf"`` — a sparkContext broadcast variable
+    probed by a numpy ``mapInPandas`` filter, for bitsets too large
+    for a single Arrow cell (~10⁸ benchmark shingles and up).
+    ``"auto"`` (default) picks by bitset size at
+    ``_BLOOM_FRAME_WORDS_MAX``. The UDF path keeps the EXPENSIVE hash
+    JVM-side (``xxhash64`` as a projected column); Python does only
+    the Kirsch-Mitzenmacher integer probe math on that int64 — numpy
+    ``%``/``>>`` match Spark's ``pmod``/``shiftright`` exactly on
+    int64, so both transports test identical bits of the identical
+    bitset, and candidates are exact-verified regardless.
+    ``mapInPandas`` is a narrow transformation, so this path too adds
+    no shuffle — its price is one Arrow round-trip of the shingle
+    stream, which is why the frame path stays the default below the
+    boundary.
 
     Plan-shape note: the filter runs on the ``sh`` column OF THE
     GENERATE OUTPUT, never as a per-doc ``exists`` over
@@ -450,6 +475,11 @@ def decontaminate_bloom(
     production case where the eval suite is a persisted table. A
     caller looping over many corpora against one benchmark DataFrame
     should persist it so the remaining passes are cache reads."""
+    if transport not in ("auto", "frame", "pandas_udf"):
+        raise ValueError(
+            f"decontaminate_bloom: unknown transport {transport!r} "
+            "(expected 'auto', 'frame' or 'pandas_udf')"
+        )
     if isinstance(benchmark, str):
         if n_keys_hint is None:
             n_keys_hint = bloom_footer_keys_bound(benchmark, text_col)
@@ -483,6 +513,34 @@ def decontaminate_bloom(
     words = np.zeros(m_bits // 64, dtype=np.int64)
     words[wpdf["w"].to_numpy()] = wpdf["word"].to_numpy()
 
+    spark = train.sparkSession
+    t_sh = _doc_shingles(
+        train, [F.col(id_col).alias("train_id")], text_col, n
+    )
+    use_udf = transport == "pandas_udf" or (
+        transport == "auto" and len(words) > _BLOOM_FRAME_WORDS_MAX
+    )
+    if use_udf:
+        cand = _bloom_filter_pandas(spark, t_sh, words, m_bits, k)
+    else:
+        cand = _bloom_filter_frame(spark, t_sh, words, m_bits, k)
+    # NO broadcast hint on the verify join, deliberately — unlike
+    # :func:`decontaminate`, whose whole plan assumes the benchmark
+    # relation broadcasts. This operator exists for the regime where
+    # it does not, and a forced hint would rebuild the multi-GB string
+    # relation on the driver anyway. Below the threshold Spark still
+    # picks the broadcast join on its own; above it, both join inputs
+    # are bounded (the Bloom-filtered candidate stream and the
+    # benchmark's distinct shingles), so the shuffle join stays cheap.
+    return (
+        cand.join(b_sh, "sh")
+        .groupBy("train_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+        .select(F.col("train_id").alias(id_col), "n_hits")
+    )
+
+
+def _bloom_filter_frame(spark, t_sh, words, m_bits: int, k: int):
     # The bitmap rides in a ONE-ROW broadcast frame and the test is
     # the JOIN CONDITION, not a post-join filter. Both halves matter,
     # measured at 2M shingle rows: (a) a plan-literal array this size
@@ -495,7 +553,6 @@ def decontaminate_bloom(
     # would bound positions to [0, 32).
     import pandas as pd
 
-    spark = train.sparkSession
     # One row whose single cell is the word array; going through
     # pandas keeps the round trip Arrow-batched end to end (a plain
     # createDataFrame would re-serialize the array element-by-element
@@ -518,30 +575,53 @@ def decontaminate_bloom(
         pd.DataFrame({"_bloom_words": [cell]}),
         "_bloom_words array<bigint>",
     )
-    t_sh = _doc_shingles(
-        train, [F.col(id_col).alias("train_id")], text_col, n
-    )
-    cand = t_sh.join(
+    return t_sh.join(
         F.broadcast(wdf),
         on=_bloom_test(
             F.xxhash64(F.col("sh")), F.col("_bloom_words"), m_bits, k
         ),
         how="inner",
     ).drop("_bloom_words")
-    # NO broadcast hint on the verify join, deliberately — unlike
-    # :func:`decontaminate`, whose whole plan assumes the benchmark
-    # relation broadcasts. This operator exists for the regime where
-    # it does not, and a forced hint would rebuild the multi-GB string
-    # relation on the driver anyway. Below the threshold Spark still
-    # picks the broadcast join on its own; above it, both join inputs
-    # are bounded (the Bloom-filtered candidate stream and the
-    # benchmark's distinct shingles), so the shuffle join stays cheap.
-    return (
-        cand.join(b_sh, "sh")
-        .groupBy("train_id")
-        .agg(F.count(F.lit(1)).alias("n_hits"))
-        .select(F.col("train_id").alias(id_col), "n_hits")
-    )
+
+
+def _bloom_filter_pandas(spark, t_sh, words, m_bits: int, k: int):
+    # The big-bitset transport: words as a plain broadcast VARIABLE
+    # (pickled numpy buffer — no 100s-of-MB Arrow cell, one copy per
+    # executor), probed by a numpy batch filter. The xxhash64 stays a
+    # JVM projection — Python never hashes a string, it only replays
+    # the Kirsch-Mitzenmacher integer math on the int64 column, where
+    # numpy semantics match Spark's exactly: % with a positive
+    # divisor is sign-of-divisor (== pmod) and >> on int64 is
+    # arithmetic (== shiftright). mapInPandas is narrow — no shuffle;
+    # the cost vs the frame path is one Arrow round-trip of the
+    # shingle stream.
+    bc = spark.sparkContext.broadcast(words)
+    out_schema = t_sh.schema
+    cols = [f.name for f in out_schema.fields]
+    t_shx = t_sh.withColumn("_x", F.xxhash64("sh"))
+
+    def _flt(batches):
+        import numpy as np
+
+        w = bc.value
+        m = np.int64(m_bits)
+        m1 = np.int64(m_bits - 1)
+        for pdf in batches:
+            x = pdf["_x"].to_numpy()
+            h1 = x % m
+            h2 = (x >> np.int64(32)) % m1 + np.int64(1)
+            ok = np.ones(len(pdf), dtype=bool)
+            for i in range(k):
+                p = (h1 + np.int64(i) * h2) % m
+                ok &= (
+                    (w[p >> np.int64(6)] >> (p & np.int64(63)))
+                    & np.int64(1)
+                ).astype(bool)
+                if not ok.any():
+                    break
+            yield pdf.loc[ok, cols]
+
+    return t_shx.mapInPandas(_flt, schema=out_schema)
 
 
 def quality_rules(

@@ -520,3 +520,59 @@ def test_derive_bloom_params():
     assert k == 11  # round(ln2 * 16)
     m1, k1 = derive_bloom_params(1)
     assert m1 == 64 and k1 >= 1
+
+
+def test_bloom_pandas_udf_transport_same_answer(spark, sf_dir):
+    # The big-bitset transport (broadcast variable + numpy mapInPandas
+    # probe) must flag the identical set: the JVM keeps the xxhash64,
+    # Python replays only the integer probe math, and numpy %/>> on
+    # int64 match pmod/shiftright — asserted here against both the
+    # exact operator and the frame transport. Also: mapInPandas is
+    # narrow, so this path too adds no shuffle vs the exact plan.
+    from mora_spark.llm.curation import decontaminate_bloom
+
+    train, bench = _decon_frames(spark, sf_dir)
+    udf = decontaminate_bloom(train, bench, n=8, transport="pandas_udf")
+
+    def shuffles(df):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        return plan.count("Exchange") - plan.count("BroadcastExchange")
+
+    key = "spark.sql.autoBroadcastJoinThreshold"
+    old = spark.conf.get(key)
+    spark.conf.set(key, str(10 * 1024 * 1024))
+    try:
+        assert shuffles(udf) == shuffles(decontaminate(train, bench, n=8))
+    finally:
+        spark.conf.set(key, old)
+    got = {(r.doc_id, r.n_hits) for r in udf.collect()}
+    want = {
+        (r.doc_id, r.n_hits)
+        for r in decontaminate(train, bench, n=8).collect()
+    }
+    assert got == want
+    frame = {
+        (r.doc_id, r.n_hits)
+        for r in decontaminate_bloom(
+            train, bench, n=8, transport="frame"
+        ).collect()
+    }
+    assert got == frame
+
+
+def test_bloom_auto_transport_boundary(spark, sf_dir, monkeypatch):
+    # auto switches to the UDF transport when the bitset outgrows the
+    # frame boundary; the answer is transport-invariant.
+    import mora_spark.llm.curation as cur
+
+    train, bench = _decon_frames(spark, sf_dir)
+    monkeypatch.setattr(cur, "_BLOOM_FRAME_WORDS_MAX", 1)
+    auto = cur.decontaminate_bloom(train, bench, n=8)
+    plan = auto._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan  # the boundary actually switched
+    got = {(r.doc_id, r.n_hits) for r in auto.collect()}
+    want = {
+        (r.doc_id, r.n_hits)
+        for r in decontaminate(train, bench, n=8).collect()
+    }
+    assert got == want
