@@ -814,6 +814,29 @@ def dedup_increment(
         band_size = BAND_SIZE
     if n_bands is None:
         n_bands = N_HASHES // BAND_SIZE
+    # Data-level backstop, evaluated DURING execution on every index
+    # row the (shard-pruned) band scan touches: metadata can lie by
+    # omission — a crash between save's parquet writes and its family
+    # stamp leaves a derived index that load_minhash_family resolves
+    # to the fixed default, and the band join would then scan real
+    # rows yet match nothing ("no duplicates found"). n_bands is
+    # recoverable from the data (len(bks)), so a CASE WHEN filter
+    # turns that silence into an execution-time error at the cost of
+    # one integer compare per scanned row — no new job, no exchange.
+    # band_size stays metadata-only (md5 band keys carry no trace).
+    if "bks" in index_bands.columns:
+        index_bands = index_bands.where(
+            F.when(F.size("bks") == n_bands, F.lit(True)).otherwise(
+                F.raise_error(
+                    f"dedup_increment: index bands carry a different "
+                    f"band count than the resolved family's "
+                    f"n_bands={n_bands} — the index was built with a "
+                    "different banding family (or its _lsh_family.json "
+                    "was lost); re-save the index or pass the correct "
+                    "index_family"
+                )
+            )
+        )
     # One tokenization of the batch: the same (groups, bands) feed the
     # cross join against the index AND the within-batch self-join.
     if prebuilt is not None:

@@ -248,3 +248,20 @@ def test_derived_index_shard_pruning(spark, docs, tmp_path):
     assert _pf_lines(plan, "gshard"), (
         "no gshard partition filter in derived-index plan"
     )
+
+
+def test_lost_family_metadata_fails_loudly(spark, docs, tmp_path):
+    """The crash-window case metadata alone cannot catch: a derived
+    index whose _lsh_family.json was lost (e.g. save crashed between
+    the parquet writes and the stamp) resolves to the fixed default —
+    the in-plan band-count backstop must turn the resulting
+    silently-empty band join into an execution-time error."""
+    import os
+
+    corpus = docs.where(F.col("doc_id") < 10)
+    batch = docs.where(F.col("doc_id") >= 10)
+    _save_derived(corpus, str(tmp_path / "ix"))
+    os.remove(str(tmp_path / "ix" / "_lsh_family.json"))
+    bands, groups = load_minhash_index(spark, str(tmp_path / "ix"))
+    with pytest.raises(Exception, match="different banding family"):
+        dedup_increment(batch, bands, groups).collect()
