@@ -1223,6 +1223,12 @@ def probe_round14(spark, n) -> None:
     corpus, so the 0.99 recall contract is cheaper to hold here);
     (c) derived finds >= fixed pairs (asserted).
 
+    Bloom transport record (2026-08-16, 10x): frame 7.8s vs
+    pandas_udf 8.2s, identical 2,770 flagged — the UDF path's Arrow
+    round-trip of the shingle stream costs ~5% here, so the 64 MB
+    auto boundary is about Arrow cell size and per-executor frame
+    rebuilds, not throughput.
+
     Record (idle host, 2026-08-16): 10x — fixed build 18.6s /
     increment 14.3s / 11.3M pairs, derived build 36.6s / increment
     75.1s / 16.8M pairs (ratio 5.3x); 20x — fixed 23.0s / 18.7s /
@@ -1282,6 +1288,36 @@ def probe_round14(spark, n) -> None:
     der_pairs, der_s = pipeline(f"derived ({r},{b})", r, b)
     assert der_pairs >= fixed_pairs, "derived increment lost pairs"
     print(f"derived/fixed increment wall ratio: {der_s / fixed_s:.1f}x")
+
+    # Bloom transport pricing: the pandas_udf path exists for bitsets
+    # too big for one Arrow cell; its price is one Arrow round-trip
+    # of the shingle stream. Walls for both transports on the same
+    # frames, answers asserted identical (the UDF replays the JVM's
+    # integer probe math bit-for-bit).
+    from mora_spark.llm.curation import decontaminate_bloom
+
+    bench = docs.where(F.col("doc_id") % 20 == 0)
+    train = docs.where(F.col("doc_id") % 20 != 0).unionByName(
+        bench.select(
+            (F.col("doc_id") + F.lit(500_000_000)).alias("doc_id"), "text"
+        )
+    )
+    flagged = {}
+    for transport in ("frame", "pandas_udf"):
+        t0 = time.time()
+        flagged[transport] = {
+            (row["doc_id"], row["n_hits"])
+            for row in decontaminate_bloom(
+                train, bench, n=8, transport=transport
+            ).collect()
+        }
+        print(
+            f"bloom transport={transport}: {time.time() - t0:.1f}s "
+            f"{len(flagged[transport]):,} flagged"
+        )
+    assert flagged["frame"] == flagged["pandas_udf"], (
+        "bloom transports disagree"
+    )
 
 
 if __name__ == "__main__" and "r14" in sys.argv[1:]:
