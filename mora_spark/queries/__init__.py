@@ -107,6 +107,20 @@ PRIORITY: tuple[str, ...] = (
 # row from r11, r12, or r13. After this window greens, the oldest
 # evidence tier in the union is r11 (a 4-round horizon) and every one
 # of the 170 declared queries has been driver-proven at least twice.
+# Round 15's rotation target — the 44-row r11 tier (computed from the
+# correctness files; fits one window with 6 slots spare):
+# q_ann_filtered_ivf, q_ann_filtered_sq8, q_ann_ivf_add,
+# q_ann_ivf_compact, q_ann_ivf_index, q_ann_sq8, q_anomaly_zscore,
+# q_atr, q_bollinger, q_chunk_docs, q_csv_quarantine,
+# q_csv_roundtrip, q_dedup_lines, q_donchian, q_drawdown, q_ema_12,
+# q_fingerprint, q_heikin_ashi, q_jsonl_quarantine,
+# q_jsonl_roundtrip, q_lang_id, q_lm_score, q_macd,
+# q_media_cluster_best, q_media_neardup, q_obv, q_orc_roundtrip,
+# q_quantize_embed, q_range_scan, q_redact_pii, q_resample_5m,
+# q_rsi, q_scalar_funcs, q_seasonality, q_simhash_pairs,
+# q_stochastic, q_store_append, q_store_maintenance, q_store_rollup,
+# q_store_roundtrip, q_text_stats, q_topk_volume, q_upsert_lww,
+# q_ysf_roundtrip.
 
 
 def collect_registry() -> tuple[dict[str, QueryFn], dict[str, str]]:
