@@ -152,6 +152,19 @@ PRESTAGED = [
         "_ivf_filtered_stage",
         "ivf_filtered_hot",
     ),
+    # r14: the dedup family gets the same build-vs-serve split the
+    # ANN tiers have — the standing-corpus LSH index is built untimed
+    # (ingest-time, amortized over every crawl increment); the timed
+    # line is the per-batch increment a continuous ingestion loop
+    # repeats (shard-pruned band join + gshard-pruned fetch + verify).
+    # q_dedup_increment (build+save+load+increment inline) stays as
+    # the end-to-end line; this is its serving-path twin.
+    (
+        "q_dedup_increment_hot",
+        "mora_spark.queries.text",
+        "_dedup_incr_stage",
+        "dedup_increment_hot",
+    ),
 ]
 
 

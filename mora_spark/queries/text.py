@@ -423,6 +423,44 @@ def q_dedup_increment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_increment(batch, bands, groups, threshold=0.5)
 
 
+def _dedup_incr_stage(spark: SparkSession, sf_dir: str) -> None:
+    """Bench staging (untimed): build + persist the standing-corpus
+    LSH index once — indexing is ingest-time cost amortized over every
+    later crawl increment (the same discipline as the ANN `_hot`
+    twins); the timed line is the per-batch path a continuous
+    ingestion loop actually repeats."""
+    import shutil
+
+    from mora_spark.llm.dedup import build_minhash_index, save_minhash_index
+    from mora_spark.queries.store import scratch_dir
+
+    path = scratch_dir("minhash_index_hot", sf_dir)
+    shutil.rmtree(path, ignore_errors=True)
+    corpus = _docs(spark, sf_dir).where(F.col("doc_id") % 10 != 0)
+    save_minhash_index(*build_minhash_index(corpus), path)
+
+
+def dedup_increment_hot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bench-only: the repeated path — load the pre-staged index
+    (family from metadata) and dedup one crawl increment against it:
+    shard-pruned band join, gshard-pruned token fetch, exact-Jaccard
+    verify, within-batch pairs."""
+    from mora_spark.llm.dedup import (
+        dedup_increment,
+        load_minhash_family,
+        load_minhash_index,
+    )
+    from mora_spark.queries.store import scratch_dir
+
+    path = scratch_dir("minhash_index_hot", sf_dir)
+    batch = _docs(spark, sf_dir).where(F.col("doc_id") % 10 == 0)
+    bands, groups = load_minhash_index(spark, path)
+    return dedup_increment(
+        batch, bands, groups, threshold=0.5,
+        index_family=load_minhash_family(path),
+    )
+
+
 # --- q_dedup_increment_derived: the recall contract, persisted ---
 # The production completion of q_minhash_lsh_derived (VERDICT r13
 # missing #2): the recall-derived family is part of the INDEX FORMAT
