@@ -17,110 +17,87 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 # The driver's correctness gate verifies the FIRST 50 registry entries
 # only (round-1 evidence: CORRECTNESS_r01.json stops at entry 50 in
-# registry order). PRIORITY pins the round-14 window (the r13 verdict's
-# "Next round" list):
-# - the FULL 36-row r9-era tail (rotation obligation, brief #1): after
-#   this window greens, every query's latest driver evidence sits
-#   within the r11+ horizon and the whole 170-name registry has been
-#   re-proven at least twice;
-# - 1 new row: q_dedup_increment_derived (the recall-derived banding
-#   family threaded through the PERSISTED index path — built in,
-#   persisted as _lsh_family.json, recovered by load_minhash_family,
-#   enforced by dedup_increment's mismatch guard; brief #2);
-# - 13 changed-module guards: llm/dedup.py grew the family metadata +
-#   guard (q_minhash_lsh, q_minhash_lsh_derived, q_dedup_increment,
-#   q_dedup_clusters, q_cluster_best, q_corpus_curation,
-#   q_decontaminate_fuzzy — the last also exercises the changed
-#   build/increment signatures); streaming/increment.py inherits +
-#   stamps the family (q_stream_dedup_increment, q_stream_dedup_seeded,
-#   q_stream_epoch_compact) and streaming/pipeline.py stamps its
-#   sink-owned index (q_corpus_pipeline_jsonl — also guards the
-#   changed build/increment call signatures its sink uses);
-#   llm/curation.py's Bloom path changed (h2 stride 32, Arrow bitset
-#   transfer, footer sizing — q_decontaminate_bloom, q_decontaminate).
+# registry order). PRIORITY pins the round-15 window (the r14 verdict's
+# "Next round" #1, the final scheduled rotation):
+# - the FULL 44-row r11 tier (computed from the correctness files this
+#   round and equal to the list the r14 verdict pinned here): ANN
+#   ladder rows, the 10 indicator rows, interchange round-trips
+#   (JSONL/CSV/ORC/ysf), the store rows, text/fingerprint/PII rows;
+# - the 6 spare slots drain the OLDEST r12 rows (q_dedup_exact,
+#   q_setops, q_simhash, q_jaccard_pairs, q_sessionize,
+#   q_stratified_sample).
+# After this window greens, every query's latest driver evidence sits
+# within the r12+ horizon (4-round) and the whole 170-name registry
+# has been driver-proven at least three times.
 PRIORITY: tuple[str, ...] = (
-    # new this round (r14): the derived family is index FORMAT now —
-    # the oracle replays the persisted family symbolically, so a
-    # family that failed to round-trip through parquet would show as
-    # a near-empty Spark side vs the oracle's full pair set
-    "q_dedup_increment_derived",
-    # changed-module guards: llm/dedup.py (family metadata, mismatch
-    # guard, band-parameterized build/save/load)
-    "q_dedup_increment",
-    "q_minhash_lsh",
-    "q_minhash_lsh_derived",
-    "q_dedup_clusters",
-    "q_cluster_best",
-    "q_corpus_curation",
-    "q_decontaminate_fuzzy",
-    # changed-module guards: llm/curation.py (Bloom h2 stride, Arrow
-    # bitset transfer, footer-derived sizing)
-    "q_decontaminate_bloom",
-    "q_decontaminate",
-    # changed-module guards: streaming/increment.py (family
-    # inheritance + stamping, compaction family round-trip)
-    "q_stream_dedup_increment",
-    "q_stream_dedup_seeded",
-    "q_stream_epoch_compact",
-    "q_corpus_pipeline_jsonl",
-    # the full 36-row r9-era tail — the oldest evidence in the union
-    # (18 TPC-H rows lead; q_tpch_q2/q_vwap ceded their r13 slots and
-    # rotate here)
-    "q_tpch_q2",
-    "q_tpch_q4",
-    "q_tpch_q5",
-    "q_tpch_q6",
-    "q_tpch_q7",
-    "q_tpch_q8",
-    "q_tpch_q9",
-    "q_tpch_q10",
-    "q_tpch_q11",
-    "q_tpch_q13",
-    "q_tpch_q14",
-    "q_tpch_q15",
-    "q_tpch_q16",
-    "q_tpch_q17",
-    "q_tpch_q18",
-    "q_tpch_q19",
-    "q_tpch_q20",
-    "q_tpch_q21",
-    "q_tpch_q22",
-    "q_asof_trades",
-    "q_candles_1m",
-    "q_dup_spans",
-    "q_frame_sample",
-    "q_full_outer",
-    "q_funnel",
-    "q_interval_join",
-    "q_media_features",
-    "q_mtf_join",
-    "q_pack_by_domain",
-    "q_percentiles",
-    "q_retention_cohort",
-    "q_skew_join",
-    "q_sql_shared",
-    "q_time_window",
-    "q_value_histogram",
-    "q_vwap",
+    # the 44-row r11 tier — the oldest evidence in the union
+    "q_ann_filtered_ivf",
+    "q_ann_filtered_sq8",
+    "q_ann_ivf_add",
+    "q_ann_ivf_compact",
+    "q_ann_ivf_index",
+    "q_ann_sq8",
+    "q_anomaly_zscore",
+    "q_atr",
+    "q_bollinger",
+    "q_chunk_docs",
+    "q_csv_quarantine",
+    "q_csv_roundtrip",
+    "q_dedup_lines",
+    "q_donchian",
+    "q_drawdown",
+    "q_ema_12",
+    "q_fingerprint",
+    "q_heikin_ashi",
+    "q_jsonl_quarantine",
+    "q_jsonl_roundtrip",
+    "q_lang_id",
+    "q_lm_score",
+    "q_macd",
+    "q_media_cluster_best",
+    "q_media_neardup",
+    "q_obv",
+    "q_orc_roundtrip",
+    "q_quantize_embed",
+    "q_range_scan",
+    "q_redact_pii",
+    "q_resample_5m",
+    "q_rsi",
+    "q_scalar_funcs",
+    "q_seasonality",
+    "q_simhash_pairs",
+    "q_stochastic",
+    "q_store_append",
+    "q_store_maintenance",
+    "q_store_rollup",
+    "q_store_roundtrip",
+    "q_text_stats",
+    "q_topk_volume",
+    "q_upsert_lww",
+    "q_ysf_roundtrip",
+    # spare slots: the 6 oldest r12 rows, so the r12 tier starts
+    # draining too
+    "q_dedup_exact",
+    "q_setops",
+    "q_simhash",
+    "q_jaccard_pairs",
+    "q_sessionize",
+    "q_stratified_sample",
 )
 # Demoted below the window: everything else keeps a green CORRECTNESS
-# row from r11, r12, or r13. After this window greens, the oldest
-# evidence tier in the union is r11 (a 4-round horizon) and every one
-# of the 170 declared queries has been driver-proven at least twice.
-# Round 15's rotation target — the 44-row r11 tier (computed from the
-# correctness files; fits one window with 6 slots spare):
-# q_ann_filtered_ivf, q_ann_filtered_sq8, q_ann_ivf_add,
-# q_ann_ivf_compact, q_ann_ivf_index, q_ann_sq8, q_anomaly_zscore,
-# q_atr, q_bollinger, q_chunk_docs, q_csv_quarantine,
-# q_csv_roundtrip, q_dedup_lines, q_donchian, q_drawdown, q_ema_12,
-# q_fingerprint, q_heikin_ashi, q_jsonl_quarantine,
-# q_jsonl_roundtrip, q_lang_id, q_lm_score, q_macd,
-# q_media_cluster_best, q_media_neardup, q_obv, q_orc_roundtrip,
-# q_quantize_embed, q_range_scan, q_redact_pii, q_resample_5m,
-# q_rsi, q_scalar_funcs, q_seasonality, q_simhash_pairs,
-# q_stochastic, q_store_append, q_store_maintenance, q_store_rollup,
-# q_store_roundtrip, q_text_stats, q_topk_volume, q_upsert_lww,
-# q_ysf_roundtrip.
+# row from r12, r13, or r14. After this window greens the oldest
+# evidence tier in the union is r12. Round 16's rotation target — the
+# 27-row r12 remainder (computed from the correctness files; fits one
+# window with 23 slots spare for r13 rows and any r15-changed-module
+# guards):
+# q_approx_profile, q_boilerplate, q_bucketed_join, q_centroid_dist,
+# q_data_profile, q_drift_psi, q_embedding_norms, q_gapfill_interp,
+# q_multimodal_meta, q_quality_rules, q_store_bucketed_join,
+# q_stream_candles, q_stream_csv, q_stream_drawdown, q_stream_drift,
+# q_stream_ema, q_stream_enrich, q_stream_ingest, q_stream_join,
+# q_stream_jsonl, q_stream_orc, q_stream_store_asof,
+# q_stream_store_merge, q_stream_store_rollup, q_stream_wire,
+# q_tpch_q1, q_vocab_topk.
 
 
 def collect_registry() -> tuple[dict[str, QueryFn], dict[str, str]]:
