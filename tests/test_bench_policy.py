@@ -1,0 +1,95 @@
+"""Headline-selection policy of bench.py (pure function, no Spark).
+
+VERDICT r14 missing #3: the committed headline must not be "whichever
+run happened last" — r14's driver snapshot recorded the session's
+worst run (326.8s, degraded probe) over its 283.4s best. The policy
+under test: min total among comparable runs with healthy env probes
+on both sides; min among comparable + degraded flag when none is
+healthy; this-run fallback when nothing is comparable at all.
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from bench import HEALTHY_MULTI_S, select_headline  # noqa: E402
+
+
+def _run(total, multi_before, multi_after, n_queries=66, n_errors=0, ts=0.0):
+    return {
+        "ts": ts,
+        "total": total,
+        "n_queries": n_queries,
+        "n_errors": n_errors,
+        "env_probe": {
+            "before": {"single_s": 1.0, "multi_s": multi_before},
+            "after": {"single_s": 1.0, "multi_s": multi_after},
+        },
+    }
+
+
+def test_min_among_healthy_wins_over_later_degraded_run():
+    # the r14 episode in miniature: healthy 283.4 early, degraded
+    # 326.8 last — the headline must be the healthy minimum, not the
+    # last run
+    runs = [
+        _run(316.5, 2.2, 2.5, ts=1),
+        _run(283.4, 1.3, 1.4, ts=2),
+        _run(294.9, 1.2, 1.3, ts=3),
+        _run(326.8, 4.0, 6.0, ts=4),
+    ]
+    best, degraded = select_headline(runs, 66, runs[-1])
+    assert best["total"] == 283.4
+    assert degraded is False
+
+
+def test_all_degraded_falls_back_to_min_with_flag():
+    runs = [
+        _run(316.5, 2.2, 2.5),
+        _run(280.2, 2.8, 2.4),
+        _run(326.8, 4.0, 6.0),
+    ]
+    best, degraded = select_headline(runs, 66, runs[-1])
+    assert best["total"] == 280.2
+    assert degraded is True
+
+
+def test_probe_must_be_healthy_on_both_sides():
+    # a run that STARTS healthy but degrades mid-run (after-probe
+    # slow) is not a healthy sample of the code
+    runs = [
+        _run(250.0, 1.2, 3.0),
+        _run(290.0, 1.3, 1.4),
+    ]
+    best, degraded = select_headline(runs, 66, runs[-1])
+    assert best["total"] == 290.0
+    assert degraded is False
+
+
+def test_shape_change_and_errors_excluded():
+    # a faster run from a prior bench shape (fewer lines) or with
+    # errored lines must not mask this shape's total
+    runs = [
+        _run(200.0, 1.2, 1.2, n_queries=60),  # old shape
+        _run(240.0, 1.2, 1.2, n_errors=1),  # errored lines undercount
+        _run(285.0, 1.3, 1.3),
+    ]
+    best, degraded = select_headline(runs, 66, runs[-1])
+    assert best["total"] == 285.0
+    assert degraded is False
+
+
+def test_nothing_comparable_returns_this_run_degraded():
+    this = _run(300.0, 2.0, 2.0, n_errors=2)
+    best, degraded = select_headline([this], 66, this)
+    assert best is this
+    assert degraded is True
+
+
+def test_threshold_is_between_observed_clusters():
+    # healthy phases cluster ~1.3, degraded 2.2-6.0 (sidecar records
+    # r4-r14); the constant must split them or the policy is vacuous
+    assert 1.4 < HEALTHY_MULTI_S < 2.2
