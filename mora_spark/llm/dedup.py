@@ -642,43 +642,91 @@ def save_minhash_index(
     # mistake is build_minhash_index(df, band_size=r, n_bands=b)
     # followed by a save that forgets to repeat them, which would
     # bless the DEFAULT family over derived bands and make every
-    # metadata-following increment silently find nothing. n_bands is
-    # recoverable from the data (len(bks)); this one-row read of the
-    # just-written parquet costs one tiny job per save (saves are
-    # build-once). band_size leaves no trace in the md5 band keys, so
-    # it stays a documented caller contract.
+    # metadata-following increment silently find nothing. One sample
+    # group's (ti, bks) is read back from the just-written parquet
+    # (one tiny job per save; saves are build-once) and the DECLARED
+    # family's band keys are recomputed driver-side from ti — the md5
+    # band keys pin band_size too, not just n_bands = len(bks): a
+    # build at (3, 35) saved as (5, 35) previously slipped through
+    # the length check and wrote authoritative-but-wrong metadata the
+    # in-plan size(bks) backstop can never catch (r14 ADVICE #2).
+    spark = bands.sparkSession
     peek = (
-        bands.sparkSession.read.parquet(f"{path}/bands")
-        .select(F.size("bks").alias("nb"))
+        spark.read.parquet(f"{path}/groups")
+        .where(F.size("ti") > 0)
+        .select("gid", "ti")
+        .limit(1)
+        .join(
+            spark.read.parquet(f"{path}/bands").select("gid", "bks"),
+            "gid",
+        )
+        .select("ti", "bks")
         .first()
     )
-    if peek is not None and peek["nb"] != n_bands:
-        raise ValueError(
-            f"save_minhash_index: bands table carries {peek['nb']} "
-            f"bands per group but the declared family says n_bands="
-            f"{n_bands}; pass the SAME (band_size, n_bands) the index "
-            "was built with (no family metadata was written)"
-        )
+    if peek is not None:
+        declared = _band_keys_local(peek["ti"], band_size, n_bands)
+        if list(peek["bks"]) != declared:
+            raise ValueError(
+                f"save_minhash_index: the written bands do not match "
+                f"the declared family (band_size={band_size}, "
+                f"n_bands={n_bands}) — pass the SAME (band_size, "
+                "n_bands) the index was built with (no family "
+                "metadata was written)"
+            )
     write_minhash_family(path, band_size, n_bands)
 
 
-def _require_posix_index_root(path: str, op: str) -> None:
-    """The family metadata helpers use plain POSIX I/O — the same
-    local-filesystem assumption the store's manifest log already
-    makes (engine/store.py: link(2) CAS). A ``scheme://`` index root
-    (hdfs, s3a, ...) would let Spark write the parquet tables remotely
-    while the JSON landed in a spurious DRIVER-LOCAL directory, and a
-    later load on another machine would silently fall back to the
-    fixed family — the exact wrong-family failure the metadata
-    exists to prevent. Refuse loudly instead."""
-    scheme = path.split("://", 1)[0] if "://" in path else None
-    if scheme and scheme != "file":
-        raise NotImplementedError(
-            f"{op}: index root '{path}' uses a non-local filesystem; "
-            "family metadata I/O is POSIX-only (like the store "
-            "manifest log) — mount the store or extend these helpers "
-            "with Hadoop FileSystem I/O before using remote roots"
+def _band_keys_local(
+    ti: list[int], band_size: int, n_bands: int
+) -> list[str]:
+    """Driver-side replay of :func:`_band_table`'s band keys for ONE
+    token-int array — the save-time family cross-check. Exactness
+    argument: ti ints are 32-bit non-negative (``_int_tokens``), so
+    Spark's ``(h / 2).cast("long")`` (double divide, truncate) equals
+    ``h // 2``; the affine products stay < 2^62 (a < MINHASH_P ~ 2^31,
+    h/2 < 2^31) so no overflow on either side; and Spark's
+    long-to-string cast inside ``concat_ws`` matches ``str(int)``."""
+    import hashlib as _hashlib
+
+    ab = minhash_ab(band_size * n_bands)
+    mh = [
+        min((a * (h // 2) + b) % MINHASH_P for h in ti) for a, b in ab
+    ]
+    return [
+        _hashlib.md5(
+            "|".join(
+                str(mh[bb * band_size + i]) for i in range(band_size)
+            ).encode()
+        ).hexdigest()
+        for bb in range(n_bands)
+    ]
+
+
+def _hadoop_fs(path: str):
+    """(jvm, fs, root Path) for a ``scheme://`` index root, resolved
+    through the active session's Hadoop configuration — so the family
+    JSON lands on the SAME filesystem Spark writes the parquet tables
+    to (hdfs://, s3a://, file://, ...), never in a spurious
+    driver-local directory that a later load on another machine would
+    miss (the silent wrong-family failure the metadata exists to
+    prevent; until r14 these helpers refused every remote scheme
+    outright instead). Requires an active SparkSession: family I/O
+    without one means no parquet writer exists either, so the refusal
+    is loud and early."""
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    if spark is None:
+        raise RuntimeError(
+            f"family metadata I/O on '{path}' needs an active "
+            "SparkSession to resolve the Hadoop filesystem for its "
+            "scheme; create the session first (local paths without a "
+            "scheme never take this route)"
         )
+    jvm = spark._jvm
+    root = jvm.org.apache.hadoop.fs.Path(path)
+    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+    return jvm, fs, root
 
 
 def write_minhash_family(
@@ -688,24 +736,49 @@ def write_minhash_family(
     the index root, next to ``bands``/``groups``). Split out of
     :func:`save_minhash_index` so the streaming sink — which appends
     ``batch_id=`` parquet subdirs itself instead of going through
-    ``save`` — can stamp its sink-owned index too."""
+    ``save`` — can stamp its sink-owned index too.
+
+    Local (scheme-less) roots use plain POSIX I/O with an
+    ``os.replace`` publish; ``scheme://`` roots go through the Hadoop
+    FileSystem of the active session (write ``.tmp``, delete+rename
+    publish — rename is atomic on HDFS; on object stores it is
+    copy+delete, acceptable for a build-once metadata stamp whose
+    reader treats a missing file as the legacy default and whose
+    half-written file fails JSON parsing loudly rather than resolving
+    to a wrong family)."""
     import json
     import os
 
-    _require_posix_index_root(path, "write_minhash_family")
-    if path.startswith("file://"):
-        path = path[len("file://"):]
+    payload = json.dumps(
+        {
+            "band_size": band_size,
+            "n_bands": n_bands,
+            "n_hashes": band_size * n_bands,
+        }
+    )
+    if "://" in path:
+        jvm, fs, root = _hadoop_fs(path)
+        fs.mkdirs(root)
+        tmp = jvm.org.apache.hadoop.fs.Path(
+            root, LSH_FAMILY_FILE + ".tmp"
+        )
+        dst = jvm.org.apache.hadoop.fs.Path(root, LSH_FAMILY_FILE)
+        out = fs.create(tmp, True)
+        try:
+            out.write(bytearray(payload.encode("utf-8")))
+        finally:
+            out.close()
+        fs.delete(dst, False)
+        if not fs.rename(tmp, dst):
+            raise OSError(
+                f"write_minhash_family: publish rename failed for "
+                f"'{path}/{LSH_FAMILY_FILE}'"
+            )
+        return
     os.makedirs(path, exist_ok=True)
     tmp = os.path.join(path, LSH_FAMILY_FILE + ".tmp")
     with open(tmp, "w") as f:
-        json.dump(
-            {
-                "band_size": band_size,
-                "n_bands": n_bands,
-                "n_hashes": band_size * n_bands,
-            },
-            f,
-        )
+        f.write(payload)
     os.replace(tmp, os.path.join(path, LSH_FAMILY_FILE))
 
 
@@ -715,13 +788,25 @@ def load_minhash_family(path: str) -> tuple[int, int]:
     was persisted (or foreign plain-parquet layouts) carry no file and
     resolve to the fixed module constants — exactly what every writer
     used before the metadata existed, so the fallback is correct for
-    every legacy index, never a guess."""
+    every legacy index, never a guess. ``scheme://`` roots read
+    through the active session's Hadoop FileSystem (same route as
+    :func:`write_minhash_family`), so the metadata travels with the
+    index wherever the parquet lives."""
     import json
     import os
 
-    _require_posix_index_root(path, "load_minhash_family")
-    if path.startswith("file://"):
-        path = path[len("file://"):]
+    if "://" in path:
+        jvm, fs, root = _hadoop_fs(path)
+        meta = jvm.org.apache.hadoop.fs.Path(root, LSH_FAMILY_FILE)
+        if not fs.exists(meta):
+            return (BAND_SIZE, N_HASHES // BAND_SIZE)
+        stream = fs.open(meta)
+        try:
+            raw = bytes(stream.readAllBytes())
+        finally:
+            stream.close()
+        d = json.loads(raw.decode("utf-8"))
+        return (int(d["band_size"]), int(d["n_bands"]))
     meta = os.path.join(path, LSH_FAMILY_FILE)
     if not os.path.exists(meta):
         return (BAND_SIZE, N_HASHES // BAND_SIZE)

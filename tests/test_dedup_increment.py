@@ -265,3 +265,67 @@ def test_lost_family_metadata_fails_loudly(spark, docs, tmp_path):
     bands, groups = load_minhash_index(spark, str(tmp_path / "ix"))
     with pytest.raises(Exception, match="different banding family"):
         dedup_increment(batch, bands, groups).collect()
+
+
+def test_family_metadata_file_scheme_root(spark, docs, tmp_path):
+    """scheme:// index roots go through the session's Hadoop
+    FileSystem (r14 verdict missing #2 — they were refused outright
+    before): a file://-scheme root is the in-container proxy for
+    hdfs://s3a remotes. The stamp must land on the TARGET filesystem
+    (visible at the POSIX twin of the URI) and round-trip through
+    both the scheme'd and the scheme-less reader."""
+    from mora_spark.llm.dedup import (
+        BAND_SIZE,
+        N_HASHES,
+        load_minhash_family,
+        write_minhash_family,
+    )
+
+    root = tmp_path / "remote_ix"
+    uri = f"file://{root}"
+    write_minhash_family(uri, 3, 35)
+    # on the target filesystem, not in some driver-CWD-relative spot
+    assert (root / "_lsh_family.json").is_file()
+    assert not (root / "_lsh_family.json.tmp").exists()
+    assert load_minhash_family(uri) == (3, 35)
+    assert load_minhash_family(str(root)) == (3, 35)
+    # restamp overwrites atomically (delete+rename publish)
+    write_minhash_family(uri, 5, 24)
+    assert load_minhash_family(uri) == (5, 24)
+    # a scheme'd root without the file resolves to the legacy default
+    assert load_minhash_family(f"file://{tmp_path}/never_written") == (
+        BAND_SIZE,
+        N_HASHES // BAND_SIZE,
+    )
+
+
+def test_save_family_cross_check_pins_band_size(spark, docs, tmp_path):
+    """save's post-write cross-check recomputes the DECLARED family's
+    band keys from one sample group's token ints — so a save that
+    declares the wrong band_size with the RIGHT n_bands (which the
+    old len(bks) peek could not see) refuses before stamping
+    authoritative-but-wrong metadata (r14 ADVICE #2)."""
+    import os
+
+    corpus = docs.where(F.col("doc_id") < 10)
+    ix = build_minhash_index(corpus, band_size=3, n_bands=35)
+    with pytest.raises(ValueError, match="declared family"):
+        save_minhash_index(
+            *ix, str(tmp_path / "ix"), band_size=5, n_bands=35
+        )
+    assert not os.path.exists(
+        str(tmp_path / "ix" / "_lsh_family.json")
+    )
+    # wrong n_bands still refuses too (the declared keys differ in
+    # length before they differ in value)
+    with pytest.raises(ValueError, match="declared family"):
+        save_minhash_index(
+            *ix, str(tmp_path / "ix2"), band_size=3, n_bands=40
+        )
+    # and the honest declaration passes + stamps
+    save_minhash_index(
+        *ix, str(tmp_path / "ix3"), band_size=3, n_bands=35
+    )
+    from mora_spark.llm.dedup import load_minhash_family
+
+    assert load_minhash_family(str(tmp_path / "ix3")) == (3, 35)
