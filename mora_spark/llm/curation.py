@@ -357,12 +357,17 @@ def bloom_footer_keys_bound(path: str, text_col: str = "text") -> int:
     bytes, which parquet v1 PLAIN/dictionary pages keep at-or-above
     the logical text bytes for realistic benchmarks, but v2 delta
     encodings (DELTA_BYTE_ARRAY on heavily shared prefixes) can push
-    below — undersizing there drifts the FP rate up (extra verify
-    work, never wrong rows, since every candidate is exact-verified);
-    pass ``n_keys_hint`` explicitly for such layouts. Raises on an
-    empty file list (e.g. a ``scheme://`` URI this local glob cannot
-    see) rather than returning a bound that would size a saturated
-    one-word filter."""
+    below, and heavily dictionary-encoded text pages (many exact-dup
+    rows) can too — undersizing there drifts the FP rate up (extra
+    verify work, never wrong rows, since every candidate is
+    exact-verified); pass ``n_keys_hint`` explicitly for such
+    layouts. Raises on an empty file list (e.g. a ``scheme://`` URI
+    this local glob cannot see) rather than returning a bound that
+    would size a saturated one-word filter — extending it to remote
+    roots means listing + footer-reading through the session's Hadoop
+    FileSystem, the same route ``llm/dedup._hadoop_fs`` now gives the
+    LSH family metadata (pyarrow can read footers from a Hadoop
+    stream, so only the listing needs the JVM)."""
     import glob as _glob
 
     import pyarrow.parquet as pq
@@ -382,6 +387,7 @@ def bloom_footer_keys_bound(path: str, text_col: str = "text") -> int:
         )
     rows = 0
     tbytes = 0
+    matched = False
     for f in files:
         md = pq.read_metadata(f)
         rows += md.num_rows
@@ -390,7 +396,21 @@ def bloom_footer_keys_bound(path: str, text_col: str = "text") -> int:
             for ci in range(g.num_columns):
                 col = g.column(ci)
                 if col.path_in_schema == text_col:
+                    matched = True
                     tbytes += col.total_uncompressed_size
+    # A text_col that matches NO column chunk (typo, or a nested
+    # schema whose leaf path is 'doc.text') must not silently size
+    # from rows alone: tbytes=0 undersizes the filter by orders of
+    # magnitude, the FP rate saturates, and the pre-pass passes nearly
+    # everything — collapsing the operator to exact-decontamination
+    # cost with no error and no wrong rows to notice (r14 ADVICE #3).
+    if rows > 0 and not matched:
+        raise ValueError(
+            f"bloom_footer_keys_bound: no column chunk in '{path}' "
+            f"matches text_col='{text_col}' (nested leaves use "
+            "dotted paths, e.g. 'doc.text'); fix the column name or "
+            "pass n_keys_hint"
+        )
     return max(1, (tbytes + rows) // 2)
 
 
@@ -599,6 +619,15 @@ def _bloom_filter_pandas(spark, t_sh, words, m_bits: int, k: int):
     out_schema = t_sh.schema
     cols = [f.name for f in out_schema.fields]
     t_shx = t_sh.withColumn("_x", F.xxhash64("sh"))
+    # Captured from the module constant, never hardcoded: the r14 fix
+    # changed the stride (41 -> 32) and a literal here would silently
+    # desync this transport from the JVM-built bitset on any future
+    # change — producing false NEGATIVES (missed contamination) the
+    # exact verify cannot recover, detectable only by the
+    # transport-equality tests (r14 ADVICE #1).
+    import numpy as np
+
+    h2_shift = np.int64(_BLOOM_H2_SHIFT)
 
     def _flt(batches):
         import numpy as np
@@ -609,7 +638,7 @@ def _bloom_filter_pandas(spark, t_sh, words, m_bits: int, k: int):
         for pdf in batches:
             x = pdf["_x"].to_numpy()
             h1 = x % m
-            h2 = (x >> np.int64(32)) % m1 + np.int64(1)
+            h2 = (x >> h2_shift) % m1 + np.int64(1)
             ok = np.ones(len(pdf), dtype=bool)
             for i in range(k):
                 p = (h1 + np.int64(i) * h2) % m

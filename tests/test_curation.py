@@ -576,3 +576,21 @@ def test_bloom_auto_transport_boundary(spark, sf_dir, monkeypatch):
         for r in decontaminate(train, bench, n=8).collect()
     }
     assert got == want
+
+
+def test_bloom_footer_sizing_refuses_unmatched_column(spark, tmp_path):
+    # A text_col that matches no footer column chunk (typo / nested
+    # leaf path) must raise, not silently size from rows alone — a
+    # tbytes=0 bound saturates the filter and collapses the pre-pass
+    # to "admit everything" with no visible error (r14 ADVICE #3).
+    from mora_spark.llm.curation import bloom_footer_keys_bound
+
+    import pytest
+
+    bpath = str(tmp_path / "bench")
+    spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma delta")], ["doc_id", "text"]
+    ).write.parquet(bpath)
+    with pytest.raises(ValueError, match="no column chunk"):
+        bloom_footer_keys_bound(bpath, text_col="txet")
+    assert bloom_footer_keys_bound(bpath, text_col="text") > 0
