@@ -50,6 +50,7 @@ def stream_curate_jsonl(
     gate: Callable[[DataFrame], DataFrame] | None = None,
     batch_stats: list | None = None,
     n_files: int = 1,
+    seed_index_path: str | None = None,
 ) -> tuple[DataFrame, int]:
     """Run the JSONL curation pipeline over ``src`` shards; returns
     ``(curated_docs, n_quarantined)`` — the kept (doc_id, text) corpus
@@ -72,12 +73,26 @@ def stream_curate_jsonl(
     ``{"batch_id", "rows", "wall_s"}`` dict per micro-batch so the
     scale probe can assert per-batch cost tracks BATCH size, not the
     accumulated corpus (adds one count job per batch; leave None in
-    production)."""
+    production).
+
+    ``seed_index_path`` (optional): a prebuilt ``save_minhash_index``
+    corpus the stream additionally dedups against — same contract as
+    :func:`mora_spark.streaming.increment.stream_dedup_increment`'s
+    seed: always-in-snapshot (its rows predate every micro-batch, so
+    no replay exposure), its sharded layout keeps its directory-pruned
+    joins, and the BANDING FAMILY follows the seed (a recall-derived
+    index thus runs its 0.99-recall contract through this one-job
+    pipeline too). Batches band with the seed's family, so a work_dir
+    whose sink-owned index already carries a DIFFERENT family is
+    refused up front — and an unseeded run inherits whatever family
+    the sink index already carries instead of re-stamping the default
+    over it (restamping was the r14 ADVICE #4 bug: a work_dir seeded
+    by an earlier derived-family epoch would have had correct
+    metadata silently replaced)."""
     from mora_spark.llm.dedup import (
-        BAND_SIZE,
-        N_HASHES,
         build_minhash_index,
         dedup_increment,
+        load_minhash_family,
         load_minhash_index,
         minhash_lsh_pairs,
         write_minhash_family,
@@ -92,11 +107,36 @@ def stream_curate_jsonl(
     curated_dir = os.path.join(work_dir, "curated")
     quar_dir = os.path.join(work_dir, "quarantine")
     ckpt = os.path.join(work_dir, "ckpt_pipeline")
-    # This pipeline's sink-owned index always uses the fixed default
-    # family; stamp it anyway so downstream consumers (compaction,
-    # ad-hoc increments via load_minhash_family) read metadata
-    # instead of assuming.
-    write_minhash_family(index_path, BAND_SIZE, N_HASHES // BAND_SIZE)
+    seed = (
+        load_minhash_index(spark, seed_index_path)
+        if seed_index_path is not None
+        else None
+    )
+    # Family resolution mirrors stream_dedup_increment: follow the
+    # seed when there is one (refusing a conflicting sink-owned
+    # index), otherwise inherit whatever the sink index already
+    # carries (fixed defaults on a fresh dir) — never overwrite an
+    # existing stamp with the default. The stamp keeps downstream
+    # consumers (compaction, ad-hoc increments) on metadata instead
+    # of assumptions.
+    own_family = load_minhash_family(index_path)
+    if seed_index_path is not None:
+        family = load_minhash_family(seed_index_path)
+        if (
+            os.path.isdir(os.path.join(index_path, "groups"))
+            and own_family != family
+        ):
+            raise ValueError(
+                f"stream_curate_jsonl: seed index family {family} "
+                f"conflicts with the existing sink-owned index's "
+                f"family {own_family} at {index_path}; start a fresh "
+                "work_dir (or compact the old epoch with its own "
+                "family) instead of mixing banding families in one "
+                "index"
+            )
+    else:
+        family = own_family
+    write_minhash_family(index_path, *family)
 
     def sink(batch: DataFrame, batch_id: int) -> None:
         import time as _time
@@ -111,10 +151,20 @@ def stream_curate_jsonl(
         if gate is not None:
             good = gate(good)
         good = good.select("doc_id", "text")
-        bands_b, groups_b = build_minhash_index(good)
+        bands_b, groups_b = build_minhash_index(
+            good, band_size=family[0], n_bands=family[1]
+        )
         groups_b.persist()
         try:
             parts = []
+            if seed is not None:
+                parts.append(
+                    dedup_increment(
+                        good, seed[0], seed[1], threshold=threshold,
+                        prebuilt=(groups_b, bands_b), include_intra=False,
+                        index_family=family,
+                    )
+                )
             if os.path.isdir(os.path.join(index_path, "groups")):
                 bands, groups = load_minhash_index(spark, index_path)
                 # Snapshot filter: a replayed batch dedups against the
@@ -125,6 +175,7 @@ def stream_curate_jsonl(
                     dedup_increment(
                         good, bands, groups, threshold=threshold,
                         prebuilt=(groups_b, bands_b), include_intra=False,
+                        index_family=family,
                     )
                 )
             dropped = minhash_lsh_pairs(
@@ -140,7 +191,9 @@ def stream_curate_jsonl(
         shard(kept).write.mode("overwrite").parquet(
             os.path.join(curated_dir, f"batch_id={batch_id}")
         )
-        b, g = build_minhash_index(kept)
+        b, g = build_minhash_index(
+            kept, band_size=family[0], n_bands=family[1]
+        )
         shard(b).write.mode("overwrite").parquet(
             os.path.join(index_path, "bands", f"batch_id={batch_id}")
         )
