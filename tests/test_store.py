@@ -414,8 +414,20 @@ def test_read_prunes_partitions(spark, store):
     df = store.read(start=dt.datetime(2021, 1, 1), end=dt.datetime(2021, 6, 1))
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert df.count() == 1
-    # Year pruning must reach the scan (partition filters present).
-    assert "year" in plan
+    # Year pruning must reach the scan as a NON-EMPTY PartitionFilters
+    # entry referencing the year attribute — the old `"year" in plan`
+    # assert was satisfied by ReadSchema alone (every UNPRUNED scan of
+    # this table mentions the year column somewhere), the same
+    # vacuous-substring class as the r14 fa0ef69 shard-pruning fix.
+    import re
+
+    pf = [
+        ln
+        for ln in plan.splitlines()
+        if "PartitionFilters" in ln
+        and re.search(r"PartitionFilters: \[[^\]]*(?<![a-z_])year#", ln)
+    ]
+    assert pf, f"no year partition filter in scan:\n{plan[:2000]}"
 
 
 def test_legacy_flat_manifest_still_readable(spark, store, tmp_path):
