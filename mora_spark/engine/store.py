@@ -158,6 +158,15 @@ class _TxnLog:
     of any set of racing writers commits each version. Page files a
     crashed or CAS-losing writer leaves behind are unreferenced and
     harmless (small JSON; bounded by commits x touched partitions).
+
+    Local-filesystem only, like the reference's file store: link(2)
+    has no Hadoop-FileSystem equivalent, but HDFS ``rename`` (atomic,
+    fails-if-destination-exists) is the same CAS primitive — porting
+    this log to scheme:// roots means write-tmp + rename-publish
+    through the session's Hadoop FS, the route
+    ``llm/dedup._hadoop_fs`` takes for the LSH family metadata (r15);
+    object stores without atomic rename need a conditional-PUT layer
+    (what Delta's LogStore abstracts).
     """
 
     def __init__(self, root: str):

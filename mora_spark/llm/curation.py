@@ -361,40 +361,55 @@ def bloom_footer_keys_bound(path: str, text_col: str = "text") -> int:
     rows) can too — undersizing there drifts the FP rate up (extra
     verify work, never wrong rows, since every candidate is
     exact-verified); pass ``n_keys_hint`` explicitly for such
-    layouts. Raises on an empty file list (e.g. a ``scheme://`` URI
-    this local glob cannot see) rather than returning a bound that
-    would size a saturated one-word filter — extending it to remote
-    roots means listing + footer-reading through the session's Hadoop
-    FileSystem, the same route ``llm/dedup._hadoop_fs`` now gives the
-    LSH family metadata (pyarrow can read footers from a Hadoop
-    stream, so only the listing needs the JVM)."""
+    layouts. ``scheme://`` roots (file://, hdfs://, s3a://, ...) are
+    listed and footer-read through the session's Hadoop FileSystem
+    (:mod:`mora_spark.sources.hadoopfs` — the same route the LSH
+    family metadata takes), still zero Spark jobs; a root with no
+    parquet files raises rather than returning a bound that would
+    size a saturated one-word filter."""
     import glob as _glob
 
     import pyarrow.parquet as pq
 
-    # file:// URIs are local after scheme-stripping (Spark writers and
-    # the LSH family helpers accept them, so sizing must too); other
-    # schemes still raise via the empty-file-list guard below.
-    if path.startswith("file://"):
-        path = path[len("file://"):]
-    files = (
-        [path]
-        if os.path.isfile(path)
-        else sorted(
-            _glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+    # scheme:// roots (file://, hdfs://, s3a://, ...) are listed and
+    # footer-read through the session's Hadoop FileSystem — the same
+    # route the LSH family metadata takes — still zero Spark JOBS:
+    # footers are a handful of driver-side reads, never a scan.
+    if "://" in path:
+        from mora_spark.sources.hadoopfs import HadoopInputFile, list_files
+
+        try:
+            listed = list_files(path, ".parquet")
+        except FileNotFoundError:
+            listed = []
+
+        def _footers():
+            for p, _len in listed:
+                with HadoopInputFile(p) as f:
+                    yield pq.read_metadata(f)
+
+        footers = _footers()
+    else:
+        files = (
+            [path]
+            if os.path.isfile(path)
+            else sorted(
+                _glob.glob(
+                    os.path.join(path, "**", "*.parquet"), recursive=True
+                )
+            )
         )
-    )
-    if not files:
+        listed = files
+        footers = (pq.read_metadata(f) for f in files)
+    if not listed:
         raise FileNotFoundError(
             f"bloom_footer_keys_bound: no parquet files under "
-            f"'{path}' — for non-local roots (hdfs://, s3a://, ...) "
-            "pass the benchmark as a DataFrame or supply n_keys_hint"
+            f"'{path}' — check the path (or supply n_keys_hint)"
         )
     rows = 0
     tbytes = 0
     matched = False
-    for f in files:
-        md = pq.read_metadata(f)
+    for md in footers:
         rows += md.num_rows
         for rg in range(md.num_row_groups):
             g = md.row_group(rg)

@@ -703,30 +703,17 @@ def _band_keys_local(
 
 
 def _hadoop_fs(path: str):
-    """(jvm, fs, root Path) for a ``scheme://`` index root, resolved
-    through the active session's Hadoop configuration — so the family
-    JSON lands on the SAME filesystem Spark writes the parquet tables
-    to (hdfs://, s3a://, file://, ...), never in a spurious
+    """(jvm, fs, root Path) for a ``scheme://`` index root — so the
+    family JSON lands on the SAME filesystem Spark writes the parquet
+    tables to (hdfs://, s3a://, file://, ...), never in a spurious
     driver-local directory that a later load on another machine would
     miss (the silent wrong-family failure the metadata exists to
     prevent; until r14 these helpers refused every remote scheme
-    outright instead). Requires an active SparkSession: family I/O
-    without one means no parquet writer exists either, so the refusal
-    is loud and early."""
-    from pyspark.sql import SparkSession
+    outright instead). Shared with the Bloom footer sizing via
+    :mod:`mora_spark.sources.hadoopfs`."""
+    from mora_spark.sources.hadoopfs import hadoop_fs
 
-    spark = SparkSession.getActiveSession()
-    if spark is None:
-        raise RuntimeError(
-            f"family metadata I/O on '{path}' needs an active "
-            "SparkSession to resolve the Hadoop filesystem for its "
-            "scheme; create the session first (local paths without a "
-            "scheme never take this route)"
-        )
-    jvm = spark._jvm
-    root = jvm.org.apache.hadoop.fs.Path(path)
-    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
-    return jvm, fs, root
+    return hadoop_fs(path)
 
 
 def write_minhash_family(

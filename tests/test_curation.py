@@ -594,3 +594,42 @@ def test_bloom_footer_sizing_refuses_unmatched_column(spark, tmp_path):
     with pytest.raises(ValueError, match="no column chunk"):
         bloom_footer_keys_bound(bpath, text_col="txet")
     assert bloom_footer_keys_bound(bpath, text_col="text") > 0
+
+
+def test_bloom_footer_sizing_scheme_root(spark, tmp_path):
+    """scheme:// benchmark roots size through the Hadoop FileSystem
+    (listing + seekable footer reads, zero Spark jobs) and agree
+    exactly with the local-glob bound on the same files; a missing
+    root still raises rather than sizing a saturated filter."""
+    import pytest
+
+    from mora_spark.llm.curation import bloom_footer_keys_bound
+
+    bpath = str(tmp_path / "bench")
+    spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("document body text number "), F.col("id")).alias(
+            "text"
+        ),
+    ).repartition(3).write.parquet(bpath)
+
+    sc = spark.sparkContext
+    sc.setJobGroup("footer_uri", "footer_uri")
+    try:
+        via_uri = bloom_footer_keys_bound(f"file://{bpath}")
+    finally:
+        sc.setJobGroup("", "")
+    # zero jobs: footers are driver-side reads, never a scan
+    assert not sc.statusTracker().getJobIdsForGroup("footer_uri")
+    assert via_uri == bloom_footer_keys_bound(bpath) > 0
+    # single-file roots work too
+    import glob as _glob
+
+    part = sorted(_glob.glob(bpath + "/*.parquet"))[0]
+    assert bloom_footer_keys_bound(f"file://{part}") == (
+        bloom_footer_keys_bound(part)
+    )
+    with pytest.raises(FileNotFoundError):
+        bloom_footer_keys_bound(f"file://{tmp_path}/nowhere")
+    with pytest.raises(ValueError, match="no column chunk"):
+        bloom_footer_keys_bound(f"file://{bpath}", text_col="txet")
