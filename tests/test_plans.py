@@ -12,6 +12,23 @@ verification twins are quadratic by construction (SURVEY perf notes;
 they exist to measure the scale paths' recall), and streaming/store
 queries execute side-effecting jobs at construction so they are
 audited by their own behavioral tests instead.
+
+Plan-string assert audit (r15, VERDICT r14 wrong #2): every site in
+tests/ asserting against plan text was reviewed for the two vacuity
+traps (substring over-match a la 'shard' in 'gshard'; reading a plan
+AFTER an eager localCheckpoint materialized the interesting subtree
+away). Findings: test_store.py's year-pruning assert was vacuous
+("year" matched ReadSchema on unpruned scans too) — fixed to a
+word-boundary PartitionFilters match; all other sites clean:
+test_plans.py (operator-token smells, structured PushedFilters
+lines), test_classifier.py:114 (same smells), test_skew.py:95
+(negative assert — over-match fails loudly, never passes vacuously),
+test_curation.py:455/572 (unique operator tokens on lazy plans),
+test_pq.py / test_orc.py / test_simsearch.py / test_bucketed.py
+(structured per-line parsing), test_dedup_increment.py (captured
+pre-checkpoint seam + word-boundary, the fa0ef69 fix itself). The
+only eager-checkpoint-feeding plan assert is the dedup candidate
+plan, which uses the capture seam.
 """
 
 from __future__ import annotations
