@@ -360,3 +360,42 @@ def test_scheme_root_index_contract_end_to_end(spark, docs, tmp_path):
         )
     )
     assert got == want and got
+
+
+def test_band_keys_local_replays_spark_exactly(spark):
+    """The save cross-check's driver-side band-key replay must equal
+    _band_table bit-for-bit across families and token shapes (unicode,
+    single-token, long docs) — the exactness argument (double-divide
+    truncation, no overflow, long-to-string cast) made concrete."""
+    from mora_spark.llm.dedup import (
+        _band_keys_local,
+        _band_table,
+        _group_table,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "a"),
+            (2, "многоязычный текст с юникодом и ascii mixed in"),
+            (3, " ".join(f"tok{i}" for i in range(300))),
+            (4, "punctuation, heavy!  text?  with   gaps"),
+        ],
+        ["doc_id", "text"],
+    )
+    groups = _group_table(df, "text", "doc_id")
+    for band_size, n_bands in ((4, 4), (3, 35), (5, 24)):
+        got = {
+            r["gid"]: list(r["bks"])
+            for r in _band_table(groups, band_size, n_bands)
+            .select("gid", "bks")
+            .dropDuplicates(["gid"])
+            .collect()
+        }
+        ti_by_gid = {
+            r["gid"]: list(r["ti"]) for r in groups.collect()
+        }
+        assert got and got.keys() == ti_by_gid.keys()
+        for gid, bks in got.items():
+            assert bks == _band_keys_local(
+                ti_by_gid[gid], band_size, n_bands
+            ), (gid, band_size, n_bands)
