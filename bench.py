@@ -421,6 +421,22 @@ def main() -> None:
         "tools",
         "bench_sessions.jsonl",
     )
+    # The code version that produced each run, so a selected headline
+    # is attributable without timestamp archaeology (the same-query-
+    # count comparability gate already blocks shape changes; this
+    # records WHICH commit's run won when the shape did not change).
+    try:
+        import subprocess
+
+        head = subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            capture_output=True,
+            text=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+            timeout=10,
+        ).stdout.strip() or None
+    except Exception:
+        head = None
     this_run = {
         "ts": round(time.time(), 1),
         "total": total,
@@ -428,6 +444,7 @@ def main() -> None:
         "n_errors": sum(1 for t in timings.values() if t < 0),
         "env_probe": {"before": env_before, "after": env_after},
         "sf": sf,
+        "head": head,
     }
     session_runs = []
     try:
@@ -494,8 +511,11 @@ def main() -> None:
         # total + env probes, so degraded-host records carry their
         # own adjudication context
         "session_runs": [
-            {k: r[k] for k in ("ts", "total", "n_queries",
-                               "n_errors", "env_probe")}
+            {
+                k: r.get(k)
+                for k in ("ts", "total", "n_queries", "n_errors",
+                          "env_probe", "head")
+            }
             for r in session_runs
         ],
         "sf": sf,
