@@ -624,11 +624,14 @@ def _bloom_filter_frame(spark, t_sh, words, m_bits: int, k: int):
     ).drop("_bloom_words")
 
 
-#: Broadcast variables created by the pandas Bloom transport, kept so
-#: loop callers can release executor memory between corpora: each
-#: past-the-boundary call ships a >64 MB bitset that otherwise lives
-#: until the session ends (the r15 boundary probe measured repeated
-#: 272 MB-bitset calls degrading ~3x from the accumulation).
+#: Broadcast variables created by the pandas Bloom transport. Only the
+#: MOST RECENT stays live: each past-the-boundary call ships a >64 MB
+#: bitset that would otherwise live until the session ends, and the
+#: r15 boundary probe measured repeated 272 MB-bitset calls degrading
+#: ~3x from the accumulation — so creating a new one auto-unpersists
+#: the previous (non-blocking, non-destroy: a still-referenced lazy
+#: plan that re-executes later re-fetches from the driver).
+#: :func:`clear_bloom_broadcasts` remains the explicit full release.
 _BLOOM_BROADCASTS: list = []
 
 
@@ -656,6 +659,16 @@ def _bloom_filter_pandas(spark, t_sh, words, m_bits: int, k: int):
     # the cost vs the frame path is one Arrow round-trip of the
     # shingle stream.
     bc = spark.sparkContext.broadcast(words)
+    # Keep one live bitset: unpersist (don't destroy) the previous
+    # transport broadcasts so a long-lived curation loop never
+    # accumulates executor copies (r15 probe: ~3x degradation by the
+    # third retained 272 MB bitset). Unpersist is safe mid-plan — an
+    # executor needing an unpersisted block re-fetches it.
+    while _BLOOM_BROADCASTS:
+        try:
+            _BLOOM_BROADCASTS.pop().unpersist(False)
+        except Exception:
+            pass  # a stopped context has already freed everything
     _BLOOM_BROADCASTS.append(bc)
     out_schema = t_sh.schema
     cols = [f.name for f in out_schema.fields]

@@ -727,12 +727,17 @@ def write_minhash_family(
 
     Local (scheme-less) roots use plain POSIX I/O with an
     ``os.replace`` publish; ``scheme://`` roots go through the Hadoop
-    FileSystem of the active session (write ``.tmp``, delete+rename
-    publish — rename is atomic on HDFS; on object stores it is
-    copy+delete, acceptable for a build-once metadata stamp whose
-    reader treats a missing file as the legacy default and whose
-    half-written file fails JSON parsing loudly rather than resolving
-    to a wrong family)."""
+    FileSystem of the active session: write ``.tmp``, then rename
+    FIRST (no pre-delete — on HDFS rename is atomic and only returns
+    False when the destination exists, so a fresh stamp never opens a
+    no-file window) and fall back to delete+rename only to OVERWRITE
+    an existing stamp. That restamp window is the one remaining gap
+    (r15 ADVICE: a load racing the delete sees no file), and
+    :func:`load_minhash_family` closes it from the read side by
+    treating missing-file-with-``.tmp``-sibling as transient. On
+    object stores rename is additionally copy+delete — acceptable for
+    a build-once metadata stamp whose half-written file fails JSON
+    parsing loudly rather than resolving to a wrong family."""
     import json
     import os
 
@@ -755,12 +760,19 @@ def write_minhash_family(
             out.write(bytearray(payload.encode("utf-8")))
         finally:
             out.close()
-        fs.delete(dst, False)
+        # Rename-first: on a fresh stamp (the common case) the file
+        # appears atomically with full content — no delete window at
+        # all. FileSystem.rename returns False when dst exists (it
+        # never overwrites), so only a RESTAMP pays the delete+rename
+        # window, which load_minhash_family treats as transient while
+        # the .tmp sibling is visible.
         if not fs.rename(tmp, dst):
-            raise OSError(
-                f"write_minhash_family: publish rename failed for "
-                f"'{path}/{LSH_FAMILY_FILE}'"
-            )
+            fs.delete(dst, False)
+            if not fs.rename(tmp, dst):
+                raise OSError(
+                    f"write_minhash_family: publish rename failed for "
+                    f"'{path}/{LSH_FAMILY_FILE}'"
+                )
         return
     os.makedirs(path, exist_ok=True)
     tmp = os.path.join(path, LSH_FAMILY_FILE + ".tmp")
@@ -783,13 +795,40 @@ def load_minhash_family(path: str) -> tuple[int, int]:
     import os
 
     if "://" in path:
+        import time
+
         jvm, fs, root = _hadoop_fs(path)
         meta = jvm.org.apache.hadoop.fs.Path(root, LSH_FAMILY_FILE)
-        if not fs.exists(meta):
-            return (BAND_SIZE, N_HASHES // BAND_SIZE)
+        tmp = jvm.org.apache.hadoop.fs.Path(
+            root, LSH_FAMILY_FILE + ".tmp"
+        )
+        # A restamp's delete+rename publish (HDFS route) has a brief
+        # no-file window; resolving it to the legacy default would be
+        # exactly the silent wrong-family failure the metadata
+        # prevents. The window is identifiable — the writer's .tmp
+        # sibling is visible during it — so missing+tmp is retried as
+        # transient before concluding "legacy index, no stamp".
+        for _ in range(20):
+            if fs.exists(meta):
+                break
+            if not fs.exists(tmp):
+                return (BAND_SIZE, N_HASHES // BAND_SIZE)
+            time.sleep(0.05)
+        else:
+            raise OSError(
+                f"load_minhash_family: '{path}/{LSH_FAMILY_FILE}' "
+                f"absent but its .tmp sibling persists — a publish "
+                f"appears stalled or torn; refusing to silently fall "
+                f"back to the default family"
+            )
         stream = fs.open(meta)
         try:
-            raw = bytes(stream.readAllBytes())
+            # commons-io (ships with every Spark distro) instead of
+            # InputStream.readAllBytes: the latter is Java 9+ only and
+            # breaks on Java 8 Spark deployments (r15 ADVICE #3).
+            raw = bytes(
+                jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+            )
         finally:
             stream.close()
         d = json.loads(raw.decode("utf-8"))

@@ -299,6 +299,70 @@ def test_family_metadata_file_scheme_root(spark, docs, tmp_path):
     )
 
 
+def test_family_metadata_torn_write_fails_loud(spark, tmp_path):
+    """The documented object-store caveat, pinned (r15 verdict next
+    #6): the scheme:// publish is rename (copy+delete on object
+    stores), so a torn write can leave a PARTIAL file — which must
+    fail JSON parsing loudly, never resolve to a wrong family."""
+    import json
+
+    from mora_spark.llm.dedup import (
+        load_minhash_family,
+        write_minhash_family,
+    )
+
+    root = tmp_path / "torn_ix"
+    uri = f"file://{root}"
+    write_minhash_family(uri, 3, 35)
+    full = (root / "_lsh_family.json").read_text()
+    (root / "_lsh_family.json").write_text(full[: len(full) // 2])
+    # The checksummed LocalFileSystem catches the tear even before the
+    # parse (ChecksumException through py4j) — loud either way.
+    with pytest.raises(Exception, match="Checksum|JSON"):
+        load_minhash_family(uri)
+    # Without the .crc sidecar (object stores have none), the torn
+    # bytes reach the parser and fail there.
+    crc = root / "._lsh_family.json.crc"
+    if crc.exists():
+        crc.unlink()
+    with pytest.raises(json.JSONDecodeError):
+        load_minhash_family(uri)
+    with pytest.raises(json.JSONDecodeError):  # POSIX reader too
+        load_minhash_family(str(root))
+
+
+def test_family_metadata_missing_with_tmp_sibling(spark, tmp_path):
+    """A restamp's delete+rename window (r15 ADVICE #2): while the
+    writer's .tmp sibling is visible, a missing family file is
+    TRANSIENT — the loader must not silently resolve to the legacy
+    default family. A stalled publish (tmp persists, file never
+    lands) raises; no tmp and no file is the honest legacy default."""
+    from mora_spark.llm.dedup import (
+        BAND_SIZE,
+        N_HASHES,
+        load_minhash_family,
+        write_minhash_family,
+    )
+
+    root = tmp_path / "window_ix"
+    root.mkdir()
+    (root / "_lsh_family.json.tmp").write_text("{}")
+    with pytest.raises(OSError, match="stalled or torn"):
+        load_minhash_family(f"file://{root}")
+    # once the publish lands, the same root reads normally with the
+    # tmp sibling still around (a crashed writer's leftover)
+    write_minhash_family(f"file://{root}", 3, 35)
+    (root / "_lsh_family.json.tmp").write_text("{}")
+    assert load_minhash_family(f"file://{root}") == (3, 35)
+    # and with neither file nor tmp: the legacy default, immediately
+    empty = tmp_path / "no_stamp_ix"
+    empty.mkdir()
+    assert load_minhash_family(f"file://{empty}") == (
+        BAND_SIZE,
+        N_HASHES // BAND_SIZE,
+    )
+
+
 def test_save_family_cross_check_pins_band_size(spark, docs, tmp_path):
     """save's post-write cross-check recomputes the DECLARED family's
     band keys from one sample group's token ints — so a save that

@@ -1413,7 +1413,76 @@ def probe_round15(spark, n) -> None:
         clear_bloom_broadcasts()
 
 
-if __name__ == "__main__" and "r15" in sys.argv[1:]:
+def probe_round16(spark, n: int = 10) -> None:
+    """r15 verdict next #3: repeated PAST-BOUNDARY Bloom calls
+    WITHOUT any manual ``clear_bloom_broadcasts`` — the r15 probe
+    measured ~3x degradation by the third retained 272 MB bitset
+    broadcast, answered then with a manual release hook; r16 made the
+    transport auto-unpersist the previous bitset when a new one is
+    created, so the un-disciplined loop a long-lived curation service
+    actually runs must now stay FLAT per call with exactly one live
+    transport broadcast at the end.
+
+    Record (2026-08-16, 10x, degraded-probe host phase, 272 MB
+    bitset x5 sequential calls, zero manual clears): walls
+    13.8/9.7/7.9/8.3/7.8s — call 1 carries the cold Python-worker/
+    Arrow path; calls 2-5 are flat at 7.8-9.7s with NO upward trend
+    (the r15 retained-broadcast sequence hit 26.4s by call 3, ~3x),
+    identical 2,770 flagged every call, exactly 1 live transport
+    broadcast after the loop.
+
+    Standalone: ``python tools/scale_probe.py 10 r16``."""
+    from mora_spark.llm import curation
+    from mora_spark.llm.curation import (
+        _BLOOM_FRAME_WORDS_MAX,
+        decontaminate_bloom,
+    )
+
+    docs = mostly_unique_docs(spark, n).persist()
+    print(f"docs={docs.count():,} (x{n})")
+    bench = docs.where(F.col("doc_id") % 20 == 0)
+    train = docs.where(F.col("doc_id") % 20 != 0).unionByName(
+        bench.select(
+            (F.col("doc_id") + F.lit(500_000_000)).alias("doc_id"), "text"
+        )
+    )
+    bench = bench.persist()
+    train = train.persist()
+    keys = ((_BLOOM_FRAME_WORDS_MAX * 64) // 16 + 64) * 4  # ~272MB
+    walls, flagged = [], []
+    for i in range(5):
+        t0 = time.time()
+        flagged.append(
+            {
+                (row["doc_id"], row["n_hits"])
+                for row in decontaminate_bloom(
+                    train, bench, n=8, n_keys_hint=keys,
+                    transport="pandas_udf",
+                ).collect()
+            }
+        )
+        walls.append(time.time() - t0)
+        print(
+            f"272MB udf call {i + 1} (no manual clear): "
+            f"{walls[-1]:.1f}s {len(flagged[-1]):,} flagged, "
+            f"{len(curation._BLOOM_BROADCASTS)} live broadcast(s)"
+        )
+    assert all(f == flagged[0] for f in flagged)
+    assert len(curation._BLOOM_BROADCASTS) == 1, (
+        "auto-release must keep exactly the newest bitset broadcast"
+    )
+    print(
+        f"walls {['%.1f' % w for w in walls]} "
+        f"max/min {max(walls) / min(walls):.2f}x"
+    )
+
+
+if __name__ == "__main__" and "r16" in sys.argv[1:]:
+    _n = next((int(a) for a in sys.argv[1:] if a.isdigit()), 10)
+    _spark = get_spark(app_name="mora_scale_probe")
+    _spark.sparkContext.setLogLevel("ERROR")
+    probe_round16(_spark, _n)
+elif __name__ == "__main__" and "r15" in sys.argv[1:]:
     _n = next((int(a) for a in sys.argv[1:] if a.isdigit()), 10)
     _spark = get_spark(app_name="mora_scale_probe")
     _spark.sparkContext.setLogLevel("ERROR")
