@@ -17,87 +17,92 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 # The driver's correctness gate verifies the FIRST 50 registry entries
 # only (round-1 evidence: CORRECTNESS_r01.json stops at entry 50 in
-# registry order). PRIORITY pins the round-15 window (the r14 verdict's
-# "Next round" #1, the final scheduled rotation):
-# - the FULL 44-row r11 tier (computed from the correctness files this
-#   round and equal to the list the r14 verdict pinned here): ANN
-#   ladder rows, the 10 indicator rows, interchange round-trips
-#   (JSONL/CSV/ORC/ysf), the store rows, text/fingerprint/PII rows;
-# - the 6 spare slots drain the OLDEST r12 rows (q_dedup_exact,
-#   q_setops, q_simhash, q_jaccard_pairs, q_sessionize,
-#   q_stratified_sample).
-# After this window greens, every query's latest driver evidence sits
-# within the r12+ horizon (4-round) and the whole 170-name registry
-# has been driver-proven at least three times.
+# registry order). PRIORITY pins the round-16 window (the r15 verdict's
+# "Next round" #1):
+# - the FULL 27-row r12 remainder — the oldest evidence tier in the
+#   union after the r15 rotation (the exact list the r15 verdict
+#   pinned here and independently recomputed);
+# - q_corpus_pipeline_seeded, NEW this round (r15 verdict #5: the
+#   seeded one-job pipeline promoted to an oracle row — derived
+#   family, family-follows-seed, quarantine mid-stream);
+# - 19 oldest r13 rows, staleness-ordered by (latest evidence BEFORE
+#   r13, first-green): the 3 rows whose ONLY green is r13
+#   (q_ann_ivf_derived, q_quality_classifier_labels,
+#   q_semdedup_derived), then the 16 rows whose prior evidence dates
+#   to r8;
+# - 3 changed-machinery guards for THIS round's store-manifest port
+#   (link(2) CAS -> Hadoop-FS rename CAS): q_store_roundtrip,
+#   q_store_maintenance, and q_store_diff (also r13-tier — time
+#   travel reads through the ported log).
+# After this window greens, the r12 tier is fully drained and the
+# oldest evidence tier becomes r13 (3-round horizon).
 PRIORITY: tuple[str, ...] = (
-    # the 44-row r11 tier — the oldest evidence in the union
-    "q_ann_filtered_ivf",
-    "q_ann_filtered_sq8",
-    "q_ann_ivf_add",
-    "q_ann_ivf_compact",
-    "q_ann_ivf_index",
-    "q_ann_sq8",
-    "q_anomaly_zscore",
-    "q_atr",
-    "q_bollinger",
-    "q_chunk_docs",
-    "q_csv_quarantine",
-    "q_csv_roundtrip",
-    "q_dedup_lines",
-    "q_donchian",
-    "q_drawdown",
-    "q_ema_12",
-    "q_fingerprint",
-    "q_heikin_ashi",
-    "q_jsonl_quarantine",
-    "q_jsonl_roundtrip",
-    "q_lang_id",
-    "q_lm_score",
-    "q_macd",
-    "q_media_cluster_best",
-    "q_media_neardup",
-    "q_obv",
-    "q_orc_roundtrip",
-    "q_quantize_embed",
-    "q_range_scan",
-    "q_redact_pii",
-    "q_resample_5m",
-    "q_rsi",
-    "q_scalar_funcs",
-    "q_seasonality",
-    "q_simhash_pairs",
-    "q_stochastic",
-    "q_store_append",
-    "q_store_maintenance",
-    "q_store_rollup",
+    # the 27-row r12 remainder
+    "q_approx_profile",
+    "q_boilerplate",
+    "q_bucketed_join",
+    "q_centroid_dist",
+    "q_data_profile",
+    "q_drift_psi",
+    "q_embedding_norms",
+    "q_gapfill_interp",
+    "q_multimodal_meta",
+    "q_quality_rules",
+    "q_store_bucketed_join",
+    "q_stream_candles",
+    "q_stream_csv",
+    "q_stream_drawdown",
+    "q_stream_drift",
+    "q_stream_ema",
+    "q_stream_enrich",
+    "q_stream_ingest",
+    "q_stream_join",
+    "q_stream_jsonl",
+    "q_stream_orc",
+    "q_stream_store_asof",
+    "q_stream_store_merge",
+    "q_stream_store_rollup",
+    "q_stream_wire",
+    "q_tpch_q1",
+    "q_vocab_topk",
+    # new this round
+    "q_corpus_pipeline_seeded",
+    # 19 oldest r13 rows
+    "q_ann_ivf_derived",
+    "q_quality_classifier_labels",
+    "q_semdedup_derived",
+    "q_cube_orders",
+    "q_gapfill",
+    "q_json_props",
+    "q_lag_lead",
+    "q_order_rank",
+    "q_pivot_daily",
+    "q_resample_1h",
+    "q_revenue_by_nation",
+    "q_rolling_corr",
+    "q_rollup_acctbal",
+    "q_semi_anti",
+    "q_sma_roll",
+    "q_tpch_q12",
+    "q_tpch_q3",
+    "q_user_stats",
+    "q_validate_candles",
+    # changed-machinery guards (store manifest log ported this round)
+    "q_store_diff",
     "q_store_roundtrip",
-    "q_text_stats",
-    "q_topk_volume",
-    "q_upsert_lww",
-    "q_ysf_roundtrip",
-    # spare slots: the 6 oldest r12 rows, so the r12 tier starts
-    # draining too
-    "q_dedup_exact",
-    "q_setops",
-    "q_simhash",
-    "q_jaccard_pairs",
-    "q_sessionize",
-    "q_stratified_sample",
+    "q_store_maintenance",
 )
 # Demoted below the window: everything else keeps a green CORRECTNESS
-# row from r12, r13, or r14. After this window greens the oldest
-# evidence tier in the union is r12. Round 16's rotation target — the
-# 27-row r12 remainder (computed from the correctness files; fits one
-# window with 23 slots spare for r13 rows and any r15-changed-module
-# guards):
-# q_approx_profile, q_boilerplate, q_bucketed_join, q_centroid_dist,
-# q_data_profile, q_drift_psi, q_embedding_norms, q_gapfill_interp,
-# q_multimodal_meta, q_quality_rules, q_store_bucketed_join,
-# q_stream_candles, q_stream_csv, q_stream_drawdown, q_stream_drift,
-# q_stream_ema, q_stream_enrich, q_stream_ingest, q_stream_join,
-# q_stream_jsonl, q_stream_orc, q_stream_store_asof,
-# q_stream_store_merge, q_stream_store_rollup, q_stream_wire,
-# q_tpch_q1, q_vocab_topk.
+# row from r13, r14, or r15. Round 17's rotation target — the r13
+# remainder after this window (23 rows):
+# q_ann_filtered, q_ann_ivf, q_ann_ivfpq, q_ann_opq, q_ann_pq,
+# q_ann_srp, q_domain_mix, q_domain_mix_temp, q_embed_neardup,
+# q_embed_neardup_exact, q_grouping_sets, q_pack_sequences,
+# q_quality_classifier, q_resample_anchored, q_semdedup,
+# q_simsearch_topk, q_store_diff_bucketed, q_stream_ann_ingest,
+# q_stream_media_dedup, q_stream_semdedup, q_stream_sessions,
+# q_stream_sliding, q_train_shards — plus the oldest r14 rows in the
+# spare slots.
 
 
 def collect_registry() -> tuple[dict[str, QueryFn], dict[str, str]]:

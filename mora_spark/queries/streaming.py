@@ -451,17 +451,27 @@ def q_stream_dedup_increment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream_dedup_increment(spark, src, work, threshold=_INCR_T)
 
 
-def _pairs_prefix_sql(t: float) -> str:
+def _pairs_prefix_sql(
+    t: float,
+    band_size: int | None = None,
+    n_bands: int | None = None,
+) -> str:
     """The tokenize → MinHash → band → verify WITH-prefix shared by
     the streaming-replay oracles (same banding as
     :func:`mora_spark.queries.text._o_minhash`): defines ``pairs``
-    (da < db, exact jaccard >= t) over the whole documents table."""
-    from mora_spark.llm.dedup import MINHASH_AB, MINHASH_P
+    (da < db, exact jaccard >= t) over the whole documents table.
+    Defaults to the fixed module family; pass a recall-derived
+    (band_size, n_bands) to replay that family symbolically — the
+    affine prefix is shared, so the derived family's hashes are the
+    first r*b of the same sequence."""
+    from mora_spark.llm.dedup import BAND_SIZE, MINHASH_P, N_HASHES, minhash_ab
     from mora_spark.queries.text import TOKS_SQL
 
+    r = BAND_SIZE if band_size is None else band_size
+    nb = N_HASHES // BAND_SIZE if n_bands is None else n_bands
     sig_items = ", ".join(
         f"list_min(list_transform(ti, h -> ({a} * (h // 2) + {b}) % {MINHASH_P}))"
-        for a, b in MINHASH_AB
+        for a, b in minhash_ab(r * nb)
     )
     return f"""t AS (
   SELECT doc_id,
@@ -472,8 +482,9 @@ def _pairs_prefix_sql(t: float) -> str:
 sig AS (SELECT doc_id, ti, len(ti) AS n, [{sig_items}] AS mh FROM t),
 banded AS (
   SELECT doc_id, b,
-         md5(array_to_string(mh[4 * b + 1 : 4 * b + 4], '|')) AS band_key
-  FROM sig CROSS JOIN (SELECT unnest(range(4)) AS b)
+         md5(array_to_string(mh[{r} * b + 1 : {r} * b + {r}], '|'))
+           AS band_key
+  FROM sig CROSS JOIN (SELECT unnest(range({nb})) AS b)
 ),
 cand AS (
   SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
@@ -569,17 +580,21 @@ def _o_stream_kept(
     member: "callable",
     seed_sql: str | None = None,
     extra_ctes: str = "",
+    band_size: int | None = None,
+    n_bands: int | None = None,
 ) -> str:
     """Replay oracle for the KEPT set of the streaming dedup sink (the
     curated corpus: union of every batch's survivors). ``extra_ctes``
     are injected after the pairs prefix so ``member`` may reference
-    them (e.g. a quality/language gate)."""
+    them (e.g. a quality/language gate). ``band_size``/``n_bands``
+    replay a non-default (e.g. recall-derived) banding family."""
     kept_ctes, _ = _kept_ctes(n, member, seed_sql)
     union = " UNION ALL ".join(
         f"SELECT doc_id FROM kept_{k}" for k in range(n)
     )
     extra = ("," + extra_ctes) if extra_ctes else ""
-    return f"WITH {_pairs_prefix_sql(t)}{extra},{','.join(kept_ctes)} {union}"
+    prefix = _pairs_prefix_sql(t, band_size, n_bands)
+    return f"WITH {prefix}{extra},{','.join(kept_ctes)} {union}"
 
 
 def _o_stream_dedup_increment(
@@ -953,15 +968,9 @@ def q_corpus_pipeline_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _o_corpus_pipeline(n: int = _PIPE_BATCHES, t: float = _PIPE_T) -> str:
     from mora_spark.queries.curation import PACK_BUDGET
-    from mora_spark.queries.text import O_TEXT_STATS, TOKS_SQL, _o_lang_id
+    from mora_spark.queries.text import TOKS_SQL
 
-    gated = f"""gated AS (
-  SELECT d.doc_id FROM documents d
-  JOIN (SELECT doc_id, lang_guess FROM ({_o_lang_id()})) l USING (doc_id)
-  JOIN (SELECT doc_id, quality, n_tokens FROM ({O_TEXT_STATS})) q
-    USING (doc_id)
-  WHERE lang_guess = 'en' AND quality >= 0.5 AND n_tokens >= 20
-)"""
+    gated = _gated_cte()
     kept_sql = _o_stream_kept(
         n,
         t,
@@ -995,8 +1004,142 @@ FROM pc
 """
 
 
+# --- q_corpus_pipeline_seeded: the pipeline against a standing corpus ---
+# The r15 seeded-pipeline feature under the driver's hash gate: half
+# the corpus (even doc_ids) is indexed up front with a RECALL-DERIVED
+# banding family — derive_minhash_params(0.8) = (6, 16), not the fixed
+# (4, 4) — and the odd half streams through stream_curate_jsonl in 3
+# shards with that index as seed_index_path. Every batch must dedup
+# against seed + earlier kept + itself USING THE SEED'S FAMILY (the
+# family-follows-seed contract), the planted-bad shard must quarantine
+# mid-stream, and the sink-owned index must inherit the seed family
+# (pinned by emitting the post-stream sink family as columns). The
+# oracle replays the derived family symbolically, the seed as batch
+# "-1", and the gates as CTEs.
+
+_SPIPE_BATCHES = 3
+
+
+def _gated_cte() -> str:
+    """The language/quality/token-floor gate of the pipeline rows, as
+    a ``gated(doc_id)`` CTE (shared by the plain and seeded oracles —
+    must mirror the ``gate`` closure in the Spark queries)."""
+    from mora_spark.queries.text import O_TEXT_STATS, _o_lang_id
+
+    return f"""gated AS (
+  SELECT d.doc_id FROM documents d
+  JOIN (SELECT doc_id, lang_guess FROM ({_o_lang_id()})) l USING (doc_id)
+  JOIN (SELECT doc_id, quality, n_tokens FROM ({O_TEXT_STATS})) q
+    USING (doc_id)
+  WHERE lang_guess = 'en' AND quality >= 0.5 AND n_tokens >= 20
+)"""
+
+
+def q_corpus_pipeline_seeded(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from mora_spark.functions.text import lang_guess, quality_score, tokens
+    from mora_spark.llm.dedup import (
+        build_minhash_index,
+        derive_minhash_params,
+        load_minhash_family,
+        save_minhash_index,
+    )
+    from mora_spark.sources.jsonl import write_jsonl
+    from mora_spark.streaming.pipeline import stream_curate_jsonl
+
+    work = _work("corpus_pipeline_seeded", sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    r, b = derive_minhash_params(_PIPE_T)
+    seed_ix = os.path.join(work, "seed_index")
+    seed_docs = docs.select("doc_id", "text").where(
+        F.col("doc_id") % 2 == 0
+    )
+    save_minhash_index(
+        *build_minhash_index(seed_docs, band_size=r, n_bands=b),
+        seed_ix,
+        band_size=r,
+        n_bands=b,
+    )
+    src = os.path.join(work, "src")
+    os.makedirs(src, exist_ok=True)
+    odd = docs.where(F.col("doc_id") % 2 == 1)
+    for k in range(_SPIPE_BATCHES):
+        tmp = os.path.join(work, f"_shard_{k}")
+        write_jsonl(
+            odd.where(F.expr("doc_id div 2") % _SPIPE_BATCHES == k),
+            tmp,
+            n_files=1,
+        )
+        part = next(n for n in os.listdir(tmp) if n.endswith(".json"))
+        dst = os.path.join(src, f"shard-{k}.json")
+        os.replace(os.path.join(tmp, part), dst)
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.utime(dst, (1_600_000_000 + 2 * k,) * 2)
+    # the planted-bad shard arrives mid-stream, as in the plain row
+    bad = os.path.join(src, "shard-planted-bad.json")
+    with open(bad, "w") as f:
+        f.write('{"doc_id": 999999, "text": "truncated mid-wri\n')
+        f.write("plain text, not a record\n")
+    os.utime(bad, (1_600_000_000 + 3,) * 2)
+
+    def gate(df: DataFrame) -> DataFrame:
+        toks = tokens("text")
+        return df.where(
+            (lang_guess(toks) == "en")
+            & (quality_score(toks) >= 0.5)
+            & (F.size(toks) >= 20)
+        )
+
+    curated, n_quar = stream_curate_jsonl(
+        spark,
+        src,
+        work,
+        docs,
+        threshold=_PIPE_T,
+        gate=gate,
+        seed_index_path=seed_ix,
+    )
+    # family-follows-seed, pinned through the driver hash: the sink-
+    # owned index must carry the seed's derived family, not a default
+    fam = load_minhash_family(os.path.join(work, "lsh_index"))
+    return (
+        curated.select("doc_id")
+        .withColumn("n_quarantined", F.lit(n_quar).cast("long"))
+        .withColumn("band_size", F.lit(fam[0]).cast("long"))
+        .withColumn("n_bands", F.lit(fam[1]).cast("long"))
+    )
+
+
+def _o_corpus_pipeline_seeded(
+    n: int = _SPIPE_BATCHES, t: float = _PIPE_T
+) -> str:
+    from mora_spark.llm.dedup import derive_minhash_params
+
+    r, b = derive_minhash_params(t)
+    kept_sql = _o_stream_kept(
+        n,
+        t,
+        lambda x, k: (
+            f"({x} % 2 = 1 AND ({x} // 2) % {n} = {k} "
+            f"AND {x} IN (SELECT doc_id FROM gated))"
+        ),
+        seed_sql="SELECT doc_id FROM documents WHERE doc_id % 2 = 0",
+        extra_ctes=_gated_cte(),
+        band_size=r,
+        n_bands=b,
+    )
+    return f"""
+SELECT doc_id, CAST(2 AS BIGINT) AS n_quarantined,
+       CAST({r} AS BIGINT) AS band_size,
+       CAST({b} AS BIGINT) AS n_bands
+FROM ({kept_sql})
+"""
+
+
 QUERIES = {
     "q_corpus_pipeline_jsonl": q_corpus_pipeline_jsonl,
+    "q_corpus_pipeline_seeded": q_corpus_pipeline_seeded,
     "q_stream_drift": q_stream_drift,
     "q_stream_csv": q_stream_csv,
     "q_stream_orc": q_stream_orc,
@@ -1019,6 +1162,7 @@ QUERIES = {
 
 ORACLES = {
     "q_corpus_pipeline_jsonl": _o_corpus_pipeline(),
+    "q_corpus_pipeline_seeded": _o_corpus_pipeline_seeded(),
     "q_stream_drift": _o_stream_drift(),
     "q_stream_csv": O_STREAM_CSV,
     "q_stream_orc": O_STREAM_ORC,

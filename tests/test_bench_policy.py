@@ -15,15 +15,28 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
-from bench import HEALTHY_MULTI_S, select_headline  # noqa: E402
+from bench import (  # noqa: E402
+    HEALTHY_MULTI_S,
+    current_code_heads,
+    select_headline,
+)
 
 
-def _run(total, multi_before, multi_after, n_queries=66, n_errors=0, ts=0.0):
+def _run(
+    total,
+    multi_before,
+    multi_after,
+    n_queries=66,
+    n_errors=0,
+    ts=0.0,
+    head=None,
+):
     return {
         "ts": ts,
         "total": total,
         "n_queries": n_queries,
         "n_errors": n_errors,
+        "head": head,
         "env_probe": {
             "before": {"single_s": 1.0, "multi_s": multi_before},
             "after": {"single_s": 1.0, "multi_s": multi_after},
@@ -87,6 +100,81 @@ def test_nothing_comparable_returns_this_run_degraded():
     best, degraded = select_headline([this], 66, this)
     assert best is this
     assert degraded is True
+
+
+def test_head_gate_excludes_runs_from_before_a_perf_commit():
+    # r15 ADVICE #1 in miniature: a perf-relevant commit lands (query
+    # list unchanged), so the 263.4 from the OLD code must not keep
+    # fronting the artifact — only runs at-or-after the perf commit
+    # pool, matched by short-hash prefix against the full shas.
+    old = "a" * 40
+    new = "b" * 40
+    runs = [
+        _run(263.4, 1.3, 1.3, ts=1, head=old[:7]),  # old code, healthy
+        _run(290.0, 1.3, 1.3, ts=2, head=new[:7]),
+        _run(295.0, 1.2, 1.2, ts=3, head=new[:7]),
+    ]
+    best, degraded = select_headline(
+        runs, 66, runs[-1], allowed_heads=frozenset({new})
+    )
+    assert best["total"] == 290.0
+    assert degraded is False
+
+
+def test_head_gate_unstamped_runs_excluded_when_git_answers():
+    # runs recorded before head stamping exist (head=None); once the
+    # gate has real shas to check, an unattributable run can't pool
+    runs = [
+        _run(250.0, 1.3, 1.3, ts=1, head=None),
+        _run(290.0, 1.3, 1.3, ts=2, head="b" * 7),
+    ]
+    best, _ = select_headline(
+        runs, 66, runs[-1], allowed_heads=frozenset({"b" * 40})
+    )
+    assert best["total"] == 290.0
+
+
+def test_dirty_worktree_pools_only_this_run():
+    # uncommitted perf-relevant edits: NO recorded run describes the
+    # current code — this run is the only candidate, even when older
+    # committed runs were faster and healthier
+    runs = [
+        _run(250.0, 1.3, 1.3, ts=1, head="a" * 7),
+        _run(310.0, 2.5, 2.5, ts=2, head="a" * 7),
+    ]
+    best, degraded = select_headline(
+        runs, 66, runs[-1], allowed_heads=frozenset()
+    )
+    assert best["total"] == 310.0
+    assert degraded is True  # this run's own probe was degraded
+
+
+def test_git_unavailable_falls_back_to_exact_head_equality():
+    runs = [
+        _run(250.0, 1.3, 1.3, ts=1, head="aaaaaaa"),
+        _run(290.0, 1.3, 1.3, ts=2, head="bbbbbbb"),
+        _run(300.0, 1.3, 1.3, ts=3, head="bbbbbbb"),
+    ]
+    best, _ = select_headline(runs, 66, runs[-1], allowed_heads=None)
+    assert best["total"] == 290.0
+
+
+def test_current_code_heads_on_this_repo():
+    # On the real repo this returns either None (git unavailable —
+    # not expected here), the empty set (dirty worktree mid-session),
+    # or a non-empty sha set that includes HEAD when clean.
+    import subprocess
+
+    heads = current_code_heads()
+    assert heads is None or isinstance(heads, frozenset)
+    if heads:
+        head = subprocess.run(
+            ["git", "rev-parse", "HEAD"],
+            capture_output=True,
+            text=True,
+            cwd=str(Path(__file__).resolve().parents[1]),
+        ).stdout.strip()
+        assert head in heads
 
 
 def test_threshold_is_between_observed_clusters():
