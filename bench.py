@@ -177,26 +177,49 @@ HEALTHY_MULTI_S = 1.8
 
 
 def select_headline(
-    session_runs: list[dict], n_queries: int, this_run: dict
+    session_runs: list[dict],
+    n_queries: int,
+    this_run: dict,
+    allowed_heads: frozenset[str] | None = None,
 ) -> tuple[dict, bool]:
     """Pick the run whose total becomes the artifact's headline
     ``value`` (VERDICT r14 missing #3 — "last run wins" committed the
     session's WORST run in r14).
 
     Policy: the MINIMUM total among comparable runs (same sf — the
-    caller pre-filters, same query count, zero errors) whose env
-    probes cleared :data:`HEALTHY_MULTI_S` on both sides.
-    Min-among-healthy is the right statistic on this host because
-    every documented distortion INFLATES wall time (CPU frequency/
-    credit capping, rounds 4-14), never deflates it: the fastest
-    healthy run is the most faithful measure of the code. When no run
-    clears the probe (all five r14 runs), falls back to the min among
-    comparable runs with ``degraded=True`` so a reader knows the
-    number still carries host inflation. The same-query-count gate is
-    also the code-change guard: a round that adds/removes bench lines
-    never inherits a stale faster total from the prior shape.
+    caller pre-filters, same query count, zero errors, code-current
+    head) whose env probes cleared :data:`HEALTHY_MULTI_S` on both
+    sides. Min-among-healthy is the right statistic on this host
+    because every documented distortion INFLATES wall time (CPU
+    frequency/credit capping, rounds 4-14), never deflates it: the
+    fastest healthy run is the most faithful measure of the code.
+    When no run clears the probe (all five r14 runs), falls back to
+    the min among comparable runs with ``degraded=True`` so a reader
+    knows the number still carries host inflation. The same-query-
+    count gate blocks shape changes; ``allowed_heads`` blocks SAME-
+    shape code changes (r15 ADVICE #1: a perf-relevant commit that
+    keeps the query list unchanged must not inherit an older commit's
+    faster total for 24h): ``allowed_heads`` is the set of FULL shas
+    at-or-after the newest commit touching perf-relevant paths
+    (``mora_spark/``, ``bench.py``, ``__spark_entry__.py``), and a
+    recorded run pools only if its (short) ``head`` prefixes one of
+    them. An EMPTY set means the working tree has uncommitted
+    perf-relevant edits — no recorded run describes the current code,
+    so only this run pools. ``None`` (git unavailable) falls back to
+    exact-head equality with this run. ``this_run`` itself always
+    passes the head gate: it IS the current code by construction.
 
     Returns ``(best_run, degraded)``."""
+
+    def _head_ok(r: dict) -> bool:
+        if r is this_run:
+            return True
+        h = r.get("head")
+        if allowed_heads is None:
+            return h == this_run.get("head")
+        return bool(h) and any(
+            full.startswith(h) for full in allowed_heads
+        )
 
     def _probe_healthy(r: dict) -> bool:
         p = r.get("env_probe") or {}
@@ -211,10 +234,51 @@ def select_headline(
         if r.get("n_queries") == n_queries
         and r.get("n_errors", 1) == 0
         and r.get("total", -1.0) >= 0
+        and _head_ok(r)
     ]
     healthy = [r for r in comparable if _probe_healthy(r)]
     pool = healthy or comparable or [this_run]
     return min(pool, key=lambda r: r["total"]), not healthy
+
+
+def current_code_heads(root: str | None = None) -> frozenset[str] | None:
+    """Full shas of every commit at-or-after the newest commit that
+    touched a perf-relevant path — the commits whose recorded bench
+    runs still describe the CURRENT code. Empty set when the working
+    tree has uncommitted perf-relevant edits (then no recorded run
+    qualifies); ``None`` when git can't answer."""
+    import subprocess
+
+    if root is None:
+        root = os.path.dirname(os.path.abspath(__file__))
+    perf_paths = ["mora_spark", "bench.py", "__spark_entry__.py"]
+
+    def _git(*args: str) -> str:
+        out = subprocess.run(
+            ["git", *args],
+            capture_output=True,
+            text=True,
+            cwd=root,
+            timeout=10,
+        )
+        if out.returncode != 0:
+            raise RuntimeError(out.stderr.strip())
+        return out.stdout
+
+    try:
+        if _git("status", "--porcelain", "--", *perf_paths).strip():
+            return frozenset()
+        perf = _git(
+            "log", "-1", "--format=%H", "--", *perf_paths
+        ).strip()
+        if not perf:
+            return None
+        revs = _git("rev-list", "--max-count=500", "HEAD").split()
+        if perf not in revs:
+            return None
+        return frozenset(revs[: revs.index(perf) + 1])
+    except Exception:
+        return None
 
 
 def main() -> None:
@@ -478,17 +542,29 @@ def main() -> None:
     # The per-query `queries` map always describes THIS run
     # (this_run_total); all candidate totals + probes stay in
     # session_runs for adjudication. Policy: select_headline above.
-    best, degraded = select_headline(session_runs, len(timings), this_run)
+    allowed_heads = current_code_heads()
+    best, degraded = select_headline(
+        session_runs, len(timings), this_run, allowed_heads
+    )
 
     full = {
         "metric": "headline_queries_total_wall",
         "value": best["total"],
         "value_policy": (
             f"min total among session runs (24h, same sf, same query "
-            f"count, zero errors) with env_probe multi_s <= "
-            f"{HEALTHY_MULTI_S} on both sides; degraded=true means no "
-            "run cleared the probe and value is min among comparable "
-            "runs instead"
+            f"count, zero errors, head at-or-after the newest commit "
+            f"touching mora_spark//bench.py/__spark_entry__.py) with "
+            f"env_probe multi_s <= {HEALTHY_MULTI_S} on both sides; "
+            "degraded=true means no run cleared the probe and value "
+            "is min among comparable runs instead"
+        ),
+        "head_gate": (
+            "worktree dirty: only this run pools"
+            if allowed_heads == frozenset()
+            else "git unavailable: exact-head match only"
+            if allowed_heads is None
+            else f"{len(allowed_heads)} commit(s) since last "
+            "perf-relevant change"
         ),
         "value_run_ts": best.get("ts"),
         "degraded": degraded,
