@@ -22,15 +22,17 @@ and never the commit point. A write stages new Parquet files under
 ``_staging/<txn>/``, moves them into the live ``data/`` tree under
 transaction-unique names (still invisible — readers only see files
 listed in a manifest), then commits by publishing manifest version N+1
-in ``_log/``. The publish is a compare-and-swap: ``os.link`` of a fully
-written temp file onto the versioned name, which atomically fails if a
-concurrent writer committed that version first; the loser re-reads the
-new snapshot, recomputes its merge, and retries. A crash at ANY point
-before the link leaves the previous version fully intact (orphan data
-files are invisible until :meth:`vacuum` removes them); a crash after
-the link is a completed commit. This is the Delta/Iceberg optimistic
-protocol in miniature — on HDFS the CAS would be rename-without-
-overwrite, on S3 a conditional PUT; here POSIX ``link(2)``.
+in ``_log/``. The publish is a compare-and-swap of a fully written temp
+file onto the versioned name, which atomically fails if a concurrent
+writer committed that version first; the loser re-reads the new
+snapshot, recomputes its merge, and retries. A crash at ANY point
+before the publish leaves the previous version fully intact (orphan
+data files are invisible until :meth:`vacuum` removes them); a crash
+after it is a completed commit. This is the Delta/Iceberg optimistic
+protocol in miniature; the CAS primitive is per-filesystem
+(:mod:`~mora_spark.engine.storefs`): POSIX ``link(2)`` for scheme-less
+and ``file://`` roots, fail-if-exists ``rename`` on HDFS, and a loud
+refusal on object stores (they need a conditional-PUT log store).
 
 Scale notes: a merge touches ONLY the partitions present in the
 incoming batch (partition tuples are collected — bounded by
@@ -47,9 +49,9 @@ with the number of PARTITIONS (series × years), not files; a write
 re-pages only the partitions it touches and carries every other
 pointer forward by reference; and a keyed read prunes at the POINTER
 level, loading only the matching partitions' pages before any data
-file is even named. The commit point — link(2) CAS on the version
-file — is unchanged; page files are txn-unique and invisible until a
-commit references them.
+file is even named. The commit point — the CAS on the version file —
+is unchanged; page files are txn-unique and invisible until a commit
+references them.
 """
 
 from __future__ import annotations
@@ -57,7 +59,6 @@ from __future__ import annotations
 import datetime as dt
 import json
 import os
-import shutil
 import time
 import uuid
 from urllib.parse import unquote
@@ -111,15 +112,21 @@ def _ts_micros(x) -> int:
     return (d.days * 86_400 + d.seconds) * 1_000_000 + d.microseconds
 
 
-def _parquet_ts_range(path: str, col: str = "ts") -> tuple[int, int] | None:
+def _parquet_ts_range(source, col: str = "ts") -> tuple[int, int] | None:
     """(min, max) epoch micros of ``col`` from the parquet footer's
     row-group statistics — one driver-side footer read per staged
     file (the source of the manifest's file-level skipping stats).
+    ``source`` is a local path or a seekable file-like (the storefs
+    adapter's ``open_parquet`` — a HadoopInputFile for scheme roots).
     None when any row group lacks min/max for the column."""
     try:
         import pyarrow.parquet as pq
 
-        md = pq.ParquetFile(path).metadata
+        try:
+            md = pq.ParquetFile(source).metadata
+        finally:
+            if hasattr(source, "close"):
+                source.close()
         names = [md.schema.column(i).name for i in range(md.num_columns)]
         ci = names.index(col)
         lo = hi = None
@@ -138,17 +145,22 @@ def _parquet_ts_range(path: str, col: str = "ts") -> tuple[int, int] | None:
 
 
 def _local(path: str) -> str:
-    """Strip a file: scheme so driver-side manifest I/O can use os.*
-    (the store targets one filesystem; swap this layer for HDFS/S3)."""
+    """Strip a bare single-slash ``file:`` prefix (the non-URI spelling
+    some Hadoop tooling emits) so scheme-less roots run the direct
+    POSIX adapter. Full ``scheme://`` roots — ``file://`` included —
+    are NOT stripped: CandleStore routes them through the Hadoop
+    FileSystem seam (storefs), which is exactly how the in-container
+    tests exercise the remote-root code paths."""
     if path.startswith("file://"):
-        return path[len("file://"):]
+        return path
     if path.startswith("file:"):
         return path[len("file:"):]
     return path
 
 
 class _TxnLog:
-    """Versioned, PAGED manifest log with POSIX link(2) compare-and-swap.
+    """Versioned, PAGED manifest log with a per-filesystem
+    compare-and-swap commit point.
 
     Version N is the file ``_log/{N:012d}.json`` holding one POINTER per
     partition: ``{"partition": {...}, "page": "pages/<txn>-k.json",
@@ -159,17 +171,21 @@ class _TxnLog:
     crashed or CAS-losing writer leaves behind are unreferenced and
     harmless (small JSON; bounded by commits x touched partitions).
 
-    Local-filesystem only, like the reference's file store: link(2)
-    has no Hadoop-FileSystem equivalent, but HDFS ``rename`` (atomic,
-    fails-if-destination-exists) is the same CAS primitive — porting
-    this log to scheme:// roots means write-tmp + rename-publish
-    through the session's Hadoop FS, the route
-    ``llm/dedup._hadoop_fs`` takes for the LSH family metadata (r15);
-    object stores without atomic rename need a conditional-PUT layer
-    (what Delta's LogStore abstracts).
+    All I/O routes through a :mod:`~mora_spark.engine.storefs` adapter:
+    POSIX for scheme-less roots (link(2) CAS — the reference's
+    file-store analogue), the session's Hadoop FileSystem for
+    ``scheme://`` roots (HDFS rename — atomic, fails-if-destination-
+    exists — is the same CAS primitive; object stores without atomic
+    rename are refused, they need a conditional-PUT layer like Delta's
+    LogStore). ``file://`` roots exercise the Hadoop route end-to-end
+    with the local-scheme link(2) drop-down for the CAS itself (see
+    storefs.HadoopFS.publish_cas).
     """
 
-    def __init__(self, root: str):
+    def __init__(self, root: str, fs=None):
+        from mora_spark.engine.storefs import store_fs
+
+        self.fs = fs if fs is not None else store_fs(root)
         self.dir = os.path.join(root, "_log")
         self.pages_dir = os.path.join(self.dir, "pages")
         self.marker_path = os.path.join(self.dir, "_last_checkpoint")
@@ -178,11 +194,9 @@ class _TxnLog:
     def versions(self) -> list[int]:
         """All committed versions, ascending (full listing — used by
         history()/maintenance, never the read/write hot path)."""
-        if not os.path.isdir(self.dir):
-            return []
         return sorted(
             int(n[:-5])
-            for n in os.listdir(self.dir)
+            for n in self.fs.listdir(self.dir)
             if n.endswith(".json") and n[:-5].isdigit()
         )
 
@@ -196,8 +210,7 @@ class _TxnLog:
         HINT, not truth: current_version() verifies it and probes
         forward; a stale/corrupt marker only costs a listdir."""
         try:
-            with open(self.marker_path) as f:
-                return int(json.load(f)["version"])
+            return int(json.loads(self.fs.read_text(self.marker_path))["version"])
         except (FileNotFoundError, ValueError, KeyError):
             return 0
 
@@ -208,11 +221,8 @@ class _TxnLog:
         if version <= self.checkpoint_hint():
             return
         tmp = os.path.join(self.dir, f".ckpt-{txn}")
-        with open(tmp, "w") as f:
-            json.dump({"version": version}, f)
-            f.flush()
-            os.fsync(f.fileno())
-        os.replace(tmp, self.marker_path)
+        self.fs.write_file(tmp, json.dumps({"version": version}))
+        self.fs.replace(tmp, self.marker_path)
 
     @property
     def retention_markers_dir(self) -> str:
@@ -232,8 +242,7 @@ class _TxnLog:
         rather than silently zeroing the safety floors."""
         out: dict = {}
         try:
-            with open(self.retention_path) as f:
-                out.update(json.load(f))
+            out.update(json.loads(self.fs.read_text(self.retention_path)))
         except FileNotFoundError:
             pass
         except ValueError as e:
@@ -241,27 +250,26 @@ class _TxnLog:
                 f"corrupt retention record {self.retention_path}: {e}"
             ) from e
         d = self.retention_markers_dir
-        if os.path.isdir(d):
-            for n in os.listdir(d):
-                key, _, raw = n.rpartition(".")
-                if key and raw.isdigit():
-                    out[key] = max(int(raw), out.get(key, 0))
+        for n in self.fs.listdir(d):
+            key, _, raw = n.rpartition(".")
+            if key and raw.isdigit():
+                out[key] = max(int(raw), out.get(key, 0))
         return out
 
     def update_retention(self, **fields: int) -> None:
         d = self.retention_markers_dir
-        os.makedirs(d, exist_ok=True)
+        self.fs.makedirs(d)
         for k, v in fields.items():
             v = int(v)
-            with open(os.path.join(d, f"{k}.{v:012d}"), "w"):
-                pass  # creation IS the record; content irrelevant
+            # creation IS the record; content irrelevant
+            self.fs.touch(os.path.join(d, f"{k}.{v:012d}"))
             # Opportunistic sweep: removing any marker strictly below
             # another existing marker never changes the max.
-            for n in os.listdir(d):
+            for n in self.fs.listdir(d):
                 key, _, raw = n.rpartition(".")
                 if key == k and raw.isdigit() and int(raw) < v:
                     try:
-                        os.remove(os.path.join(d, n))
+                        self.fs.remove(os.path.join(d, n))
                     except FileNotFoundError:
                         pass
 
@@ -272,19 +280,18 @@ class _TxnLog:
         independent of total log size; falls back to a full listing
         only when no (valid) marker exists yet."""
         start = self.checkpoint_hint()
-        if not (start and os.path.exists(self._vpath(start))):
+        if not (start and self.fs.exists(self._vpath(start))):
             vs = self.versions()
             return vs[-1] if vs else 0
         v = start
-        while os.path.exists(self._vpath(v + 1)):
+        while self.fs.exists(self._vpath(v + 1)):
             v += 1
         return v
 
     def read_version(self, version: int) -> dict:
         """The manifest record {version, txn, pages} at ``version``."""
         try:
-            with open(self._vpath(version)) as f:
-                return json.load(f)
+            return json.loads(self.fs.read_text(self._vpath(version)))
         except FileNotFoundError:
             floor = self.retention().get("expired_before", 0)
             if version < floor:
@@ -332,8 +339,9 @@ class _TxnLog:
         if "files" in pointer:  # inline pointer from a legacy manifest
             items = pointer["files"]
         else:
-            with open(os.path.join(self.dir, pointer["page"])) as f:
-                items = json.load(f)
+            items = json.loads(
+                self.fs.read_text(os.path.join(self.dir, pointer["page"]))
+            )
         out = []
         for it in items:
             if isinstance(it, str):
@@ -412,7 +420,7 @@ class _TxnLog:
         weight until a committed version references it. Entries with
         ts statistics serialize as {"p","lo","hi"}; those without stay
         plain path strings (both readable by load_page)."""
-        os.makedirs(self.pages_dir, exist_ok=True)
+        self.fs.makedirs(self.pages_dir)
         rel = os.path.join("pages", f"{txn}-{k:06d}.json")
         tmp = os.path.join(self.dir, rel + ".tmp")
         items = [
@@ -421,11 +429,8 @@ class _TxnLog:
             else e["path"]
             for e in sorted(files, key=lambda e: e["path"])
         ]
-        with open(tmp, "w") as f:
-            json.dump(items, f)
-            f.flush()
-            os.fsync(f.fileno())
-        os.rename(tmp, os.path.join(self.dir, rel))
+        self.fs.write_file(tmp, json.dumps(items))
+        self.fs.rename(tmp, os.path.join(self.dir, rel))
         return {"partition": partition, "page": rel, "n": len(items)}
 
     def try_commit(self, version: int, pointers: list[dict], txn: str) -> bool:
@@ -442,29 +447,25 @@ class _TxnLog:
         for p in pointers:
             rel = p.get("page", "")
             if rel.startswith(os.path.join("pages", f"{txn}-")):
-                if not os.path.exists(os.path.join(self.dir, rel)):
+                if not self.fs.exists(os.path.join(self.dir, rel)):
                     return False
-        os.makedirs(self.dir, exist_ok=True)
+        self.fs.makedirs(self.dir)
         tmp = os.path.join(self.dir, f".tmp-{txn}")
-        with open(tmp, "w") as f:
-            json.dump(
+        self.fs.write_file(
+            tmp,
+            json.dumps(
                 {
                     "version": version,
                     "txn": txn,
                     "ts": time.time(),  # for timestamp time travel
                     "pages": pointers,
-                },
-                f,
-            )
-            f.flush()
-            os.fsync(f.fileno())
-        dst = self._vpath(version)
-        try:
-            os.link(tmp, dst)  # atomic fail-if-exists: the commit point
-        except FileExistsError:
+                }
+            ),
+        )
+        # Atomic fail-if-exists publish: the commit point (link(2) on
+        # POSIX/file://, fail-if-exists rename on HDFS — storefs).
+        if not self.fs.publish_cas(tmp, self._vpath(version)):
             return False
-        finally:
-            os.remove(tmp)
         if version % CHECKPOINT_INTERVAL == 0:
             # The link above IS the commit point; the marker is a hint.
             # A marker-write failure (disk full, permissions) must not
@@ -488,10 +489,17 @@ class CandleStore:
         corpus-sized). The spec is persisted at first write and
         re-adopted on reopen; flipping it on an existing store would
         mix layouts and is refused."""
+        from mora_spark.engine.storefs import store_fs
+
         self.spark = spark
-        self.path = _local(path)
+        # scheme:// roots route driver-side metadata I/O through the
+        # session's Hadoop FileSystem (storefs seam); scheme-less (and
+        # bare "file:" single-slash) roots keep the zero-overhead
+        # POSIX path.
+        self.path = path if "://" in path else _local(path)
+        self._fs = store_fs(self.path)
         self.data_dir = os.path.join(self.path, "data")
-        self._log = _TxnLog(self.path)
+        self._log = _TxnLog(self.path, self._fs)
         self._spec_path = os.path.join(self.path, "_bucket_spec.json")
         persisted = self._read_bucket_spec()
         if persisted:
@@ -511,18 +519,22 @@ class CandleStore:
 
     def _read_bucket_spec(self) -> int:
         try:
-            with open(self._spec_path) as f:
-                return int(json.load(f).get("n_buckets", 0))
+            return int(
+                json.loads(self._fs.read_text(self._spec_path)).get(
+                    "n_buckets", 0
+                )
+            )
         except FileNotFoundError:
             return 0
 
     def _persist_bucket_spec(self) -> None:
-        if self.n_buckets and not os.path.exists(self._spec_path):
-            os.makedirs(self.path, exist_ok=True)
+        if self.n_buckets and not self._fs.exists(self._spec_path):
+            self._fs.makedirs(self.path)
             tmp = self._spec_path + ".tmp"
-            with open(tmp, "w") as f:
-                json.dump({"n_buckets": self.n_buckets, "col": "ts"}, f)
-            os.replace(tmp, self._spec_path)
+            self._fs.write_file(
+                tmp, json.dumps({"n_buckets": self.n_buckets, "col": "ts"})
+            )
+            self._fs.replace(tmp, self._spec_path)
 
     # -- helpers -----------------------------------------------------
 
@@ -635,27 +647,27 @@ class CandleStore:
                 )
             writer.parquet(staging)
         entries: list[dict] = []
-        for dirpath, _, names in os.walk(staging):
-            for name in names:
-                if not name.endswith(".parquet"):
-                    continue
-                rel_dir = os.path.relpath(dirpath, staging)
-                parts = dict(
-                    seg.split("=", 1) for seg in rel_dir.split(os.sep)
-                )
-                partition = {
-                    c: unquote(parts[c]) for c in CANDLE_PARTITIONS
-                }
-                dest_rel = os.path.join(rel_dir, f"{txn}-{name}")
-                dest = os.path.join(self.data_dir, dest_rel)
-                os.makedirs(os.path.dirname(dest), exist_ok=True)
-                os.rename(os.path.join(dirpath, name), dest)
-                entry = {"path": dest_rel, "partition": partition}
-                rng = _parquet_ts_range(dest)
-                if rng is not None:
-                    entry["ts_lo"], entry["ts_hi"] = rng
-                entries.append(entry)
-        shutil.rmtree(staging, ignore_errors=True)
+        for rel, _mtime in self._fs.walk_files(staging):
+            name = os.path.basename(rel)
+            if not name.endswith(".parquet"):
+                continue
+            rel_dir = os.path.dirname(rel)
+            parts = dict(
+                seg.split("=", 1) for seg in rel_dir.split("/")
+            )
+            partition = {
+                c: unquote(parts[c]) for c in CANDLE_PARTITIONS
+            }
+            dest_rel = os.path.join(rel_dir, f"{txn}-{name}")
+            dest = os.path.join(self.data_dir, dest_rel)
+            self._fs.makedirs(os.path.dirname(dest))
+            self._fs.rename(os.path.join(staging, rel), dest)
+            entry = {"path": dest_rel, "partition": partition}
+            rng = _parquet_ts_range(self._fs.open_parquet(dest))
+            if rng is not None:
+                entry["ts_lo"], entry["ts_hi"] = rng
+            entries.append(entry)
+        self._fs.rmtree(staging)
         return entries
 
     def write(self, df: DataFrame, mode: str = "merge") -> None:
@@ -767,10 +779,10 @@ class CandleStore:
         without advancing the horizon, so intact history around it
         stays time-travelable."""
         at_version, pointers = self._log.current()
-        live = {
-            os.path.join(self.data_dir, e["path"])
-            for e in self._entries_for(pointers)
-        }
+        # Manifest entries and the data-dir walk both speak RELATIVE
+        # paths, so the liveness comparison is representation-agnostic
+        # (URI-qualified listings vs joined strings never mismatch).
+        live = {e["path"] for e in self._entries_for(pointers)}
         # Per retained older version: the data files it references.
         # Removing one of THOSE (not an orphan) is what invalidates
         # time travel to that snapshot. Retained versions are bounded
@@ -783,7 +795,7 @@ class CandleStore:
                 continue
             try:
                 old_refs[v] = {
-                    os.path.join(self.data_dir, e["path"])
+                    e["path"]
                     for e in self._entries_for(self._log.pointers_at(v))
                 }
             except (FileNotFoundError, VersionExpiredError):
@@ -797,39 +809,35 @@ class CandleStore:
         cutoff = time.time() - older_than_s
         removed = 0
         removed_paths: set[str] = set()
-        for dirpath, _, names in os.walk(self.data_dir):
-            for name in names:
-                p = os.path.join(dirpath, name)
+        for rel, mtime in self._fs.walk_files(self.data_dir):
+            if rel not in live and mtime <= cutoff:
                 try:
-                    if p not in live and os.path.getmtime(p) <= cutoff:
-                        os.remove(p)
-                        removed += 1
-                        removed_paths.add(p)
+                    self._fs.remove(os.path.join(self.data_dir, rel))
+                    removed += 1
+                    removed_paths.add(rel)
                 except FileNotFoundError:
                     pass  # another vacuum (or a racing rename) got it
         staging_root = os.path.join(self.path, "_staging")
-        if os.path.isdir(staging_root):
-            for d in os.listdir(staging_root):
-                p = os.path.join(staging_root, d)
-                try:
-                    if os.path.getmtime(p) <= cutoff:
-                        shutil.rmtree(p, ignore_errors=True)
-                except FileNotFoundError:
-                    pass  # concurrent vacuum, or the writer cleaned up
+        for d in self._fs.listdir(staging_root):
+            p = os.path.join(staging_root, d)
+            try:
+                if self._fs.getmtime(p) <= cutoff:
+                    self._fs.rmtree(p)
+            except FileNotFoundError:
+                pass  # concurrent vacuum, or the writer cleaned up
         # Half-written page temp files from a writer that crashed
         # between write+fsync and rename (committed pages are .json
         # and stay). A LIVE writer may rename its .tmp between our
         # listdir and stat — that file is healthy, skip it.
-        if os.path.isdir(self._log.pages_dir):
-            for n in os.listdir(self._log.pages_dir):
-                p = os.path.join(self._log.pages_dir, n)
-                if not n.endswith(".tmp"):
-                    continue
-                try:
-                    if os.path.getmtime(p) <= cutoff:
-                        os.remove(p)
-                except FileNotFoundError:
-                    pass
+        for n in self._fs.listdir(self._log.pages_dir):
+            p = os.path.join(self._log.pages_dir, n)
+            if not n.endswith(".tmp"):
+                continue
+            try:
+                if self._fs.getmtime(p) <= cutoff:
+                    self._fs.remove(p)
+            except FileNotFoundError:
+                pass
         affected = [
             v for v, refs in old_refs.items() if refs & removed_paths
         ]
@@ -898,22 +906,21 @@ class CandleStore:
             if v >= floor:
                 continue
             try:
-                os.remove(self._log._vpath(v))
+                self._fs.remove(self._log._vpath(v))
                 removed += 1
             except FileNotFoundError:
                 pass  # concurrent expiry
         cutoff = time.time() - older_than_s
-        if os.path.isdir(self._log.pages_dir):
-            for name in os.listdir(self._log.pages_dir):
-                rel = os.path.join("pages", name)
-                if rel in keep_pages or not name.endswith(".json"):
-                    continue
-                p = os.path.join(self._log.pages_dir, name)
-                try:
-                    if os.path.getmtime(p) <= cutoff:
-                        os.remove(p)
-                except FileNotFoundError:
-                    pass
+        for name in self._fs.listdir(self._log.pages_dir):
+            rel = os.path.join("pages", name)
+            if rel in keep_pages or not name.endswith(".json"):
+                continue
+            p = os.path.join(self._log.pages_dir, name)
+            try:
+                if self._fs.getmtime(p) <= cutoff:
+                    self._fs.remove(p)
+            except FileNotFoundError:
+                pass
         return removed
 
     def stats(self) -> DataFrame:
@@ -1110,20 +1117,16 @@ class CandleStore:
         views_root = os.path.join(self.path, "_views")
         view_dir = os.path.join(views_root, f"{name}-v{version}")
         # Older versions' view dirs for this name are dead weight.
-        if os.path.isdir(views_root):
-            for d in os.listdir(views_root):
-                if d.startswith(f"{name}-v"):
-                    shutil.rmtree(
-                        os.path.join(views_root, d), ignore_errors=True
-                    )
+        for d in self._fs.listdir(views_root):
+            if d.startswith(f"{name}-v"):
+                self._fs.rmtree(os.path.join(views_root, d))
         for e in self._entries_for(pointers):
             src = os.path.join(self.data_dir, e["path"])
             dst = os.path.join(view_dir, e["path"])
-            os.makedirs(os.path.dirname(dst), exist_ok=True)
-            try:
-                os.link(src, dst)
-            except OSError:
-                shutil.copy2(src, dst)  # cross-device fallback
+            self._fs.makedirs(os.path.dirname(dst))
+            # hardlink where the filesystem has one (POSIX/file://);
+            # copy elsewhere (HDFS has no user-facing hardlink)
+            self._fs.link_or_copy(src, dst)
         data_cols = ", ".join(
             f"{f.name} {f.dataType.simpleString()}"
             for f in CANDLE_SCHEMA.fields

@@ -26,7 +26,13 @@ def hadoop_fs(path: str):
     writer exists either, so the refusal is loud and early."""
     from pyspark.sql import SparkSession
 
-    spark = SparkSession.getActiveSession()
+    # getActiveSession is THREAD-local: a concurrent writer thread
+    # (store CAS contention tests; any user thread pool) sees None
+    # even while the process has a live session — fall back to the
+    # process-wide instantiated session before refusing.
+    spark = SparkSession.getActiveSession() or getattr(
+        SparkSession, "_instantiatedSession", None
+    )
     if spark is None:
         raise RuntimeError(
             f"Hadoop filesystem I/O on '{path}' needs an active "
