@@ -271,8 +271,13 @@ class HadoopFS:
 
     def remove(self, p: str) -> None:
         jp = self._p(p)
-        if not self._fs.delete(jp, False) and not self._fs.exists(jp):
-            raise FileNotFoundError(p)
+        if not self._fs.delete(jp, False):
+            if not self._fs.exists(jp):
+                raise FileNotFoundError(p)
+            # existing but undeletable must not pass silently — a
+            # vacuum/expire that "succeeds" without removing anything
+            # would quietly stop bounding storage
+            raise OSError(f"delete failed: {p}")
 
     def makedirs(self, p: str) -> None:
         self._fs.mkdirs(self._p(p))

@@ -182,6 +182,30 @@ def test_concurrent_writers_lose_no_rows_uri_root(spark, tmp_path):
     assert s._log.current_version() == 6  # every commit serialized
 
 
+def test_bucketed_store_uri_root(spark, tmp_path):
+    """The bucketed write path (saveAsTable into a staging URI, then
+    promotion through the seam) and bucketed_view's link-or-copy
+    layout + LOCATION-by-URI registration, over a file:// root; the
+    store-store join result must match the plain join."""
+    uri = f"file://{tmp_path}/bstore"
+    base = dt.datetime(2021, 1, 1)
+    s = CandleStore(spark, uri, n_buckets=4)
+    s.write(mk(spark, [("BTC", base + dt.timedelta(minutes=i), float(i))
+                       for i in range(8)]))
+    # spec persisted on the target filesystem + enforced on reopen
+    assert (tmp_path / "bstore" / "_bucket_spec.json").is_file()
+    with pytest.raises(ValueError, match="bucketed into 4"):
+        CandleStore(spark, uri, n_buckets=8)
+    v = s.bucketed_view("bv_uri_a")
+    assert v.count() == 8
+    other = CandleStore(spark, f"file://{tmp_path}/bstore2", n_buckets=4)
+    other.write(mk(spark, [("BTC", base + dt.timedelta(minutes=i), 100.0 + i)
+                           for i in range(8)]))
+    w = other.bucketed_view("bv_uri_b")
+    joined = v.join(w, ["market", "code", "candle_length", "ts"])
+    assert joined.count() == 8
+
+
 def test_maintenance_lifecycle_uri_root(spark, tmp_path):
     """Append -> compact -> vacuum -> expire across the ported log:
     the full maintenance surface over a scheme root."""
