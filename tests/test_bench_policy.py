@@ -179,5 +179,11 @@ def test_current_code_heads_on_this_repo():
 
 def test_threshold_is_between_observed_clusters():
     # healthy phases cluster ~1.3, degraded 2.2-6.0 (sidecar records
-    # r4-r14); the constant must split them or the policy is vacuous
+    # r4-r14); the constant must split them or the policy is vacuous.
+    # r16 re-evaluated the split over 18 runs (probes 1.79-19.8, zero
+    # healthy pairs; totals uncorrelated with the probe in the
+    # 1.9-3.6 band) and DECLINED to raise it: a higher threshold
+    # would only relabel host-inflated runs as healthy without
+    # changing the min-selected value — see the HEALTHY_MULTI_S
+    # comment block in bench.py for the data.
     assert 1.4 < HEALTHY_MULTI_S < 2.2
