@@ -31,9 +31,12 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #   q_semdedup_derived), then the 16 rows whose prior evidence dates
 #   to r8;
 # - 3 changed-machinery guards for THIS round's store-manifest port
-#   (link(2) CAS -> Hadoop-FS rename CAS): q_store_roundtrip,
-#   q_store_maintenance, and q_store_diff (also r13-tier — time
-#   travel reads through the ported log).
+#   (link(2) CAS -> per-filesystem CAS seam): q_store_scheme_roundtrip
+#   (NEW — the roundtrip contract over a file:// root, exercising the
+#   Hadoop-FS metadata route the port added; same oracle as the POSIX
+#   twin), q_store_maintenance (POSIX lifecycle: checkpoint marker,
+#   compact, vacuum, expire through the seam), and q_store_diff (also
+#   r13-tier — time travel reads through the ported log).
 # After this window greens, the r12 tier is fully drained and the
 # oldest evidence tier becomes r13 (3-round horizon).
 PRIORITY: tuple[str, ...] = (
@@ -89,7 +92,7 @@ PRIORITY: tuple[str, ...] = (
     "q_validate_candles",
     # changed-machinery guards (store manifest log ported this round)
     "q_store_diff",
-    "q_store_roundtrip",
+    "q_store_scheme_roundtrip",
     "q_store_maintenance",
 )
 # Demoted below the window: everything else keeps a green CORRECTNESS

@@ -74,6 +74,41 @@ FROM candles
 )
 
 
+def q_store_scheme_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The q_store_roundtrip contract over a ``file://`` root — the
+    in-container proxy for hdfs/s3a store roots (r16: the manifest log
+    + all driver-side store metadata route through the session's
+    Hadoop FileSystem for ``scheme://`` roots, ``engine/storefs.py``).
+    Same batches, same merge/time-travel semantics, same oracle; what
+    this row pins under the driver's hash gate is that the PORTED
+    metadata path — staging promotion, page writes, the per-filesystem
+    CAS (link(2) drop-down for the local scheme), manifest reads —
+    produces byte-identical snapshots to the POSIX twin."""
+    path = scratch_dir("store_scheme_roundtrip", sf_dir)
+    shutil.rmtree(path, ignore_errors=True)
+    store = CandleStore(spark, f"file://{path}")
+
+    candles = candles_from_events(load_table(spark, sf_dir, "events"))
+    store.write(candles)  # initial load -> manifest version 1
+
+    restatement = (
+        candles.where(F.col("code") == "click")
+        .withColumn("close", F.col("close") + 1000.0)
+        .withColumn("volume", F.lit(0.0))
+    )
+    store.write(restatement)  # upsert: new values must win -> version 2
+
+    cols = [
+        "market", "code", "candle_length", "ts",
+        "open", "high", "low", "close", "volume", "bit_fields",
+    ]
+    head = store.read(market="SYN").select(*cols)
+    v1 = store.read(market="SYN", version=1).select(*cols)
+    return head.withColumn("snapshot", F.lit("head")).unionByName(
+        v1.withColumn("snapshot", F.lit("v1"))
+    )
+
+
 def q_store_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Append fast path + multi-year batch split, driver-verified.
 
@@ -424,6 +459,7 @@ def q_store_diff_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "q_store_roundtrip": q_store_roundtrip,
+    "q_store_scheme_roundtrip": q_store_scheme_roundtrip,
     "q_store_bucketed_join": q_store_bucketed_join,
     "q_store_diff": q_store_diff,
     "q_store_diff_bucketed": q_store_diff_bucketed,
@@ -434,6 +470,7 @@ QUERIES = {
 }
 ORACLES = {
     "q_store_roundtrip": O_STORE_ROUNDTRIP,
+    "q_store_scheme_roundtrip": O_STORE_ROUNDTRIP,
     "q_store_bucketed_join": O_STORE_BUCKETED_JOIN,
     "q_store_diff": O_STORE_DIFF,
     "q_store_diff_bucketed": O_STORE_DIFF,
