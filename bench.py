@@ -231,7 +231,10 @@ def select_headline(
             return True
         h = r.get("head")
         if allowed_heads is None:
-            return h == this_run.get("head")
+            # Truthy on BOTH sides: when this run's head is also None
+            # (git unavailable), unstamped legacy runs must not pool
+            # as "equal" (r16 ADVICE #4).
+            return bool(h) and h == this_run.get("head")
         return bool(h) and any(
             full.startswith(h) for full in allowed_heads
         )

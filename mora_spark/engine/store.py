@@ -67,6 +67,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from mora_spark.localdf import tiny_df
 from mora_spark.schema import CANDLE_COLUMNS, CANDLE_PARTITIONS, CANDLE_SCHEMA
 
 _KEY = ["market", "code", "candle_length", "ts"]
@@ -430,7 +431,13 @@ class _TxnLog:
             for e in sorted(files, key=lambda e: e["path"])
         ]
         self.fs.write_file(tmp, json.dumps(items))
-        self.fs.rename(tmp, os.path.join(self.dir, rel))
+        # replace, not rename: the append retry loop reuses (txn, k)
+        # after a lost commit race, so the destination may exist from
+        # the losing attempt. Pages are txn-private until a committed
+        # manifest references them, so overwrite is safe — while a
+        # fail-if-exists rename (HDFS semantics) would turn contended
+        # appends into OSErrors (r16 ADVICE #1).
+        self.fs.replace(tmp, os.path.join(self.dir, rel))
         return {"partition": partition, "page": rel, "n": len(items)}
 
     def try_commit(self, version: int, pointers: list[dict], txn: str) -> bool:
@@ -592,7 +599,7 @@ class CandleStore:
                 CANDLE_SCHEMA.fields
                 + [T.StructField("year", T.IntegerType(), True)]
             )
-            return self.spark.createDataFrame([], schema)
+            return tiny_df(self.spark, [], schema)
         paths = [os.path.join(self.data_dir, e["path"]) for e in entries]
         # basePath keeps Hive partition-column inference over an
         # explicit (manifest-pruned) file list.
@@ -1166,7 +1173,8 @@ class CandleStore:
                     float(m.get("ts", 0.0)),
                 )
             )
-        return self.spark.createDataFrame(
+        return tiny_df(
+            self.spark,
             rows,
             "version long, txn string, n_files long, committed_at double",
         )

@@ -22,6 +22,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from mora_spark.functions.text import tokens
+from mora_spark.localdf import tiny_df
 
 # Denominator for md5-derived uniforms: first 8 hex chars = 32 bits.
 _U32 = float(2**32)
@@ -1087,7 +1088,7 @@ def pack_sequences(
         offsets.append((row["pid"], acc))
         acc += row["sub"]
     off = F.broadcast(
-        spark.createDataFrame(offsets, "pid long, offset long")
+        tiny_df(spark, offsets, "pid long, offset long")
     )
     w = (
         Window.partitionBy("pid")
@@ -1156,9 +1157,7 @@ def pack_by_domain(
         offsets.append((cur, row["pid"], acc))
         acc += row["sub"]
     off = F.broadcast(
-        spark.createDataFrame(
-            offsets, "stratum string, pid long, offset long"
-        )
+        tiny_df(spark, offsets, "stratum string, pid long, offset long")
     )
     w = (
         Window.partitionBy("stratum", "pid")

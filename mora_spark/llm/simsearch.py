@@ -21,6 +21,7 @@ from pyspark.sql import types as T
 from pyspark.sql.functions import broadcast, pandas_udf
 
 from mora_spark.functions.vectors import as_double, cosine, dot, l2_norm
+from mora_spark.localdf import tiny_df
 
 
 def _filtered(df: DataFrame, predicate: str | Column | None) -> DataFrame:
@@ -743,10 +744,11 @@ def save_ivf_index(
     pruning (only those directories are even listed), the on-disk
     analogue of an inverted file's posting lists."""
     spark = assigned.sparkSession
-    spark.createDataFrame(
+    tiny_df(
+        spark,
         [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
         "cell int, centroid array<double>",
-    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    ).write.mode("overwrite").parquet(f"{path}/centroids")
     assigned.write.partitionBy("cell").mode("overwrite").parquet(
         f"{path}/cells"
     )
@@ -955,8 +957,8 @@ def ivf_index_topk(
     # index must not be silently upcast (nor a float64 one downcast, or
     # scores could diverge from ivf_topk in the rounded 6th decimal).
     elem = assigned.schema[vec_col].dataType.elementType.simpleString()
-    q = spark.createDataFrame(
-        probe, f"query_id long, qv array<{elem}>, cell int"
+    q = tiny_df(
+        spark, probe, f"query_id long, qv array<{elem}>, cell int"
     )
     pruned = assigned.where(
         F.col("cell").isin(sorted({c for _, _, c in probe}))
@@ -1277,7 +1279,8 @@ def pq_topk(
         .collect()
     )
     spark = embeddings.sparkSession
-    q = spark.createDataFrame(
+    q = tiny_df(
+        spark,
         _pq_query_rows(qrows, books, id_col, vec_col),
         "query_id long, qv array<double>, dtable array<double>",
     )
@@ -1411,19 +1414,21 @@ def save_ivfpq_index(
     append, so a crashed-and-replayed micro-batch converges instead of
     duplicating (the pipeline-sink discipline)."""
     spark = assigned.sparkSession
-    spark.createDataFrame(
+    tiny_df(
+        spark,
         [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
         "cell int, centroid array<double>",
-    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    ).write.mode("overwrite").parquet(f"{path}/centroids")
     m, k, dsub = books.shape
-    spark.createDataFrame(
+    tiny_df(
+        spark,
         [
             (mi, ji, [float(x) for x in books[mi, ji]])
             for mi in range(m)
             for ji in range(k)
         ],
         "m int, code int, centroid array<double>",
-    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/codebooks")
+    ).write.mode("overwrite").parquet(f"{path}/codebooks")
     assigned.write.partitionBy("cell").mode("overwrite").parquet(
         f"{path}/cells/add_id=0"
     )
@@ -1518,10 +1523,10 @@ def ivfpq_index_topk(
             (int(r[id_col]), int(c))
             for c in np.argsort(-(nv @ cents.T))[:n_probe]
         )
-    q = spark.createDataFrame(
-        flat, "query_id long, qv array<double>, dtable array<double>"
+    q = tiny_df(
+        spark, flat, "query_id long, qv array<double>, dtable array<double>"
     )
-    qcells = spark.createDataFrame(probes, "query_id long, cell int")
+    qcells = tiny_df(spark, probes, "query_id long, cell int")
     all_cells = sorted({c for _, c in probes})
     pruned = cells.where(
         F.col("cell").isin(all_cells) & ~F.col(id_col).isin(query_ids)
@@ -1556,7 +1561,8 @@ def ivfpq_index_topk(
         short = short_df.collect()
         short_ids = sorted({r["neighbor_id"] for r in short})
         pairs = broadcast(
-            spark.createDataFrame(
+            tiny_df(
+                spark,
                 [(r["query_id"], r["neighbor_id"]) for r in short],
                 "query_id long, neighbor_id long",
             )

@@ -220,19 +220,27 @@ def stream_dedup_increment(
         pairs.write.mode("overwrite").parquet(
             os.path.join(pairs_dir, f"batch_id={batch_id}")
         )
+        # kept feeds both index writes; uncached, the groups write
+        # would replay the batch scan + anti-join + tokenization a
+        # second time. One cache bounds it to a single evaluation.
         kept = batch.join(
             pairs.select("doc_id").distinct(), "doc_id", "left_anti"
-        )
-        b, g = build_minhash_index(kept, band_size=family[0], n_bands=family[1])
-        # One file per batch at fixture scale; a production stream
-        # would instead target the store's compaction cadence (many
-        # small appends, periodic rewrite — see CandleStore.compact).
-        b.coalesce(1).write.mode("overwrite").parquet(
-            os.path.join(index_path, "bands", f"batch_id={batch_id}")
-        )
-        g.coalesce(1).write.mode("overwrite").parquet(
-            os.path.join(index_path, "groups", f"batch_id={batch_id}")
-        )
+        ).persist()
+        try:
+            b, g = build_minhash_index(
+                kept, band_size=family[0], n_bands=family[1]
+            )
+            # One file per batch at fixture scale; a production stream
+            # would instead target the store's compaction cadence (many
+            # small appends, periodic rewrite — see CandleStore.compact).
+            b.coalesce(1).write.mode("overwrite").parquet(
+                os.path.join(index_path, "bands", f"batch_id={batch_id}")
+            )
+            g.coalesce(1).write.mode("overwrite").parquet(
+                os.path.join(index_path, "groups", f"batch_id={batch_id}")
+            )
+        finally:
+            kept.unpersist()
 
     stream = (
         spark.readStream.schema(DOC_STREAM_SCHEMA)

@@ -187,19 +187,28 @@ def stream_curate_jsonl(
             dropped = dropped.distinct().localCheckpoint(eager=True)
         finally:
             groups_b.unpersist()
-        kept = good.join(dropped, "doc_id", "left_anti")
-        shard(kept).write.mode("overwrite").parquet(
-            os.path.join(curated_dir, f"batch_id={batch_id}")
-        )
-        b, g = build_minhash_index(
-            kept, band_size=family[0], n_bands=family[1]
-        )
-        shard(b).write.mode("overwrite").parquet(
-            os.path.join(index_path, "bands", f"batch_id={batch_id}")
-        )
-        shard(g).write.mode("overwrite").parquet(
-            os.path.join(index_path, "groups", f"batch_id={batch_id}")
-        )
+        # kept feeds THREE writes (curated, index bands, index groups);
+        # uncached, each one would replay the JSONL scan + gates +
+        # anti-join — and the two index writes would re-tokenize the
+        # batch a second and third time. One cache bounds that to a
+        # single evaluation per micro-batch (guide §2.3/§5: don't
+        # recompute what three consumers share).
+        kept = good.join(dropped, "doc_id", "left_anti").persist()
+        try:
+            shard(kept).write.mode("overwrite").parquet(
+                os.path.join(curated_dir, f"batch_id={batch_id}")
+            )
+            b, g = build_minhash_index(
+                kept, band_size=family[0], n_bands=family[1]
+            )
+            shard(b).write.mode("overwrite").parquet(
+                os.path.join(index_path, "bands", f"batch_id={batch_id}")
+            )
+            shard(g).write.mode("overwrite").parquet(
+                os.path.join(index_path, "groups", f"batch_id={batch_id}")
+            )
+        finally:
+            kept.unpersist()
         if batch_stats is not None:
             batch_stats.append(
                 {

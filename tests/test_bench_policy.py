@@ -29,7 +29,11 @@ def _run(
     n_queries=66,
     n_errors=0,
     ts=0.0,
-    head=None,
+    # Stamped by default: the probe-policy tests exercise healthy/
+    # degraded selection among same-code runs; the exact-head fallback
+    # (allowed_heads=None) requires truthy equal heads to pool (r16
+    # ADVICE #4 — an unstamped pair must NOT compare equal).
+    head="cafe123",
 ):
     return {
         "ts": ts,
@@ -187,3 +191,15 @@ def test_threshold_is_between_observed_clusters():
     # changing the min-selected value — see the HEALTHY_MULTI_S
     # comment block in bench.py for the data.
     assert 1.4 < HEALTHY_MULTI_S < 2.2
+
+
+def test_unstamped_runs_never_pool_in_exact_head_fallback():
+    """r16 ADVICE #4: with git unavailable (allowed_heads=None) and
+    THIS run also unstamped (head=None), legacy unstamped runs must
+    not compare 'equal' and front the artifact — only this run pools."""
+    runs = [
+        _run(250.0, 1.3, 1.3, ts=1, head=None),
+        _run(300.0, 1.3, 1.3, ts=2, head=None),
+    ]
+    best, degraded = select_headline(runs, 66, runs[-1])
+    assert best["total"] == 300.0

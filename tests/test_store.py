@@ -826,3 +826,35 @@ def test_derive_rollup_untouched_partitions_not_rewritten(spark, store):
         if e["partition"]["candle_length"] == "300"
     }
     assert old and old <= new
+
+
+def test_write_page_overwrites_on_append_retry(tmp_path):
+    """The append retry loop reuses (txn, k) after a lost commit race,
+    so write_page must OVERWRITE an existing page file (fs.replace) —
+    on a filesystem whose rename refuses to overwrite (HDFS), the old
+    rename-based publish turned contended appends into OSErrors
+    (r16 ADVICE #1). Simulated by a PosixFS whose rename enforces
+    HDFS fail-if-exists semantics."""
+    from mora_spark.engine.store import _TxnLog
+    from mora_spark.engine.storefs import PosixFS
+
+    class HdfsRenameSemantics(PosixFS):
+        @staticmethod
+        def rename(src, dst):
+            import os as _os
+
+            if _os.path.exists(dst):
+                raise OSError(f"rename refused: {dst} exists")
+            _os.replace(src, dst)
+
+    log = _TxnLog(str(tmp_path / "s"), fs=HdfsRenameSemantics())
+    files = [{"path": "data/a.parquet"}]
+    p1 = log.write_page({"market": "SYN"}, files, "txnA", 0)
+    # retry after a lost race: same txn, same k, updated file set
+    files2 = [{"path": "data/a.parquet"}, {"path": "data/b.parquet"}]
+    p2 = log.write_page({"market": "SYN"}, files2, "txnA", 0)
+    assert p2["page"] == p1["page"]
+    assert log.load_page(p2) == [
+        {"path": "data/a.parquet", "partition": {"market": "SYN"}},
+        {"path": "data/b.parquet", "partition": {"market": "SYN"}},
+    ]
