@@ -440,6 +440,13 @@ def _minhash_groups_verified(
             F.col("isect") / (F.col("n_a") + F.col("n_b") - F.col("isect")),
         )
         .where(F.col("jaccard") >= base_t)
+        # Project the token arrays away BEFORE anything persists or
+        # re-reads this frame: every consumer (pair expansion, cluster
+        # contraction, threshold refilters) needs only the group ids,
+        # members and the exact jaccard. Carrying ti_a/ti_b made the
+        # cached pair table ~1.5 GB at sf0.1 (r17 profile: a 0-CPU
+        # 7.9 s stage just re-reading it), ~30x the projected width.
+        .select("gid_a", "gid_b", "m_a", "m_b", "jaccard")
     )
     if cache_key is not None:
         verified = verified.persist()
@@ -621,22 +628,36 @@ def save_minhash_index(
     # old index (e.g. a pre-shard plain-parquet layout) would leave its
     # root-level files mixed in and break partition discovery. Static
     # mode clears the whole destination first.
-    (
-        bands.withColumn("shard", _band_shard(F.col("band_key")))
-        .repartition(F.col("shard"))
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "static")
-        .partitionBy("shard")
-        .parquet(f"{path}/bands")
-    )
-    (
-        groups.withColumn("gshard", _gid_shard(F.col("gid")))
-        .repartition(F.col("gshard"))
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "static")
-        .partitionBy("gshard")
-        .parquet(f"{path}/groups")
-    )
+    #
+    # bands derives FROM groups (callers pass build_minhash_index
+    # output), so without a cache the two writes each replay the full
+    # tokenize + group pass over the corpus; and the shard repartition
+    # must pin its partition count — a bare repartition(col) is an
+    # AQE-coalescible shuffle that collapses to ONE task at small
+    # sizes, serializing the banding compute into a single core (r17
+    # profile: the bands write ran as one 1.8 s task). One partition
+    # per shard keeps every shard's save in exactly one task — the
+    # one-file-per-shard-per-save layout contract — at any scale.
+    groups = groups.persist()
+    try:
+        (
+            bands.withColumn("shard", _band_shard(F.col("band_key")))
+            .repartition(BAND_SHARDS, F.col("shard"))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "static")
+            .partitionBy("shard")
+            .parquet(f"{path}/bands")
+        )
+        (
+            groups.withColumn("gshard", _gid_shard(F.col("gid")))
+            .repartition(GROUP_SHARDS, F.col("gshard"))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "static")
+            .partitionBy("gshard")
+            .parquet(f"{path}/groups")
+        )
+    finally:
+        groups.unpersist()
     # The declared family must match what the bands table actually
     # carries before it becomes authoritative metadata — the easy
     # mistake is build_minhash_index(df, band_size=r, n_bands=b)

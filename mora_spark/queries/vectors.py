@@ -180,17 +180,14 @@ TOPK_PLANT_SCALES = (0.5, 0.8, 1.25, 2.0, 4.0)  # len == TOP_K
 assert len(TOPK_PLANT_SCALES) == TOP_K
 
 
-def _planted_topk(e: DataFrame) -> DataFrame:
-    """Corpus (as double) + TOP_K scaled copies of each query vector.
-
-    All plants come from ONE posexplode over the scale array (a single
-    pushdown-filtered scan of the query rows), not one union branch per
-    scale. Everything stays double end-to-end so plant vectors are
-    bit-identical to the oracle's (a float32 intermediate could nudge a
-    non-plant score across a 6-dp rounding boundary)."""
-    base = e.select("vec_id", as_double(F.col("embedding")).alias("embedding"))
+def _plants_of(base: DataFrame) -> DataFrame:
+    """Just the TOP_K scaled copies of each query vector (the plants
+    branch of ``_planted_topk``), for callers that feed incremental
+    adds: filtering the UNION down to the plants afterwards cannot
+    prune the corpus branch when ``base`` is a pinned cache — every
+    add would pay a full extra pass that filters to zero rows."""
     scales = F.array(*[F.lit(float(c)) for c in TOPK_PLANT_SCALES])
-    plants = (
+    return (
         base.where(F.col("vec_id") < N_QUERIES)
         .select("vec_id", "embedding", F.posexplode(scales).alias("j", "c"))
         .select(
@@ -203,7 +200,18 @@ def _planted_topk(e: DataFrame) -> DataFrame:
             ),
         )
     )
-    return base.unionByName(plants)
+
+
+def _planted_topk(e: DataFrame) -> DataFrame:
+    """Corpus (as double) + TOP_K scaled copies of each query vector.
+
+    All plants come from ONE posexplode over the scale array (a single
+    pushdown-filtered scan of the query rows), not one union branch per
+    scale. Everything stays double end-to-end so plant vectors are
+    bit-identical to the oracle's (a float32 intermediate could nudge a
+    non-plant score across a 6-dp rounding boundary)."""
+    base = e.select("vec_id", as_double(F.col("embedding")).alias("embedding"))
+    return base.unionByName(_plants_of(base))
 
 
 def _o_ann_topk() -> str:
@@ -835,10 +843,11 @@ def q_ann_ivf_add(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     ) as base:
         save_ivf_index(*build_ivf_index(base, train_iters=2), path)
-        plants = _planted_topk(base).where(
-            F.col("vec_id") >= F.lit(TOPK_PLANT_OFFSET)
-        )
-        ivf_index_add(spark, path, plants)
+        # _plants_of == _planted_topk(base).where(vec_id >= OFFSET):
+        # every plant id is >= OFFSET and every corpus id is below it,
+        # but building the plants directly lets the add skip the
+        # union's corpus branch (unprunable through the pinned cache).
+        ivf_index_add(spark, path, _plants_of(base))
     return ivf_index_topk(
         spark, path, query_ids=list(range(N_QUERIES)), k=TOP_K, n_probe=4
     )
@@ -878,9 +887,9 @@ def q_ann_ivf_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     ) as base:
         save_ivf_index(*build_ivf_index(base, train_iters=2), path)
-        plants = _planted_topk(base).where(
-            F.col("vec_id") >= F.lit(TOPK_PLANT_OFFSET)
-        )
+        # Direct plants construction — see q_ann_ivf_add for why the
+        # union-then-filter form pays an extra cached-corpus pass.
+        plants = _plants_of(base)
         for j in range(len(TOPK_PLANT_SCALES)):  # one increment per scale
             lo = (j + 1) * TOPK_PLANT_OFFSET
             ivf_index_add(
