@@ -144,6 +144,32 @@ def main() -> None:
                 if sid in stage_info:
                     print("   ", json.dumps(stage_info[sid]))
     total_job = sum(r["dur_s"] for r in rows if r["dur_s"] > 0)
+    # Attribute the driver-side gap: time between one job's completion
+    # and the next job's submission (planning, py4j, driver I/O).
+    gaps = []
+    for a, b in zip(jobs, jobs[1:]):
+        if a.get("completionTime") and b.get("submissionTime"):
+            from datetime import datetime
+
+            def _ts2(s: str) -> float:
+                return datetime.strptime(
+                    s.replace("GMT", "+0000"), "%Y-%m-%dT%H:%M:%S.%f%z"
+                ).timestamp()
+
+            g = _ts2(b["submissionTime"]) - _ts2(a["completionTime"])
+            if g > 0.3:
+                gaps.append(
+                    {
+                        "after_job": a["jobId"],
+                        "before_job": b["jobId"],
+                        "gap_s": round(g, 3),
+                        "next_desc": (
+                            b.get("description") or b.get("name", "")
+                        )[:120],
+                    }
+                )
+    for g in sorted(gaps, key=lambda x: -x["gap_s"])[:8]:
+        print("GAP", json.dumps(g))
     print(
         json.dumps(
             {
