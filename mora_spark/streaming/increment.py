@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from mora_spark.datasets import load_table
+from mora_spark.parallel import run_concurrent
 
 DOC_STREAM_SCHEMA = T.StructType(
     [
@@ -217,9 +218,6 @@ def stream_dedup_increment(
             pairs = pairs.localCheckpoint(eager=True)
         finally:
             groups_b.unpersist()
-        pairs.write.mode("overwrite").parquet(
-            os.path.join(pairs_dir, f"batch_id={batch_id}")
-        )
         # kept feeds both index writes; uncached, the groups write
         # would replay the batch scan + anti-join + tokenization a
         # second time. One cache bounds it to a single evaluation.
@@ -233,11 +231,28 @@ def stream_dedup_increment(
             # One file per batch at fixture scale; a production stream
             # would instead target the store's compaction cadence (many
             # small appends, periodic rewrite — see CandleStore.compact).
-            b.coalesce(1).write.mode("overwrite").parquet(
-                os.path.join(index_path, "bands", f"batch_id={batch_id}")
-            )
-            g.coalesce(1).write.mode("overwrite").parquet(
-                os.path.join(index_path, "groups", f"batch_id={batch_id}")
+            # The three writes are independent — pairs is eagerly
+            # checkpointed above, so the index writes don't re-run the
+            # dedup plan — and overlapping them hides the per-action
+            # driver latency that dominates small batches (guide §2.6).
+            run_concurrent(
+                lambda: pairs.write.mode("overwrite").parquet(
+                    os.path.join(pairs_dir, f"batch_id={batch_id}")
+                ),
+                lambda: b.coalesce(1)
+                .write.mode("overwrite")
+                .parquet(
+                    os.path.join(
+                        index_path, "bands", f"batch_id={batch_id}"
+                    )
+                ),
+                lambda: g.coalesce(1)
+                .write.mode("overwrite")
+                .parquet(
+                    os.path.join(
+                        index_path, "groups", f"batch_id={batch_id}"
+                    )
+                ),
             )
         finally:
             kept.unpersist()

@@ -141,74 +141,107 @@ def stream_curate_jsonl(
     def sink(batch: DataFrame, batch_id: int) -> None:
         import time as _time
 
+        from mora_spark.parallel import run_concurrent
+
         t0 = _time.time()
-        shard(
-            batch.where(F.col(CORRUPT_COL).isNotNull()).select(CORRUPT_COL)
-        ).write.mode("overwrite").parquet(
-            os.path.join(quar_dir, f"batch_id={batch_id}")
-        )
+
+        def write_quarantine() -> None:
+            shard(
+                batch.where(F.col(CORRUPT_COL).isNotNull()).select(
+                    CORRUPT_COL
+                )
+            ).write.mode("overwrite").parquet(
+                os.path.join(quar_dir, f"batch_id={batch_id}")
+            )
+
         good = batch.where(F.col(CORRUPT_COL).isNull())
         if gate is not None:
             good = gate(good)
         good = good.select("doc_id", "text")
-        bands_b, groups_b = build_minhash_index(
-            good, band_size=family[0], n_bands=family[1]
-        )
-        groups_b.persist()
-        try:
-            parts = []
-            if seed is not None:
-                parts.append(
-                    dedup_increment(
-                        good, seed[0], seed[1], threshold=threshold,
-                        prebuilt=(groups_b, bands_b), include_intra=False,
-                        index_family=family,
+
+        def curate() -> None:
+            bands_b, groups_b = build_minhash_index(
+                good, band_size=family[0], n_bands=family[1]
+            )
+            groups_b.persist()
+            try:
+                parts = []
+                if seed is not None:
+                    parts.append(
+                        dedup_increment(
+                            good, seed[0], seed[1], threshold=threshold,
+                            prebuilt=(groups_b, bands_b),
+                            include_intra=False,
+                            index_family=family,
+                        )
                     )
-                )
-            if os.path.isdir(os.path.join(index_path, "groups")):
-                bands, groups = load_minhash_index(spark, index_path)
-                # Snapshot filter: a replayed batch dedups against the
-                # index AS OF the batches before it (see increment.py).
-                bands = bands.where(F.col("batch_id") < batch_id)
-                groups = groups.where(F.col("batch_id") < batch_id)
-                parts.append(
-                    dedup_increment(
-                        good, bands, groups, threshold=threshold,
-                        prebuilt=(groups_b, bands_b), include_intra=False,
-                        index_family=family,
+                if os.path.isdir(os.path.join(index_path, "groups")):
+                    bands, groups = load_minhash_index(spark, index_path)
+                    # Snapshot filter: a replayed batch dedups against
+                    # the index AS OF the batches before it (see
+                    # increment.py).
+                    bands = bands.where(F.col("batch_id") < batch_id)
+                    groups = groups.where(F.col("batch_id") < batch_id)
+                    parts.append(
+                        dedup_increment(
+                            good, bands, groups, threshold=threshold,
+                            prebuilt=(groups_b, bands_b),
+                            include_intra=False,
+                            index_family=family,
+                        )
                     )
+                dropped = minhash_lsh_pairs(
+                    good, threshold=threshold, prebuilt=(groups_b, bands_b)
+                ).select(F.col("doc_b").alias("doc_id"))
+                for p in parts:
+                    dropped = dropped.unionByName(p.select("doc_id"))
+                # Materialized against the PRE-append index: replay-safe.
+                dropped = dropped.distinct().localCheckpoint(eager=True)
+            finally:
+                groups_b.unpersist()
+            # kept feeds THREE writes (curated, index bands, index
+            # groups); uncached, each one would replay the JSONL scan +
+            # gates + anti-join — and the two index writes would
+            # re-tokenize the batch a second and third time. One cache
+            # bounds that to a single evaluation per micro-batch (guide
+            # §2.3/§5: don't recompute what three consumers share).
+            kept = good.join(dropped, "doc_id", "left_anti").persist()
+            try:
+                b, g = build_minhash_index(
+                    kept, band_size=family[0], n_bands=family[1]
                 )
-            dropped = minhash_lsh_pairs(
-                good, threshold=threshold, prebuilt=(groups_b, bands_b)
-            ).select(F.col("doc_b").alias("doc_id"))
-            for p in parts:
-                dropped = dropped.unionByName(p.select("doc_id"))
-            # Materialized against the PRE-append index: replay-safe.
-            dropped = dropped.distinct().localCheckpoint(eager=True)
-        finally:
-            groups_b.unpersist()
-        # kept feeds THREE writes (curated, index bands, index groups);
-        # uncached, each one would replay the JSONL scan + gates +
-        # anti-join — and the two index writes would re-tokenize the
-        # batch a second and third time. One cache bounds that to a
-        # single evaluation per micro-batch (guide §2.3/§5: don't
-        # recompute what three consumers share).
-        kept = good.join(dropped, "doc_id", "left_anti").persist()
-        try:
-            shard(kept).write.mode("overwrite").parquet(
-                os.path.join(curated_dir, f"batch_id={batch_id}")
-            )
-            b, g = build_minhash_index(
-                kept, band_size=family[0], n_bands=family[1]
-            )
-            shard(b).write.mode("overwrite").parquet(
-                os.path.join(index_path, "bands", f"batch_id={batch_id}")
-            )
-            shard(g).write.mode("overwrite").parquet(
-                os.path.join(index_path, "groups", f"batch_id={batch_id}")
-            )
-        finally:
-            kept.unpersist()
+                # The three writes are independent (distinct dirs, all
+                # derived from the one persisted frame): overlapping
+                # them hides the per-action driver latency (planning,
+                # py4j, commit) that dominates these small batches
+                # (guide §2.6).
+                run_concurrent(
+                    lambda: shard(kept)
+                    .write.mode("overwrite")
+                    .parquet(
+                        os.path.join(curated_dir, f"batch_id={batch_id}")
+                    ),
+                    lambda: shard(b)
+                    .write.mode("overwrite")
+                    .parquet(
+                        os.path.join(
+                            index_path, "bands", f"batch_id={batch_id}"
+                        )
+                    ),
+                    lambda: shard(g)
+                    .write.mode("overwrite")
+                    .parquet(
+                        os.path.join(
+                            index_path, "groups", f"batch_id={batch_id}"
+                        )
+                    ),
+                )
+            finally:
+                kept.unpersist()
+
+        # The quarantine write shares nothing with the curation chain
+        # (disjoint rows, its own directory) — run it alongside.
+        run_concurrent(write_quarantine, curate)
         if batch_stats is not None:
             batch_stats.append(
                 {

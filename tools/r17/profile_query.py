@@ -105,6 +105,7 @@ def main() -> None:
                 "stages": len(j.get("stageIds", [])),
                 "tasks": j.get("numTasks"),
                 "desc": (j.get("description") or j.get("name", ""))[:160],
+                "name": j.get("name", "")[:100],
             }
         )
     # Stage-level detail for slow jobs: where inside the job the time
@@ -170,6 +171,31 @@ def main() -> None:
                 )
     for g in sorted(gaps, key=lambda x: -x["gap_s"])[:8]:
         print("GAP", json.dumps(g))
+    # Aggregate ALL stages by name (call site): counts and run time.
+    # Stage names survive the streaming job-description override, so
+    # this is the per-call-site cost map for foreachBatch sinks.
+    new_stage_ids = set()
+    for j in jobs:
+        new_stage_ids.update(j.get("stageIds", []))
+    agg: dict[str, list[float]] = {}
+    for s in stages:
+        if s["stageId"] not in new_stage_ids:
+            continue
+        nm = s.get("name", "")[:90]
+        a = agg.setdefault(nm, [0, 0.0, 0.0])
+        a[0] += 1
+        a[1] += (s.get("executorRunTime") or 0) / 1e3
+        a[2] += (s.get("executorCpuTime") or 0) / 1e9
+    for nm, (n, run, cpu) in sorted(
+        agg.items(), key=lambda kv: -kv[1][1]
+    )[:25]:
+        print(
+            "STAGE",
+            json.dumps(
+                {"n": n, "run_s": round(run, 2), "cpu_s": round(cpu, 2),
+                 "name": nm}
+            ),
+        )
     print(
         json.dumps(
             {
