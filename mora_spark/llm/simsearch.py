@@ -348,30 +348,55 @@ def train_ivf_centroids(
     for _ in range(n_iter):
         planes = cents  # capture by value for the UDF closure
 
-        @pandas_udf(T.IntegerType())
-        def cell_of(vs: pd.Series) -> pd.Series:
-            m = np.stack(vs.apply(lambda v: np.asarray(v, dtype=np.float64)))
-            norms = np.linalg.norm(m, axis=1, keepdims=True)
-            norms[norms == 0] = 1.0
-            return pd.Series(
-                np.argmax((m / norms) @ planes.T, axis=1).astype("int32")
+        # One mapInPandas pass per iteration: assign AND accumulate
+        # inside the Arrow boundary (the _opq_cross_cov partial-sum
+        # shape), yielding <= n_cells tiny rows per TASK instead of
+        # pushing n_rows x dim exploded rows through a hash aggregate
+        # (guide §2.3 aggregate-before-you-shuffle / §4.2 batch the
+        # heavy lifting in native code). The collect is bounded by
+        # tasks x n_cells; the driver finishes the reduction.
+        def cell_partials(batches):
+            psums = np.zeros((n_cells, dim))
+            pcnt = np.zeros(n_cells, dtype="int64")
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                m = np.stack(
+                    pdf[vec_col].apply(
+                        lambda v: np.asarray(v, dtype=np.float64)
+                    )
+                )
+                norms = np.linalg.norm(m, axis=1, keepdims=True)
+                norms[norms == 0] = 1.0
+                cells_b = np.argmax((m / norms) @ planes.T, axis=1)
+                for c in np.unique(cells_b):
+                    psums[c] += m[cells_b == c].sum(axis=0)
+                pcnt += np.bincount(cells_b, minlength=n_cells)
+            nz = np.nonzero(pcnt)[0]
+            yield pd.DataFrame(
+                {
+                    "cell": nz.astype("int32"),
+                    # dtype=object keeps an EMPTY partition's column as
+                    # a list column — a bare [] materializes float64,
+                    # which Arrow refuses to cast to list<double>.
+                    "s": pd.Series(
+                        [psums[c].tolist() for c in nz], dtype="object"
+                    ),
+                    "n": pcnt[nz],
+                }
             )
 
         sums = (
-            embeddings.select(
-                cell_of(F.col(vec_col)).alias("cell"),
-                F.posexplode(vec_col).alias("pos", "x"),
-            )
-            .groupBy("cell", "pos")
-            .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
+            embeddings.select(vec_col)
+            .mapInPandas(cell_partials, "cell int, s array<double>, n long")
             .collect()
         )
         new = cents.copy()
         acc = np.zeros((n_cells, dim))
         cnt = np.zeros(n_cells, dtype="int64")
         for r in sums:
-            acc[r["cell"], r["pos"]] = r["s"]
-            cnt[r["cell"]] = r["n"]
+            acc[r["cell"]] += np.asarray(r["s"], dtype=np.float64)
+            cnt[r["cell"]] += r["n"]
         for c in range(n_cells):
             if cnt[c] == 0:
                 continue
@@ -1172,34 +1197,69 @@ def train_pq_codebooks(
     books = np.ascontiguousarray(books)  # (M, K, dsub)
 
     for _ in range(n_iter):
-        enc = _pq_encoder(books)
-        sums = (
-            embeddings.select(
-                enc(F.col(vec_col)).alias("codes"),
-                F.posexplode(
-                    F.transform(
-                        F.col(vec_col), lambda x: x.cast("double")
+        cur = books  # capture by value for the closure
+
+        # One mapInPandas pass per iteration: encode AND accumulate the
+        # per-(subspace, code) sums inside the Arrow boundary (the
+        # _opq_cross_cov partial-sum shape), yielding <= M x K tiny
+        # rows per TASK instead of pushing n_rows x dim exploded rows
+        # through a hash aggregate (guide §2.3 / §4.2). The collect is
+        # bounded by tasks x M x K; the driver finishes the reduction.
+        def code_partials(batches):
+            psums = np.zeros((m_subspaces, n_codes, dsub))
+            pcnt = np.zeros((m_subspaces, n_codes), dtype="int64")
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                mat = np.stack(
+                    pdf[vec_col].apply(
+                        lambda v: np.asarray(v, dtype=np.float64)
                     )
-                ).alias("pos", "x"),
+                )
+                sub = mat.reshape(len(mat), m_subspaces, dsub)
+                for mi in range(m_subspaces):
+                    x = sub[:, mi, :]
+                    c = cur[mi]
+                    d = (
+                        (x * x).sum(axis=1, keepdims=True)
+                        - 2.0 * (x @ c.T)
+                        + (c * c).sum(axis=1)
+                    )
+                    codes = np.argmin(d, axis=1)
+                    for j in np.unique(codes):
+                        psums[mi, j] += x[codes == j].sum(axis=0)
+                    pcnt[mi] += np.bincount(codes, minlength=n_codes)
+            mi_nz, j_nz = np.nonzero(pcnt)
+            yield pd.DataFrame(
+                {
+                    "m": mi_nz.astype("int32"),
+                    "code": j_nz.astype("int32"),
+                    # dtype=object: see cell_partials — an empty
+                    # partition's bare [] would materialize float64.
+                    "s": pd.Series(
+                        [
+                            psums[a, b].tolist()
+                            for a, b in zip(mi_nz, j_nz)
+                        ],
+                        dtype="object",
+                    ),
+                    "n": pcnt[mi_nz, j_nz],
+                }
             )
-            .select(
-                (F.col("pos") / dsub).cast("int").alias("m"),
-                F.element_at(
-                    "codes", (F.col("pos") / dsub).cast("int") + 1
-                ).alias("code"),
-                "pos",
-                "x",
+
+        sums = (
+            embeddings.select(vec_col)
+            .mapInPandas(
+                code_partials, "m int, code int, s array<double>, n long"
             )
-            .groupBy("m", "code", "pos")
-            .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
             .collect()
         )
         new = books.copy()
         acc = np.zeros((m_subspaces, n_codes, dsub))
         cnt = np.zeros((m_subspaces, n_codes), dtype="int64")
         for r in sums:
-            acc[r["m"], r["code"], r["pos"] - r["m"] * dsub] = r["s"]
-            cnt[r["m"], r["code"]] = r["n"]
+            acc[r["m"], r["code"]] += np.asarray(r["s"], dtype=np.float64)
+            cnt[r["m"], r["code"]] += r["n"]
         for m in range(m_subspaces):
             for j in range(n_codes):
                 if cnt[m, j] > 0:  # empty codes keep their previous
@@ -1694,6 +1754,11 @@ def _opq_cross_cov(
     dim = m_subspaces * dsub
 
     def part(batches):
+        # Accumulate across every batch in the task and emit ONE
+        # dim^2+1 partial per task — the groupBy that used to reduce
+        # per-batch partials becomes a driver-side sum over
+        # tasks x (dim^2+1) rows, removing the per-iteration shuffle.
+        acc = np.zeros(dim * dim + 1)
         for pdf in batches:
             m = np.stack(
                 pdf[vec_col].apply(
@@ -1717,10 +1782,8 @@ def _opq_cross_cov(
             cov = m.T @ recon  # (dim, dim)
             resid = m - recon @ rotation.T
             err = float((resid * resid).sum())
-            vals = np.append(cov.ravel(), err)
-            yield pd.DataFrame(
-                {"pos": np.arange(dim * dim + 1), "val": vals}
-            )
+            acc += np.append(cov.ravel(), err)
+        yield pd.DataFrame({"pos": np.arange(dim * dim + 1), "val": acc})
 
     rows = (
         df.select(vec_col)
