@@ -1018,18 +1018,31 @@ class CandleStore:
         # resample writes on (shared bucket_expr) — a divergent grid
         # would make the semi-join silently drop buckets.
         bucket = bucket_expr(target_length_s, anchor_s)
-        touched = (
-            b.select("market", "code", bucket.alias("__bucket"))
-            .distinct()
-        )
+        # ONE pass over the batch collects the span, the granularity
+        # bounds AND the touched-bucket set (bounded by the batch's
+        # distinct (series, bucket) keys — the same cardinality the
+        # broadcast semi-join below carries either way); computing the
+        # bucket set as a separate distinct would re-evaluate the batch
+        # in its own broadcast-build job.
         span = b.agg(
             F.min("ts").alias("lo"),
             F.max("ts").alias("hi"),
             F.min("candle_length").alias("len_lo"),
             F.max("candle_length").alias("len_hi"),
+            F.collect_set(
+                F.struct("market", "code", bucket.alias("__bucket"))
+            ).alias("buckets"),
         ).collect()[0]
         if span["lo"] is None:
             return
+        touched = tiny_df(
+            self.spark,
+            [
+                (r["market"], r["code"], r["__bucket"])
+                for r in span["buckets"]
+            ],
+            "market string, code string, __bucket timestamp",
+        )
         if (
             span["len_lo"] != source_length_s
             or span["len_hi"] != source_length_s

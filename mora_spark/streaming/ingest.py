@@ -307,13 +307,12 @@ def stream_store_merge(
             "volume",
             "bit_fields",
         )
-        cached = bool(rollup_lengths) or batch_stats is not None
-        if cached:
-            # The merge action plus each length's span-collect and
-            # touched-bucket broadcast (and the stats count) would
-            # otherwise re-evaluate the uncached micro-batch projection
-            # once per job.
-            candles = candles.persist()
+        # The merge alone is TWO actions over the batch (the touched-
+        # partition collect inside CandleStore.write, then the staging
+        # write), and each rollup length adds its span/bucket collect —
+        # uncached, every one re-evaluates the micro-batch projection
+        # from the state store. Always persist for the batch's lifetime.
+        candles = candles.persist()
         try:
             n = candles.count() if batch_stats is not None else None
             t0 = _time.time()
@@ -331,8 +330,7 @@ def stream_store_merge(
                     }
                 )
         finally:
-            if cached:
-                candles.unpersist()
+            candles.unpersist()
 
     with _state_partitions(spark, 8):
         q = (
