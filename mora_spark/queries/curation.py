@@ -123,15 +123,25 @@ def q_decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir).select("doc_id", "text")
     bench = d.where(F.col("doc_id") % 20 == 0)
     train = d.where(F.col("doc_id") % 20 != 0)
-    b_bands, b_groups = build_minhash_index(bench)
+    # dedup_increment BROADCASTS its batch side (bands and token-set
+    # groups) into the band join and the verification — sized for a
+    # crawl increment, not a corpus. Passing train (95% of the docs)
+    # as the batch built that broadcast from the big side (a measured
+    # 3.5 s single-task build at sf0.1, and a cliff at scale). The
+    # LSH candidate condition, the size-ratio prefilter and the exact
+    # Jaccard are all symmetric in the pair, so the roles swap freely:
+    # bench (5%) is the broadcast batch, train is the streamed index
+    # side, and the train-doc aggregation reads the pair's dup_id
+    # column instead. Same pair set, same output (oracle-checked).
+    t_bands, t_groups = build_minhash_index(train)
     pairs = dedup_increment(
-        train, b_bands, b_groups,
+        bench, t_bands, t_groups,
         threshold=DECON_FUZZY_T, include_intra=False,
     )
-    agg = pairs.groupBy("doc_id").agg(
-        F.count_distinct("dup_id").alias("n_bench_matches"),
+    agg = pairs.groupBy("dup_id").agg(
+        F.count_distinct("doc_id").alias("n_bench_matches"),
         F.round(F.max("jaccard"), 6).alias("max_jaccard"),
-    )
+    ).withColumnRenamed("dup_id", "doc_id")
     return train.select("doc_id").join(agg, "doc_id", "left").select(
         "doc_id",
         F.col("n_bench_matches").isNotNull().alias("contaminated"),

@@ -131,6 +131,7 @@ def main() -> None:
                 "tasks": s.get("numCompleteTasks"),
                 "run_ms": s.get("executorRunTime"),
                 "cpu_ms": (s.get("executorCpuTime") or 0) // 1_000_000,
+                "gc_ms": s.get("jvmGcTime"),
                 "sched_ms": s.get("schedulerDelay", None),
                 "input_mb": round((s.get("inputBytes") or 0) / 1e6, 1),
                 "shuf_r_mb": round(
@@ -182,18 +183,19 @@ def main() -> None:
         if s["stageId"] not in new_stage_ids:
             continue
         nm = s.get("name", "")[:90]
-        a = agg.setdefault(nm, [0, 0.0, 0.0])
+        a = agg.setdefault(nm, [0, 0.0, 0.0, 0.0])
         a[0] += 1
         a[1] += (s.get("executorRunTime") or 0) / 1e3
         a[2] += (s.get("executorCpuTime") or 0) / 1e9
-    for nm, (n, run, cpu) in sorted(
+        a[3] += (s.get("jvmGcTime") or 0) / 1e3
+    for nm, (n, run, cpu, gc) in sorted(
         agg.items(), key=lambda kv: -kv[1][1]
     )[:25]:
         print(
             "STAGE",
             json.dumps(
                 {"n": n, "run_s": round(run, 2), "cpu_s": round(cpu, 2),
-                 "name": nm}
+                 "gc_s": round(gc, 2), "name": nm}
             ),
         )
     print(
