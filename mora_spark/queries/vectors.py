@@ -376,7 +376,13 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mora_spark.llm.simsearch import pq_topk, train_pq_codebooks
 
     e = _planted_pq(_emb(spark, sf_dir))
-    books = train_pq_codebooks(e.where(F.col("vec_id") >= N_QUERIES))
+    # Training re-scans the corpus 4x (seed job + 3 Lloyd's passes);
+    # uncached, each pass replays the parquet read + double cast +
+    # plant union (the _pinned rationale). The pin is train-scoped: the
+    # search plan returned below executes after unpersist and simply
+    # recomputes the frame for its two scans.
+    with _pinned(e) as ep:
+        books = train_pq_codebooks(ep.where(F.col("vec_id") >= N_QUERIES))
     return pq_topk(
         e,
         books,
@@ -673,9 +679,15 @@ def q_ann_opq(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mora_spark.llm.simsearch import opq_topk, train_opq
 
     e = _planted_pq(_emb(spark, sf_dir))
-    rotation, books, _ = train_opq(
-        e.where(F.col("vec_id") >= N_QUERIES), n_iter=2
-    )
+    # The heaviest trainer on the ladder: 2 OPQ iterations x (seed sort
+    # + PQ pass + cross-covariance pass) = 6 full corpus scans, each
+    # previously replaying the parquet read + plant union (the _pinned
+    # rationale). Train-scoped pin; the returned search plan recomputes
+    # the frame after unpersist.
+    with _pinned(e) as ep:
+        rotation, books, _ = train_opq(
+            ep.where(F.col("vec_id") >= N_QUERIES), n_iter=2
+        )
     return opq_topk(
         e,
         rotation,
