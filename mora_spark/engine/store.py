@@ -593,6 +593,25 @@ class CandleStore:
         re-reading the version file entries_at would parse again)."""
         return [e for p in pointers for e in self._log.load_page(p)]
 
+    #: Explicit schema for manifest-listed reads: the file columns
+    #: (CANDLE_SCHEMA minus the partition columns, which partitionBy
+    #: removes from the files) followed by the partition columns in
+    #: layout order — exactly what partition-aware inference would
+    #: reconstruct, supplied up front so every manifest-pruned read
+    #: skips the footer-sniffing inference job (the r17 profile of the
+    #: streaming rollup line counted 16 such "parquet" jobs, one per
+    #: store read; every consumer selects columns by name, so only the
+    #: name/type set matters).
+    _READ_SCHEMA = T.StructType(
+        [f for f in CANDLE_SCHEMA.fields if f.name not in CANDLE_PARTITIONS]
+        + [
+            T.StructField("market", T.StringType(), True),
+            T.StructField("candle_length", T.IntegerType(), True),
+            T.StructField("code", T.StringType(), True),
+            T.StructField("year", T.IntegerType(), True),
+        ]
+    )
+
     def _read_files(self, entries: list[dict]) -> DataFrame:
         if not entries:
             schema = T.StructType(
@@ -601,10 +620,11 @@ class CandleStore:
             )
             return tiny_df(self.spark, [], schema)
         paths = [os.path.join(self.data_dir, e["path"]) for e in entries]
-        # basePath keeps Hive partition-column inference over an
+        # basePath keeps Hive partition-column parsing over an
         # explicit (manifest-pruned) file list.
         return (
-            self.spark.read.option("basePath", self.data_dir)
+            self.spark.read.schema(self._READ_SCHEMA)
+            .option("basePath", self.data_dir)
             .parquet(*paths)
         )
 
@@ -677,7 +697,12 @@ class CandleStore:
         self._fs.rmtree(staging)
         return entries
 
-    def write(self, df: DataFrame, mode: str = "merge") -> None:
+    def write(
+        self,
+        df: DataFrame,
+        mode: str = "merge",
+        touched_partitions: set[tuple[str, ...]] | None = None,
+    ) -> None:
         """Upsert (``merge``) or blind-append (``append``) a batch.
 
         merge: for every (market, candle_length, code, year) partition
@@ -732,8 +757,12 @@ class CandleStore:
 
         # Partition tuple count is bounded (series x years), so the
         # collect and the driver-side manifest pruning stay small even
-        # for huge row counts.
-        touched = {
+        # for huge row counts. A caller that already KNOWS the touched
+        # set (derive_rollup: the bucket grid it collected to build the
+        # semi-join) passes it in and skips this evaluation — for a
+        # derived batch the distinct here would replay the whole
+        # read-back + resample chain just to rediscover the same keys.
+        touched = touched_partitions or {
             tuple(str(v) for v in r)
             for r in batch.select(*CANDLE_PARTITIONS).distinct().collect()
         }
@@ -1063,7 +1092,29 @@ class CandleStore:
         affected = src.join(
             F.broadcast(touched), ["market", "code", "__bucket"]
         ).drop("__bucket")
-        self.write(resample(affected, target_length_s, anchor_s=anchor_s))
+        # The rollup batch's partition set is fully determined by the
+        # touched-bucket grid collected above: every touched (market,
+        # code, bucket) has >= 1 source row in the read-back span (its
+        # own just-written batch rows at minimum), so resample emits
+        # rows for exactly these keys -> partitions (market,
+        # target_length, code, year(bucket)). Deriving them from the
+        # TINY bucket table (one single-slice job; F.year keeps the
+        # session-tz semantics of _normalize's year column) lets
+        # write() skip its distinct-collect, which would re-evaluate
+        # the whole read-back + resample chain once more per
+        # micro-batch just to rediscover the same keys.
+        parts = {
+            (r["market"], str(target_length_s), r["code"], str(r["y"]))
+            for r in touched.select(
+                "market", "code", F.year("__bucket").alias("y")
+            )
+            .distinct()
+            .collect()
+        }
+        self.write(
+            resample(affected, target_length_s, anchor_s=anchor_s),
+            touched_partitions=parts,
+        )
 
     # -- read path ---------------------------------------------------
 

@@ -828,6 +828,49 @@ def test_derive_rollup_untouched_partitions_not_rewritten(spark, store):
     assert old and old <= new
 
 
+def test_derive_rollup_precomputed_partitions_cross_year(spark, store):
+    """derive_rollup hands write() a driver-derived touched-partition
+    set (r17: skipping the distinct-collect that re-evaluated the whole
+    read-back + resample chain). The set must match what the collect
+    would have computed — partition year comes from the BUCKET ts, and
+    a batch straddling a year boundary must touch both year partitions,
+    or the merge leaves stale pointers next to the new pages
+    (duplicate rows on read)."""
+    from mora_spark.operators.resample import resample
+
+    base = dt.datetime(2024, 12, 31, 23, 57)
+    b = mk(spark, [
+        ("BTC", base + dt.timedelta(minutes=i), 100.0 + i)
+        for i in range(6)  # 23:57..00:02 -> buckets 23:55, 00:00
+    ])
+    store.write(b)
+    store.derive_rollup(b, 300)
+    # Re-derive from a restated batch: the same two partitions must be
+    # REPLACED (not duplicated), so the merge's touched set must name
+    # both years.
+    b2 = mk(spark, [
+        ("BTC", base + dt.timedelta(minutes=i), 500.0 + i)
+        for i in range(6)
+    ])
+    store.write(b2)
+    store.derive_rollup(b2, 300)
+    got = {
+        (r["ts"], r["code"]): (r["open"], r["volume"])
+        for r in store.read(candle_length=300).collect()
+    }
+    want = {
+        (r["ts"], r["code"]): (r["open"], r["volume"])
+        for r in resample(store.read(candle_length=60), 300).collect()
+    }
+    assert got == want
+    years = {
+        e["partition"]["year"]
+        for e in store._log.entries_at(store._log.current()[0])
+        if e["partition"]["candle_length"] == "300"
+    }
+    assert years == {"2024", "2025"}
+
+
 def test_write_page_overwrites_on_append_retry(tmp_path):
     """The append retry loop reuses (txn, k) after a lost commit race,
     so write_page must OVERWRITE an existing page file (fs.replace) —
