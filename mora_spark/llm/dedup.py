@@ -343,9 +343,12 @@ def _minhash_groups_verified(
 ) -> tuple[DataFrame, DataFrame]:
     """Shared MinHash-LSH core: returns (groups, verified) where
     ``groups`` is the unique-token-set table (gid, members, ti, n) and
-    ``verified`` the exact-Jaccard-verified GROUP pairs (gid_a, gid_b,
-    m_a, m_b, jaccard). ``minhash_lsh_pairs`` expands these to doc
-    pairs; ``neardup_clusters`` contracts them into components.
+    ``verified`` the exact-Jaccard-verified GROUP pairs (m_a, m_b,
+    jaccard) — member lists + exact score only; the join-key gids are
+    projected away before the frame persists (no consumer reads them,
+    and the dense pair graph makes every byte per row a cache-read
+    cost). ``minhash_lsh_pairs`` expands these to doc pairs;
+    ``neardup_clusters`` contracts them into components.
 
     With ``cache_key`` (an identity for ``df``, e.g. its source path)
     the cascade is computed once per key at ``min(threshold, 0.5)`` and
@@ -440,13 +443,16 @@ def _minhash_groups_verified(
             F.col("isect") / (F.col("n_a") + F.col("n_b") - F.col("isect")),
         )
         .where(F.col("jaccard") >= base_t)
-        # Project the token arrays away BEFORE anything persists or
-        # re-reads this frame: every consumer (pair expansion, cluster
-        # contraction, threshold refilters) needs only the group ids,
-        # members and the exact jaccard. Carrying ti_a/ti_b made the
-        # cached pair table ~1.5 GB at sf0.1 (r17 profile: a 0-CPU
-        # 7.9 s stage just re-reading it), ~30x the projected width.
-        .select("gid_a", "gid_b", "m_a", "m_b", "jaccard")
+        # Project the token arrays AND the md5 gid strings away BEFORE
+        # anything persists or re-reads this frame: every consumer
+        # (pair expansion, cluster contraction, threshold refilters)
+        # needs only members and the exact jaccard. Carrying ti_a/ti_b
+        # made the cached pair table ~1.5 GB at sf0.1 (r17 profile: a
+        # 0-CPU 7.9 s stage just re-reading it), ~30x the projected
+        # width; the two 32-char gids were another ~2x on the survivor
+        # rows (the dense 0.5-threshold pair graph re-reads this cache
+        # in q_minhash_lsh/q_dedup_clusters/q_corpus_curation).
+        .select("m_a", "m_b", "jaccard")
     )
     if cache_key is not None:
         verified = verified.persist()
@@ -862,17 +868,51 @@ def load_minhash_family(path: str) -> tuple[int, int]:
     return (int(d["band_size"]), int(d["n_bands"]))
 
 
-def load_minhash_index(spark, path: str) -> tuple[DataFrame, DataFrame]:
+#: Fixed schemas of the STREAMING sinks' ``batch_id=``-partitioned
+#: index layout (long doc ids — the DOC_STREAM_SCHEMA contract).
+#: Supplying them to :func:`load_minhash_index` skips the
+#: footer-sniffing schema-inference job a bare ``spark.read.parquet``
+#: pays — the sinks load their own index once per MICRO-BATCH, so the
+#: per-load job is a per-batch driver tax (the store's _READ_SCHEMA
+#: discipline, guide §6). Only for layouts the caller OWNS: a foreign
+#: index (sharded save, other id types) must keep inference.
+STREAM_BANDS_SCHEMA = (
+    "gid string, bks array<string>, band int, band_key string, "
+    "batch_id int"
+)
+STREAM_GROUPS_SCHEMA = (
+    "gid string, members array<bigint>, ti array<bigint>, n int, "
+    "batch_id int"
+)
+
+
+def load_minhash_index(
+    spark,
+    path: str,
+    bands_schema=None,
+    groups_schema=None,
+) -> tuple[DataFrame, DataFrame]:
     """Load an index written by :func:`save_minhash_index` (sharded) or
     appended as plain parquet (the streaming sink): partition discovery
     surfaces ``shard``/``gshard`` only when the layout has them, and
     :func:`dedup_increment` prunes only when they are there. The
     banding family is NOT a column — fetch it with
     :func:`load_minhash_family` and pass it to
-    :func:`dedup_increment` as ``index_family``."""
+    :func:`dedup_increment` as ``index_family``.
+
+    ``bands_schema``/``groups_schema``: explicit schemas for a layout
+    the caller owns (the streaming sinks pass the STREAM_* constants),
+    skipping the per-load schema-inference job; None keeps inference
+    (required for foreign layouts)."""
+    bands = spark.read
+    if bands_schema is not None:
+        bands = bands.schema(bands_schema)
+    groups = spark.read
+    if groups_schema is not None:
+        groups = groups.schema(groups_schema)
     return (
-        spark.read.parquet(f"{path}/bands"),
-        spark.read.parquet(f"{path}/groups"),
+        bands.parquet(f"{path}/bands"),
+        groups.parquet(f"{path}/groups"),
     )
 
 
