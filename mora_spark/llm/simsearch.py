@@ -774,9 +774,12 @@ def save_ivf_index(
         [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
         "cell int, centroid array<double>",
     ).write.mode("overwrite").parquet(f"{path}/centroids")
-    assigned.write.partitionBy("cell").mode("overwrite").parquet(
-        f"{path}/cells"
-    )
+    # One file per cell (see save_ivfpq_index): the shuffle keyed on
+    # the partition column replaces an n_tasks x n_cells file spray
+    # with the compacted layout the probe reads.
+    assigned.repartition(len(cents), "cell").write.partitionBy(
+        "cell"
+    ).mode("overwrite").parquet(f"{path}/cells")
 
 
 def load_ivf_index(spark, path: str) -> tuple[np.ndarray, DataFrame]:
@@ -885,10 +888,9 @@ def ivf_index_compact(
     cents, assigned, stats = _compact_core(
         assigned, cents, retrain_imbalance, train_iters, vec_col
     )
-    # One shuffle keyed by cell -> each cell's rows land in exactly one
-    # task -> exactly one file per cell directory, whatever the number
-    # of increments being folded in.
-    save_ivf_index(cents, assigned.repartition(len(cents), "cell"), dest)
+    # save_ivf_index owns the one-file-per-cell shuffle (r17: the base
+    # build writes the compacted layout too).
+    save_ivf_index(cents, assigned, dest)
     return stats
 
 
@@ -1293,6 +1295,44 @@ def _pq_encoder(books: np.ndarray):
     return codes_of
 
 
+def _assign_encoder(cents: np.ndarray, books: np.ndarray):
+    """Fused IVF cell assignment + PQ encoding under fixed models: one
+    Arrow batch in, one (cell, pq_code) struct column out. Exactly
+    `_cell_assigner(cents)` and `_pq_encoder(books)` composed — the
+    same normalized-argmax and per-subspace argmin-distance math — but
+    the float corpus crosses the Python boundary ONCE instead of once
+    per model (the IVFPQ build's encode+write pass)."""
+    m_subspaces, n_codes, dsub = books.shape
+
+    @pandas_udf(
+        T.StructType(
+            [
+                T.StructField("cell", T.IntegerType()),
+                T.StructField("pq_code", T.ArrayType(T.IntegerType())),
+            ]
+        )
+    )
+    def assign_encode(vs: pd.Series) -> pd.DataFrame:
+        mat = np.stack(vs.apply(lambda v: np.asarray(v, dtype=np.float64)))
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        cell = np.argmax((mat / norms) @ cents.T, axis=1).astype("int32")
+        sub = mat.reshape(len(mat), m_subspaces, dsub)
+        out = np.empty((len(mat), m_subspaces), dtype="int32")
+        for m in range(m_subspaces):
+            x = sub[:, m, :]
+            c = books[m]
+            d = (
+                (x * x).sum(axis=1, keepdims=True)
+                - 2.0 * (x @ c.T)
+                + (c * c).sum(axis=1)
+            )
+            out[:, m] = np.argmin(d, axis=1)
+        return pd.DataFrame({"cell": cell, "pq_code": list(out)})
+
+    return assign_encode
+
+
 def pq_encode(
     df: DataFrame, books: np.ndarray, vec_col: str = "embedding"
 ) -> DataFrame:
@@ -1446,7 +1486,7 @@ def build_ivfpq_index(
     models train with the deterministic seeded discipline of their
     standalone builders; the corpus pass appends ``cell`` and
     ``pq_code`` in one Arrow-batched projection each."""
-    cents, assigned = build_ivf_index(
+    cents, _ = build_ivf_index(
         embeddings, n_cells=n_cells, train_iters=train_iters,
         dim=dim, vec_col=vec_col,
     )
@@ -1454,7 +1494,21 @@ def build_ivfpq_index(
         embeddings, m_subspaces=m_subspaces, n_codes=n_codes,
         dim=dim, vec_col=vec_col,
     )
-    return cents, books, pq_encode(assigned, books, vec_col)
+    # Fuse cell assignment + PQ encoding into ONE Arrow pass: composed
+    # `_cell_assigner(...)` + `_pq_encoder(...)` columns each ship the
+    # full float corpus JVM->Python->JVM separately (two ArrowEvalPython
+    # nodes — r17 profile: the encode+write job dominated the IVFPQ
+    # build lines). Same math, same columns, half the boundary traffic
+    # (guide §4.1: you control how many times the bytes cross).
+    ae = _assign_encoder(cents, books)
+    both = embeddings.withColumn("__ae", ae(F.col(vec_col)))
+    return (
+        cents,
+        books,
+        both.withColumn("cell", F.col("__ae.cell"))
+        .withColumn("pq_code", F.col("__ae.pq_code"))
+        .drop("__ae"),
+    )
 
 
 def save_ivfpq_index(
@@ -1489,9 +1543,19 @@ def save_ivfpq_index(
         ],
         "m int, code int, centroid array<double>",
     ).write.mode("overwrite").parquet(f"{path}/codebooks")
-    assigned.write.partitionBy("cell").mode("overwrite").parquet(
-        f"{path}/cells/add_id=0"
-    )
+    # Cluster the layout write by cell: a bare partitionBy from an
+    # n-task frame sprays up to n files into EVERY cell directory
+    # (32 x 16 at the bench build — guide §6 small-files), while one
+    # shuffle keyed on the partition column lands one file per cell —
+    # the exact layout ivfpq_index_compact's maintenance pass exists
+    # to restore. Encoding stays scan-parallel (the fused UDF runs
+    # map-side, before the exchange). Cell row counts are bounded by
+    # the derive_ivf_cells sizing (~4·sqrt(n) cells → ~sqrt(n)/4 rows
+    # per cell), so one task per cell holds at scale; pair with
+    # maxRecordsPerFile if a skewed cell ever outgrows a file.
+    assigned.repartition(len(cents), "cell").write.partitionBy(
+        "cell"
+    ).mode("overwrite").parquet(f"{path}/cells/add_id=0")
 
 
 def load_ivfpq_index(
@@ -1695,9 +1759,14 @@ def ivfpq_index_add(
     batch = new_vectors.select(*data_cols).withColumn(
         vec_col, F.col(vec_col).cast(f"array<{elem}>")
     )
+    # Fused assign+encode (see build_ivfpq_index): the batch's floats
+    # cross the Python boundary once, not once per model.
+    ae = _assign_encoder(cents, books)
     (
-        pq_encode(batch, books, vec_col)
-        .withColumn("cell", _cell_assigner(cents)(F.col(vec_col)))
+        batch.withColumn("__ae", ae(F.col(vec_col)))
+        .withColumn("pq_code", F.col("__ae.pq_code"))
+        .withColumn("cell", F.col("__ae.cell"))
+        .drop("__ae")
         .write.partitionBy("cell")
         .mode("overwrite")
         .parquet(f"{path}/cells/add_id={add_id}")
@@ -1886,7 +1955,7 @@ def ivfpq_index_compact(
     cents, cells, stats = _compact_core(
         cells, cents, retrain_imbalance, train_iters, vec_col
     )
-    save_ivfpq_index(
-        cents, books, cells.repartition(len(cents), "cell"), dest
-    )
+    # save_ivfpq_index owns the one-file-per-cell shuffle (r17: the
+    # base build writes the compacted layout too).
+    save_ivfpq_index(cents, books, cells, dest)
     return stats
