@@ -108,6 +108,8 @@ def stream_dedup_increment(
     subdirs under one parquet root breaks partition discovery.
     """
     from mora_spark.llm.dedup import (
+        STREAM_BANDS_SCHEMA,
+        STREAM_GROUPS_SCHEMA,
         build_minhash_index,
         dedup_increment,
         load_minhash_family,
@@ -159,8 +161,8 @@ def stream_dedup_increment(
     def sink(batch: DataFrame, batch_id: int) -> None:
         batch = batch.select("doc_id", "text")
         # One tokenization of the batch for every index join, the
-        # within-batch self-join, and the kept-set rebuild; the persist
-        # lifetime is OWNED HERE (unpersisted after the checkpoint) so
+        # within-batch self-join, and the kept index derivation; the
+        # persist lifetime is OWNED HERE (unpersisted after the writes) so
         # cached blocks do not accumulate across micro-batches.
         bands_b, groups_b = build_minhash_index(batch, band_size=family[0], n_bands=family[1])
         groups_b.persist()
@@ -179,7 +181,27 @@ def stream_dedup_increment(
                     )
                 )
             if os.path.isdir(os.path.join(index_path, "groups")):
-                bands, groups = load_minhash_index(spark, index_path)
+                # Supply the fixed sink-owned schema when the layout IS
+                # the sink's (every partition dir is batch_id=...) —
+                # skipping the per-micro-batch schema-inference job; a
+                # FOREIGN pre-existing index at index_path (sharded
+                # save, other id types) keeps inference. The listdir
+                # gate matches the local-dir assumption the isdir
+                # check above already makes.
+                own_layout = all(
+                    n.startswith("batch_id=") or n.startswith("_")
+                    for n in os.listdir(os.path.join(index_path, "groups"))
+                )
+                bands, groups = load_minhash_index(
+                    spark,
+                    index_path,
+                    bands_schema=(
+                        STREAM_BANDS_SCHEMA if own_layout else None
+                    ),
+                    groups_schema=(
+                        STREAM_GROUPS_SCHEMA if own_layout else None
+                    ),
+                )
                 # The subdir layout doubles as a snapshot filter: a
                 # replayed batch must dedup against the index AS OF the
                 # batches before it — without this, a crash after step
@@ -216,18 +238,31 @@ def stream_dedup_increment(
             # sink and the kept-set anti-join without re-evaluating the
             # dedup plan (or re-reading the pair dir).
             pairs = pairs.localCheckpoint(eager=True)
-        finally:
-            groups_b.unpersist()
-        # kept feeds both index writes; uncached, the groups write
-        # would replay the batch scan + anti-join + tokenization a
-        # second time. One cache bounds it to a single evaluation.
-        kept = batch.join(
-            pairs.select("doc_id").distinct(), "doc_id", "left_anti"
-        ).persist()
-        try:
-            b, g = build_minhash_index(
-                kept, band_size=family[0], n_bands=family[1]
+            # The kept index tables derive from the BATCH tables
+            # already computed (groups_b is persisted): drop the dup
+            # ids from the member lists and semi-join the band rows —
+            # a rebuild from the kept anti-join would re-run the batch
+            # scan + tokenization + grouping a second time per
+            # micro-batch (guide §2.4). Exact equivalence with
+            # build_minhash_index(kept): gids/ti depend only on the
+            # token set, members re-collect to the sorted kept subset,
+            # groups left with no kept member drop out of the inner
+            # join — identical rows to a rebuild.
+            dropped = pairs.select("doc_id").distinct()
+            m = (
+                groups_b.select("gid", F.explode("members").alias("doc_id"))
+                .join(dropped, "doc_id", "left_anti")
+                .groupBy("gid")
+                .agg(
+                    F.sort_array(F.collect_list("doc_id")).alias("members")
+                )
             )
+            g = (
+                groups_b.select("gid", "ti", "n")
+                .join(m, "gid")
+                .select("gid", "members", "ti", "n")
+            )
+            b = bands_b.join(g.select("gid"), "gid", "left_semi")
             # One file per batch at fixture scale; a production stream
             # would instead target the store's compaction cadence (many
             # small appends, periodic rewrite — see CandleStore.compact).
@@ -255,7 +290,7 @@ def stream_dedup_increment(
                 ),
             )
         finally:
-            kept.unpersist()
+            groups_b.unpersist()
 
     stream = (
         spark.readStream.schema(DOC_STREAM_SCHEMA)

@@ -90,6 +90,8 @@ def stream_curate_jsonl(
     by an earlier derived-family epoch would have had correct
     metadata silently replaced)."""
     from mora_spark.llm.dedup import (
+        STREAM_BANDS_SCHEMA,
+        STREAM_GROUPS_SCHEMA,
         build_minhash_index,
         dedup_increment,
         load_minhash_family,
@@ -176,7 +178,15 @@ def stream_curate_jsonl(
                         )
                     )
                 if os.path.isdir(os.path.join(index_path, "groups")):
-                    bands, groups = load_minhash_index(spark, index_path)
+                    # Sink-owned layout with a FIXED schema: supplying
+                    # it skips the per-micro-batch schema-inference job
+                    # a bare read pays (see STREAM_*_SCHEMA).
+                    bands, groups = load_minhash_index(
+                        spark,
+                        index_path,
+                        bands_schema=STREAM_BANDS_SCHEMA,
+                        groups_schema=STREAM_GROUPS_SCHEMA,
+                    )
                     # Snapshot filter: a replayed batch dedups against
                     # the index AS OF the batches before it (see
                     # increment.py).
@@ -197,24 +207,42 @@ def stream_curate_jsonl(
                     dropped = dropped.unionByName(p.select("doc_id"))
                 # Materialized against the PRE-append index: replay-safe.
                 dropped = dropped.distinct().localCheckpoint(eager=True)
-            finally:
-                groups_b.unpersist()
-            # kept feeds THREE writes (curated, index bands, index
-            # groups); uncached, each one would replay the JSONL scan +
-            # gates + anti-join — and the two index writes would
-            # re-tokenize the batch a second and third time. One cache
-            # bounds that to a single evaluation per micro-batch (guide
-            # §2.3/§5: don't recompute what three consumers share).
-            kept = good.join(dropped, "doc_id", "left_anti").persist()
-            try:
-                b, g = build_minhash_index(
-                    kept, band_size=family[0], n_bands=family[1]
+                # The kept index tables derive from the BATCH tables
+                # already computed (groups_b is persisted): drop the
+                # dropped ids from the member lists and semi-join the
+                # band rows — a rebuild from `kept` would re-tokenize
+                # and re-group the batch a second time per micro-batch
+                # (guide §2.4). Exact equivalence with
+                # build_minhash_index(kept): gids/ti depend only on the
+                # token set (kept ⊆ good shares them verbatim), members
+                # re-collect to the sorted kept subset, and groups left
+                # with no kept member drop out of the inner join — the
+                # identical rows a rebuild would produce.
+                m = (
+                    groups_b.select(
+                        "gid", F.explode("members").alias("doc_id")
+                    )
+                    .join(dropped, "doc_id", "left_anti")
+                    .groupBy("gid")
+                    .agg(
+                        F.sort_array(F.collect_list("doc_id")).alias(
+                            "members"
+                        )
+                    )
                 )
-                # The three writes are independent (distinct dirs, all
-                # derived from the one persisted frame): overlapping
-                # them hides the per-action driver latency (planning,
-                # py4j, commit) that dominates these small batches
-                # (guide §2.6).
+                g = (
+                    groups_b.select("gid", "ti", "n")
+                    .join(m, "gid")
+                    .select("gid", "members", "ti", "n")
+                )
+                b = bands_b.join(g.select("gid"), "gid", "left_semi")
+                kept = good.join(dropped, "doc_id", "left_anti")
+                # The three writes are independent (distinct dirs; the
+                # index pair reads the persisted groups_b, the curated
+                # write re-runs the scan+gate once): overlapping them
+                # hides the per-action driver latency (planning, py4j,
+                # commit) that dominates these small batches (guide
+                # §2.6).
                 run_concurrent(
                     lambda: shard(kept)
                     .write.mode("overwrite")
@@ -237,7 +265,7 @@ def stream_curate_jsonl(
                     ),
                 )
             finally:
-                kept.unpersist()
+                groups_b.unpersist()
 
         # The quarantine write shares nothing with the curation chain
         # (disjoint rows, its own directory) — run it alongside.
