@@ -803,23 +803,20 @@ def q_stream_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mora_spark.queries.relational import psi_between, value_shares
     from mora_spark.streaming.ingest import _state_partitions
 
+    from mora_spark.streaming.chunked import chunked_replay_source
+
     work = _work("stream_drift", sf_dir)
     e = load_table(spark, sf_dir, "events")
-    src = os.path.join(work, "src")
-    os.makedirs(src)
     n = _DRIFT_STREAM_BATCHES
     # Batch k = events with event_id % n == k; mtimes define replay
     # order (maxFilesPerTrigger=1 -> deterministic batch membership).
-    for k in range(n):
-        tmp = os.path.join(work, f"_chunk_{k}")
-        e.where(F.col("event_id") % n == k).coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(tmp)
-        part = next(p for p in os.listdir(tmp) if p.endswith(".parquet"))
-        dst = os.path.join(src, f"chunk-{k}.parquet")
-        os.replace(os.path.join(tmp, part), dst)
-        shutil.rmtree(tmp, ignore_errors=True)
-        os.utime(dst, (1_600_000_000 + k,) * 2)
+    # The shared helper writes all n chunks in ONE pass over events
+    # (previously one filtered scan + write per chunk — guide §2.4);
+    # batch membership and replay order are unchanged, and the PSI
+    # aggregation is row-order-insensitive within a batch.
+    src = chunked_replay_source(
+        spark, e, os.path.join(work, "src"), n, f"event_id % {n}"
+    )
     ref = value_shares(e).persist()
     ref.count()
     out = os.path.join(work, "psi")
@@ -918,29 +915,55 @@ _PIPE_BATCHES = 4
 _PIPE_T = 0.8
 
 
+def _jsonl_shards(
+    df: DataFrame, src: str, n: int, shard_expr: str
+) -> None:
+    """Write ``df`` as ``n`` single-file JSONL shards (shard k = rows
+    where ``shard_expr`` evaluates to k) named ``shard-<k>.json`` with
+    mtimes ``1_600_000_000 + 2k`` — the replay order, with a GAP at
+    every odd offset so a planted-bad shard can be inserted mid-stream.
+
+    ONE pass over ``df`` (previously one filtered scan + single-file
+    JSON write per shard — n full scans; guide §2.4): hash-repartition
+    on the shard value puts each shard in exactly one task, partitionBy
+    splits per shard directory (one file each). Shard MEMBERSHIP is
+    identical to the per-k filters; row order within a file is pinned
+    by doc_id for reproducible bytes (the pipeline's kept set is
+    id-greedy, never file-order-dependent)."""
+    staged = src + ".build"
+    shutil.rmtree(staged, ignore_errors=True)
+    (
+        df.withColumn("__shard", F.expr(shard_expr))
+        .repartition(n, "__shard")
+        .sortWithinPartitions("__shard", "doc_id")
+        .write.mode("overwrite")
+        .partitionBy("__shard")
+        .json(staged)
+    )
+    os.makedirs(src, exist_ok=True)
+    for k in range(n):
+        part_dir = os.path.join(staged, f"__shard={k}")
+        part = next(
+            p for p in os.listdir(part_dir) if p.endswith(".json")
+        )
+        dst = os.path.join(src, f"shard-{k}.json")
+        os.replace(os.path.join(part_dir, part), dst)
+        os.utime(dst, (1_600_000_000 + 2 * k,) * 2)
+    shutil.rmtree(staged, ignore_errors=True)
+
+
 def q_corpus_pipeline_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mora_spark.functions.text import lang_guess, quality_score, tokens
     from mora_spark.llm.curation import pack_sequences
     from mora_spark.queries.curation import PACK_BUDGET
-    from mora_spark.sources.jsonl import write_jsonl
     from mora_spark.streaming.pipeline import stream_curate_jsonl
 
     work = _work("corpus_pipeline", sf_dir)
     docs = load_table(spark, sf_dir, "documents")
     src = os.path.join(work, "src")
-    os.makedirs(src, exist_ok=True)
     # Shard k = docs with doc_id % 4 == k; mtimes define replay order
     # (maxFilesPerTrigger=1 -> one shard per micro-batch).
-    for k in range(_PIPE_BATCHES):
-        tmp = os.path.join(work, f"_shard_{k}")
-        write_jsonl(
-            docs.where(F.col("doc_id") % _PIPE_BATCHES == k), tmp, n_files=1
-        )
-        part = next(n for n in os.listdir(tmp) if n.endswith(".json"))
-        dst = os.path.join(src, f"shard-{k}.json")
-        os.replace(os.path.join(tmp, part), dst)
-        shutil.rmtree(tmp, ignore_errors=True)
-        os.utime(dst, (1_600_000_000 + 2 * k,) * 2)
+    _jsonl_shards(docs, src, _PIPE_BATCHES, f"doc_id % {_PIPE_BATCHES}")
     # The planted-bad shard arrives mid-stream (between shards 1 and
     # 2): both lines must quarantine without killing the job or
     # perturbing the kept set.
@@ -1045,7 +1068,6 @@ def q_corpus_pipeline_seeded(
         load_minhash_family,
         save_minhash_index,
     )
-    from mora_spark.sources.jsonl import write_jsonl
     from mora_spark.streaming.pipeline import stream_curate_jsonl
 
     work = _work("corpus_pipeline_seeded", sf_dir)
@@ -1062,20 +1084,10 @@ def q_corpus_pipeline_seeded(
         n_bands=b,
     )
     src = os.path.join(work, "src")
-    os.makedirs(src, exist_ok=True)
     odd = docs.where(F.col("doc_id") % 2 == 1)
-    for k in range(_SPIPE_BATCHES):
-        tmp = os.path.join(work, f"_shard_{k}")
-        write_jsonl(
-            odd.where(F.expr("doc_id div 2") % _SPIPE_BATCHES == k),
-            tmp,
-            n_files=1,
-        )
-        part = next(n for n in os.listdir(tmp) if n.endswith(".json"))
-        dst = os.path.join(src, f"shard-{k}.json")
-        os.replace(os.path.join(tmp, part), dst)
-        shutil.rmtree(tmp, ignore_errors=True)
-        os.utime(dst, (1_600_000_000 + 2 * k,) * 2)
+    _jsonl_shards(
+        odd, src, _SPIPE_BATCHES, f"(doc_id div 2) % {_SPIPE_BATCHES}"
+    )
     # the planted-bad shard arrives mid-stream, as in the plain row
     bad = os.path.join(src, "shard-planted-bad.json")
     with open(bad, "w") as f:

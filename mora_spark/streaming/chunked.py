@@ -97,31 +97,57 @@ def chunked_replay_source(
     build = out_dir + ".build"
     shutil.rmtree(build, ignore_errors=True)
     os.makedirs(build)
+    assert "__chunk" not in df.columns
     chunk = F.expr(chunk_expr)
-    cov = df.agg(
-        F.count(F.lit(1)).alias("n_all"),
-        F.count(F.when((chunk >= 0) & (chunk < n_chunks), 1)).alias(
-            "n_in"
-        ),
-    ).collect()[0]
-    if cov["n_all"] != cov["n_in"]:
-        raise ValueError(
-            f"chunk_expr {chunk_expr!r} covers {cov['n_in']} of "
-            f"{cov['n_all']} rows for n_chunks={n_chunks} — rows "
-            "outside range(n_chunks) would silently drop from the "
-            "stream"
+    # ONE pass writes every chunk (previously one filtered scan + write
+    # per chunk, plus a coverage-count pass — n_chunks + 1 full scans of
+    # the frame; guide §2.4): hash-repartition on the chunk value puts
+    # each chunk's rows in exactly one task, partitionBy splits that
+    # task's output per chunk directory, so every chunk still lands as
+    # ONE file. The sortWithinPartitions keeps file bytes deterministic
+    # across rebuilds (a bare shuffle's row order is fetch-order
+    # dependent); every in-repo consumer is row-order-insensitive
+    # (set/id-greedy drop rules), but reproducible sources cost one
+    # tiny per-task sort. Coverage is validated from the LAYOUT below —
+    # a row outside range(n_chunks) (or a NULL) produces a directory
+    # the k-parse rejects — replacing the old pre-write count job.
+    staged = os.path.join(build, "staged")
+    (
+        df.withColumn("__chunk", chunk)
+        .repartition(n_chunks, "__chunk")
+        .sortWithinPartitions("__chunk", *df.columns)
+        .write.mode("overwrite")
+        .partitionBy("__chunk")
+        .parquet(staged)
+    )
+    found: dict[int, list[str]] = {}
+    for name in os.listdir(staged):
+        if not name.startswith("__chunk="):
+            continue
+        try:
+            k = int(name.split("=", 1)[1])
+        except ValueError:
+            k = -1
+        if not 0 <= k < n_chunks:
+            raise ValueError(
+                f"chunk_expr {chunk_expr!r} produced value "
+                f"{name.split('=', 1)[1]!r} outside range({n_chunks}) "
+                "— those rows would silently drop from the stream"
+            )
+        found[k] = glob.glob(
+            os.path.join(staged, name, "part-*.parquet")
         )
-    for k in range(n_chunks):
-        (
-            df.where(chunk == k)
-            .coalesce(1)
-            .write.mode("overwrite")
-            .parquet(os.path.join(build, str(k)))
+    missing = [k for k in range(n_chunks) if k not in found]
+    if missing:
+        raise ValueError(
+            f"chunk_expr {chunk_expr!r} produced no rows for chunks "
+            f"{missing} — the stream would replay fewer micro-batches "
+            "than the caller's contract states"
         )
     ready = os.path.join(build, "ready")
     os.makedirs(ready)
     for k in range(n_chunks):
-        part = glob.glob(os.path.join(build, str(k), "part-*.parquet"))[0]
+        (part,) = found[k]  # one task per chunk value ⇒ one file
         path = os.path.join(ready, f"chunk-{k:04d}.parquet")
         os.rename(part, path)
         os.utime(path, (_MTIME_BASE + k, _MTIME_BASE + k))

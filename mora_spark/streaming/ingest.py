@@ -727,27 +727,36 @@ def stream_store_asof(
             "ts",
             "value",
         )
-        span = trades.agg(
-            F.min("ts").alias("lo"), F.max("ts").alias("hi")
-        ).collect()[0]
-        if span["lo"] is None:
-            return
-        codes = [
-            r["code"] for r in trades.select("code").distinct().collect()
-        ]
-        series = store.read(
-            market="SYN",
-            start=span["lo"] - _dt.timedelta(seconds=lookback_s),
-            end=span["hi"] + _dt.timedelta(seconds=1),
-        ).where(F.col("code").isin(codes))
-        enriched = asof_join(
-            trades, series, on=["market", "code"],
-            right_cols=["close", "volume"],
-        ).select("event_id", "code", "ts", "value", "close_asof",
-                 "volume_asof")
-        enriched.write.mode("overwrite").parquet(
-            os.path.join(out, f"batch_id={batch_id}")
-        )
+        # One action computes the ts span AND the code set together
+        # (previously a span collect plus a separate distinct collect —
+        # two full batch evaluations per micro-batch, guide §5.4), and
+        # the batch is persisted so the as-of join's scan below doesn't
+        # re-evaluate it a third time. The code set is bounded by key
+        # cardinality, same as the old distinct collect.
+        trades = trades.persist()
+        try:
+            span = trades.agg(
+                F.min("ts").alias("lo"),
+                F.max("ts").alias("hi"),
+                F.collect_set("code").alias("codes"),
+            ).collect()[0]
+            if span["lo"] is None:
+                return
+            series = store.read(
+                market="SYN",
+                start=span["lo"] - _dt.timedelta(seconds=lookback_s),
+                end=span["hi"] + _dt.timedelta(seconds=1),
+            ).where(F.col("code").isin(sorted(span["codes"])))
+            enriched = asof_join(
+                trades, series, on=["market", "code"],
+                right_cols=["close", "volume"],
+            ).select("event_id", "code", "ts", "value", "close_asof",
+                     "volume_asof")
+            enriched.write.mode("overwrite").parquet(
+                os.path.join(out, f"batch_id={batch_id}")
+            )
+        finally:
+            trades.unpersist()
 
     with _state_partitions(spark, 8):
         q = (

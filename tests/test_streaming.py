@@ -495,3 +495,43 @@ def test_compact_preserves_derived_family(spark, tmp_path):
     # the one compacted index
     assert (20, 1, 1.0) in got
     assert any(d == 21 and p == 10 for d, p, _ in got)
+
+
+def test_chunked_replay_source_one_pass_layout(spark, tmp_path):
+    """The one-pass chunk writer must reproduce the per-k-filter
+    contract exactly: chunk k holds exactly the rows with expr == k,
+    one file per chunk, mtimes strictly increasing in k — and the
+    layout-derived coverage check must refuse out-of-range values and
+    contract-breaking empty chunks loudly."""
+    from mora_spark.streaming.chunked import chunked_replay_source
+
+    df = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(17)], ["doc_id", "text"]
+    )
+    src = chunked_replay_source(
+        spark, df, str(tmp_path / "src"), 4, "doc_id % 4"
+    )
+    files = sorted(glob.glob(os.path.join(src, "chunk-*.parquet")))
+    assert len(files) == 4
+    mtimes = [os.path.getmtime(f) for f in files]
+    assert mtimes == sorted(mtimes) and len(set(mtimes)) == 4
+    for k, f in enumerate(files):
+        got = sorted(
+            r["doc_id"] for r in spark.read.parquet(f).collect()
+        )
+        assert got == [i for i in range(17) if i % 4 == k]
+
+    # rows outside range(n_chunks) must fail, not silently drop
+    with pytest.raises(ValueError, match="outside range"):
+        chunked_replay_source(
+            spark, df, str(tmp_path / "bad"), 4, "doc_id % 5"
+        )
+    # an empty chunk would replay fewer micro-batches than declared
+    with pytest.raises(ValueError, match="no rows for chunks"):
+        chunked_replay_source(
+            spark,
+            df.where("doc_id < 3"),
+            str(tmp_path / "empty"),
+            4,
+            "doc_id % 4",
+        )
