@@ -643,6 +643,16 @@ def main() -> None:
                 "unit": "sec",
                 "n_queries": len(timings),
                 "n_errors": sum(1 for t in timings.values() if t < 0),
+                # The FULL per-query map (docstring contract, and what
+                # the driver's per-query round-over-round diff and the
+                # 8-vs-32-core scaling table parse — both were empty in
+                # PERF_r17 because this line carried only the top-8
+                # `slowest`). ~66 compact entries ≈ 1.7 KB: far inside
+                # the driver's stdout-tail byte budget that motivated
+                # the three-way emit (the round-6 overflow came from
+                # session_runs/heavy_runs/policy strings, not from the
+                # timing map itself). `slowest` stays for human eyes.
+                "queries": timings,
                 "slowest": slowest,
                 "env_probe_multi_s": [
                     full["env_probe"]["before"]["multi_s"],

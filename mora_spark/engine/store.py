@@ -702,6 +702,7 @@ class CandleStore:
         df: DataFrame,
         mode: str = "merge",
         touched_partitions: set[tuple[str, ...]] | None = None,
+        touched_spans: dict[tuple[str, ...], tuple[int, int]] | None = None,
     ) -> None:
         """Upsert (``merge``) or blind-append (``append``) a batch.
 
@@ -762,19 +763,75 @@ class CandleStore:
         # semi-join) passes it in and skips this evaluation — for a
         # derived batch the distinct here would replay the whole
         # read-back + resample chain just to rediscover the same keys.
-        touched = touched_partitions or {
-            tuple(str(v) for v in r)
-            for r in batch.select(*CANDLE_PARTITIONS).distinct().collect()
-        }
+        # ONE aggregation returns the partition set AND its per-
+        # partition ts span (partial aggregation makes the min/max free
+        # relative to the old distinct), so the read-back below can
+        # skip files whose stats range cannot collide with the batch.
+        if touched_partitions is None:
+            rows = (
+                batch.groupBy(*CANDLE_PARTITIONS)
+                .agg(F.min("ts").alias("__lo"), F.max("ts").alias("__hi"))
+                .collect()
+            )
+            touched = {
+                tuple(str(r[c]) for c in CANDLE_PARTITIONS) for r in rows
+            }
+            touched_spans = {
+                tuple(str(r[c]) for c in CANDLE_PARTITIONS): (
+                    _ts_micros(r["__lo"]),
+                    _ts_micros(r["__hi"]),
+                )
+                for r in rows
+            }
+        else:
+            touched = touched_partitions
+        spans = touched_spans or {}
+
+        def _collides(e: dict, t: tuple[str, ...]) -> bool:
+            # A carried (neither re-read nor rewritten) file must be
+            # PROVABLY collision-free with the batch: rows collide only
+            # on an equal candle key, the file shares the partition's
+            # (market, candle_length, code), and every batch row of
+            # partition t has ts inside spans[t] — so a file whose
+            # manifest ts range is disjoint from the span shares no key
+            # with the batch and the LWW merge would pass its rows
+            # through verbatim. Entries without stats (legacy pages)
+            # and partitions without a span always merge.
+            span = spans.get(t)
+            if span is None or "ts_lo" not in e or "ts_hi" not in e:
+                return True
+            return not (e["ts_hi"] < span[0] or e["ts_lo"] > span[1])
+
         for _ in range(MAX_COMMIT_RETRIES):
             txn = uuid.uuid4().hex
             version, pointers = self._log.current()
             replaced = [p for p in pointers if self._tuple_of(p) in touched]
             kept = [p for p in pointers if self._tuple_of(p) not in touched]
-            if replaced:
-                existing = self._read_files(
-                    self._entries_for(replaced)
-                ).select(*batch.columns)
+            # File-level pruning of the merge read-back (the
+            # continuous-ingest hot path): only files whose ts range
+            # can overlap the batch's span for their partition are read
+            # back and rewritten; disjoint files are CARRIED into the
+            # new page by reference — per-batch merge cost tracks the
+            # batch's span, not the partition's accumulated history
+            # (previously every micro-batch re-read and rewrote every
+            # earlier batch's rows of each touched partition).
+            overlap_entries: list[dict] = []
+            carried: dict[tuple, dict] = {}
+            for ptr in replaced:
+                t = self._tuple_of(ptr)
+                for e in self._log.load_page(ptr):
+                    if _collides(e, t):
+                        overlap_entries.append(e)
+                    else:
+                        g = carried.setdefault(
+                            t,
+                            {"partition": ptr["partition"], "files": []},
+                        )
+                        g["files"].append(e)
+            if overlap_entries:
+                existing = self._read_files(overlap_entries).select(
+                    *batch.columns
+                )
                 merged = (
                     existing.withColumn("__seq", F.lit(0))
                     .unionByName(batch.withColumn("__seq", F.lit(1)))
@@ -788,9 +845,17 @@ class CandleStore:
             else:
                 merged = batch
             new = self._stage_and_publish(merged, txn)
-            if self._log.try_commit(
-                version + 1, kept + self._page_out(new, txn), txn
-            ):
+            by_part = self._group_by_partition(new)
+            for t, g in carried.items():
+                if t in by_part:
+                    by_part[t]["files"].extend(g["files"])
+                else:
+                    by_part[t] = g
+            pages = [
+                self._log.write_page(g["partition"], g["files"], txn, k)
+                for k, g in enumerate(by_part.values())
+            ]
+            if self._log.try_commit(version + 1, kept + pages, txn):
                 return
             # Lost the race: the published-but-uncommitted files and
             # pages are orphans (invisible; vacuum reclaims the data
@@ -1102,18 +1167,36 @@ class CandleStore:
         # session-tz semantics of _normalize's year column) lets
         # write() skip its distinct-collect, which would re-evaluate
         # the whole read-back + resample chain once more per
-        # micro-batch just to rediscover the same keys.
-        parts = {
-            (r["market"], str(target_length_s), r["code"], str(r["y"]))
-            for r in touched.select(
+        # micro-batch just to rediscover the same keys. The same
+        # aggregation yields each partition's bucket span — resampled
+        # rows carry ts = bucket start, so [min, max] bucket per
+        # partition is exactly the span write() needs to file-prune
+        # ITS read-back of the derived series.
+        grid = (
+            touched.groupBy(
                 "market", "code", F.year("__bucket").alias("y")
             )
-            .distinct()
+            .agg(
+                F.min("__bucket").alias("__lo"),
+                F.max("__bucket").alias("__hi"),
+            )
             .collect()
+        )
+        parts = {
+            (r["market"], str(target_length_s), r["code"], str(r["y"]))
+            for r in grid
+        }
+        spans = {
+            (r["market"], str(target_length_s), r["code"], str(r["y"])): (
+                _ts_micros(r["__lo"]),
+                _ts_micros(r["__hi"]),
+            )
+            for r in grid
         }
         self.write(
             resample(affected, target_length_s, anchor_s=anchor_s),
             touched_partitions=parts,
+            touched_spans=spans,
         )
 
     # -- read path ---------------------------------------------------

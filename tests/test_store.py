@@ -871,6 +871,44 @@ def test_derive_rollup_precomputed_partitions_cross_year(spark, store):
     assert years == {"2024", "2025"}
 
 
+def test_merge_span_pruning_carries_disjoint_files(spark, store):
+    """merge's read-back is file-pruned on the manifest ts stats (r18):
+    a file whose [ts_lo, ts_hi] is disjoint from the batch's span for
+    that partition shares no candle key with the batch, so it is
+    CARRIED into the new page by reference — neither re-read nor
+    rewritten — while overlapping files still merge last-writer-wins.
+    Pins both halves: the carried file's path survives the commit
+    verbatim, and a later OVERLAPPING batch still replaces it."""
+    base = dt.datetime(2024, 6, 1, 0, 0)
+    mins = lambda m: base + dt.timedelta(minutes=m)
+    b1 = mk(spark, [("BTC", mins(i), 100.0 + i) for i in range(5)])
+    store.write(b1)
+    v1 = store._log.current()[0]
+    paths_v1 = {e["path"] for e in store._log.entries_at(v1)}
+    # Disjoint span (minutes 300+): b1's file must be carried, not
+    # rewritten, and every row of both batches must survive the merge.
+    b2 = mk(spark, [("BTC", mins(300 + i), 500.0 + i) for i in range(5)])
+    store.write(b2)
+    v2 = store._log.current()[0]
+    paths_v2 = {e["path"] for e in store._log.entries_at(v2)}
+    assert paths_v1 <= paths_v2  # carried by reference
+    rows = {r["ts"]: r["open"] for r in store.read(code="BTC").collect()}
+    assert len(rows) == 10
+    assert rows[mins(0)] == 100.0 and rows[mins(300)] == 500.0
+    # Late backfill INTO the carried span: the carried file now
+    # overlaps, so it is read back, merged (batch wins), and replaced.
+    b3 = mk(spark, [("BTC", mins(2), 999.0)])
+    store.write(b3)
+    rows = {r["ts"]: r["open"] for r in store.read(code="BTC").collect()}
+    assert len(rows) == 10
+    assert rows[mins(2)] == 999.0   # upserted
+    assert rows[mins(1)] == 101.0   # same-file neighbor intact
+    assert rows[mins(301)] == 501.0  # disjoint file intact
+    v3 = store._log.current()[0]
+    paths_v3 = {e["path"] for e in store._log.entries_at(v3)}
+    assert paths_v1 - paths_v3, "overlapping file should be replaced"
+
+
 def test_write_page_overwrites_on_append_retry(tmp_path):
     """The append retry loop reuses (txn, k) after a lost commit race,
     so write_page must OVERWRITE an existing page file (fs.replace) —
